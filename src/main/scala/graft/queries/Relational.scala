@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational parity surface — SURVEY.md §2 operator inventory re-expressed
+  * over the synthetic testdata tables, one named query per operator family,
+  * each with a DuckDB oracle (SparkEntry wires them up).
+  *
+  * Numerical determinism contract (shared with the oracle SQL):
+  *   - Large SUMs of doubles are order-sensitive in floating point, and both
+  *     Spark partial aggregation and DuckDB parallel aggregation sum in
+  *     nondeterministic order. Every money-ish sum therefore routes through
+  *     DECIMAL(18,2) (exact, order-insensitive) and is presented as DOUBLE.
+  *   - AVGs stay double (error shrinks ~1/n) but are rounded.
+  *   - Every query ends in a fully deterministic ORDER BY (all key columns).
+  *
+  * Scale notes (100 TB posture):
+  *   - groupBy/agg → partial (map-side) aggregation for free; no collect.
+  *   - dimension joins (region/nation/customer at TPC-H ratios) are
+  *     broadcast-able; Catalyst picks broadcast-hash from size stats.
+  *   - rank-filter top-k uses WindowGroupLimit (Spark 3.5+) so no global
+  *     materialization of the window input.
+  *   - the one global Window (q06) runs over an *aggregated* input whose
+  *     cardinality is group-count, not row-count — safe at any SF.
+  */
+object Relational {
+
+  /** Exact order-insensitive sum of a double column, presented as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  /** SQL-side twin of [[dsum]] — keep in lockstep. */
+  private def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Revenue = price * (1 - discount), computed entirely in decimal.
+    * Casting the double *product* to decimal is engine-divergent at .xx5
+    * midpoints (Spark rounds the exact binary expansion, DuckDB rounds
+    * value*100 in double); casting each 2-decimal *factor* first is
+    * midpoint-free and makes the whole sum exact and order-insensitive.
+    */
+  private val revenueCol: Column =
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      .cast("double")
+  private val revenueSql: String =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q01
+  // SURVEY §2.4 A1/A5: hash aggregate with multiple agg functions.
+  def q01Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_price,
+       |  ROUND(AVG(l_discount), 6) AS avg_disc,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // SURVEY §2.2 P9 / §2.11 Q5: conditional count via count(when(...)) —
+  // counts non-nulls, exactly the reference's win-counting idiom
+  // (Transform Silver Data.py:133).
+  def q02CondAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", true)).as("n_f"),
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q02Sql: String =
+    s"""SELECT o_orderpriority,
+       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       |  ${dsumSql("o_totalprice")} AS total_price,
+       |  COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // SURVEY §2.3 J1-J5: star join (fact ⋈ 4 dims). nation/region are tiny →
+  // broadcast-hash joins; lineitem⋈orders co-shuffles on the key.
+  def q03StarJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        revenueCol.as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q03Sql: String =
+    s"""SELECT r_name, n_name,
+       |  $revenueSql AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // SURVEY §2.3 J4: multi-key conjunction join of a fact against its own
+  // aggregate (the pitstops-count shape, Transform Silver Data.py:92,104).
+  def q04MultikeyJoin(s: SparkSession, d: String): DataFrame = {
+    // two independent reads: a self-join against an aggregate of the same
+    // lineage trips Spark's ambiguous-self-join detection
+    val ev = Tables.events(s, d)
+    val agg = Tables.events(s, d).groupBy("user_id", "event_type")
+      .agg(max("value").as("max_value"))
+    ev.join(agg,
+        ev("user_id") === agg("user_id") &&
+        ev("event_type") === agg("event_type") &&
+        ev("value") === agg("max_value"))
+      .groupBy(ev("user_id").as("user_id"), ev("event_type").as("event_type"),
+        agg("max_value").as("max_value"))
+      .agg(min("event_id").as("first_event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q04Sql: String =
+    """SELECT e.user_id, e.event_type, a.max_value,
+      |  MIN(e.event_id) AS first_event_id
+      |FROM events e
+      |JOIN (SELECT user_id, event_type, MAX(value) AS max_value
+      |      FROM events GROUP BY 1, 2) a
+      |  ON e.user_id = a.user_id AND e.event_type = a.event_type
+      | AND e.value = a.max_value
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // SURVEY §2.5 W1/W2: rank over partitioned window (driver-standings
+  // shape). Rank keys are exact (decimal-summed) → deterministic ranks.
+  def q05WindowRank(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val totals = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_nationkey", "c_custkey", "c_name")
+      .agg(dsum(col("o_totalprice")).as("total_spend"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("total_spend"), col("c_custkey"))
+    totals.withColumn("rnk", rank().over(w))
+      .select("c_nationkey", "c_custkey", "c_name", "total_spend", "rnk")
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+  }
+
+  val q05Sql: String =
+    s"""WITH totals AS (
+       |  SELECT c_nationkey, c_custkey, c_name,
+       |    ${dsumSql("o_totalprice")} AS total_spend
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT c_nationkey, c_custkey, c_name, total_spend,
+       |  RANK() OVER (PARTITION BY c_nationkey
+       |               ORDER BY total_spend DESC, c_custkey) AS rnk
+       |FROM totals ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  // SURVEY §2.5 W3: global (un-partitioned) rank over an aggregate output.
+  // Safe at scale only because the window input is post-aggregation
+  // (cardinality = #groups); documented hazard otherwise.
+  def q06GlobalRank(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(round(avg("o_totalprice"), 2).as("avg_price"))
+      .withColumn("rnk", rank().over(Window.orderBy(desc("avg_price"))))
+      .orderBy("rnk", "o_orderpriority")
+
+  val q06Sql: String =
+    """SELECT o_orderpriority, ROUND(AVG(o_totalprice), 2) AS avg_price,
+      |  RANK() OVER (ORDER BY ROUND(AVG(o_totalprice), 2) DESC) AS rnk
+      |FROM orders GROUP BY 1 ORDER BY rnk, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  // SURVEY §2.4 A6: HAVING — filter above aggregate.
+  def q07Having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .filter(col("n_orders") >= 10)
+      .orderBy("o_custkey")
+
+  val q07Sql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS total_price
+       |FROM orders GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // SURVEY §2.6 O2: top-k per group via rank filter (NOT limit) — Spark
+  // rewrites to WindowGroupLimit, so each partition keeps only k rows.
+  def q08TopkRank(s: SparkSession, d: String): DataFrame =
+    q05WindowRank(s, d).filter(col("rnk") <= 3)
+      .orderBy("c_nationkey", "rnk", "c_custkey")
+
+  val q08Sql: String =
+    s"""WITH totals AS (
+       |  SELECT c_nationkey, c_custkey, c_name,
+       |    ${dsumSql("o_totalprice")} AS total_spend
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, RANK() OVER (PARTITION BY c_nationkey
+       |    ORDER BY total_spend DESC, c_custkey) AS rnk FROM totals)
+       |SELECT c_nationkey, c_custkey, c_name, total_spend, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // SURVEY §2.6 O1: multi-key mixed asc/desc global sort (range exchange).
+  def q09OrderbyMulti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy(col("c_mktsegment"), desc("c_acctbal"), col("c_custkey"))
+
+  val q09Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // SURVEY §2.8 F1-F11: scalar function gallery (year/concat/regexp_replace/
+  // substring/length/case-when/arithmetic/cast) — all codegen'd built-ins.
+  def q10Scalar(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      to_date(col("o_orderdate")).as("o_day"),
+      regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("prio_name"),
+      concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_prio"),
+      (lit(11) - col("o_orderkey") % 10).as("adjusted"),
+      when(col("o_totalprice") > 200000.0, "big").otherwise("small").as("size_class"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"),
+      substring(col("o_orderpriority"), 1, 3).as("prio_pfx"))
+    .orderBy("o_orderkey")
+
+  val q10Sql: String =
+    """SELECT o_orderkey,
+      |  YEAR(o_orderdate) AS o_year,
+      |  MONTH(o_orderdate) AS o_month,
+      |  CAST(o_orderdate AS DATE) AS o_day,
+      |  REGEXP_REPLACE(o_orderpriority, '^[0-9]-', '') AS prio_name,
+      |  o_orderstatus || '_' || o_orderpriority AS status_prio,
+      |  11 - (o_orderkey % 10) AS adjusted,
+      |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class,
+      |  LENGTH(o_orderpriority) AS prio_len,
+      |  SUBSTRING(o_orderpriority, 1, 3) AS prio_pfx
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // SURVEY §2.7 (fixed Q1 quirk): unionByName + distinct.
+  def q11Union(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), lit("big").as("why"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), lit("urgent").as("why"))
+    big.unionByName(urgent).distinct().orderBy("o_orderkey", "why")
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderkey, 'big' AS why FROM orders WHERE o_totalprice > 250000.0
+      |UNION
+      |SELECT o_orderkey, 'urgent' AS why FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey, why""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // Semi/anti joins (EXISTS / NOT EXISTS) — beyond the reference's inner-
+  // only joins but required for a complete library surface.
+  def q12AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q13SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d)
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+    su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q13Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 48)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // SURVEY §2.3 J6 + §3.3 SQL path: CTE + window + self-ish join executed
+  // through spark.sql over the registered catalog (dual API surface).
+  def q14SqlCte(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q14Sql)
+  }
+
+  val q14Sql: String =
+    s"""WITH nat_rev AS (
+       |  SELECT n_name, n_nationkey,
+       |    $revenueSql AS revenue
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT n_name, n_nationkey, revenue,
+       |    RANK() OVER (ORDER BY revenue DESC, n_name) AS n_rnk
+       |  FROM nat_rev)
+       |SELECT c.c_custkey, r.n_name, r.revenue, r.n_rnk
+       |FROM customer c
+       |JOIN ranked r ON c.c_nationkey = r.n_nationkey
+       |WHERE r.n_rnk <= 3
+       |ORDER BY n_rnk, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // The reference's gold driver-standings pipeline shape end-to-end
+  // (Transform Silver Data.py:128-139): join → agg(sum, conditional count)
+  // → rank over (year) ordered by (points desc, wins desc).
+  def q15Standings(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    val yearly = li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"), col("s_suppkey"), col("s_name"))
+      .agg(
+        revenueCol.as("revenue"),
+        count(when(col("l_quantity") > 45, true)).as("big_lines"))
+    val w = Window.partitionBy("ship_year")
+      .orderBy(desc("revenue"), desc("big_lines"), col("s_suppkey"))
+    yearly.withColumn("pos", rank().over(w))
+      .select("ship_year", "s_suppkey", "s_name", "revenue", "big_lines", "pos")
+      .orderBy("ship_year", "pos", "s_suppkey")
+  }
+
+  val q15Sql: String =
+    s"""WITH yearly AS (
+       |  SELECT YEAR(l_shipdate) AS ship_year, s_suppkey, s_name,
+       |    $revenueSql AS revenue,
+       |    COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS big_lines
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT ship_year, s_suppkey, s_name, revenue, big_lines,
+       |  RANK() OVER (PARTITION BY ship_year
+       |               ORDER BY revenue DESC, big_lines DESC, s_suppkey) AS pos
+       |FROM yearly ORDER BY ship_year, pos, s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // Time bucketing over the events table (groupBy day) — the batch twin of
+  // the streaming windowed aggregation in graft.streaming.
+  def q16TimeBucket(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  val q16Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type,
+       |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** name → query, in SparkEntry's (SparkSession, sfDir) => DataFrame shape. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"            -> (q01Agg _),
+    "q02_cond_agg"       -> (q02CondAgg _),
+    "q03_star_join"      -> (q03StarJoin _),
+    "q04_multikey_join"  -> (q04MultikeyJoin _),
+    "q05_window_rank"    -> (q05WindowRank _),
+    "q06_global_rank"    -> (q06GlobalRank _),
+    "q07_having"         -> (q07Having _),
+    "q08_topk_rank"      -> (q08TopkRank _),
+    "q09_orderby_multi"  -> (q09OrderbyMulti _),
+    "q10_scalar"         -> (q10Scalar _),
+    "q11_union"          -> (q11Union _),
+    "q12_anti_join"      -> (q12AntiJoin _),
+    "q13_semi_join"      -> (q13SemiJoin _),
+    "q14_sql_cte"        -> (q14SqlCte _),
+    "q15_standings"      -> (q15Standings _),
+    "q16_time_bucket"    -> (q16TimeBucket _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg"            -> q01Sql,
+    "q02_cond_agg"       -> q02Sql,
+    "q03_star_join"      -> q03Sql,
+    "q04_multikey_join"  -> q04Sql,
+    "q05_window_rank"    -> q05Sql,
+    "q06_global_rank"    -> q06Sql,
+    "q07_having"         -> q07Sql,
+    "q08_topk_rank"      -> q08Sql,
+    "q09_orderby_multi"  -> q09Sql,
+    "q10_scalar"         -> q10Sql,
+    "q11_union"          -> q11Sql,
+    "q12_anti_join"      -> q12Sql,
+    "q13_semi_join"      -> q13Sql,
+    "q14_sql_cte"        -> q14Sql,
+    "q15_standings"      -> q15Sql,
+    "q16_time_bucket"    -> q16Sql,
+  )
+}
