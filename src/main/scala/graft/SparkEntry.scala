@@ -17,12 +17,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Nested.queries
+      graft.queries.Nested.queries ++
+      graft.queries.TextAnalysis.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.similarity.Knn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Nested.oracles
+      graft.queries.Nested.oracles ++
+      graft.queries.TextAnalysis.oracles ++
+      graft.dedup.Dedup.oracles ++
+      graft.similarity.Knn.oracles
 }

@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+
+/** Deduplication surface over the `documents` table — exact (hash-groupBy),
+  * MinHash+LSH near-dup (shingle → signature → band → bucket-join), SimHash
+  * hamming candidates, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the whole point at 100 TB):
+  *   - signatures/simhashes are computed in ONE narrow pass (custom codegen
+  *     Expressions, no UDF boxing) — cost O(corpus) with zero shuffle;
+  *   - LSH banding turns the O(n²) pair problem into groupBy(band, bucket):
+  *     one shuffle keyed on (band, bucket-hash), with pairs enumerated only
+  *     inside buckets (collision sets), never across the corpus;
+  *   - the exact-Jaccard verify joins texts back ONLY for candidate pairs
+  *     (a tiny fraction of the corpus), so the expensive comparison is
+  *     bounded by candidate volume, not corpus size;
+  *   - skew guard: buckets larger than `maxBucket` are dropped (standard
+  *     LSH practice — a degenerate bucket means the band hash collapsed,
+  *     e.g. empty docs; enumerating its pairs is O(bucket²) poison).
+  */
+object Dedup {
+
+  /** Exact dedup via content-hash groupBy: one shuffle on md5(text),
+    * keeps the lowest doc_id per content group.
+    */
+  def q25ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val q25Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Synthetic near-dup corpus: every 10th document re-appears (doc_id +
+    * 1,000,000) with its last two tokens dropped — gives the LSH pipeline
+    * known positives to find, deterministically, at any SF.
+    */
+  private[graft] def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val mutated = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s+\\S+\\s*$", "").as("text"))
+    docs.unionByName(mutated)
+  }
+
+  val NumHashes = 64
+  val Bands = 8
+  val RowsPerBand = NumHashes / Bands
+
+  /** MinHash → LSH banding → bucket-join candidate pairs → MinHash-estimated
+    * and exact n-gram Jaccard for each candidate.
+    */
+  def nearDupPairs(corpus: DataFrame, minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val sig = corpus.select(
+      col("doc_id"), col("text"),
+      text.minhash_signature(col("text"), shingle = 3, num = NumHashes).as("sig"))
+
+    // band rows: (band, bucket = xxhash of the band's signature slice)
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
+    }: _*)
+    val banded = sig
+      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // skew guard: drop degenerate buckets before pair enumeration
+    val bucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize").between(2, maxBucket))
+    val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
+
+    // pairs within a bucket (a.doc_id < b.doc_id), dedup across bands
+    val a = pruned.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val estJaccard = round(
+      aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / NumHashes, 4)
+
+    // exact verify: join texts back only for candidates
+    val shingles = corpus.select(col("doc_id"),
+      text.shingle_hashes(col("text"), shingle = 3).as("sh"))
+    val exactJaccard = round(
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 4)
+
+    candidates
+      .withColumn("est_jaccard", estJaccard)
+      .drop("sig_a", "sig_b")
+      .join(shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("exact_jaccard", exactJaccard)
+      .drop("sh_a", "sh_b")
+      .filter(col("exact_jaccard") >= minJaccard)
+  }
+
+  def q26NearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(corpusWithNearDups(s, d))
+      .select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup candidates over the same synthetic corpus: bucket by
+    * 4 × 16-bit bands (hamming ≤ 3 ⟹ at least one identical 16-bit band),
+    * verify with full hamming distance. Same LSH shape, bitwise flavor.
+    */
+  def q27SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, d)
+    val hashed = corpus.select(col("doc_id"),
+      text.simhash64(col("text")).as("sh"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", text.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_dedup_exact" -> (q25ExactDedup _),
+    "q26_neardup_minhash" -> (q26NearDupPairs _),
+    "q27_neardup_simhash" -> (q27SimhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_dedup_exact" -> q25Sql)
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the LLM-pipeline text operators
+  * (SURVEY.md §7.2.7) — native `Expression`s with `doGenCode` so they stay
+  * inside whole-stage codegen (no UDF serialization, no boxing of the hot
+  * string), each delegating to the static kernels in [[TextKernels]].
+  *
+  * Column wrappers live in [[graft.functions.text]].
+  */
+object TextExpressions {
+  private val kernels = "graft.functions.TextKernels"
+
+  /** Winnowing fingerprint: string → array<bigint> (SIGMOD'03 scheme). */
+  case class RollingFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.winnowBridge(v.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.winnowBridge($c, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "rolling_fingerprint"
+  }
+
+  /** 64-bit SimHash of whitespace tokens: string → bigint. */
+  case class SimHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.simhashBridge(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhashBridge($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** MinHash signature over word shingles: string → array<bigint>[num]. */
+  case class MinHashSignature(child: Expression, shingle: Int, num: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.minhashBridge(v.asInstanceOf[UTF8String], shingle, num)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.minhashBridge($c, $shingle, $num);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** Distinct hashed word shingles: string → sorted array<bigint>. */
+  case class ShingleHashes(child: Expression, shingle: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.shingleBridge(v.asInstanceOf[UTF8String], shingle)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.shingleBridge($c, $shingle);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
+  case class HammingDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "hamming64"
+  }
+}
+
+/** Column-API façade over the custom expressions (Spark 4 Column is
+  * node-based; `classic.ExpressionUtils` is the supported bridge).
+  */
+object text {
+  import TextExpressions._
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def rolling_fingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
+    column(RollingFingerprint(expression(c), k, w))
+
+  def simhash64(c: Column): Column = column(SimHash(expression(c)))
+
+  def minhash_signature(c: Column, shingle: Int = 3, num: Int = 64): Column =
+    column(MinHashSignature(expression(c), shingle, num))
+
+  def hamming64(a: Column, b: Column): Column =
+    column(HammingDistance(expression(a), expression(b)))
+
+  def shingle_hashes(c: Column, shingle: Int = 3): Column =
+    column(ShingleHashes(expression(c), shingle))
+}

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level text kernels backing the custom Catalyst expressions in
+  * [[TextExpressions]]. Pure JVM, allocation-light, deterministic — these
+  * run inside whole-stage codegen via static calls, so they must not touch
+  * Spark state.
+  *
+  * Hashing is FNV-1a 64-bit plus a splitmix64 finalizer (public-domain
+  * constructions) — stable across JVMs and Spark versions, unlike
+  * `String.hashCode`-derived schemes.
+  */
+object TextKernels {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime  = 0x100000001b3L
+
+  /** FNV-1a over a char slice, splitmix64-finished. */
+  def hashSlice(s: String, from: Int, until: Int, seed: Long): Long = {
+    var h = FnvOffset ^ seed
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= FnvPrime
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * rolling k-gram hashes, minimum per sliding window of `w`, consecutive
+    * duplicates collapsed. Returns a small sorted-by-position fingerprint
+    * set — robust to local edits, O(len) time, O(len/w) output.
+    */
+  def winnow(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return if (n == 0) Array.empty else Array(hashSlice(s, 0, n, 0L))
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < grams.length) { grams(i) = hashSlice(s, i, i + k, 0L); i += 1 }
+    if (grams.length <= w) return Array(grams.min)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](grams.length / w + 1)
+    var lastMinIdx = -1
+    var start = 0
+    while (start + w <= grams.length) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (grams(j) <= grams(minIdx)) minIdx = j
+        j += 1
+      }
+      if (minIdx != lastMinIdx) { out += grams(minIdx); lastMinIdx = minIdx }
+      start += 1
+    }
+    out.toArray
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar, STOC'02): per-token
+    * 64-bit hash votes ±1 on each bit; sign of the tally is the bit.
+    */
+  def simhash64(s: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashSlice(s, start, i, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature over word `shingle`-grams: `num` independent hash
+    * functions simulated by seeding [[hashSlice]] (one-permutation-per-seed
+    * construction). O(tokens × num) per row, no shuffle — banding happens
+    * downstream in the DataFrame plan.
+    */
+  def minhashSig(s: String, shingle: Int, num: Int): Array[Long] = {
+    // token boundaries
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) { bounds += start; bounds += i }
+    }
+    val nTok = bounds.length / 2
+    val sig = Array.fill(num)(Long.MaxValue)
+    if (nTok < shingle) {
+      if (nTok == 0) return sig
+      // degenerate: hash the whole token run once per seed
+      val from = bounds(0); val until = bounds(bounds.length - 1)
+      var h = 0
+      while (h < num) { sig(h) = hashSlice(s, from, until, h.toLong); h += 1 }
+      return sig
+    }
+    var t = 0
+    while (t + shingle <= nTok) {
+      val from = bounds(2 * t)
+      val until = bounds(2 * (t + shingle - 1) + 1)
+      val base = hashSlice(s, from, until, 0L)
+      var h = 0
+      while (h < num) {
+        // cheap independent hashes: splitmix-remix of the base gram hash
+        val v = mix64(base ^ (h.toLong * 0x9e3779b97f4a7c15L))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Distinct hashed word `shingle`-grams, sorted — the exact set behind
+    * the MinHash estimate, for true-Jaccard verification of candidate
+    * pairs (jaccard = |intersect| / |union| over these arrays).
+    */
+  def shingleHashes(s: String, shingle: Int): Array[Long] = {
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) { bounds += start; bounds += i }
+    }
+    val nTok = bounds.length / 2
+    if (nTok == 0) return Array.empty
+    if (nTok < shingle) {
+      return Array(hashSlice(s, bounds(0), bounds(bounds.length - 1), 0L))
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var t = 0
+    while (t + shingle <= nTok) {
+      set.add(hashSlice(s, bounds(2 * t), bounds(2 * (t + shingle - 1) + 1), 0L))
+      t += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  // ---- UTF8String/ArrayData bridges for codegen ----
+
+  def winnowBridge(s: UTF8String, k: Int, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(winnow(s.toString, k, w))
+
+  def simhashBridge(s: UTF8String): Long = simhash64(s.toString)
+
+  def minhashBridge(s: UTF8String, shingle: Int, num: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSig(s.toString, shingle, num))
+
+  def shingleBridge(s: UTF8String, shingle: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingleHashes(s.toString, shingle))
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+
+/** Text-analysis surface over the `documents` table — token counting,
+  * quality scoring, language ID, and document fingerprinting (the
+  * LLM-training-pipeline operators from the build brief).
+  *
+  * q20-q22 are pure `functions._` compositions (whole-stage codegen, no
+  * UDFs) with exact DuckDB oracles. q23/q24 use the custom Catalyst
+  * expressions in [[graft.functions.TextExpressions]] (winnowing
+  * fingerprint, SimHash) — not SQL-expressible, so they get rows-only
+  * driver checks plus kernel-level unit specs.
+  *
+  * Scale: every query here is a narrow map over the corpus — zero
+  * shuffles before the final (tiny) sort, so it parallelizes linearly with
+  * input splits at any corpus size.
+  */
+object TextAnalysis {
+
+  private val tokens: Column = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+  private val nTokens: Column = size(tokens).cast("long")
+
+  // ---------------------------------------------------------------- q20
+  def q20Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        nullif(nTokens, lit(0L)), 4).as("avg_token_len"))
+    .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  LENGTH(text) AS n_chars_measured,
+      |  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) /
+      |        NULLIF(len(regexp_extract_all(text, '\S+')), 0), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Quality scoring: length saturation + punctuation cleanliness +
+  // stopword coverage, the standard cheap pretraining-quality heuristics.
+  private val stopwords = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  def q21Quality(s: SparkSession, d: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val punctN = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val stopCov = size(array_intersect(tokens,
+      array(stopwords.map(lit): _*))).cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(punctN / nChars, 6).as("punct_ratio"),
+      stopCov.cast("long").as("stop_hits"),
+      round(
+        least(lit(1.0), nTokens / lit(50.0)) * 0.5 +
+        (lit(1.0) - punctN / nChars) * 0.3 +
+        least(lit(1.0), stopCov / lit(5.0)) * 0.2, 4).as("quality"))
+    .orderBy("doc_id")
+  }
+
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val q21Sql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |  ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |        / LENGTH(text), 6) AS punct_ratio,
+       |  len(list_intersect(regexp_extract_all(text, '\\S+'), $stopListSql)) AS stop_hits,
+       |  ROUND(
+       |    LEAST(1.0, len(regexp_extract_all(text, '\\S+')) / 50.0) * 0.5 +
+       |    (1.0 - CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |           / LENGTH(text)) * 0.3 +
+       |    LEAST(1.0, len(list_intersect(regexp_extract_all(text, '\\S+'), $stopListSql)) / 5.0) * 0.2,
+       |    4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Language ID: distinct-marker-word coverage per language, argmax with a
+  // fixed tie order (en > de > es > fr > zh). N-gram-free but the same
+  // declare-score-argmax shape as a production lang-ID pass.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "有"))
+
+  def q22LangId(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val score: Map[String, Column] = markers.map { case (lang, ws) =>
+      lang -> size(array_intersect(toks, array(ws.map(lit): _*)))
+    }.toMap
+    val Seq(en, de, es, fr, zh) = markers.map(m => score(m._1))
+    val pred = when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.cast("long").as("s_en"), de.cast("long").as("s_de"),
+      es.cast("long").as("s_es"), fr.cast("long").as("s_fr"),
+      zh.cast("long").as("s_zh"),
+      pred.as("pred_lang"))
+    .orderBy("doc_id")
+  }
+
+  val q22Sql: String = {
+    def sc(lang: String): String = {
+      val ws = markers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(regexp_extract_all(LOWER(text), '\\S+'), $ws))"
+    }
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  ${sc("en")} AS s_en, ${sc("de")} AS s_de, ${sc("es")} AS s_es,
+       |  ${sc("fr")} AS s_fr, ${sc("zh")} AS s_zh,
+       |  CASE
+       |    WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} >= ${sc("es")}
+       |     AND ${sc("en")} >= ${sc("fr")} AND ${sc("en")} >= ${sc("zh")} THEN 'en'
+       |    WHEN ${sc("de")} >= ${sc("es")} AND ${sc("de")} >= ${sc("fr")}
+       |     AND ${sc("de")} >= ${sc("zh")} THEN 'de'
+       |    WHEN ${sc("es")} >= ${sc("fr")} AND ${sc("es")} >= ${sc("zh")} THEN 'es'
+       |    WHEN ${sc("fr")} >= ${sc("zh")} THEN 'fr'
+       |    ELSE 'zh'
+       |  END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  // Winnowing fingerprint (custom Expression; rows-only check + unit spec).
+  def q23Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = text.rolling_fingerprint(col("text"), k = 8, w = 4)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(fp).cast("long").as("n_fp"),
+      array_min(fp).as("min_fp"),
+      array_max(fp).as("max_fp"))
+    .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q24
+  // SimHash (custom Expression; rows-only check + unit spec).
+  def q24Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.simhash64(col("text")).as("simhash"),
+      shiftright(text.simhash64(col("text")), 48).cast("int").as("band16"))
+    .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_tokens" -> (q20Tokens _),
+    "q21_text_quality" -> (q21Quality _),
+    "q22_langid" -> (q22LangId _),
+    "q23_fingerprint" -> (q23Fingerprint _),
+    "q24_simhash" -> (q24Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_tokens" -> q20Sql,
+    "q21_text_quality" -> q21Sql,
+    "q22_langid" -> q22Sql)
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's package-private Column↔Expression seam
+  * (`org.apache.spark.sql.classic.ExpressionUtils` is `private[sql]` in
+  * Spark 4). This is the standard third-party-extension technique for
+  * exposing custom Catalyst `Expression`s through the public Column API.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

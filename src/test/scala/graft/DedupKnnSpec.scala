@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import graft.functions.vectors
+
+class DedupKnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.q26NearDupPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: doc_id % 10 == 0 mutated to doc_id + 1_000_000
+    val planted = (0 until 500 by 10).map(i => (i.toLong, i + 1000000L))
+    val found = planted.count(pairs.contains).toDouble / planted.size
+    assert(found >= 0.9, s"recall of planted near-dups: $found")
+  }
+
+  test("minhash estimate tracks exact jaccard on candidates") {
+    val rows = Dedup.q26NearDupPairs(spark, sf)
+      .select("est_jaccard", "exact_jaccard").collect()
+    assert(rows.nonEmpty)
+    val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    assert(maxErr < 0.35, s"max |est - exact| = $maxErr")
+  }
+
+  test("simhash banding finds planted near-duplicates too") {
+    val pairs = Dedup.q27SimhashPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 500 by 10).map(i => (i.toLong, i + 1000000L))
+    val found = planted.count(pairs.contains).toDouble / planted.size
+    assert(found >= 0.7, s"recall: $found")
+  }
+
+  test("cosine_similarity expression matches a driver-side computation") {
+    import spark.implicits._
+    val row = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+      .select("embedding").as[Array[Float]].head()
+    val other = Tables.embeddings(spark, sf).filter(col("vec_id") === 2)
+      .select("embedding").as[Array[Float]].head()
+    val expected = {
+      val dot = row.zip(other).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(row.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(other.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+      .crossJoin(Tables.embeddings(spark, sf).filter(col("vec_id") === 2)
+        .select(col("embedding").as("e2")))
+      .select(vectors.cosine_similarity(col("embedding"), col("e2")).as("c"))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("IVF ANN recall vs exact top-k") {
+    val exact = Knn.q28Knn(spark, sf).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Knn.q29AnnIvf(spark, sf).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // single-probe IVF on random data: recall is modest but must be > 0
+    assert(recall > 0.2, s"IVF recall: $recall")
+    assert(approx.nonEmpty)
+  }
+}

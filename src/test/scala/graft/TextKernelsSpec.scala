@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextKernels
+
+class TextKernelsSpec extends AnyFunSuite {
+
+  val doc = "the quick brown fox jumps over the lazy dog again and again today"
+  val docEdited = "the quick brown fox jumps over the lazy dog again and again yesterday"
+
+  test("hashSlice is deterministic and seed-sensitive") {
+    val a = TextKernels.hashSlice(doc, 0, 9, 0L)
+    assert(a == TextKernels.hashSlice(doc, 0, 9, 0L))
+    assert(a != TextKernels.hashSlice(doc, 0, 9, 1L))
+  }
+
+  test("winnow: local edit preserves most fingerprints") {
+    val a = TextKernels.winnow(doc, 8, 4).toSet
+    val b = TextKernels.winnow(docEdited, 8, 4).toSet
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap > 0.6, s"overlap $overlap")
+    assert(a.nonEmpty && TextKernels.winnow("", 8, 4).isEmpty)
+  }
+
+  test("winnow output is much smaller than gram count") {
+    val fp = TextKernels.winnow(doc * 20, 8, 4)
+    assert(fp.length < doc.length * 20 / 2)
+  }
+
+  test("simhash: similar docs are hamming-close, different docs far") {
+    val a = TextKernels.simhash64(doc)
+    val b = TextKernels.simhash64(docEdited)
+    val c = TextKernels.simhash64("completely unrelated content about databases and query engines")
+    assert(TextKernels.hamming64(a, b) <= 12)
+    assert(TextKernels.hamming64(a, c) > 12)
+    assert(TextKernels.hamming64(a, a) == 0)
+  }
+
+  test("minhash signature estimates jaccard of shingle sets") {
+    val sigA = TextKernels.minhashSig(doc, 3, 256)
+    val sigB = TextKernels.minhashSig(docEdited, 3, 256)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 256
+    val shA = TextKernels.shingleHashes(doc, 3).toSet
+    val shB = TextKernels.shingleHashes(docEdited, 3).toSet
+    val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+
+  test("minhash identical docs have identical signatures") {
+    assert(TextKernels.minhashSig(doc, 3, 64).sameElements(TextKernels.minhashSig(doc, 3, 64)))
+  }
+
+  test("shingleHashes: sorted, distinct, count = tokens - shingle + 1 when unique") {
+    val sh = TextKernels.shingleHashes("a b c d e", 3)
+    assert(sh.length == 3)
+    assert(sh.sorted.sameElements(sh))
+    assert(sh.distinct.length == sh.length)
+  }
+}
