@@ -20,7 +20,9 @@ object SparkEntry {
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
-      graft.similarity.Knn.queries
+      graft.similarity.Knn.queries ++
+      graft.multimodal.Multimodal.queries ++
+      graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +32,7 @@ object SparkEntry {
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
-      graft.similarity.Knn.oracles
+      graft.similarity.Knn.oracles ++
+      graft.multimodal.Multimodal.oracles ++
+      graft.streaming.EventsStream.oracles
 }

