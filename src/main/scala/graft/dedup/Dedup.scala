@@ -55,7 +55,25 @@ object Dedup {
   val Bands = 8
   val RowsPerBand = NumHashes / Bands
 
-  /** MinHash → LSH banding → bucket-join candidate pairs → MinHash-estimated
+  /** In-bucket ordered-pair expansion: members sorted by doc_id so pair
+    * (i < j) gives id_a < id_b; cross-band duplicates collapsed. `payload`
+    * rides along (signature / simhash) for downstream verification.
+    */
+  private def bucketPairs(banded: DataFrame, payload: String,
+      maxBucket: Int): DataFrame =
+    banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col(payload)))).as("m"))
+      .filter(size(col("m")).between(2, maxBucket)) // skew guard
+      .select(explode(expr(
+        s"""flatten(transform(m, (x, i) ->
+           |  transform(slice(m, i + 2, size(m)), y ->
+           |    struct(x.doc_id AS id_a, y.doc_id AS id_b,
+           |           x.$payload AS pa, y.$payload AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** MinHash → LSH banding → in-bucket candidate pairs → MinHash-estimated
     * and exact n-gram Jaccard for each candidate.
     */
   def nearDupPairs(corpus: DataFrame, minJaccard: Double = 0.5,
@@ -73,21 +91,13 @@ object Dedup {
       .select(col("doc_id"), col("sig"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // skew guard: drop degenerate buckets before pair enumeration
-    val bucketSizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize").between(2, maxBucket))
-    val pruned = banded.join(bucketSizes, Seq("band", "bucket"))
-
-    // pairs within a bucket (a.doc_id < b.doc_id), dedup across bands
-    val a = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+    // ONE aggregation enumerates in-bucket pairs: collect members per
+    // (band, bucket) — bounded by the skew guard, so collect_list is safe —
+    // then expand ordered pairs with array lambdas. This replaces a
+    // bucket-self-join that would recompute the entire signature pipeline
+    // for both sides (2× corpus scans + an extra shuffle).
+    val candidates = bucketPairs(banded, "sig", maxBucket)
+      .withColumnRenamed("pa", "sig_a").withColumnRenamed("pb", "sig_b")
 
     val estJaccard = round(
       aggregate(
@@ -131,12 +141,8 @@ object Dedup {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", text.hamming64(col("sh_a"), col("sh_b")))
+    bucketPairs(banded, "sh", maxBucket = 64)
+      .withColumn("hamming", text.hamming64(col("pa"), col("pb")))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")

@@ -64,6 +64,17 @@ object TextExpressions {
     override def prettyName: String = "shingle_hashes"
   }
 
+  /** Single-pass language marker scores: string → array<bigint>[5]. */
+  case class LangScores(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.langScoresBridge(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.langScoresBridge($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "lang_scores"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -98,4 +109,6 @@ object text {
 
   def shingle_hashes(c: Column, shingle: Int = 3): Column =
     column(ShingleHashes(expression(c), shingle))
+
+  def lang_scores(c: Column): Column = column(LangScores(expression(c)))
 }

@@ -169,6 +169,53 @@ object TextKernels {
     out
   }
 
+  /** Marker-word sets for single-pass language scoring — shared source of
+    * truth with the q22 oracle (keep in lockstep with
+    * [[graft.queries.TextAnalysis.markers]]).
+    */
+  val langMarkers: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "is", "in", "that"),
+    "de" -> Array("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Array("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Array("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Array("的", "是", "不", "我", "了", "在", "有"))
+
+  private val markerIndex: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    langMarkers.zipWithIndex.foreach { case ((_, words), li) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(li) else prev :+ li)
+      }
+    }
+    m
+  }
+
+  /** One pass over the text: lowercase tokens, count DISTINCT marker hits
+    * per language (= `size(array_intersect(tokens, markers))` semantics).
+    * Replaces 5 regex tokenizations + 5 array intersections per row.
+    */
+  def langScores(s: String): Array[Long] = {
+    val seen = new java.util.HashSet[String]()
+    val scores = new Array[Long](langMarkers.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start && i - start <= 8) { // markers are short words
+        val tok = s.substring(start, i).toLowerCase
+        val langs = markerIndex.get(tok)
+        if (langs != null && seen.add(tok)) {
+          var j = 0
+          while (j < langs.length) { scores(langs(j)) += 1; j += 1 }
+        }
+      }
+    }
+    scores
+  }
+
   // ---- UTF8String/ArrayData bridges for codegen ----
 
   def winnowBridge(s: UTF8String, k: Int, w: Int): ArrayData =
@@ -181,4 +228,7 @@ object TextKernels {
 
   def shingleBridge(s: UTF8String, shingle: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(shingleHashes(s.toString, shingle))
+
+  def langScoresBridge(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(langScores(s.toString))
 }
