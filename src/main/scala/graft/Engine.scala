@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DurationExpressions, TextExpressions, VectorExpressions}
+
+/** Session factory + SQL registration of the custom Catalyst expressions,
+  * so the engine's extension operators are first-class in BOTH API
+  * surfaces (DataFrame DSL via graft.functions.{text,vectors,durations},
+  * SQL via `SELECT simhash64(text) ...`).
+  *
+  * Two registration paths:
+  *   - [[GraftExtensions]] for `SparkSession.builder.withExtensions`
+  *     (the library-consumer path, survives session cloning);
+  *   - [[Engine.registerFunctions]] for an existing session (the path
+  *     Verify/Bench/tests use).
+  */
+object Engine {
+
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  /** name → (usage, builder). */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "simhash64(str) - 64-bit token SimHash",
+      es => TextExpressions.SimHash(es.head)),
+    ("minhash_signature", "minhash_signature(str, shingle, num) - MinHash signature",
+      es => TextExpressions.MinHashSignature(es.head, intArg(es(1)), intArg(es(2)))),
+    ("rolling_fingerprint", "rolling_fingerprint(str, k, w) - winnowing fingerprint",
+      es => TextExpressions.RollingFingerprint(es.head, intArg(es(1)), intArg(es(2)))),
+    ("shingle_hashes", "shingle_hashes(str, n) - distinct hashed word n-grams",
+      es => TextExpressions.ShingleHashes(es.head, intArg(es(1)))),
+    ("lang_scores", "lang_scores(str) - marker-word language scores",
+      es => TextExpressions.LangScores(es.head)),
+    ("hamming64", "hamming64(a, b) - hamming distance of two bigints",
+      es => TextExpressions.HammingDistance(es.head, es(1))),
+    ("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays",
+      es => VectorExpressions.CosineSimilarity(es.head, es(1))),
+    ("dot_product", "dot_product(a, b) - dot product of two float arrays",
+      es => VectorExpressions.DotProduct(es.head, es(1))),
+    ("duration_ms", "duration_ms(str) - parse [h:]m:ss[.SSS] to millis",
+      es => DurationExpressions.DurationMillis(es.head)))
+
+  /** Register every custom function on an existing session. */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+
+  /** Tuned local session with extensions (the library entry point). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s
+  }
+}
+
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` — injects
+  * every graft function into the session's catalog at build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Engine.functions.foreach { case (name, _, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

@@ -388,6 +388,39 @@ object Relational {
        |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  // Exact interpolated percentiles (same definition as DuckDB's
+  // quantile_cont) — the exact face of the approximate-aggregate posture.
+  def q18Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy("o_orderpriority")
+
+  val q18Sql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  // Approximate aggregates — the 100 TB posture (HLL++ cardinality and
+  // t-digest-style quantile sketches are mergeable across partitions, one
+  // pass, bounded memory). Sketch outputs are engine-specific → rows-only
+  // driver check; AccuracySpec bounds them against the exact values.
+  def q19Approx(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
+      .orderBy("l_returnflag")
+
   /** name → query, in SparkEntry's (SparkSession, sfDir) => DataFrame shape. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg"            -> (q01Agg _),
@@ -406,6 +439,8 @@ object Relational {
     "q14_sql_cte"        -> (q14SqlCte _),
     "q15_standings"      -> (q15Standings _),
     "q16_time_bucket"    -> (q16TimeBucket _),
+    "q18_percentiles"    -> (q18Percentiles _),
+    "q19_approx"         -> (q19Approx _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -425,5 +460,6 @@ object Relational {
     "q14_sql_cte"        -> q14Sql,
     "q15_standings"      -> q15Sql,
     "q16_time_bucket"    -> q16Sql,
+    "q18_percentiles"    -> q18Sql,
   )
 }

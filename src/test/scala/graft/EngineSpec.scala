@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{durations, DurationKernel}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("duration_ms parses racing time formats; lexicographic bug fixed") {
+    assert(DurationKernel.parse("1:34.015") == 94015L)
+    assert(DurationKernel.parse("1:32:03.897") == 5523897L)
+    assert(DurationKernel.parse("23.5") == 23500L)
+    assert(DurationKernel.parse("23") == 23000L)
+    assert(DurationKernel.parse("1:02.5") == 62500L) // 2-frac pad
+    assert(DurationKernel.parse("") == -1L)
+    assert(DurationKernel.parse("abc") == -1L)
+    assert(DurationKernel.parse("1:75.0") == -1L) // seconds > 59
+    // the Q4 landmine: lexicographic says "1:59.9" > "10:00.0"
+    assert("1:59.9" > "10:00.0") // string compare is wrong
+    assert(DurationKernel.parse("1:59.9") < DurationKernel.parse("10:00.0"))
+  }
+
+  test("duration_ms as Column: null for malformed, correct ordering") {
+    import spark.implicits._
+    val df = Seq("1:34.015", "59.9", "bogus", "2:01.000")
+      .toDF("t").select(col("t"), durations.duration_ms(col("t")).as("ms"))
+    val got = df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getLong(1))).toMap
+    assert(got("1:34.015") == 94015L && got("bogus") == -1 && got("59.9") == 59900L)
+  }
+
+  test("SQL surface: custom functions callable after registration") {
+    import spark.implicits._
+    Engine.registerFunctions(spark)
+    Seq(("a b c", "a b d")).toDF("x", "y").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT hamming64(simhash64(x), simhash64(y)) AS hd,
+        |  duration_ms('1:30.000') AS ms,
+        |  size(minhash_signature(x, 2, 16)) AS sig_len FROM t""".stripMargin)
+      .collect().head
+    assert(row.getAs[Long]("ms") == 90000L)
+    assert(row.getAs[Int]("sig_len") == 16)
+    assert(row.getAs[Int]("hd") >= 0)
+  }
+
+  test("GraftExtensions injects functions at session build time") {
+    // cloned session via newSession shares the registry injected by
+    // extensions; here we at least verify the extensions object wires up
+    val e = new GraftExtensions
+    // builder-level injection is exercised through Engine.session in
+    // environments that allow a second context; on a shared test JVM we
+    // verify the function list is complete instead
+    assert(Engine.functions.map(_._1).toSet == Set(
+      "simhash64", "minhash_signature", "rolling_fingerprint",
+      "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
+      "dot_product", "duration_ms"))
+    assert(e != null)
+  }
+
+  test("approx aggregates track exact values") {
+    val rows = graft.queries.Relational.q19Approx(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx_count_distinct off by >10%: $approx vs $exact")
+    }
+  }
+
+  test("managed-table sink and DDL lifecycle (S8/S9)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh != null)
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver_test")
+    Tables.nation(spark, sf).write.mode("overwrite")
+      .format("parquet").saveAsTable("silver_test.nation")
+    assert(spark.table("silver_test.nation").count() == 25)
+    spark.sql("DROP TABLE IF EXISTS silver_test.nation_ctas")
+    spark.sql(
+      """CREATE TABLE silver_test.nation_ctas USING parquet AS
+        |SELECT n_nationkey, n_name FROM silver_test.nation
+        |WHERE n_nationkey < 5""".stripMargin)
+    assert(spark.table("silver_test.nation_ctas").count() == 5)
+    spark.sql("DROP TABLE silver_test.nation_ctas")
+    spark.sql("DROP TABLE silver_test.nation")
+    spark.sql("DROP DATABASE silver_test")
+  }
+}
