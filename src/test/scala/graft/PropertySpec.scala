@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Flatten, SkewJoin}
+
+/** Property-based invariants (SURVEY.md §5.2): flattener structure and
+  * multiplicity over generated nested JSON; salted-join equivalence;
+  * rank invariants over generated standings.
+  */
+class PropertySpec extends AnyFunSuite {
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful)
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- generated nested JSON documents (bounded depth/width)
+  private val scalarGen: Gen[String] = Gen.oneOf(
+    Gen.choose(-1000, 1000).map(_.toString),
+    Gen.alphaLowerStr.map(s => "\"" + s.take(8) + "\""))
+
+  private def jsonGen(depth: Int): Gen[String] =
+    if (depth == 0) scalarGen
+    else Gen.frequency(
+      3 -> scalarGen,
+      2 -> (for {
+        n <- Gen.choose(1, 3)
+        keys <- Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.distinct)
+        vals <- Gen.listOfN(keys.length, jsonGen(depth - 1))
+      } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ",", "}")),
+      1 -> (for {
+        n <- Gen.choose(0, 3)
+        vals <- Gen.listOfN(n, scalarGen)
+      } yield vals.mkString("[", ",", "]")))
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    keys <- Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.distinct)
+    vals <- Gen.listOfN(keys.length, jsonGen(2))
+  } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }
+    .mkString("{", ",", "}")
+
+  test("flatten: output schema never contains structs or arrays") {
+    check(Prop.forAllNoShrink(Gen.listOfN(3, docGen)) { docs =>
+      val df = spark.read.json(spark.createDataset(docs))
+      val out = Flatten.flatten(df)
+      out.schema.fields.forall(f =>
+        !f.dataType.isInstanceOf[StructType] && !f.dataType.isInstanceOf[ArrayType])
+    }, 15)
+  }
+
+  test("flatten: every output column carries a *level suffix") {
+    check(Prop.forAllNoShrink(Gen.listOfN(2, docGen)) { docs =>
+      val df = spark.read.json(spark.createDataset(docs))
+      Flatten.flatten(df).columns.forall(c => c.matches(""".*\*\d+$"""))
+    }, 10)
+  }
+
+  test("flatten: explode multiplicity equals product of array sizes (single-row doc)") {
+    val arraysGen = for {
+      a <- Gen.choose(1, 4)
+      b <- Gen.choose(1, 4)
+    } yield (a, b)
+    check(Prop.forAllNoShrink(arraysGen) { case (a, b) =>
+      val xs = (1 to a).mkString("[", ",", "]")
+      val ys = (1 to b).mkString("[", ",", "]")
+      val df = spark.read.json(spark.createDataset(Seq(s"""{"xs": $xs, "ys": $ys}""")))
+      Flatten.flatten(df).count() == a.toLong * b
+    }, 10)
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    val left = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
+    val right = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = left.join(right, Seq("l_orderkey"))
+    val salted = SkewJoin.saltedJoin(left, right, Seq("l_orderkey"),
+      factor = 8, saltSource = col("l_linenumber"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("rank invariants: 1-based, gaps on ties, monotone") {
+    val pointsGen = Gen.listOfN(12, Gen.choose(0, 5))
+    check(Prop.forAllNoShrink(pointsGen) { points =>
+      val df = points.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "points")
+      val ranked = df.withColumn("rnk", rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("points"))))
+        .orderBy(desc("points"), col("id")).collect()
+      val ranks = ranked.map(_.getAs[Int]("rnk"))
+      val pts = ranked.map(_.getAs[Int]("points"))
+      ranks.head == 1 &&
+        ranks.zip(pts).zip(ranks.drop(1).zip(pts.drop(1))).forall {
+          case ((r1, p1), (r2, p2)) =>
+            if (p1 == p2) r1 == r2 else r2 > r1
+        } &&
+        // RANK leaves gaps: rank = position of first row with that score
+        ranks.zipWithIndex.forall { case (r, i) => pts.indexOf(pts(i)) + 1 == r }
+    }, 10)
+  }
+}
