@@ -148,10 +148,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-dup: SRP-LSH signatures (64 bits, 4 × 16-bit
+    * bands) bucket cosine-similar vectors; exact cosine verifies in-bucket
+    * candidates. Planted positives: every 20th vector re-appears scaled
+    * ×1.0001 (cosine 1.0, signature identical — same mechanism a real
+    * pipeline uses to catch re-encoded duplicates).
+    */
+  def q33EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.vectors
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id").as("doc_id"), col("embedding"))
+    val planted = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("doc_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val sig = corpus.select(col("doc_id"), col("embedding"),
+      vectors.srp_signature(col("embedding"), bits = 64).as("sig"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("embedding"),
+        explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bucketPairs(banded, "embedding", maxBucket = 64)
+      .withColumn("cos_sim",
+        round(vectors.cosine_similarity(col("pa"), col("pb")), 6))
+      .filter(col("cos_sim") >= 0.9)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> (q25ExactDedup _),
     "q26_neardup_minhash" -> (q26NearDupPairs _),
-    "q27_neardup_simhash" -> (q27SimhashPairs _))
+    "q27_neardup_simhash" -> (q27SimhashPairs _),
+    "q33_neardup_embedding" -> (q33EmbeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" -> q25Sql)

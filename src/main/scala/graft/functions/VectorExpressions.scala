@@ -45,6 +45,31 @@ object VectorKernels {
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** Signed-random-projection LSH signature (Charikar, STOC'02): bit b is
+    * the sign of ⟨v, r_b⟩ for a deterministic Rademacher hyperplane
+    * r_b[j] = ±1 derived from splitmix64(b·dim + j). Cosine-similar
+    * vectors collide on most bits, so banding the signature buckets
+    * near-neighbors without any pairwise comparison. Deterministic across
+    * JVMs — no RNG state.
+    */
+  def srpSig(v: ArrayData, bits: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val sign = if ((TextKernels.mix64(b.toLong * dim + j) & 1L) == 1L) 1.0 else -1.0
+        dot += sign * v.getFloat(j)
+        j += 1
+      }
+      if (dot > 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 object VectorExpressions {
@@ -63,6 +88,18 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_similarity"
+  }
+
+  /** SRP-LSH signature: array<float> → bigint (low `bits` bits used). */
+  case class SrpSignature(child: Expression, bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.srpSig(v.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.srpSig($c, $bits);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "srp_signature"
   }
 
   case class DotProduct(left: Expression, right: Expression) extends FloatArrayBinary {
@@ -86,4 +123,7 @@ object vectors {
 
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  def srp_signature(a: Column, bits: Int = 64): Column =
+    column(SrpSignature(expression(a), bits))
 }

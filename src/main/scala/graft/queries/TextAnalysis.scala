@@ -153,15 +153,58 @@ object TextAnalysis {
       shiftright(text.simhash64(col("text")), 48).cast("int").as("band16"))
     .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q34
+  // Exact word-3-gram Jaccard between adjacent document pairs — the
+  // n-gram-Jaccard dedup flavor with a full DuckDB oracle (shingles as
+  // space-joined token triples, distinct, |∩|/|∪|).
+  def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def side(alias: String): DataFrame = docs.select(
+      col("doc_id").as(s"id_$alias"),
+      expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(regexp_extract_all(text, '\\S+', 0)) - 2, 1)),
+          |  i -> concat(element_at(regexp_extract_all(text, '\\S+', 0), i), ' ',
+          |              element_at(regexp_extract_all(text, '\\S+', 0), i + 1), ' ',
+          |              element_at(regexp_extract_all(text, '\\S+', 0), i + 2))))""".stripMargin)
+        .as(s"sh_$alias"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(s"nt_$alias"))
+    val a = side("a").filter(col("nt_a") >= 3)
+    val b = side("b").filter(col("nt_b") >= 3)
+    a.join(b, col("id_b") === col("id_a") + 1 && col("id_a") % 5 === 0)
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val q34Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(regexp_extract_all(text, '\S+')) - 1),
+      |      i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i + 1] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i + 2])) AS grams
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '\S+')) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 5 = 0
+      |ORDER BY id_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_text_tokens" -> (q20Tokens _),
     "q21_text_quality" -> (q21Quality _),
     "q22_langid" -> (q22LangId _),
     "q23_fingerprint" -> (q23Fingerprint _),
-    "q24_simhash" -> (q24Simhash _))
+    "q24_simhash" -> (q24Simhash _),
+    "q34_ngram_jaccard" -> (q34NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_tokens" -> q20Sql,
     "q21_text_quality" -> q21Sql,
-    "q22_langid" -> q22Sql)
+    "q22_langid" -> q22Sql,
+    "q34_ngram_jaccard" -> q34Sql)
 }

@@ -137,6 +137,54 @@ object EventsStream {
       |  MAX(n) AS longest_session_events
       |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Closed session record emitted by the streaming sessionizer. */
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  // public: Spark generates an encoder for the state class (codegen needs
+  // accessible accessors)
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** TRUE streaming sessionization via flatMapGroupsWithState: per-user
+    * state survives across triggers; a session is emitted when a new event
+    * arrives more than `gapMinutes` after the last one. The final open
+    * session per user stays in state (production closes it with an
+    * event-time timeout; on a bounded replay it simply never emits —
+    * asserted in MultimodalStreamingSpec).
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(uid: Long, it: Iterator[(Long, Long)],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val times = it.map(_._2).toArray.sorted
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      times.foreach { t =>
+        st match {
+          case null => st = SessionState(t, t, 1L)
+          case SessionState(s0, l0, n0) =>
+            if (t - l0 > gapUs) {
+              out += ClosedSession(uid, n0, s0, l0)
+              st = SessionState(t, t, 1L)
+            } else st = SessionState(s0, t, n0 + 1L)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
     "q32_sessionize" -> (q32Sessionize _))

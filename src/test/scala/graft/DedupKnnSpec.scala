@@ -38,6 +38,15 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(found >= 0.7, s"recall: $found")
   }
 
+  test("SRP-LSH embedding near-dup finds all planted scaled copies") {
+    val pairs = Dedup.q33EmbeddingNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: vec_id % 20 == 0 rescaled to vec_id + 1_000_000 (500 vecs)
+    val planted = (0 until 500 by 20).map(i => (i.toLong, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing: ${planted.diff(pairs).take(5)}")
+  }
+
   test("cosine_similarity expression matches a driver-side computation") {
     import spark.implicits._
     val row = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)

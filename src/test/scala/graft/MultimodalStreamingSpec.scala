@@ -44,6 +44,29 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions only") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    // user 1: sessions [0,10min] then [50min] (gap 40 > 30) — first closes
+    // when the 50min event arrives; second stays open in state.
+    val input = Seq((1L, 0L), (1L, 10 * min), (1L, 50 * min), (2L, 0L))
+      .toDF("user_id", "t")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"))
+    val sinkName = "graft_stream_sessions"
+    val q = EventsStream.sessionizeStream(spark,
+      // memory-stream stand-in: single-batch replay through the same API
+      {
+        val dir = java.nio.file.Files.createTempDirectory("sess").toString
+        input.write.mode("overwrite").parquet(dir)
+        spark.readStream.schema(input.schema).parquet(dir)
+      })
+      .writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table(sinkName).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    assert(closed.toSeq == Seq((1L, 2L))) // only user 1's first session closed
+  }
+
   test("streaming window agg equals its batch twin") {
     val streamed = EventsStream.q31StreamWindow(spark, sf)
       .select("day", "event_type", "n_events", "sum_value")
