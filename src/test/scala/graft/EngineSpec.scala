@@ -59,12 +59,16 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("approx aggregates track exact values") {
-    val rows = graft.queries.Relational.q19Approx(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx_count_distinct off by >10%: $approx vs $exact")
+    val approx = graft.queries.Relational.q19Approx(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders"))
+      .toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n"))
+      .toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k).toDouble - e) / e < 0.1,
+        s"approx_count_distinct off by >10% for $k: ${approx(k)} vs $e")
     }
   }
 
