@@ -199,7 +199,31 @@ object TextAnalysis {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 5 = 0
       |ORDER BY id_a""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // Text chunking via the custom Generator (UDTF shape): overlapping
+  // 50-token windows, 25-token stride — the unit a training pipeline
+  // tokenizes. One Generate row per chunk, oracled against DuckDB list
+  // slicing.
+  def q35Chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.chunks.chunk_tokens(col("text"), size = 50, stride = 25))
+      .orderBy("doc_id", "chunk_no")
+
+  val q35Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(range(0, len(toks), 25)) AS st FROM t)
+      |SELECT doc_id,
+      |  CAST(st / 25 AS INT) AS chunk_no,
+      |  array_to_string(toks[st + 1 : least(st + 50, len(toks))], ' ') AS chunk_text,
+      |  CAST(least(st + 50, len(toks)) - st AS INT) AS chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_chunk" -> (q35Chunk _),
     "q20_text_tokens" -> (q20Tokens _),
     "q21_text_quality" -> (q21Quality _),
     "q22_langid" -> (q22LangId _),
@@ -211,5 +235,6 @@ object TextAnalysis {
     "q20_text_tokens" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
-    "q34_ngram_jaccard" -> q34Sql)
+    "q34_ngram_jaccard" -> q34Sql,
+    "q35_chunk" -> q35Sql)
 }
