@@ -40,7 +40,9 @@ object Engine {
     ("dot_product", "dot_product(a, b) - dot product of two float arrays",
       es => VectorExpressions.DotProduct(es.head, es(1))),
     ("duration_ms", "duration_ms(str) - parse [h:]m:ss[.SSS] to millis",
-      es => DurationExpressions.DurationMillis(es.head)))
+      es => DurationExpressions.DurationMillis(es.head)),
+    ("chunk_tokens", "chunk_tokens(str, size, stride) - overlapping token windows",
+      es => graft.functions.ChunkExpressions.ChunkTokens(es.head, intArg(es(1)), intArg(es(2)))))
 
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =

@@ -42,6 +42,10 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("ms") == 90000L)
     assert(row.getAs[Int]("sig_len") == 16)
     assert(row.getAs[Int]("hd") >= 0)
+    // generator functions work through SQL too (Generate planted)
+    val chunks = spark.sql(
+      "SELECT chunk_tokens('a b c d e', 2, 2) FROM t").collect()
+    assert(chunks.length == 3) // [a b], [c d], [e]
   }
 
   test("GraftExtensions injects functions at session build time") {
@@ -54,7 +58,7 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.functions.map(_._1).toSet == Set(
       "simhash64", "minhash_signature", "rolling_fingerprint",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
-      "dot_product", "duration_ms"))
+      "dot_product", "duration_ms", "chunk_tokens"))
     assert(e != null)
   }
 
