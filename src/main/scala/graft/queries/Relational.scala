@@ -423,6 +423,37 @@ object Relational {
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q36
+  // Backward as-of join (point-in-time feature lookup): each purchase
+  // event picks up the latest prior view by the same user. Oracled
+  // against DuckDB's native ASOF LEFT JOIN on microsecond epochs.
+  def q36AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = Tables.events(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("view_us"),
+        col("event_id").as("view_event_id"))
+    graft.operators.AsOfJoin.backward(purchases, views,
+        keys = Seq("user_id"), leftTime = "purchase_us",
+        rightTime = "view_us", payload = Seq("view_us", "view_event_id"))
+      .orderBy("event_id")
+  }
+
+  val q36Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS view_us,
+      |    event_id AS view_event_id
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.purchase_us, v.view_us, v.view_event_id
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.purchase_us >= v.view_us
+      |ORDER BY p.event_id""".stripMargin
+
   /** name → query, in SparkEntry's (SparkSession, sfDir) => DataFrame shape. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg"            -> (q01Agg _),
@@ -443,6 +474,7 @@ object Relational {
     "q16_time_bucket"    -> (q16TimeBucket _),
     "q18_percentiles"    -> (q18Percentiles _),
     "q19_approx"         -> (q19Approx _),
+    "q36_asof_join"      -> (q36AsofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,5 +495,6 @@ object Relational {
     "q15_standings"      -> q15Sql,
     "q16_time_bucket"    -> q16Sql,
     "q18_percentiles"    -> q18Sql,
+    "q36_asof_join"      -> q36Sql,
   )
 }

@@ -88,6 +88,21 @@ class PropertySpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("as-of join edges: no prior match is null; equal timestamp matches") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "lt", "name")
+    val right = Seq((1L, 100L, "exact"), (1L, 60L, "mid"), (1L, 10L, "early"))
+      .toDF("k", "rt", "tag")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt",
+        payload = Seq("rt", "tag"))
+      .orderBy("name").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("tag"))).toSeq
+    // p0@50 → early@10; p1@100 → exact@100 (tie included, >= semantics);
+    // p2 (key 2) has no right rows → null
+    assert(out == Seq(("p0", "early"), ("p1", "exact"), ("p2", null)))
+  }
+
   test("rank invariants: 1-based, gaps on ties, monotone") {
     val pointsGen = Gen.listOfN(12, Gen.choose(0, 5))
     check(Prop.forAllNoShrink(pointsGen) { points =>
