@@ -454,6 +454,73 @@ object Relational {
       |  ON p.user_id = v.user_id AND p.purchase_us >= v.view_us
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  // Bucketized range join (no equi key): for every error event, count the
+  // purchases — by ANY user — in the preceding 5 minutes. Naive Spark
+  // plans the bare interval condition as a nested-loop join; RangeJoin
+  // bins time so it becomes an equi-join on bin. Oracled against a DuckDB
+  // BETWEEN join.
+  def q37RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val fiveMinUs = 300L * 1000000L
+    val errors = Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"),
+        unix_micros(col("ts")).as("inc_us"))
+      .withColumn("win_start", col("inc_us") - fiveMinUs)
+    val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val pairs = graft.operators.RangeJoin.bucketed(
+      errors, "win_start", "inc_us", purchases, "p_us", binWidth = fiveMinUs)
+    val counts = pairs.groupBy("inc_id").agg(count(lit(1)).as("n_purchases"))
+    errors.select("inc_id").join(counts, Seq("inc_id"), "left")
+      .select(col("inc_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("inc_id")
+  }
+
+  val q37Sql: String =
+    """WITH e AS (
+      |  SELECT event_id AS inc_id, epoch_us(CAST(ts AS TIMESTAMP)) AS inc_us
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT e.inc_id, COUNT(p.p_us) AS n_purchases
+      |FROM e LEFT JOIN p
+      |  ON p.p_us BETWEEN e.inc_us - 300000000 AND e.inc_us
+      |GROUP BY e.inc_id ORDER BY e.inc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // Built-in session windows (Spark's native stateful session operator in
+  // batch form) — 30-minute gap, per user. Oracled with gaps-and-islands:
+  // session start = min(t), end = max(t) + gap, exactly Spark's contract.
+  def q38SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  val q38Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |d AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              > 30 * 60 * 1000000 OR
+      |         LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM d)
+      |SELECT user_id, MIN(t) AS start_us,
+      |  MAX(t) + 30 * 60 * 1000000 AS end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** name → query, in SparkEntry's (SparkSession, sfDir) => DataFrame shape. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg"            -> (q01Agg _),
@@ -475,6 +542,8 @@ object Relational {
     "q18_percentiles"    -> (q18Percentiles _),
     "q19_approx"         -> (q19Approx _),
     "q36_asof_join"      -> (q36AsofJoin _),
+    "q37_range_join"     -> (q37RangeJoin _),
+    "q38_session_window" -> (q38SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +565,7 @@ object Relational {
     "q16_time_bucket"    -> q16Sql,
     "q18_percentiles"    -> q18Sql,
     "q36_asof_join"      -> q36Sql,
+    "q37_range_join"     -> q37Sql,
+    "q38_session_window" -> q38Sql,
   )
 }

@@ -88,6 +88,22 @@ class PropertySpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("bucketed range join equals the naive interval join") {
+    import graft.operators.RangeJoin
+    val left = Seq((1L, 0L, 100L), (2L, 50L, 150L), (3L, 400L, 410L))
+      .toDF("lid", "s", "e")
+    val right = Seq((10L, 0L), (11L, 100L), (12L, 149L), (13L, 151L), (14L, 405L))
+      .toDF("rid", "t")
+    val naive = left.join(right, col("t").between(col("s"), col("e")))
+      .select("lid", "rid")
+    val fast = RangeJoin.bucketed(left, "s", "e", right, "t", binWidth = 64L)
+      .select("lid", "rid")
+    assert(fast.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // boundary inclusivity: t == s and t == e both match
+    assert(fast.filter(col("lid") === 1 && col("rid").isin(10L, 11L)).count() == 2)
+  }
+
   test("as-of join edges: no prior match is null; equal timestamp matches") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
