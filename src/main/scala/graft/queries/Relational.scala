@@ -521,6 +521,23 @@ object Relational {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  // Grouping sets via ROLLUP (subtotals + grand total) — absent from the
+  // reference but part of a complete aggregation surface. NULLS FIRST
+  // pinned on both sides (Spark ASC default vs DuckDB NULLS LAST).
+  def q39Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val q39Sql: String =
+    s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   /** name → query, in SparkEntry's (SparkSession, sfDir) => DataFrame shape. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg"            -> (q01Agg _),
@@ -544,6 +561,7 @@ object Relational {
     "q36_asof_join"      -> (q36AsofJoin _),
     "q37_range_join"     -> (q37RangeJoin _),
     "q38_session_window" -> (q38SessionWindow _),
+    "q39_rollup"         -> (q39Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -567,5 +585,6 @@ object Relational {
     "q36_asof_join"      -> q36Sql,
     "q37_range_join"     -> q37Sql,
     "q38_session_window" -> q38Sql,
+    "q39_rollup"         -> q39Sql,
   )
 }

@@ -222,8 +222,38 @@ object TextAnalysis {
       |  CAST(least(st + 50, len(toks)) - st AS INT) AS chunk_tokens
       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  // Heavy hitters: Misra-Gries candidates (O(k) memory per partition, one
+  // narrow pass over raw text — no explode shuffle at sketch time), then
+  // ONE exact filtered count verifies candidates. The MG guarantee (every
+  // token with count > N/128 survives k=128 counters) makes the verified
+  // output EXACTLY the tokens with count*32 >= N — so the full DuckDB
+  // exact computation is a valid oracle for the sketch+verify pipeline.
+  def q41HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.sketches
+    val docs = Tables.documents(s, d)
+    val candidates = docs
+      .agg(sketches.mg_candidates(col("text"), k = 128).as("c"))
+      .head().getSeq[String](0)
+    val toks = docs.select(explode(tokens).as("token"))
+    val total = toks.count()
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 32 >= total)
+      .orderBy("token")
+  }
+
+  val q41Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+      |total AS (SELECT COUNT(*) AS t FROM toks)
+      |SELECT token, n FROM counts, total WHERE n * 32 >= t
+      |ORDER BY token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_chunk" -> (q35Chunk _),
+    "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q20_text_tokens" -> (q20Tokens _),
     "q21_text_quality" -> (q21Quality _),
     "q22_langid" -> (q22LangId _),
@@ -236,5 +266,6 @@ object TextAnalysis {
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
     "q34_ngram_jaccard" -> q34Sql,
-    "q35_chunk" -> q35Sql)
+    "q35_chunk" -> q35Sql,
+    "q41_heavy_hitters" -> q41Sql)
 }
