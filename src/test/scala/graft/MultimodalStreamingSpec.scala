@@ -67,6 +67,37 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(closed.toSeq == Seq((1L, 2L))) // only user 1's first session closed
   }
 
+  test("AvailableNow file stream processes only new run folders incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // the SURVEY §2.9 upgrade path: the reference's newest-folder batch
+    // rescan becomes an incremental file stream — a checkpoint remembers
+    // processed files, so each drain picks up only newly landed runs.
+    val root = java.nio.file.Files.createTempDirectory("incr").toString
+    val ckpt = s"$root/ckpt"
+    val data = s"$root/data"
+    def land(run: Int, ids: Seq[Long]): Unit =
+      ids.toDF("id").withColumn("run", lit(run))
+        .write.mode("append").parquet(data)
+    def drain(): Long = {
+      val q = spark.readStream
+        .schema("id LONG, run INT")
+        .parquet(data)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$root/out").count()
+    }
+    land(1, Seq(1L, 2L, 3L))
+    assert(drain() == 3)
+    land(2, Seq(4L, 5L))
+    assert(drain() == 5) // 2 new rows appended, first 3 not reprocessed
+  }
+
   test("streaming window agg equals its batch twin") {
     val streamed = EventsStream.q31StreamWindow(spark, sf)
       .select("day", "event_type", "n_events", "sum_value")
