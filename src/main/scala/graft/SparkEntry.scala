@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Extended.queries ++
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Extended.oracles ++
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
