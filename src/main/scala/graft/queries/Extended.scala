@@ -159,7 +159,110 @@ object Extended {
       |  o_orderkey % 7 AS key_mod7
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  // Array/lambda functions over embeddings — the codegen'd higher-order
+  // function family (transform/filter/aggregate/sort/slice), which is the
+  // UDF-free way to do per-row vector math. Double accumulation starts at
+  // 0.0 and folds in element order on both engines → exact match.
+  // (array results are surfaced as scalar element columns — engines agree
+  // on float VALUES but array-typed outputs don't survive the driver's
+  // hash compare)
+  def q47ArrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("vec_dim"),
+      element_at(col("embedding"), 1).as("e1"),
+      element_at(col("embedding"), 2).as("e2"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double")), 5).as("vec_sum"),
+      size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+      array_max(col("embedding")).as("max_v"),
+      element_at(sort_array(col("embedding")), 1).as("min_v"),
+      element_at(sort_array(col("embedding")), 2).as("second_min_v"))
+    .orderBy("vec_id")
+
+  val q47Sql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS vec_dim,
+      |  embedding[1] AS e1,
+      |  embedding[2] AS e2,
+      |  ROUND(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 5) AS vec_sum,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  list_aggregate(embedding, 'max') AS max_v,
+      |  list_sort(embedding)[1] AS min_v,
+      |  list_sort(embedding)[2] AS second_min_v
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // JSON scalar functions over events.props (the path-extraction
+  // complement to q17's from_json + structural flatten).
+  def q48Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+      get_json_object(col("props"), "$.missing").as("absent"),
+      col("props").rlike("\"k\"").as("has_k"))
+    .orderBy("event_id")
+
+  val q48Sql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |  json_extract_string(props, '$.missing') AS absent,
+      |  regexp_matches(props, '"k"') AS has_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  // Regex family: group extraction, match test, occurrence count.
+  def q49Regex(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+      col("p_type").rlike("ST").as("is_standard_ish"),
+      size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"),
+      regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"))
+    .orderBy("p_partkey")
+
+  val q49Sql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  regexp_matches(p_type, 'ST') AS is_standard_ish,
+      |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+      |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // Null semantics: nullif/coalesce, null-safe equality (<=> / IS NOT
+  // DISTINCT FROM), and count(col) vs count(*) null skipping.
+  def q50Nulls(s: SparkSession, d: String): DataFrame = {
+    val status_or_null = nullif(col("o_orderstatus"), lit("O"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        status_or_null.as("sn"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(col("sn")).as("n_nonnull"),
+        count(when(col("sn") <=> lit(null), true)).as("n_null_safe_eq_null"),
+        coalesce(max(col("sn")), lit("none")).as("max_or_none"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_all,
+      |  COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+      |  COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+      |             THEN 1 END) AS n_null_safe_eq_null,
+      |  COALESCE(MAX(NULLIF(o_orderstatus, 'O')), 'none') AS max_or_none
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_array_ops" -> (q47ArrayOps _),
+    "q48_json" -> (q48Json _),
+    "q49_regex" -> (q49Regex _),
+    "q50_nulls" -> (q50Nulls _),
     "q42_pivot" -> (q42Pivot _),
     "q43_unpivot" -> (q43Unpivot _),
     "q44_window_family" -> (q44WindowFamily _),
@@ -167,6 +270,10 @@ object Extended {
     "q46_dates_math" -> (q46DatesMath _))
 
   val oracles: Map[String, String] = Map(
+    "q47_array_ops" -> q47Sql,
+    "q48_json" -> q48Sql,
+    "q49_regex" -> q49Sql,
+    "q50_nulls" -> q50Sql,
     "q42_pivot" -> q42Sql,
     "q43_unpivot" -> q43Sql,
     "q44_window_family" -> q44Sql,
