@@ -87,13 +87,103 @@ class F1PipelineSpec extends AnyFunSuite {
       pitstopRace(2021, 2, "2021-04-11", Seq(("alice", 1), ("bob", 1))))
     write("pitstops", "pitstops_1.json",
       mrdata(""""RaceTable"""", s"""{"Races": [${pits.mkString(",")}]}""", 5))
+    // remaining datasets: schedule, laps, qualifying, seasons, status,
+    // driverStandings, constructorStandings
+    write("schedule", "schedule_1.json", mrdata(""""RaceTable"""",
+      """{"Races": [{"season": "2021", "round": "1", "url": "u", "raceName": "GP 1",
+        | "Circuit": {"circuitId": "c1", "url": "u", "circuitName": "Circuit One",
+        |   "Location": {"lat": "1.5", "long": "2.5", "locality": "Town", "country": "Land"}},
+        | "date": "2021-03-28", "time": "15:00:00Z",
+        | "FirstPractice": {"date": "2021-03-26", "time": "11:30:00Z"},
+        | "SecondPractice": {"date": "2021-03-26", "time": "15:00:00Z"},
+        | "ThirdPractice": {"date": "2021-03-27", "time": "12:00:00Z"},
+        | "Qualifying": {"date": "2021-03-27", "time": "15:00:00Z"},
+        | "Sprint": {"date": "2021-03-27", "time": "18:00:00Z"}}]}""".stripMargin, 1))
+    write("laps", "laps_1.json", mrdata(""""RaceTable"""",
+      """{"season": "2021", "round": "1",
+        | "Races": [{"season": "2021", "round": "1", "url": "u", "raceName": "GP 1",
+        | "Circuit": {"circuitId": "c1", "url": "u", "circuitName": "Circuit One",
+        |   "Location": {"lat": "1.5", "long": "2.5", "locality": "Town", "country": "Land"}},
+        | "date": "2021-03-28", "time": "15:00:00Z",
+        | "Laps": [{"number": "1", "Timings": [
+        |   {"driverId": "alice", "position": "1", "time": "1:31.123"},
+        |   {"driverId": "bob", "position": "2", "time": "1:32.456"}]},
+        |  {"number": "2", "Timings": [
+        |   {"driverId": "alice", "position": "1", "time": "1:30.999"}]}]}]}""".stripMargin, 3))
+    write("qualifying", "qualifying_1.json", mrdata(""""RaceTable"""",
+      """{"Races": [{"season": "2021", "round": "1", "url": "u", "raceName": "GP 1",
+        | "Circuit": {"circuitId": "c1", "url": "u", "circuitName": "Circuit One",
+        |   "Location": {"lat": "1.5", "long": "2.5", "locality": "Town", "country": "Land"}},
+        | "date": "2021-03-28", "time": "15:00:00Z",
+        | "QualifyingResults": [{"number": "44", "position": "1",
+        |   "Driver": {"driverId": "alice", "url": "u", "givenName": "alice",
+        |     "familyName": "alice", "dateOfBirth": "1990-01-01", "nationality": "X"},
+        |   "Constructor": {"constructorId": "redcars", "url": "u", "name": "redcars",
+        |     "nationality": "Y"},
+        |   "Q1": "1:31.1", "Q2": "1:30.5", "Q3": "1:29.9"}]}]}""".stripMargin, 1))
+    write("seasons", "seasons_1.json", mrdata(""""SeasonTable"""",
+      """{"Seasons": [{"season": "2020", "url": "u"}, {"season": "2021", "url": "u"}]}""", 2))
+    write("status", "status_1.json", mrdata(""""StatusTable"""",
+      """{"Status": [{"statusId": "1", "count": "3", "status": "Finished"},
+        | {"statusId": "2", "count": "1", "status": "Accident"}]}""".stripMargin, 2))
+    write("driverStandings", "driverStandings_1.json", mrdata(""""StandingsTable"""",
+      """{"StandingsLists": [{"season": "2021", "round": "2",
+        | "DriverStandings": [{"position": "1", "positionText": "1", "points": "50",
+        |   "wins": "2",
+        |   "Driver": {"driverId": "alice", "url": "u", "givenName": "alice",
+        |     "familyName": "alice", "dateOfBirth": "1990-01-01", "nationality": "X",
+        |     "code": "ALI", "permanentNumber": "7"},
+        |   "Constructors": [{"constructorId": "redcars", "url": "u",
+        |     "name": "redcars", "nationality": "Y"}]}]}]}""".stripMargin, 1))
+    write("constructorStandings", "constructorStandings_1.json", mrdata(""""StandingsTable"""",
+      """{"StandingsLists": [{"season": "2021", "round": "2",
+        | "ConstructorStandings": [{"position": "1", "positionText": "1",
+        |   "points": "86", "wins": "2",
+        |   "Constructor": {"constructorId": "redcars", "url": "u",
+        |     "name": "redcars", "nationality": "Y"}}]}]}""".stripMargin, 1))
     root
+  }
+
+  test("all twelve silver normalizers produce their declared schemas") {
+    val lake = Lake(lakeRoot)
+    val cleaned = CleanBronze.run(spark, lake)
+    assert(cleaned.toSet == F1Silver.normalizers.keySet)
+    val run = "20240101_000000"
+    def silver(ds: String) = spark.read.parquet(lake.silver(run, ds))
+
+    val sched = silver("schedule")
+    assert(sched.columns.toSet == Set("raceName", "aboutUrl", "circuitRef",
+      "year", "round", "dateTime", "FP1DateTime", "FP2DateTime", "FP3DateTime",
+      "qualifyingDateTime", "sprintDateTime", "ingestiondate"))
+    val schedRow = sched.collect().head
+    assert(schedRow.getAs[java.sql.Timestamp]("dateTime").toString
+      .startsWith("2021-03-28 15:00:00"))
+
+    val laps = silver("laps")
+    assert(laps.count() == 3) // two nested explodes: 2 laps x timings
+    assert(laps.columns.toSet == Set("lapNumber", "position", "date",
+      "circuitRef", "driverRef", "lapTime", "ingestiondate"))
+
+    val quali = silver("qualifying")
+    assert(quali.collect().head.getAs[String]("q3") == "1:29.9")
+
+    assert(silver("seasons").select("season").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2020, 2021))
+    assert(silver("status").filter(col("status") === "Finished")
+      .select("count").head().getInt(0) == 3)
+    val ds = silver("driverStandings").collect().head
+    assert(ds.getAs[Double]("points") == 50.0 && ds.getAs[Int]("wins") == 2 &&
+      ds.getAs[String]("driverRef") == "alice" && ds.getAs[Int]("season") == 2021)
+    val cs = silver("constructorStandings").collect().head
+    assert(cs.getAs[Double]("points") == 86.0 &&
+      cs.getAs[String]("constructorRef") == "redcars")
   }
 
   test("clean bronze produces the declared silver schemas") {
     val lake = Lake(lakeRoot)
     val cleaned = CleanBronze.run(spark, lake)
-    assert(cleaned.toSet == Set("circuits", "constructors", "drivers", "pitstops", "results"))
+    assert(Set("circuits", "constructors", "drivers", "pitstops", "results")
+      .subsetOf(cleaned.toSet))
     val results = spark.read.parquet(lake.silver("20240101_000000", "results"))
     assert(results.schema("points").dataType.typeName == "double")
     assert(results.schema("date").dataType.typeName == "date")
