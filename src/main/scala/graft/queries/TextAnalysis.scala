@@ -251,7 +251,33 @@ object TextAnalysis {
       |SELECT token, n FROM counts, total WHERE n * 32 >= t
       |ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  // Deterministic train/val/test split, stratified report. Split buckets
+  // come from integer arithmetic (Knuth multiplicative hash mod 100) so
+  // both engines assign identical rows — engine-native hash functions
+  // (xxhash64 vs DuckDB hash) would diverge. 80/10/10.
+  def q51Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("lang", "split")
+  }
+
+  val q51Sql: String =
+    """WITH assigned AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_split" -> (q51Split _),
     "q35_chunk" -> (q35Chunk _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q20_text_tokens" -> (q20Tokens _),
@@ -267,5 +293,6 @@ object TextAnalysis {
     "q22_langid" -> q22Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_chunk" -> q35Sql,
-    "q41_heavy_hitters" -> q41Sql)
+    "q41_heavy_hitters" -> q41Sql,
+    "q51_split" -> q51Sql)
 }
