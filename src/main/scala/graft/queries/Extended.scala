@@ -58,11 +58,11 @@ object Extended {
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.customer(s, d).select(
       col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-      row_number().over(w).as("rn"),
-      dense_rank().over(w).as("drnk"),
+      row_number().over(w).cast("long").as("rn"),
+      dense_rank().over(w).cast("long").as("drnk"),
       round(percent_rank().over(w), 6).as("pct_rnk"),
       round(cume_dist().over(w), 6).as("cume"),
-      ntile(4).over(w).as("quartile"),
+      ntile(4).over(w).cast("long").as("quartile"),
       lag("c_custkey", 1).over(w).as("prev_key"),
       lead("c_custkey", 1).over(w).as("next_key"),
       first("c_custkey").over(frame).as("first_key"),
@@ -101,7 +101,7 @@ object Extended {
       substring(col("p_name"), 1, 5).as("name_left"),
       reverse(col("p_name")).as("name_rev"),
       repeat(col("p_brand"), 2).as("brand_twice"),
-      levenshtein(col("p_brand"), col("p_type")).as("brand_type_lev"),
+      levenshtein(col("p_brand"), col("p_type")).cast("long").as("brand_type_lev"),
       split(col("p_type"), " ").getItem(0).as("type_first_word"),
       lower(col("p_name")).as("name_lower"),
       trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
@@ -127,13 +127,13 @@ object Extended {
   def q46DatesMath(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      to_date(col("o_orderdate")).as("od"),
-      date_add(to_date(col("o_orderdate")), 30).as("due_date"),
-      add_months(to_date(col("o_orderdate")), 2).as("plus_2m"),
-      last_day(to_date(col("o_orderdate"))).as("month_end"),
-      (dayofweek(col("o_orderdate")) + 5) % 7 + 1 as "iso_dow",
-      dayofyear(col("o_orderdate")).as("doy"),
-      quarter(col("o_orderdate")).as("qtr"),
+      to_date(col("o_orderdate")).cast("timestamp").as("od"),
+      date_add(to_date(col("o_orderdate")), 30).cast("timestamp").as("due_date"),
+      add_months(to_date(col("o_orderdate")), 2).cast("timestamp").as("plus_2m"),
+      last_day(to_date(col("o_orderdate"))).cast("timestamp").as("month_end"),
+      ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).cast("long").as("iso_dow"),
+      dayofyear(col("o_orderdate")).cast("long").as("doy"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
       round(sqrt(col("o_totalprice")), 6).as("price_sqrt"),
       round(log(col("o_totalprice")), 6).as("price_ln"),
       round(pow(col("o_totalprice"), lit(0.25)), 6).as("price_4rt"),
@@ -144,13 +144,13 @@ object Extended {
 
   val q46Sql: String =
     """SELECT o_orderkey,
-      |  CAST(o_orderdate AS DATE) AS od,
-      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
-      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
-      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
-      |  isodow(o_orderdate) AS iso_dow,
-      |  dayofyear(o_orderdate) AS doy,
-      |  quarter(o_orderdate) AS qtr,
+      |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2m,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
       |  ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
       |  ROUND(LN(o_totalprice), 6) AS price_ln,
       |  ROUND(POW(o_totalprice, 0.25), 6) AS price_4rt,
@@ -170,12 +170,12 @@ object Extended {
   def q47ArrayOps(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
-      size(col("embedding")).as("vec_dim"),
+      size(col("embedding")).cast("long").as("vec_dim"),
       element_at(col("embedding"), 1).as("e1"),
       element_at(col("embedding"), 2).as("e2"),
       round(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double")), 5).as("vec_sum"),
-      size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+      size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_pos"),
       array_max(col("embedding")).as("max_v"),
       element_at(sort_array(col("embedding")), 1).as("min_v"),
       element_at(sort_array(col("embedding")), 2).as("second_min_v"))
@@ -220,7 +220,7 @@ object Extended {
       col("p_partkey"),
       regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
       col("p_type").rlike("ST").as("is_standard_ish"),
-      size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"),
+      size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("long").as("n_vowels"),
       regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"))
     .orderBy("p_partkey")
 

@@ -160,7 +160,7 @@ object Relational {
       .agg(dsum(col("o_totalprice")).as("total_spend"))
     val w = Window.partitionBy("c_nationkey")
       .orderBy(desc("total_spend"), col("c_custkey"))
-    totals.withColumn("rnk", rank().over(w))
+    totals.withColumn("rnk", rank().over(w).cast("long"))
       .select("c_nationkey", "c_custkey", "c_name", "total_spend", "rnk")
       .orderBy("c_nationkey", "rnk", "c_custkey")
   }
@@ -184,7 +184,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(round(avg("o_totalprice"), 2).as("avg_price"))
-      .withColumn("rnk", rank().over(Window.orderBy(desc("avg_price"))))
+      .withColumn("rnk", rank().over(Window.orderBy(desc("avg_price"))).cast("long"))
       .orderBy("rnk", "o_orderpriority")
 
   val q06Sql: String =
@@ -243,9 +243,9 @@ object Relational {
   def q10Scalar(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      year(col("o_orderdate")).as("o_year"),
-      month(col("o_orderdate")).as("o_month"),
-      to_date(col("o_orderdate")).as("o_day"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      to_date(col("o_orderdate")).cast("timestamp").as("o_day"),
       regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("prio_name"),
       concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_prio"),
       (lit(11) - col("o_orderkey") % 10).as("adjusted"),
@@ -258,7 +258,7 @@ object Relational {
     """SELECT o_orderkey,
       |  YEAR(o_orderdate) AS o_year,
       |  MONTH(o_orderdate) AS o_month,
-      |  CAST(o_orderdate AS DATE) AS o_day,
+      |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_day,
       |  REGEXP_REPLACE(o_orderpriority, '^[0-9]-', '') AS prio_name,
       |  o_orderstatus || '_' || o_orderpriority AS status_prio,
       |  11 - (o_orderkey % 10) AS adjusted,
@@ -335,7 +335,7 @@ object Relational {
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT n_name, n_nationkey, revenue,
-       |    RANK() OVER (ORDER BY revenue DESC, n_name) AS n_rnk
+       |    CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS n_rnk
        |  FROM nat_rev)
        |SELECT c.c_custkey, r.n_name, r.revenue, r.n_rnk
        |FROM customer c
@@ -351,13 +351,13 @@ object Relational {
     val li = Tables.lineitem(s, d)
     val su = Tables.supplier(s, d)
     val yearly = li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-      .groupBy(year(col("l_shipdate")).as("ship_year"), col("s_suppkey"), col("s_name"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"), col("s_suppkey"), col("s_name"))
       .agg(
         revenueCol.as("revenue"),
         count(when(col("l_quantity") > 45, true)).as("big_lines"))
     val w = Window.partitionBy("ship_year")
       .orderBy(desc("revenue"), desc("big_lines"), col("s_suppkey"))
-    yearly.withColumn("pos", rank().over(w))
+    yearly.withColumn("pos", rank().over(w).cast("long"))
       .select("ship_year", "s_suppkey", "s_name", "revenue", "big_lines", "pos")
       .orderBy("ship_year", "pos", "s_suppkey")
   }
@@ -379,12 +379,12 @@ object Relational {
   // the streaming windowed aggregation in graft.streaming.
   def q16TimeBucket(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("day", "event_type")
 
   val q16Sql: String =
-    s"""SELECT CAST(ts AS DATE) AS day, event_type,
+    s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
        |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -37,7 +37,7 @@ object Knn {
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
     corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", cosRounded)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("qid", "vec_id", "cos_sim", "rn")
       .orderBy("qid", "rn")
@@ -84,7 +84,7 @@ object Knn {
     assigned.join(queries, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", cosRounded)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("qid", "vec_id", "cos_sim", "rn")
       .orderBy("qid", "rn")

@@ -48,7 +48,7 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .select(to_date(col("w.start")).as("day"), col("event_type"),
+      .select(to_date(col("w.start")).cast("timestamp").as("day"), col("event_type"),
         col("n_events"), col("sum_value"))
 
   /** Run the windowed aggregation to completion (AvailableNow-style local
@@ -68,7 +68,7 @@ object EventsStream {
   }
 
   val q31Sql: String =
-    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -76,6 +76,19 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("custom expressions run inside whole-stage codegen") {
+    import graft.functions.text
+    val plan = Tables.documents(spark, sf)
+      .select(text.simhash64(col("text")).as("sh"),
+        text.minhash_signature(col("text")).as("sig"))
+      .queryExecution.executedPlan.toString
+    // the '*(n)' prefix marks operators fused into a WholeStageCodegen
+    // stage; our doGenCode expressions must not break the fusion
+    val projectLine = plan.linesIterator
+      .find(_.contains("simhash64")).getOrElse(fail(s"no simhash in:\n$plan"))
+    assert(projectLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
+  }
+
   test("managed-table sink and DDL lifecycle (S8/S9)") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh != null)

@@ -102,7 +102,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val streamed = EventsStream.q31StreamWindow(spark, sf)
       .select("day", "event_type", "n_events", "sum_value")
     val batch = Tables.events(spark, sf)
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
