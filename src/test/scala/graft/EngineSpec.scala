@@ -76,6 +76,13 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: entry returns rows; every query has a fn") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.size == 50)
+    // every oracle key refers to an existing query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     import graft.functions.text
     val plan = Tables.documents(spark, sf)
