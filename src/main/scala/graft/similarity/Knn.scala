@@ -56,29 +56,34 @@ object Knn {
        |ORDER BY qid, rn""".stripMargin
 
   /** IVF-style ANN: assign corpus to nearest centroid (broadcast), probe
-    * the query's top cluster only. Deterministic centroid choice
-    * (vec_id % 97 == 0) stands in for offline k-means.
+    * the query's `nprobe` closest clusters (multi-probe is the standard
+    * recall lever — candidates grow linearly with nprobe while staying
+    * ~|centroids|/nprobe× smaller than the corpus). Deterministic
+    * centroid choice (vec_id % 97 == 0) stands in for offline k-means.
     */
+  val NProbe = 2
+
   def q29AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val centroids = emb.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
 
-    def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame = {
       val w = Window.partitionBy(idCol)
         .orderBy(desc("c_sim"), col("cid"))
       df.join(broadcast(centroids))
         .withColumn("c_sim", round(vectors.cosine_similarity(col(vecCol), col("cv")), 6))
         .withColumn("c_rn", row_number().over(w))
-        .filter(col("c_rn") === 1)
+        .filter(col("c_rn") <= probes)
         .drop("cv", "c_sim", "c_rn")
     }
 
     val assigned = assign(
-      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", probes = 1)
     val queries = assign(
       emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv")
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv",
+      probes = NProbe)
 
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
     assigned.join(queries, Seq("cid"))

@@ -73,8 +73,8 @@ class DedupKnnSpec extends AnyFunSuite {
     val approx = Knn.q29AnnIvf(spark, sf).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    // single-probe IVF on random data: recall is modest but must be > 0
-    assert(recall > 0.2, s"IVF recall: $recall")
+    // multi-probe (nprobe=2) IVF on random data: modest but real recall
+    assert(recall > 0.25, s"IVF recall: $recall")
     assert(approx.nonEmpty)
   }
 }
