@@ -38,15 +38,18 @@ object Dedup {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** Synthetic near-dup corpus: every 10th document re-appears (doc_id +
-    * 1,000,000) with its last two tokens dropped — gives the LSH pipeline
-    * known positives to find, deterministically, at any SF.
+  /** Synthetic near-dup corpus: every 10th document re-appears with its
+    * last two tokens dropped — gives the LSH pipeline known positives to
+    * find, deterministically, at any SF. Planted copies get id
+    * `-doc_id - 1`: genuine doc_ids are non-negative, so the marker range
+    * can never collide with a real id regardless of corpus size (a fixed
+    * `+1e6` offset would alias once the table passes a million rows).
     */
   private[graft] def corpusWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val mutated = Tables.documents(s, d)
       .filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         regexp_replace(col("text"), "\\s+\\S+\\s+\\S+\\s*$", "").as("text"))
     docs.unionByName(mutated)
   }
@@ -152,7 +155,9 @@ object Dedup {
     * bands) bucket cosine-similar vectors; exact cosine verifies in-bucket
     * candidates. Planted positives: every 20th vector re-appears scaled
     * ×1.0001 (cosine 1.0, signature identical — same mechanism a real
-    * pipeline uses to catch re-encoded duplicates).
+    * pipeline uses to catch re-encoded duplicates). Planted ids are
+    * `-vec_id - 1` — collision-free against non-negative genuine ids at
+    * any scale (see [[corpusWithNearDups]]).
     */
   def q33EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.vectors
@@ -160,7 +165,7 @@ object Dedup {
       col("vec_id").as("doc_id"), col("embedding"))
     val planted = Tables.embeddings(s, d)
       .filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + 1000000L).as("doc_id"),
+      .select((-col("vec_id") - 1L).as("doc_id"),
         transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
     val corpus = emb.unionByName(planted)
     val sig = corpus.select(col("doc_id"), col("embedding"),

@@ -95,6 +95,10 @@ object SketchAggregates {
       new GenericArrayData(toks.map(UTF8String.fromString(_)))
     }
 
+    // keys as length-prefixed UTF-8 byte arrays: writeUTF caps entries at
+    // 64 KiB of modified UTF-8 and a whitespace-free document (minified
+    // JSON, CJK text) tokenizes to one giant token, which must survive
+    // partial-buffer shuffle serialization, not crash it
     override def serialize(buf: Buf): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
@@ -102,7 +106,8 @@ object SketchAggregates {
       val it = buf.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        out.writeUTF(e.getKey); out.writeLong(e.getValue)
+        val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
       }
       out.flush(); bos.toByteArray
     }
@@ -112,7 +117,13 @@ object SketchAggregates {
       val n = in.readInt()
       val buf = new Buf()
       var i = 0
-      while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+      while (i < n) {
+        val kb = new Array[Byte](in.readInt())
+        in.readFully(kb)
+        buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+          in.readLong())
+        i += 1
+      }
       buf
     }
 

@@ -38,7 +38,11 @@ object AsOfJoin {
         right.select(payload.map(col): _*).schema match {
           case s => org.apache.spark.sql.types.StructType(s.fields)
         }))
+    // a NULL right timestamp sorts first under ascending __t and would be
+    // carried forward as a "match"; ASOF's rightTime <= leftTime predicate
+    // never matches NULL, so drop those rows before the union
     val taggedRight = right
+      .filter(col(rightTime).isNotNull)
       .select((keys.map(col) :+ col(rightTime).as("__t")) :+
         struct(payload.map(col): _*).as("__payload"): _*)
       .withColumn("__is_left", lit(0))
@@ -52,8 +56,11 @@ object AsOfJoin {
       .select((leftCols.map(col) ++ Seq(col("__t"), col("__is_left"), col("__payload"))): _*)
       .unionByName(rightAligned)
 
+    // __payload as the final sort key makes the pick among right rows tied
+    // on (key, __t) deterministic (struct ordering: greatest payload wins);
+    // left rows all carry a null payload so their relative order is inert
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_left"))
+      .orderBy(col("__t"), col("__is_left"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

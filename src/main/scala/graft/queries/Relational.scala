@@ -493,6 +493,9 @@ object Relational {
   // Built-in session windows (Spark's native stateful session operator in
   // batch form) — 30-minute gap, per user. Oracled with gaps-and-islands:
   // session start = min(t), end = max(t) + gap, exactly Spark's contract.
+  // Spark windows are [start, last+gap): an event arriving EXACTLY gap
+  // after the previous one falls outside and starts a new session, so the
+  // oracle's new-session predicate must be >= (not >).
   def q38SessionWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -507,7 +510,7 @@ object Relational {
       |d AS (
       |  SELECT user_id, t,
       |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
-      |              > 30 * 60 * 1000000 OR
+      |              >= 30 * 60 * 1000000 OR
       |         LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
       |    THEN 1 ELSE 0 END AS is_new
       |  FROM e),

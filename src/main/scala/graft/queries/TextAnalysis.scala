@@ -253,11 +253,17 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- q51
   // Deterministic train/val/test split, stratified report. Split buckets
-  // come from integer arithmetic (Knuth multiplicative hash mod 100) so
-  // both engines assign identical rows — engine-native hash functions
+  // come from integer arithmetic (Knuth multiplicative constant mod 100)
+  // so both engines assign identical rows — engine-native hash functions
   // (xxhash64 vs DuckDB hash) would diverge. 80/10/10.
+  // Reduce mod 100 BEFORE multiplying: (a*b) mod 100 == ((a mod 100) *
+  // (b mod 100)) mod 100, and the unreduced product overflows Long for
+  // doc_id > ~3.47e9 — Spark (non-ANSI) wraps silently while DuckDB
+  // raises, so the reduced form is the only one identical on both engines
+  // at any id range. 2654435761 % 100 = 61, coprime to 100, so the bucket
+  // map stays a permutation of doc_id % 100.
   def q51Split(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    val bucket = pmod(pmod(col("doc_id"), lit(100L)) * 61L, lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split.as("split"))
@@ -269,8 +275,8 @@ object TextAnalysis {
   val q51Sql: String =
     """WITH assigned AS (
       |  SELECT doc_id, lang,
-      |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |    CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents)
       |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc

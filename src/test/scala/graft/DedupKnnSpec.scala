@@ -15,8 +15,9 @@ class DedupKnnSpec extends AnyFunSuite {
     val pairs = Dedup.q26NearDupPairs(spark, sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // planted: doc_id % 10 == 0 mutated to doc_id + 1_000_000
-    val planted = (0 until 500 by 10).map(i => (i.toLong, i + 1000000L))
+    // planted: doc_id % 10 == 0 mutated to -doc_id - 1 (negative marker
+    // ids — collision-free against genuine ids at any corpus size)
+    val planted = (0 until 500 by 10).map(i => (-i - 1L, i.toLong))
     val found = planted.count(pairs.contains).toDouble / planted.size
     assert(found >= 0.9, s"recall of planted near-dups: $found")
   }
@@ -33,7 +34,7 @@ class DedupKnnSpec extends AnyFunSuite {
     val pairs = Dedup.q27SimhashPairs(spark, sf)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = (0 until 500 by 10).map(i => (i.toLong, i + 1000000L))
+    val planted = (0 until 500 by 10).map(i => (-i - 1L, i.toLong))
     val found = planted.count(pairs.contains).toDouble / planted.size
     assert(found >= 0.7, s"recall: $found")
   }
@@ -41,8 +42,8 @@ class DedupKnnSpec extends AnyFunSuite {
   test("SRP-LSH embedding near-dup finds all planted scaled copies") {
     val pairs = Dedup.q33EmbeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // planted: vec_id % 20 == 0 rescaled to vec_id + 1_000_000 (500 vecs)
-    val planted = (0 until 500 by 20).map(i => (i.toLong, i + 1000000L)).toSet
+    // planted: vec_id % 20 == 0 rescaled, id -vec_id - 1 (500 vecs)
+    val planted = (0 until 500 by 20).map(i => (-i - 1L, i.toLong)).toSet
     assert(planted.subsetOf(pairs),
       s"missing: ${planted.diff(pairs).take(5)}")
   }
