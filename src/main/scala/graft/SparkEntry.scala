@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Complete.queries ++
       graft.queries.Extended.queries ++
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Complete.oracles ++
       graft.queries.Extended.oracles ++
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Second extension batch — the aggregation/join/set-operation families a
+  * complete engine needs that neither the reference (SURVEY §2.3/§2.4:
+  * inner equi-joins and plain GROUP BY only) nor the first extension
+  * round covered. Every query is DuckDB-oracled.
+  *
+  * Scale notes follow the house rules: hash aggregates with map-side
+  * partials, no driver-side collects, decimal-routed money sums,
+  * deterministic total ORDER BY on every output.
+  */
+object Complete {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q40
+  // CUBE grouping sets (all 2^k subtotal combinations) — completes the
+  // grouping-set family started by q39's ROLLUP. NULLS FIRST pinned on
+  // both sides (Spark ASC default vs DuckDB NULLS LAST).
+  def q40Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q40Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  // Full outer join — both dangling sides exercised: only high-balance
+  // customers survive the left side, only big-ticket orders the right, so
+  // rows exist with a missing customer AND with a missing order aggregate.
+  def q52FullOuter(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 250000.0)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("big_total"))
+    rich.join(big, rich("c_custkey") === big("o_custkey"), "full_outer")
+      .select(
+        coalesce(rich("c_custkey"), big("o_custkey")).as("custkey"),
+        rich("c_acctbal").isNotNull.as("is_rich"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("big_total"), lit(0.0)).as("big_total"))
+      .orderBy("custkey")
+  }
+
+  val q52Sql: String =
+    s"""WITH rich AS (
+       |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0),
+       |big AS (
+       |  SELECT o_custkey, COUNT(*) AS n_big,
+       |    ${dsumSql("o_totalprice")} AS big_total
+       |  FROM orders WHERE o_totalprice > 250000.0 GROUP BY 1)
+       |SELECT COALESCE(rich.c_custkey, big.o_custkey) AS custkey,
+       |  rich.c_acctbal IS NOT NULL AS is_rich,
+       |  COALESCE(big.n_big, 0) AS n_big,
+       |  COALESCE(big.big_total, 0.0) AS big_total
+       |FROM rich FULL OUTER JOIN big ON rich.c_custkey = big.o_custkey
+       |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  // DISTINCT aggregates — Catalyst plans multi-distinct via Expand (one
+  // row replica per distinct column), the distributed-correct strategy.
+  // SUM(DISTINCT) decimal-routed like every money sum.
+  def q53DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        sum_distinct(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_distinct_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q53Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_distinct_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Statistical aggregates: stddev/corr/covar. Rounding absorbs the
+  // last-ulp divergence of parallel single-pass moment accumulation
+  // (values are 1e5-scale → round(2) leaves 7 safe digits; corr is a
+  // scale-free ratio → round(6)).
+  def q54Stats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+        round(stddev_pop(col("o_totalprice")), 2).as("sd_pop_price"),
+        round(corr(col("o_totalprice"), col("o_orderkey").cast("double")), 6)
+          .as("price_key_corr"),
+        round(covar_samp(col("o_totalprice"), col("o_orderkey").cast("double")), 2)
+          .as("price_key_covar"))
+      .orderBy("o_orderpriority")
+
+  val q54Sql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+      |  ROUND(stddev_pop(o_totalprice), 2) AS sd_pop_price,
+      |  ROUND(corr(o_totalprice, CAST(o_orderkey AS DOUBLE)), 6) AS price_key_corr,
+      |  ROUND(covar_samp(o_totalprice, CAST(o_orderkey AS DOUBLE)), 2) AS price_key_covar
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // max_by/min_by (argmax/argmin) — ordering key is the UNIQUE c_custkey:
+  // neither engine defines tie-breaks for these aggregates, so a
+  // deterministic query must order by a key (composite struct ordering
+  // isn't portable — DuckDB arg_max takes scalar keys only).
+  def q55ArgMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("latest_name"),
+        min_by(col("c_name"), col("c_custkey")).as("earliest_name"),
+        max_by(col("c_acctbal"), col("c_custkey")).as("latest_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val q55Sql: String =
+    """SELECT c_mktsegment,
+      |  arg_max(c_name, c_custkey) AS latest_name,
+      |  arg_min(c_name, c_custkey) AS earliest_name,
+      |  arg_max(c_acctbal, c_custkey) AS latest_bal,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  // Ordered string aggregation (listagg). collect_set order is
+  // nondeterministic → array_sort before joining; DuckDB side pins the
+  // same order with ORDER BY inside string_agg.
+  def q56StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        array_join(array_sort(collect_set(year(col("o_orderdate")).cast("string"))), ",")
+          .as("years"))
+      .orderBy("o_orderpriority")
+
+  val q56Sql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  string_agg(DISTINCT CAST(YEAR(o_orderdate) AS VARCHAR), ','
+      |             ORDER BY CAST(YEAR(o_orderdate) AS VARCHAR)) AS years
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  // Set operations: INTERSECT / EXCEPT (distinct semantics) — absent from
+  // the reference (SURVEY §2.7) but part of any complete SQL surface.
+  // Physical shape: both are hash aggregates over a union-like exchange,
+  // no row explosion.
+  def q57SetOps(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("op", lit("cust_and_supp"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("op", lit("cust_only"))
+    val suppOnly = suppNations.except(custNations)
+      .withColumn("op", lit("supp_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .orderBy("op", "nationkey")
+  }
+
+  val q57Sql: String =
+    """SELECT nationkey, 'cust_and_supp' AS op FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'cust_only' AS op FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'supp_only' AS op FROM (
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  EXCEPT SELECT c_nationkey FROM customer)
+      |ORDER BY op, nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // Subquery family: correlated scalar subquery + IN + correlated EXISTS.
+  // ONE SQL text parsed by BOTH engines (ANSI intersection) — Catalyst
+  // decorrelates to joins (RewriteCorrelatedScalarSubquery), DuckDB to its
+  // own delim joins; semantics must agree exactly.
+  val q58Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |                        WHERE o2.o_orderpriority = o.o_orderpriority) * 1.8
+      |  AND o.o_custkey IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment = 'BUILDING')
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  def q58Subqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q58Sql)
+  }
+
+  // ---------------------------------------------------------------- q59
+  // PII-style redaction over the events payload — the masking pass every
+  // training-data pipeline runs before publication. Pure regexp_replace
+  // (codegen'd, narrow, zero shuffle) + leak accounting.
+  def q59Redact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "#").as("props_masked"),
+      size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      regexp_replace(col("props"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<email>").as("props_email_safe"))
+    .orderBy("event_id")
+
+  val q59Sql: String =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+      |  len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+      |  regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<email>', 'g')
+      |    AS props_email_safe
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // Repetition-based quality signals (the Gopher-style dedup-within-doc
+  // filters): token count, distinct ratio, max single-token share. Both
+  // engines tokenize with the same \S+ regex so empty docs agree (split
+  // would give [""] in Spark but [] in DuckDB).
+  def q60Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        aggregate(col("toks"), lit(0).cast("long"),
+          (acc, t) => greatest(acc, size(filter(col("toks"), x => x === t)).cast("long")))
+          .as("max_tok_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") === 0, lit(1.0))
+          .otherwise(round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+          .as("distinct_ratio"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("max_tok_count").cast("double") / col("n_tokens"), 6))
+          .as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
+  val q60Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |stats AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    list_max(list_transform(list_distinct(toks),
+      |      tk -> len(list_filter(toks, x -> x = tk)))) AS max_tok_count
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CASE WHEN n_tokens = 0 THEN 1.0
+      |       ELSE ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) END
+      |    AS distinct_ratio,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |       ELSE ROUND(CAST(max_tok_count AS DOUBLE) / n_tokens, 6) END
+      |    AS top_token_share
+      |FROM stats ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cube"         -> (q40Cube _),
+    "q52_full_outer"   -> (q52FullOuter _),
+    "q53_distinct_agg" -> (q53DistinctAgg _),
+    "q54_stats"        -> (q54Stats _),
+    "q55_argminmax"    -> (q55ArgMinMax _),
+    "q56_string_agg"   -> (q56StringAgg _),
+    "q57_setops"       -> (q57SetOps _),
+    "q58_subqueries"   -> (q58Subqueries _),
+    "q59_redact"       -> (q59Redact _),
+    "q60_repetition"   -> (q60Repetition _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_cube"         -> q40Sql,
+    "q52_full_outer"   -> q52Sql,
+    "q53_distinct_agg" -> q53Sql,
+    "q54_stats"        -> q54Sql,
+    "q55_argminmax"    -> q55Sql,
+    "q56_string_agg"   -> q56Sql,
+    "q57_setops"       -> q57Sql,
+    "q58_subqueries"   -> q58Sql,
+    "q59_redact"       -> q59Sql,
+    "q60_repetition"   -> q60Sql)
+}

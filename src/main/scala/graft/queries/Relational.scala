@@ -410,18 +410,40 @@ object Relational {
   // ---------------------------------------------------------------- q19
   // Approximate aggregates — the 100 TB posture (HLL++ cardinality and
   // t-digest-style quantile sketches are mergeable across partitions, one
-  // pass, bounded memory). Sketch outputs are engine-specific → rows-only
-  // driver check; AccuracySpec bounds them against the exact values.
-  // Sketches only — mixing a DISTINCT aggregate in forces row expansion +
-  // sort-based aggregation (measured 8× slower); the exact twin lives in
-  // EngineSpec's accuracy bound.
-  def q19Approx(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  // pass, bounded memory). Sketch VALUES are engine-specific, so instead
+  // of a rows-only check the query emits tolerance verdicts: each group's
+  // approximate cardinality/median is compared in-engine against the
+  // exact value, and the oracle asserts every verdict is true. The
+  // hash-check then certifies "approx within 5% of exact" (HLL rsd
+  // pinned at 0.02 → 2.5σ headroom against the 5% gate), which is
+  // the property a sketch owes its caller. Approx and exact run as two
+  // separate aggregations joined on the key — mixing a DISTINCT aggregate
+  // into the sketch agg forces row expansion (measured 8× slower).
+  def q19Approx(s: SparkSession, d: String): DataFrame = {
+    // two independent reads: joining two aggregates of one lineage trips
+    // Spark's ambiguous-self-join detection
+    val approx = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+    val exact = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+    approx.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.05).as("card_within_5pct"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * 0.05).as("p50_within_5pct"))
       .orderBy("l_returnflag")
+  }
+
+  val q19Sql: String =
+    """SELECT l_returnflag, true AS card_within_5pct, true AS p50_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q36
   // Backward as-of join (point-in-time feature lookup): each purchase
@@ -585,6 +607,7 @@ object Relational {
     "q15_standings"      -> q15Sql,
     "q16_time_bucket"    -> q16Sql,
     "q18_percentiles"    -> q18Sql,
+    "q19_approx"         -> q19Sql,
     "q36_asof_join"      -> q36Sql,
     "q37_range_join"     -> q37Sql,
     "q38_session_window" -> q38Sql,

@@ -63,22 +63,21 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("approx aggregates track exact values") {
-    val approx = graft.queries.Relational.q19Approx(spark, sf).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders"))
-      .toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
-      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n"))
-      .toMap
-    exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k).toDouble - e) / e < 0.1,
-        s"approx_count_distinct off by >10% for $k: ${approx(k)} vs $e")
+    // q19 emits per-group tolerance verdicts (approx vs exact in-engine);
+    // every verdict must hold
+    val rows = graft.queries.Relational.q19Approx(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("card_within_5pct"),
+        s"HLL cardinality off by >5% for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Boolean]("p50_within_5pct"),
+        s"approx_percentile off by >5% for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 50)
+    assert(SparkEntry.queries.size == 60)
     // every oracle key refers to an existing query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
