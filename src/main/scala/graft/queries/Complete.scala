@@ -282,6 +282,87 @@ object Complete {
       |    AS top_token_share
       |FROM stats ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // MERGE/upsert (graft.operators.Upsert.mergeByKey): updates bump the
+  // price of every 97th order, inserts add new negative-key orders, and
+  // the merged table is aggregated. The oracle spells out MERGE's
+  // anti-join + union semantics in ANSI SQL.
+  def q61Merge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val updates = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1111.0)
+    val inserts = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+    val merged = graft.operators.Upsert.mergeByKey(
+      base, updates.unionByName(inserts), Seq("o_orderkey"))
+    merged.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q61Sql: String =
+    s"""WITH upd AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    o_totalprice + 1111.0 AS o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 97 = 0
+       |  UNION ALL
+       |  SELECT -o_orderkey - 1, o_custkey, o_orderstatus, o_totalprice,
+       |    o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 101 = 0),
+       |merged AS (
+       |  SELECT * FROM orders
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd)
+       |SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
+       |  MIN(o_orderkey) AS min_key
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // RANGE window frame (value-based, not row-based): for each customer,
+  // peers in the same segment within ±100.0 of their balance. Completes
+  // q44's ROWS-frame family.
+  def q63RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"))
+      .rangeBetween(-100L, 100L)
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      count(lit(1)).over(w).as("n_near"),
+      sum(col("c_acctbal").cast(DecimalType(18, 2))).over(w)
+        .cast("double").as("near_total"))
+      .orderBy("c_custkey")
+  }
+
+  val q63Sql: String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+       |  COUNT(*) OVER w AS n_near,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_total
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal
+       |             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  // posexplode (ordinal-preserving array unnest — the Generate shape with
+  // position, which plain explode loses). Ordinals matter whenever array
+  // order is data (embedding dims, chunk sequence numbers).
+  def q64Posexplode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .filter(col("pos") < 3)
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+      .orderBy("vec_id", "pos")
+
+  val q64Sql: String =
+    """SELECT vec_id, CAST(u.pos AS BIGINT) AS pos, u.val
+      |FROM (SELECT vec_id,
+      |        unnest(list_transform(embedding, (v, i) -> {'pos': i - 1, 'val': v})) AS u
+      |      FROM embeddings)
+      |WHERE u.pos < 3 ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -292,7 +373,10 @@ object Complete {
     "q57_setops"       -> (q57SetOps _),
     "q58_subqueries"   -> (q58Subqueries _),
     "q59_redact"       -> (q59Redact _),
-    "q60_repetition"   -> (q60Repetition _))
+    "q60_repetition"   -> (q60Repetition _),
+    "q61_merge"        -> (q61Merge _),
+    "q63_range_frame"  -> (q63RangeFrame _),
+    "q64_posexplode"   -> (q64Posexplode _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -304,5 +388,8 @@ object Complete {
     "q57_setops"       -> q57Sql,
     "q58_subqueries"   -> q58Sql,
     "q59_redact"       -> q59Sql,
-    "q60_repetition"   -> q60Sql)
+    "q60_repetition"   -> q60Sql,
+    "q61_merge"        -> q61Sql,
+    "q63_range_frame"  -> q63Sql,
+    "q64_posexplode"   -> q64Sql)
 }

@@ -185,11 +185,40 @@ object EventsStream {
       .toDF()
   }
 
+  /** Streaming exact deduplication — `dropDuplicates` with keyed state
+    * across micro-batches (the streaming face of q25's batch dedup; in
+    * production pair with a watermark via `dropDuplicatesWithinWatermark`
+    * to bound state). Verified against batch COUNT(DISTINCT): streaming
+    * exactly-once dedup must converge to the batch answer.
+    */
+  def q62StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_stream_dedup"
+    val q = readEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val q62Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
-    "q32_sessionize" -> (q32Sessionize _))
+    "q32_sessionize" -> (q32Sessionize _),
+    "q62_stream_dedup" -> (q62StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q31_stream_window" -> q31Sql,
-    "q32_sessionize" -> q32Sql)
+    "q32_sessionize" -> q32Sql,
+    "q62_stream_dedup" -> q62Sql)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Upsert
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("mergeByKey: updates replace, inserts append, others untouched") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 22.0), (9L, "new", 90.0)).toDF("k", "name", "v")
+    val merged = Upsert.mergeByKey(base, updates, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  test("upsertParquet: staged swap publishes merged table atomically") {
+    val dir = Files.createTempDirectory("graft_upsert").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/nation"
+    Tables.nation(spark, sf).write.parquet(path)
+    val updates = Tables.nation(spark, sf)
+      .filter(col("n_nationkey") < 3)
+      .withColumn("n_name", upper(col("n_name")))
+      .unionByName(Tables.nation(spark, sf).filter(col("n_nationkey") === 0)
+        .withColumn("n_nationkey", lit(999)))
+    val n = Upsert.upsertParquet(spark, path, updates, Seq("n_nationkey"))
+    assert(n == 26) // 25 originals (3 updated in place) + 1 insert
+    val after = spark.read.parquet(path)
+    assert(after.count() == 26)
+    assert(after.filter(col("n_nationkey") === 999).count() == 1)
+    // updated rows carry the new value, no duplicate keys survive
+    assert(after.filter(col("n_nationkey") < 3)
+      .select("n_name").collect().forall(r => r.getString(0) == r.getString(0).toUpperCase))
+    assert(after.groupBy("n_nationkey").count().filter(col("count") > 1).count() == 0)
+    // no staged/retired leftovers
+    assert(!new java.io.File(path + ".staged").exists())
+    assert(!new java.io.File(path + ".retired").exists())
+  }
+}
