@@ -212,13 +212,61 @@ object EventsStream {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's views in the preceding 30 minutes. Watermarks on BOTH sides
+    * bound the join state (right rows older than purchase-watermark −
+    * interval are evicted); the interval condition is what makes a
+    * stream-stream join tractable at all — an unbounded-time join would
+    * hold the full history in state forever.
+    */
+  def q65StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_stream_join"
+    val purchases = readEvents(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = readEvents(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val q = purchases.join(views,
+        expr("""p_user = v_user AND
+                v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  val q65Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.user_id, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases
+      |FROM p JOIN v ON v.user_id = p.user_id
+      | AND v.t BETWEEN p.t - 30 * 60 * 1000000 AND p.t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
     "q32_sessionize" -> (q32Sessionize _),
-    "q62_stream_dedup" -> (q62StreamDedup _))
+    "q62_stream_dedup" -> (q62StreamDedup _),
+    "q65_stream_join" -> (q65StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q31_stream_window" -> q31Sql,
     "q32_sessionize" -> q32Sql,
-    "q62_stream_dedup" -> q62Sql)
+    "q62_stream_dedup" -> q62Sql,
+    "q65_stream_join" -> q65Sql)
 }

@@ -119,6 +119,64 @@ class PropertySpec extends AnyFunSuite {
     assert(out == Seq(("p0", "early"), ("p1", "exact"), ("p2", null)))
   }
 
+  test("merge is idempotent and key-unique under generated updates") {
+    import graft.operators.Upsert
+    val updGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(100, 999)))
+      .map(_.distinctBy(_._1).take(6))
+    check(Prop.forAllNoShrink(updGen) { upd =>
+      val base = (0L to 9L).map(k => (k, k.toInt)).toDF("k", "v")
+      val updates = upd.toDF("k", "v")
+      val once = Upsert.mergeByKey(base, updates, Seq("k"))
+      val twice = Upsert.mergeByKey(once, updates, Seq("k"))
+      val a = once.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val b = twice.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      a == b && // idempotent
+        a.map(_._1).distinct.length == a.length && // keys unique
+        a.length == (base.count().toInt + upd.count(_._1 > 9)) // inserts counted
+    }, 8)
+  }
+
+  test("split assignment is a stable 80/10/10 partition of doc_id space") {
+    // the q51 bucket map must be a permutation of doc_id % 100: every
+    // residue maps to exactly one bucket and the split sizes are 80/10/10
+    val buckets = (0L until 100L).map(id => (id * 61) % 100)
+    assert(buckets.distinct.length == 100)
+    val split = buckets.map(b => if (b < 80) "train" else if (b < 90) "val" else "test")
+    assert(split.count(_ == "train") == 80)
+    assert(split.count(_ == "val") == 10)
+    assert(split.count(_ == "test") == 10)
+  }
+
+  test("repetition signals: bounds and exact values on crafted docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // one token repeated 4x
+      (2L, "a b c d"),          // all distinct
+      (3L, ""),                 // empty
+      (4L, "x y x y x"))        // x:3 y:2
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents")
+    // reuse the query body via a temp dir is overkill — inline the same
+    // expressions through the public query over a fake sfDir is not
+    // possible, so assert on the kernel expression directly
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val out = df.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("d"),
+        expr("""aggregate(
+          array_sort(toks),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          (st, x) -> named_struct(
+            'prev', x,
+            'run',  IF(x <=> st.prev, st.run + 1L, 1L),
+            'best', GREATEST(st.best, IF(x <=> st.prev, st.run + 1L, 1L))),
+          st -> st.best)""").as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4, 1, 4L)))
+    assert(out(2L) == ((4, 4, 1L)))
+    assert(out(3L) == ((0, 0, 0L)))
+    assert(out(4L) == ((5, 2, 3L)))
+  }
+
   test("rank invariants: 1-based, gaps on ties, monotone") {
     val pointsGen = Gen.listOfN(12, Gen.choose(0, 5))
     check(Prop.forAllNoShrink(pointsGen) { points =>
