@@ -282,8 +282,46 @@ object TextAnalysis {
       |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  // BPE-style pre-tokenization (the GPT-2 split regex, minus the RE2-
+  // incompatible lookahead): contractions, space-prefixed letter runs,
+  // digit runs, punctuation runs, residual whitespace. n_bpe is the
+  // sequence-length proxy every token-budgeted pipeline needs BEFORE the
+  // (model-specific) merge step; the regex pass is the expensive part and
+  // runs codegen'd, narrow, one pass.
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s"
+
+  def q66BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_bpe"),
+      size(filter(pieces, p => p.rlike("\\p{L}"))).cast("long").as("n_word_pieces"),
+      size(filter(pieces, p => p.rlike("\\p{N}"))).cast("long").as("n_number_pieces"),
+      nTokens.as("n_ws_tokens"),
+      round(size(pieces).cast("double") / nullif(nTokens, lit(0L)), 4)
+        .as("bpe_per_word"))
+    .orderBy("doc_id")
+  }
+
+  val q66Sql: String = {
+    val pat = bpePattern.replace("'", "''") // SQL string-literal escaping
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$pat')) AS n_bpe,
+       |  len(list_filter(regexp_extract_all(text, '$pat'),
+       |      p -> regexp_matches(p, '\\p{L}'))) AS n_word_pieces,
+       |  len(list_filter(regexp_extract_all(text, '$pat'),
+       |      p -> regexp_matches(p, '\\p{N}'))) AS n_number_pieces,
+       |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       |  ROUND(CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) /
+       |        NULLIF(len(regexp_extract_all(text, '\\S+')), 0), 4) AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_split" -> (q51Split _),
+    "q66_bpe_tokens" -> (q66BpeTokens _),
     "q35_chunk" -> (q35Chunk _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q20_text_tokens" -> (q20Tokens _),
@@ -295,6 +333,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q20_text_tokens" -> q20Sql,
+    "q66_bpe_tokens" -> q66Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
     "q34_ngram_jaccard" -> q34Sql,
