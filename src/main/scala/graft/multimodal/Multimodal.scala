@@ -29,18 +29,18 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * decode (real codecs unavailable in this environment). Derives
-    * pseudo-dimensions from a stable byte hash; replace with a real
-    * decoder without touching any caller.
+    * pseudo-format/dimensions from (id, byte length) with plain integer
+    * arithmetic so the whole pipeline is DuckDB-oracle-able end to end;
+    * replace with a real decoder without touching any caller.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001b3L; i += 1 }
-    val fmt = (h & 3L) match {
+    val n = bytes.length.toLong
+    val fmt = ((n + id) % 4L) match {
       case 0L => "png"; case 1L => "jpeg"; case 2L => "webp"; case _ => "gif"
     }
-    MediaMeta(id, bytes.length.toLong, fmt,
-      (math.abs(h % 1024L) + 1L).toInt, (math.abs((h >>> 32) % 1024L) + 1L).toInt)
+    MediaMeta(id, n, fmt,
+      ((n * 31L + id * 7L) % 1024L + 1L).toInt,
+      ((n * 131L + id * 13L) % 1024L + 1L).toInt)
   }
 
   /** Attach a synthetic binary payload to the documents table (UTF-8 bytes
@@ -74,7 +74,10 @@ object Multimodal {
         (col("frame_no") * col("n_bytes") / n).cast("long"))
 
   /** Driver-facing query: payload → partition-wise decode → metadata join
-    * with frame sampling stats. Deterministic; rows-only check + spec.
+    * with frame sampling stats. Fully DuckDB-oracled: the stub's integer
+    * arithmetic is restated over octet_length in SQL, so the hash check
+    * covers the mapPartitions decode path, the frame-sampling Generate,
+    * and the metadata join.
     */
   def q30Multimodal(s: SparkSession, d: String): DataFrame = {
     val payloads = withPayload(s, d)
@@ -87,8 +90,22 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  val q30Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |  CASE (n_bytes + doc_id) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       WHEN 2 THEN 'webp' ELSE 'gif' END AS format,
+      |  CAST((n_bytes * 31 + doc_id * 7) % 1024 + 1 AS INT) AS width,
+      |  CAST((n_bytes * 131 + doc_id * 13) % 1024 + 1 AS INT) AS height,
+      |  CAST(4 AS BIGINT) AS n_frames,
+      |  (3 * n_bytes) // 4 AS last_offset
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_multimodal" -> (q30Multimodal _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q30_multimodal" -> q30Sql)
 }
