@@ -186,6 +186,26 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q33's oracle: the planted scaled copies are the only pairs that can
+    * clear cos >= 0.9 (random 64-dim embeddings never do), their SRP
+    * signatures are bit-identical to the original (scaling by a positive
+    * constant preserves every hyperplane sign → all four bands collide),
+    * and a 16-bit band over this corpus never exceeds the skew guard — so
+    * the LSH output equals exactly the planted set, which IS expressible
+    * in SQL. round(cos, 6) absorbs the float-vs-double scaling ulp on
+    * both engines (cos of a scaled copy is 1 - O(1e-9)).
+    */
+  val q33Sql: String =
+    """WITH planted AS (
+      |  SELECT -vec_id - 1 AS id_a, vec_id AS id_b,
+      |    list_cosine_similarity(
+      |      CAST(list_transform(embedding,
+      |             x -> CAST(x * CAST(1.0001 AS REAL) AS REAL)) AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[])) AS cs
+      |  FROM embeddings WHERE vec_id % 20 = 0)
+      |SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM planted
+      |WHERE ROUND(cs, 6) >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> (q25ExactDedup _),
     "q26_neardup_minhash" -> (q26NearDupPairs _),
@@ -193,5 +213,6 @@ object Dedup {
     "q33_neardup_embedding" -> (q33EmbeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
-    "q25_dedup_exact" -> q25Sql)
+    "q25_dedup_exact" -> q25Sql,
+    "q33_neardup_embedding" -> q33Sql)
 }

@@ -95,10 +95,54 @@ object Knn {
       .orderBy("qid", "rn")
   }
 
+  /** q29's oracle restates the IVF plan itself in SQL (centroid argmax
+    * assignment, probe-2 query fan-out, in-cluster top-k): the ANN result
+    * is deterministic given the centroid rule, so unlike a hash-based LSH
+    * candidate set it IS exactly checkable. Cosines are rounded on both
+    * sides before ranking — q28 established bit-compatibility of the
+    * rounded cosine between the codegen expression and DuckDB.
+    */
+  val q29Sql: String =
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 97 = 0),
+       |corpus_assign AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+       |        c.cid) AS c_rn
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE c_rn <= 1),
+       |query_assign AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+       |        c.cid) AS c_rn
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 10)
+       |  WHERE c_rn <= $NProbe),
+       |ranked AS (
+       |  SELECT q.qid, a.vec_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                 CAST(a.embedding AS DOUBLE[])), 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |      ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+       |      a.vec_id) AS rn
+       |  FROM query_assign q JOIN corpus_assign a ON q.cid = a.cid
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_knn_exact" -> (q28Knn _),
     "q29_ann_ivf" -> (q29AnnIvf _))
 
   val oracles: Map[String, String] = Map(
-    "q28_knn_exact" -> q28Sql)
+    "q28_knn_exact" -> q28Sql,
+    "q29_ann_ivf" -> q29Sql)
 }
