@@ -453,8 +453,12 @@ object Relational {
 
   // ---------------------------------------------------------------- q36
   // Backward as-of join (point-in-time feature lookup): each purchase
-  // event picks up the latest prior view by the same user. Oracled
-  // against DuckDB's native ASOF LEFT JOIN on microsecond epochs.
+  // event picks up the latest prior view by the same user, via the
+  // dedicated merge-join physical operator (graft.plans.AsOfMergeJoin —
+  // custom LogicalPlan/Strategy/SparkPlan; the windowed composition in
+  // operators.AsOfJoin is the general-typed fallback and is asserted
+  // equivalent in AsOfMergeJoinSpec). Oracled against DuckDB's native
+  // ASOF LEFT JOIN on microsecond epochs.
   def q36AsofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -463,8 +467,8 @@ object Relational {
     val views = Tables.events(s, d).filter(col("event_type") === "view")
       .select(col("user_id"), unix_micros(col("ts")).as("view_us"),
         col("event_id").as("view_event_id"))
-    graft.operators.AsOfJoin.backward(purchases, views,
-        keys = Seq("user_id"), leftTime = "purchase_us",
+    graft.plans.AsOfMergeJoin.backward(purchases, views,
+        key = "user_id", leftTime = "purchase_us",
         rightTime = "view_us", payload = Seq("view_us", "view_event_id"))
       .orderBy("event_id")
   }
