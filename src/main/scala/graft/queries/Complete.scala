@@ -373,6 +373,84 @@ object Complete {
       |      FROM embeddings)
       |WHERE u.pos < 3 ORDER BY vec_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  // MapType + higher-order map functions (map_from_arrays, element_at,
+  // transform_values, map_filter) and to_json — the remaining type-system
+  // surface (silver/gold schemas are flat, but a complete library carries
+  // maps and JSON rendering). The oracle restates the map arithmetic
+  // directly — DuckDB MAPs exist but the VALUES are what must agree.
+  def q67MapOps(s: SparkSession, d: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("qty"), lit("line")),
+      array(col("l_quantity"), col("l_linenumber").cast("double")))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), m.as("m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty"),
+        size(col("m")).cast("long").as("m_size"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "line").as("line_x2"),
+        size(map_filter(col("m"), (_, v) => v > 10)).cast("long").as("n_big"),
+        to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("js"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q67Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity AS qty,
+      |  CAST(2 AS BIGINT) AS m_size,
+      |  CAST(l_linenumber AS DOUBLE) * 2 AS line_x2,
+      |  CAST(CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END +
+      |       CASE WHEN l_linenumber > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big,
+      |  '{"l_orderkey":' || l_orderkey || ',"l_linenumber":' || l_linenumber || '}'
+      |    AS js
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  // CSV sink + source round-trip with explicit schema: doubles survive
+  // exactly (shortest-representation formatting reparses to the same
+  // bits), so the post-roundtrip aggregate must hash-match the direct
+  // aggregate the oracle computes.
+  def q68CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+    val cust = Tables.customer(s, d).filter(col("c_nationkey") < 5)
+    cust.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(cust.schema).option("header", "true").csv(dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"),
+        min("c_name").as("first_name"))
+      .orderBy("c_nationkey")
+  }
+
+  val q68Sql: String =
+    s"""SELECT c_nationkey, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS total_bal,
+       |  MIN(c_name) AS first_name
+       |FROM customer WHERE c_nationkey < 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  // Hive-partitioned write + partition-pruned read: the filter on the
+  // partition column prunes at FILE LISTING time (PartitionFilters in
+  // the scan, no data files of other partitions opened) — the layout
+  // lever that replaces the reference's newest-folder convention.
+  def q69PartitionPruned(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_part_orders").getAbsolutePath
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_year")
+  }
+
+  val q69Sql: String =
+    s"""SELECT YEAR(o_orderdate) AS o_year, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -386,7 +464,10 @@ object Complete {
     "q60_repetition"   -> (q60Repetition _),
     "q61_merge"        -> (q61Merge _),
     "q63_range_frame"  -> (q63RangeFrame _),
-    "q64_posexplode"   -> (q64Posexplode _))
+    "q64_posexplode"   -> (q64Posexplode _),
+    "q67_map_ops"      -> (q67MapOps _),
+    "q68_csv_roundtrip" -> (q68CsvRoundtrip _),
+    "q69_partition_pruned" -> (q69PartitionPruned _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -401,5 +482,8 @@ object Complete {
     "q60_repetition"   -> q60Sql,
     "q61_merge"        -> q61Sql,
     "q63_range_frame"  -> q63Sql,
-    "q64_posexplode"   -> q64Sql)
+    "q64_posexplode"   -> q64Sql,
+    "q67_map_ops"      -> q67Sql,
+    "q68_csv_roundtrip" -> q68Sql,
+    "q69_partition_pruned" -> q69Sql)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB posture is a claim about
+  * PLANS, not just results, so the load-bearing optimizer behaviors are
+  * pinned here: dimension broadcasts, rank-filter lowering to
+  * WindowGroupLimit, parquet column pruning, predicate pushdown, and
+  * partition pruning at file-listing time.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q03 star join broadcasts every dimension side") {
+    val p = plan(graft.queries.Relational.q03StarJoin(spark, sf))
+    val n = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(n >= 2, s"expected >=2 broadcast joins, got $n in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q08 rank filter lowers to WindowGroupLimit") {
+    val p = plan(graft.queries.Relational.q08TopkRank(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k via rank should keep only k rows per partition:\n$p")
+  }
+
+  test("q01 scan prunes to exactly the referenced lineitem columns") {
+    val p = plan(graft.queries.Relational.q01Agg(spark, sf))
+    val scan = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no scan in:\n$p"))
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"), scan)
+    assert(!scan.contains("l_partkey") && !scan.contains("l_shipdate"), scan)
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val p = plan(Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .select("doc_id", "lang"))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      p)
+  }
+
+  test("partition-column filter prunes at file listing, not row level") {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_planshape_part").getAbsolutePath
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(dir)
+    val p = plan(spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey"))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
+    // the partition predicate must NOT appear as a post-scan row filter
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("o_orderpriority")), p)
+  }
+
+  test("custom expressions do not break whole-stage codegen fusion") {
+    import graft.functions.text
+    val p = plan(Tables.documents(spark, sf)
+      .select(text.simhash64(col("text")).as("sh")).filter(col("sh") =!= 0))
+    // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("simhash64")), p)
+  }
+}
