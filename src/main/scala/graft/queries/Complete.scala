@@ -451,6 +451,32 @@ object Complete {
        |FROM orders WHERE o_orderpriority = '1-URGENT'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // ORC + JSON sink/source round-trips (the remaining built-in columnar
+  // and text formats; spark-avro is an external package and out of
+  // scope). Doubles survive both: ORC stores binary doubles, JSON writes
+  // shortest-representation text that reparses to the same bits — so
+  // per-format aggregates must agree with each other AND the oracle.
+  def q70FormatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_formats").getAbsolutePath
+    val sup = Tables.supplier(s, d)
+    sup.write.mode("overwrite").orc(s"$dir/orc")
+    sup.write.mode("overwrite").json(s"$dir/json")
+    val fromOrc = s.read.orc(s"$dir/orc")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_orc"), dsum(col("s_acctbal")).as("bal_orc"))
+    val fromJson = s.read.schema(sup.schema).json(s"$dir/json")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_json"), dsum(col("s_acctbal")).as("bal_json"))
+    fromOrc.join(fromJson, Seq("s_nationkey")).orderBy("s_nationkey")
+  }
+
+  val q70Sql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n_orc, ${dsumSql("s_acctbal")} AS bal_orc,
+       |  COUNT(*) AS n_json, ${dsumSql("s_acctbal")} AS bal_json
+       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -467,7 +493,8 @@ object Complete {
     "q64_posexplode"   -> (q64Posexplode _),
     "q67_map_ops"      -> (q67MapOps _),
     "q68_csv_roundtrip" -> (q68CsvRoundtrip _),
-    "q69_partition_pruned" -> (q69PartitionPruned _))
+    "q69_partition_pruned" -> (q69PartitionPruned _),
+    "q70_format_roundtrip" -> (q70FormatRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -485,5 +512,6 @@ object Complete {
     "q64_posexplode"   -> q64Sql,
     "q67_map_ops"      -> q67Sql,
     "q68_csv_roundtrip" -> q68Sql,
-    "q69_partition_pruned" -> q69Sql)
+    "q69_partition_pruned" -> q69Sql,
+    "q70_format_roundtrip" -> q70Sql)
 }
