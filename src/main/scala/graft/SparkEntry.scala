@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
+      graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.streaming.EventsStream.queries
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
+      graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++
       graft.multimodal.Multimodal.oracles ++
       graft.streaming.EventsStream.oracles

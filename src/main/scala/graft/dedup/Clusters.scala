@@ -1,0 +1,106 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cluster-level dedup: connected components over a near-dup edge set,
+  * assigning every document the minimum doc_id of its component (the
+  * canonical representative a dedup pipeline keeps). This is the step
+  * AFTER pair generation (q26/q27/q33 produce edges; here a
+  * deterministic edge set keeps the driver oracle exact).
+  *
+  * Algorithm: label propagation with pointer jumping — per round,
+  * (1) every vertex takes the min label among itself and its neighbors,
+  * (2) labels chase one indirection (label := label(label)), which
+  * doubles propagation distance. Rounds = O(log component-diameter),
+  * each round two joins + one aggregate, all hash-partitioned on id —
+  * the Pregel-style CC that runs at any corpus size (vs naive
+  * propagation's O(diameter) rounds).
+  */
+object Clusters {
+
+  /** Minimum-label connected components.
+    * @param vertices one column `id` (long)
+    * @param edges    columns `src`, `dst` (long); treated as undirected
+    * @param rounds   propagation rounds; ceil(log2(max component size))+1
+    *                 suffices thanks to pointer jumping
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("label"))
+    var i = 0
+    while (i < rounds) {
+      // (1) neighbor min
+      val nbrMin = undirected
+        .join(labels, undirected("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min("label").as("nbr_label"))
+      val merged = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // (2) pointer jump: label := label(label) (min label of my label)
+      val byId = merged.select(col("id").as("jid"), col("label").as("jlabel"))
+      labels = merged.join(byId, merged("label") === byId("jid"))
+        .select(merged("id"), least(col("label"), col("jlabel")).as("label"))
+        // truncate lineage: the jump self-joins labels with itself, so
+        // without materialization the logical plan DOUBLES per round and
+        // analysis cost goes exponential (observed: hang at 6 rounds).
+        // localCheckpoint keeps blocks on executors — no HDFS round-trip,
+        // exactly the per-iteration cut every Pregel-style loop needs.
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
+  /** q71: chain-shaped edge set — consecutive doc_ids within a
+    * (lang, length-bucket) group are near-dup edges, so each group forms
+    * one path-graph component (worst case for propagation depth, which
+    * is exactly what pointer jumping is for). The canonical id per
+    * component is therefore the group minimum — giving the driver an
+    * exact closed-form oracle for a genuinely iterative distributed
+    * computation.
+    */
+  def q71DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 64).cast("int").as("bucket"))
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+    val edges = docs
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("doc_id").as("dst"))
+    val maxGroup = docs.groupBy("lang", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    val rounds = math.max(1,
+      (math.log(maxGroup.toDouble) / math.log(2.0)).ceil.toInt + 1)
+    val labels = connectedComponents(
+      docs.select(col("doc_id").as("id")), edges, rounds)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val q71Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 64 AS INT) AS bucket
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, bucket) AS cluster
+      |  FROM g)
+      |SELECT doc_id, cluster,
+      |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_dedup_clusters" -> (q71DedupClusters _))
+
+  val oracles: Map[String, String] = Map(
+    "q71_dedup_clusters" -> q71Sql)
+}

@@ -48,6 +48,21 @@ class DedupKnnSpec extends AnyFunSuite {
       s"missing: ${planted.diff(pairs).take(5)}")
   }
 
+  test("connected components: chains, isolated vertices, separate clusters") {
+    import spark.implicits._
+    import graft.dedup.Clusters
+    // component A: path 1-2-3-4-5 (worst case for propagation depth);
+    // component B: triangle 10-11-12; vertex 99 isolated
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val labels = Clusters.connectedComponents(vertices, edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(labels(99L) == 99L)
+  }
+
   test("cosine_similarity expression matches a driver-side computation") {
     import spark.implicits._
     val row = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
