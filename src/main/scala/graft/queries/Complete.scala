@@ -477,6 +477,57 @@ object Complete {
        |  COUNT(*) AS n_json, ${dsumSql("s_acctbal")} AS bal_json
        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  // Salted skew join (the manual hot-key split for cases AQE can't
+  // reach): lineitem salted on (orderkey, linenumber-derived salt),
+  // orders replicated 8×. Row-identical to the plain join — which is
+  // exactly what the oracle states.
+  def q72SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(li, o, Seq("l_orderkey"),
+        factor = 8, saltSource = col("l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q72Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  // duration_ms custom expression (the F1 lap-time fix for SURVEY quirk
+  // Q4: lexicographic comparison of "m:ss.SSS" strings is wrong across
+  // minute-digit boundaries). The testdata has no duration column, so
+  // the query CONSTRUCTS one arithmetically, parses it back through the
+  // codegen'd expression, and the oracle states the identity directly —
+  // an exact end-to-end check of the parser.
+  def q73DurationParse(s: SparkSession, d: String): DataFrame = {
+    graft.Engine.registerFunctions(s)
+    val m = col("o_orderkey") % 60
+    val sec = col("o_custkey") % 60
+    val ms = col("o_orderkey") % 1000
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        format_string("%d:%02d.%03d", m, sec, ms).as("lap"))
+      .withColumn("lap_ms", expr("duration_ms(lap)"))
+      .orderBy("o_orderkey")
+  }
+
+  val q73Sql: String =
+    """SELECT o_orderkey,
+      |  (o_orderkey % 60) || ':' ||
+      |    lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || '.' ||
+      |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS lap,
+      |  (o_orderkey % 60) * 60000 + (o_custkey % 60) * 1000 +
+      |    (o_orderkey % 1000) AS lap_ms
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -494,7 +545,9 @@ object Complete {
     "q67_map_ops"      -> (q67MapOps _),
     "q68_csv_roundtrip" -> (q68CsvRoundtrip _),
     "q69_partition_pruned" -> (q69PartitionPruned _),
-    "q70_format_roundtrip" -> (q70FormatRoundtrip _))
+    "q70_format_roundtrip" -> (q70FormatRoundtrip _),
+    "q72_salted_join"  -> (q72SaltedJoin _),
+    "q73_duration_parse" -> (q73DurationParse _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -513,5 +566,7 @@ object Complete {
     "q67_map_ops"      -> q67Sql,
     "q68_csv_roundtrip" -> q68Sql,
     "q69_partition_pruned" -> q69Sql,
-    "q70_format_roundtrip" -> q70Sql)
+    "q70_format_roundtrip" -> q70Sql,
+    "q72_salted_join"  -> q72Sql,
+    "q73_duration_parse" -> q73Sql)
 }
