@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
+      graft.queries.Retrieval.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.Extended.oracles ++
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
+      graft.queries.Retrieval.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++
