@@ -71,9 +71,14 @@ object Engine {
   * every graft function into the session's catalog at build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     Engine.functions.foreach { case (name, _, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // whole-operator extension: the as-of merge join planner strategy
+    // (sessions built without extensions get it lazily via
+    // AsOfMergeJoin.registerStrategy on first use)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoin.AsOfJoinStrategy)
+  }
 }

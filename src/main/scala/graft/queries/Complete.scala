@@ -528,6 +528,23 @@ object Complete {
       |    (o_orderkey % 1000) AS lap_ms
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  // LATERAL correlated subquery with ORDER BY + LIMIT (top-n per outer
+  // row) — ONE SQL text parsed by both engines. Catalyst decorrelates
+  // the lateral into a ranked join; semantically q08's rank-filter, but
+  // exercising the SQL-surface path a migrating user would write.
+  val q76Sql: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (SELECT c_name, c_acctbal, c_custkey FROM customer
+      |                      WHERE c_nationkey = n_nationkey
+      |                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, c.c_acctbal DESC, c.c_name""".stripMargin
+
+  def q76Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q76Sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -547,7 +564,8 @@ object Complete {
     "q69_partition_pruned" -> (q69PartitionPruned _),
     "q70_format_roundtrip" -> (q70FormatRoundtrip _),
     "q72_salted_join"  -> (q72SaltedJoin _),
-    "q73_duration_parse" -> (q73DurationParse _))
+    "q73_duration_parse" -> (q73DurationParse _),
+    "q76_lateral"      -> (q76Lateral _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -568,5 +586,6 @@ object Complete {
     "q69_partition_pruned" -> q69Sql,
     "q70_format_roundtrip" -> q70Sql,
     "q72_salted_join"  -> q72Sql,
-    "q73_duration_parse" -> q73Sql)
+    "q73_duration_parse" -> q73Sql,
+    "q76_lateral"      -> q76Sql)
 }
