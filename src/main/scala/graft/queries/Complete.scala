@@ -381,29 +381,30 @@ object Complete {
   // directly — DuckDB MAPs exist but the VALUES are what must agree.
   def q67MapOps(s: SparkSession, d: String): DataFrame = {
     val m = map_from_arrays(
-      array(lit("qty"), lit("line")),
-      array(col("l_quantity"), col("l_linenumber").cast("double")))
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"), m.as("m"))
-      .select(col("l_orderkey"), col("l_linenumber"),
-        element_at(col("m"), "qty").as("qty"),
+      array(lit("price"), lit("key")),
+      array(col("o_totalprice"), col("o_orderkey").cast("double")))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), m.as("m"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        element_at(col("m"), "price").as("price"),
         size(col("m")).cast("long").as("m_size"),
-        element_at(transform_values(col("m"), (_, v) => v * 2), "line").as("line_x2"),
-        size(map_filter(col("m"), (_, v) => v > 10)).cast("long").as("n_big"),
-        to_json(struct(col("l_orderkey"), col("l_linenumber"))).as("js"))
-      .orderBy("l_orderkey", "l_linenumber")
+        element_at(transform_values(col("m"), (_, v) => v * 2), "key").as("key_x2"),
+        size(map_filter(col("m"), (_, v) => v > 100000.0)).cast("long").as("n_big"),
+        to_json(struct(col("o_orderkey"), col("o_custkey"))).as("js"))
+      .orderBy("o_orderkey")
   }
 
   val q67Sql: String =
-    """SELECT l_orderkey, l_linenumber,
-      |  l_quantity AS qty,
+    """SELECT o_orderkey, o_custkey,
+      |  o_totalprice AS price,
       |  CAST(2 AS BIGINT) AS m_size,
-      |  CAST(l_linenumber AS DOUBLE) * 2 AS line_x2,
-      |  CAST(CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END +
-      |       CASE WHEN l_linenumber > 10 THEN 1 ELSE 0 END AS BIGINT) AS n_big,
-      |  '{"l_orderkey":' || l_orderkey || ',"l_linenumber":' || l_linenumber || '}'
+      |  CAST(o_orderkey AS DOUBLE) * 2 AS key_x2,
+      |  CAST(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END +
+      |       CASE WHEN CAST(o_orderkey AS DOUBLE) > 100000.0 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS n_big,
+      |  '{"o_orderkey":' || o_orderkey || ',"o_custkey":' || o_custkey || '}'
       |    AS js
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q68
   // CSV sink + source round-trip with explicit schema: doubles survive
