@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Retrieval.queries ++
+      graft.pipeline.TrainingData.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Retrieval.oracles ++
+      graft.pipeline.TrainingData.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++
