@@ -546,6 +546,40 @@ object Complete {
     s.sql(q76Sql)
   }
 
+  // ---------------------------------------------------------------- q78
+  // Bucketed co-located join: both sides written bucketed on the join
+  // key (sorted within buckets), so the join plans with ZERO exchanges —
+  // the layout lever that amortizes one shuffle across every future join
+  // on that key. The oracle is the plain join; PlanShapeSpec asserts the
+  // exchange-free plan.
+  def q78BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_bucketed.li")
+    s.sql("DROP TABLE IF EXISTS graft_bucketed.o")
+    // an in-memory catalog forgets tables across sessions but their
+    // warehouse directories survive — clear stale locations physically
+    // or the CTAS refuses with LOCATION_ALREADY_EXISTS
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_bucketed.db")
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh, "li"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(wh, "o"), true)
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bucketed.li")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bucketed.o")
+    s.table("graft_bucketed.li")
+      .join(s.table("graft_bucketed.o"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q78Sql: String = q72Sql // same semantics as the salted variant
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -566,7 +600,8 @@ object Complete {
     "q70_format_roundtrip" -> (q70FormatRoundtrip _),
     "q72_salted_join"  -> (q72SaltedJoin _),
     "q73_duration_parse" -> (q73DurationParse _),
-    "q76_lateral"      -> (q76Lateral _))
+    "q76_lateral"      -> (q76Lateral _),
+    "q78_bucketed_join" -> (q78BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -588,5 +623,6 @@ object Complete {
     "q70_format_roundtrip" -> q70Sql,
     "q72_salted_join"  -> q72Sql,
     "q73_duration_parse" -> q73Sql,
-    "q76_lateral"      -> q76Sql)
+    "q76_lateral"      -> q76Sql,
+    "q78_bucketed_join" -> q78Sql)
 }

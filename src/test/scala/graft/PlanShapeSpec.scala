@@ -58,6 +58,46 @@ class PlanShapeSpec extends AnyFunSuite {
       l.trim.startsWith("+- Filter") && l.contains("o_orderpriority")), p)
   }
 
+  test("bucketed join plans with zero exchanges") {
+    // disable broadcast so the co-located sort-merge path is what's
+    // planned (at fixture scale the small side would broadcast, which
+    // also avoids the shuffle but doesn't exercise the bucket layout)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = graft.queries.Complete.q78BucketedJoin(spark, sf)
+    // the join subtree (below the final aggregate) must read both
+    // bucketed tables without a shuffle; only the groupBy/sort above it
+    // may exchange
+      // (string assertions: AQE's wrapper node hides the subtree from
+      // TreeNode.collect until execution)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // no exchange on either JOIN key — the aggregate above the join is
+      // allowed its own exchanges
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("malformed JSON rows land in the corrupt-record column, not crash") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.json"),
+      Seq("""{"id": 1, "v": "ok"}""", """{"id": 2 BROKEN""",
+        """{"id": 3, "v": "fine"}""").asJava)
+    val read = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .json(dir)
+      .cache() // corrupt-record column requires materialized scan
+    assert(read.count() == 3)
+    assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(read.filter(col("id").isNotNull).count() == 2)
+    read.unpersist()
+  }
+
   test("custom expressions do not break whole-stage codegen fusion") {
     import graft.functions.text
     val p = plan(Tables.documents(spark, sf)
