@@ -580,6 +580,37 @@ object Complete {
 
   val q78Sql: String = q72Sql // same semantics as the salted variant
 
+  // ---------------------------------------------------------------- q79
+  // Forward fill (per-key carry-forward of a sparse column): the
+  // time-series gap-filling primitive — last(x, ignoreNulls) over an
+  // unbounded-preceding frame, the same carry-forward shape the as-of
+  // join generalizes. Event ties pinned by event_id on both engines.
+  def q79ForwardFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      last(when(col("event_type") === "purchase", col("value")),
+        ignoreNulls = true).over(w).as("last_purchase_value"),
+      last(when(col("event_type") === "view", col("event_id")),
+        ignoreNulls = true).over(w).as("last_view_event"))
+      .orderBy("event_id")
+  }
+
+  val q79Sql: String =
+    """SELECT event_id, user_id,
+      |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER w AS last_purchase_value,
+      |  LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |    OVER w AS last_view_event
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+      |             ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -601,7 +632,8 @@ object Complete {
     "q72_salted_join"  -> (q72SaltedJoin _),
     "q73_duration_parse" -> (q73DurationParse _),
     "q76_lateral"      -> (q76Lateral _),
-    "q78_bucketed_join" -> (q78BucketedJoin _))
+    "q78_bucketed_join" -> (q78BucketedJoin _),
+    "q79_forward_fill" -> (q79ForwardFill _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -624,5 +656,6 @@ object Complete {
     "q72_salted_join"  -> q72Sql,
     "q73_duration_parse" -> q73Sql,
     "q76_lateral"      -> q76Sql,
-    "q78_bucketed_join" -> q78Sql)
+    "q78_bucketed_join" -> q78Sql,
+    "q79_forward_fill" -> q79Sql)
 }
