@@ -100,6 +100,11 @@ object AsOfMergeJoin {
       require(lKeyOrd >= 0 && lTimeOrd >= 0 && rKeyOrd >= 0 && rTimeOrd >= 0,
         "as-of join key/time attributes must come from the child outputs")
 
+      // EnsureRequirements co-partitions both sides (same hash function,
+      // same width) for the paired ClusteredDistributions; if an outside
+      // force (a rogue rule, mismatched AQE coalescing) ever broke that,
+      // zipPartitions fails loudly on unequal partition counts rather
+      // than silently merging misaligned key ranges.
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
         val project = UnsafeProjection.create(
           leftOutput ++ payloadAttrs, leftOutput ++ rightOutput)

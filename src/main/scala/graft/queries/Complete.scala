@@ -611,6 +611,36 @@ object Complete {
       |             ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  // Parquet schema evolution: a v2 batch lands with an extra column, the
+  // merged read surfaces typed nulls for v1 files — the additive-column
+  // upgrade every long-lived lake table goes through (the reference's
+  // overwrite-only lake sidesteps it; a real one can't).
+  def q80SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_schema_evo").getAbsolutePath
+    val v1 = Tables.supplier(s, d).filter(col("s_suppkey") % 2 === 0)
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val v2 = Tables.supplier(s, d).filter(col("s_suppkey") % 2 === 1)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")) // the evolved column
+    v1.write.mode("overwrite").parquet(s"$dir/batch=1")
+    v2.write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        count(col("s_acctbal")).as("n_with_bal"),
+        dsum(coalesce(col("s_acctbal"), lit(0.0))).as("bal_sum"))
+      .orderBy("s_nationkey")
+  }
+
+  val q80Sql: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n,
+       |  COUNT(CASE WHEN s_suppkey % 2 = 1 THEN 1 END) AS n_with_bal,
+       |  ${dsumSql("CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal ELSE 0.0 END")}
+       |    AS bal_sum
+       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -633,7 +663,8 @@ object Complete {
     "q73_duration_parse" -> (q73DurationParse _),
     "q76_lateral"      -> (q76Lateral _),
     "q78_bucketed_join" -> (q78BucketedJoin _),
-    "q79_forward_fill" -> (q79ForwardFill _))
+    "q79_forward_fill" -> (q79ForwardFill _),
+    "q80_schema_evolution" -> (q80SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -657,5 +688,6 @@ object Complete {
     "q73_duration_parse" -> q73Sql,
     "q76_lateral"      -> q76Sql,
     "q78_bucketed_join" -> q78Sql,
-    "q79_forward_fill" -> q79Sql)
+    "q79_forward_fill" -> q79Sql,
+    "q80_schema_evolution" -> q80Sql)
 }
