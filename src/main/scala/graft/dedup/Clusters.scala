@@ -78,8 +78,17 @@ object Clusters {
       .agg(max("count")).head().getLong(0)
     val rounds = math.max(1,
       (math.log(maxGroup.toDouble) / math.log(2.0)).ceil.toInt + 1)
-    val labels = connectedComponents(
-      docs.select(col("doc_id").as("id")), edges, rounds)
+    // narrow shuffle width for the iteration: every round launches
+    // 2 joins + a checkpoint over a label table of |docs| rows, so with
+    // the session default width the loop is pure task-scheduling
+    // overhead at test scale (a production corpus keeps the session
+    // width — the knob is the caller's)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    val labels =
+      try connectedComponents(docs.select(col("doc_id").as("id")), edges, rounds)
+      finally s.conf.set(key, prev)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"),

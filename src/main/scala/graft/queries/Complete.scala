@@ -641,6 +641,44 @@ object Complete {
        |    AS bal_sum
        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  // Explicit GROUPING SETS + GROUPING() indicators — the general form
+  // behind q39's ROLLUP and q40's CUBE (and the only way to get, e.g.,
+  // per-status and per-priority subtotals WITHOUT their cross product).
+  def q81GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q81Sql)
+  }
+
+  val q81Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  // Sliding event-time windows (batch twin of window(ts, '2 days',
+  // '1 day')): every event lands in exactly width/slide windows. The
+  // oracle unnests each event's two window starts explicitly — same
+  // replication Spark's TimeWindow expression generates.
+  def q82SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+
+  val q82Sql: String =
+    """SELECT w_start, event_type, COUNT(*) AS n_events FROM (
+      |  SELECT unnest([CAST(CAST(ts AS DATE) AS TIMESTAMP) - INTERVAL 1 DAY,
+      |                 CAST(CAST(ts AS DATE) AS TIMESTAMP)]) AS w_start,
+      |         event_type
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -664,7 +702,9 @@ object Complete {
     "q76_lateral"      -> (q76Lateral _),
     "q78_bucketed_join" -> (q78BucketedJoin _),
     "q79_forward_fill" -> (q79ForwardFill _),
-    "q80_schema_evolution" -> (q80SchemaEvolution _))
+    "q80_schema_evolution" -> (q80SchemaEvolution _),
+    "q81_grouping_sets" -> (q81GroupingSets _),
+    "q82_sliding_window" -> (q82SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -689,5 +729,7 @@ object Complete {
     "q76_lateral"      -> q76Sql,
     "q78_bucketed_join" -> q78Sql,
     "q79_forward_fill" -> q79Sql,
-    "q80_schema_evolution" -> q80Sql)
+    "q80_schema_evolution" -> q80Sql,
+    "q81_grouping_sets" -> q81Sql,
+    "q82_sliding_window" -> q82Sql)
 }
