@@ -319,9 +319,47 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  // Character-entropy quality signal: Shannon entropy of the unigram
+  // character distribution — the cheap degenerate-document detector
+  // (boilerplate, repeated padding, single-char floods score near 0;
+  // natural text sits ~4 bits). Explode → two hash aggregations, all
+  // map-side combined; round(4) absorbs the double-summation order ulps.
+  def q83CharEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d).select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '[\\\\s\\\\S]', 0)")).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("doc_id").agg(sum("cnt").as("n_chars"))
+    counts.join(totals, "doc_id")
+      .withColumn("p", col("cnt").cast("double") / col("n_chars"))
+      .groupBy("doc_id")
+      .agg(max("n_chars").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(-sum(col("p") * log(col("p"))) / math.log(2.0), 4)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      |  FROM documents),
+      |counts AS (
+      |  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1)
+      |SELECT counts.doc_id,
+      |  MAX(tot.n) AS n_chars,
+      |  COUNT(*) AS n_distinct_chars,
+      |  ROUND(-SUM((CAST(cnt AS DOUBLE) / tot.n) *
+      |             LN(CAST(cnt AS DOUBLE) / tot.n)) / LN(2), 4) AS entropy_bits
+      |FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_split" -> (q51Split _),
     "q66_bpe_tokens" -> (q66BpeTokens _),
+    "q83_char_entropy" -> (q83CharEntropy _),
     "q35_chunk" -> (q35Chunk _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q20_text_tokens" -> (q20Tokens _),
@@ -334,6 +372,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q20_text_tokens" -> q20Sql,
     "q66_bpe_tokens" -> q66Sql,
+    "q83_char_entropy" -> q83Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
     "q34_ngram_jaccard" -> q34Sql,
