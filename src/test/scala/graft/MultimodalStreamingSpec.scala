@@ -98,6 +98,46 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(drain() == 5) // 2 new rows appended, first 3 not reprocessed
   }
 
+  test("watermark drops events that arrive later than the lateness bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("late").toString
+    val data = s"$root/data"
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    val hour = 3600L * 1000000L
+    def land(rows: (Long, Double)*): Unit =
+      rows.toSeq.toDF("t_us", "v")
+        .select(timestamp_micros(col("t_us")).as("ts"), col("v"))
+        .write.mode("append").parquet(data)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(data)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: events in hour-0 and hour-5 → watermark advances to
+    // 5h - 10min, CLOSING the hour-0 window (emitted in append mode)
+    land((10L * 60 * 1000000, 1.0), (5L * hour + 1, 2.0))
+    drain()
+    // batch 2: a too-late hour-0 event (beyond watermark) + an on-time
+    // hour-6 event advancing the watermark so hour-5 closes too
+    land((20L * 60 * 1000000, 3.0), (7L * hour, 4.0))
+    drain()
+    val result = spark.read.parquet(out)
+      .select(unix_micros(col("w_start")).as("w"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hour-0 window emitted with ONE event: the late arrival was dropped,
+    // not double-counted into a re-emitted window
+    assert(result(0L) == 1L, s"late event leaked into closed window: $result")
+    assert(result(5L * hour - 1 + 1) == 1L) // hour-5 window closed with its event
+  }
+
   test("streaming window agg equals its batch twin") {
     val streamed = EventsStream.q31StreamWindow(spark, sf)
       .select("day", "event_type", "n_events", "sum_value")
