@@ -279,6 +279,55 @@ object EventsStream {
       | AND v.t BETWEEN p.t - 30 * 60 * 1000000 AND p.t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Spark 4 `transformWithState` sessionizer — the current-generation
+    * arbitrary-state API (typed ValueState handles, timer support, TTL)
+    * that supersedes flatMapGroupsWithState. Same session fold as
+    * [[sessionizeStream]]; requires the RocksDB state store provider.
+    * Asserted output-equivalent to the legacy API in
+    * MultimodalStreamingSpec.
+    */
+  def sessionizeTransformWithState(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{
+      OutputMode => OM, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    class SessionProcessor
+        extends StatefulProcessor[Long, (Long, Long), ClosedSession] {
+      @transient private var state: ValueState[SessionState] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[SessionState]("session",
+          Encoders.product[SessionState], TTLConfig.NONE)
+      override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[ClosedSession] = {
+        val times = rows.map(_._2).toArray.sorted
+        var st = if (state.exists()) state.get() else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        times.foreach { t =>
+          st match {
+            case null => st = SessionState(t, t, 1L)
+            case SessionState(s0, l0, n0) =>
+              if (t - l0 > gapUs) {
+                out += ClosedSession(uid, n0, s0, l0)
+                st = SessionState(t, t, 1L)
+              } else st = SessionState(s0, t, n0 + 1L)
+          }
+        }
+        if (st != null) state.update(st)
+        out.iterator
+      }
+    }
+
+    events.select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
     "q32_sessionize" -> (q32Sessionize _),

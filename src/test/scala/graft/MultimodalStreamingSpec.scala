@@ -98,6 +98,44 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(drain() == 5) // 2 new rows appended, first 3 not reprocessed
   }
 
+  test("transformWithState sessionizer matches the legacy state API") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val input = Seq((1L, 0L), (1L, 10 * min), (1L, 50 * min), (2L, 0L),
+      (2L, 45 * min), (2L, 100 * min))
+      .toDF("user_id", "t")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("tws").toString
+    input.write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(input.schema).parquet(dir)
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.sessionizeTransformWithState(spark, stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws_sessions").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val qLegacy = EventsStream.sessionizeStream(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_legacy_sessions").start()
+    try qLegacy.processAllAvailable() finally qLegacy.stop()
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    val tws = rows("graft_tws_sessions")
+    assert(tws == rows("graft_legacy_sessions"))
+    assert(tws.nonEmpty) // closed sessions were actually emitted
+  }
+
   test("watermark drops events that arrive later than the lateness bound") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
