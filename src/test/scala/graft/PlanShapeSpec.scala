@@ -98,6 +98,31 @@ class PlanShapeSpec extends AnyFunSuite {
     read.unpersist()
   }
 
+  test("runtime bloom-filter pruning injects on selective fact-fact joins") {
+    // at 100 TB this is the optimizer feature that keeps a selective
+    // dim-filtered join from scanning the full fact side; thresholds are
+    // lowered so the fixture-scale plan demonstrates the same injection
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("custom expressions do not break whole-stage codegen fusion") {
     import graft.functions.text
     val p = plan(Tables.documents(spark, sf)
