@@ -679,6 +679,83 @@ object Complete {
       |  FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  // Ordered-event funnel: signup → first view after signup → first
+  // purchase after that view, per user; stage counts = the conversion
+  // funnel. Everything is min-aggregation over conditional timestamps —
+  // one shuffle per stage table, no window state.
+  def q84Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t").as("t_signup"))
+    val view = ev.filter(col("event_type") === "view")
+      .join(signup, "user_id")
+      .filter(col("t") >= col("t_signup"))
+      .groupBy("user_id").agg(min("t").as("t_view"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(view, "user_id")
+      .filter(col("t") >= col("t_view"))
+      .groupBy("user_id").agg(min("t").as("t_purchase"))
+    signup
+      .join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_purchase")).as("n_purchased"))
+  }
+
+  val q84Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |signup AS (
+      |  SELECT user_id, MIN(t) AS t_signup FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |v AS (
+      |  SELECT e.user_id, MIN(t) AS t_view
+      |  FROM e JOIN signup USING (user_id)
+      |  WHERE event_type = 'view' AND t >= t_signup GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(t) AS t_purchase
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'purchase' AND t >= t_view GROUP BY 1)
+      |SELECT COUNT(*) AS n_signup, COUNT(v.t_view) AS n_viewed,
+      |  COUNT(p.t_purchase) AS n_purchased
+      |FROM signup LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  // Cohort retention: users grouped by first-activity week; per (cohort,
+  // weeks-since) distinct active users. The classic retention triangle —
+  // two shuffles (first-activity, then cohort cell distinct count).
+  def q85Cohort(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), (unix_micros(col("ts")) / dayUs).cast("long")
+        .as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .withColumn("week_n", ((col("day") - col("cohort_day")) / 7).cast("long"))
+      .groupBy((col("cohort_day") / 7).cast("long").as("cohort_week"),
+        col("week_n"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      |SELECT first.cohort_day // 7 AS cohort_week,
+      |  (e.day - first.cohort_day) // 7 AS week_n,
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN first ON e.user_id = first.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cube"         -> (q40Cube _),
     "q52_full_outer"   -> (q52FullOuter _),
@@ -704,7 +781,9 @@ object Complete {
     "q79_forward_fill" -> (q79ForwardFill _),
     "q80_schema_evolution" -> (q80SchemaEvolution _),
     "q81_grouping_sets" -> (q81GroupingSets _),
-    "q82_sliding_window" -> (q82SlidingWindow _))
+    "q82_sliding_window" -> (q82SlidingWindow _),
+    "q84_funnel"       -> (q84Funnel _),
+    "q85_cohort"       -> (q85Cohort _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -731,5 +810,7 @@ object Complete {
     "q79_forward_fill" -> q79Sql,
     "q80_schema_evolution" -> q80Sql,
     "q81_grouping_sets" -> q81Sql,
-    "q82_sliding_window" -> q82Sql)
+    "q82_sliding_window" -> q82Sql,
+    "q84_funnel"       -> q84Sql,
+    "q85_cohort"       -> q85Sql)
 }
