@@ -42,7 +42,11 @@ object Engine {
     ("duration_ms", "duration_ms(str) - parse [h:]m:ss[.SSS] to millis",
       es => DurationExpressions.DurationMillis(es.head)),
     ("chunk_tokens", "chunk_tokens(str, size, stride) - overlapping token windows",
-      es => graft.functions.ChunkExpressions.ChunkTokens(es.head, intArg(es(1)), intArg(es(2)))))
+      es => graft.functions.ChunkExpressions.ChunkTokens(es.head, intArg(es(1)), intArg(es(2)))),
+    ("strip_accents", "strip_accents(str) - NFD + drop combining marks",
+      es => TextExpressions.StripAccents(es.head)),
+    ("nfc_normalize", "nfc_normalize(str) - Unicode NFC composition",
+      es => TextExpressions.NfcNormalize(es.head)))
 
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =

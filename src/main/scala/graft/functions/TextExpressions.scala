@@ -75,6 +75,28 @@ object TextExpressions {
     override def prettyName: String = "lang_scores"
   }
 
+  /** Strip diacritics (NFD + drop combining marks): string → string. */
+  case class StripAccents(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.stripAccentsBridge(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.stripAccentsBridge($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "strip_accents"
+  }
+
+  /** Unicode NFC canonical composition: string → string. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.nfcNormalizeBridge(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.nfcNormalizeBridge($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -111,4 +133,8 @@ object text {
     column(ShingleHashes(expression(c), shingle))
 
   def lang_scores(c: Column): Column = column(LangScores(expression(c)))
+
+  def strip_accents(c: Column): Column = column(StripAccents(expression(c)))
+
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 }

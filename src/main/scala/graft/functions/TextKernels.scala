@@ -221,7 +221,28 @@ object TextKernels {
     scores
   }
 
+  /** NFD-decompose then drop combining marks — byte-identical to
+    * DuckDB's strip_accents for the Latin range (verified in q86's
+    * oracle). Precompiled pattern; the normalizer is stateless/static.
+    */
+  private val marks = java.util.regex.Pattern.compile("\\p{M}")
+  def stripAccents(s: String): String =
+    marks.matcher(java.text.Normalizer.normalize(
+      s, java.text.Normalizer.Form.NFD)).replaceAll("")
+
+  /** Canonical composition (NFC) — the normalization every dedup/hash
+    * pass should apply first so visually-identical strings hash equal.
+    */
+  def nfcNormalize(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
   // ---- UTF8String/ArrayData bridges for codegen ----
+
+  def stripAccentsBridge(s: UTF8String): UTF8String =
+    UTF8String.fromString(stripAccents(s.toString))
+
+  def nfcNormalizeBridge(s: UTF8String): UTF8String =
+    UTF8String.fromString(nfcNormalize(s.toString))
 
   def winnowBridge(s: UTF8String, k: Int, w: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(winnow(s.toString, k, w))

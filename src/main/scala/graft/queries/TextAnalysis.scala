@@ -356,10 +356,43 @@ object TextAnalysis {
       |FROM counts JOIN tot ON counts.doc_id = tot.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  // Unicode normalization — the pass every dedup/hash pipeline applies
+  // FIRST so visually-identical strings compare equal. The corpus is
+  // ASCII/CJK, so the query constructs accented strings (decomposed é =
+  // e + U+0301, precomposed naïve) and runs the custom NFC/strip-accents
+  // expressions; DuckDB's nfc_normalize/strip_accents are the oracle —
+  // a true cross-engine check of a custom codegen expression's output.
+  def q86Normalize(s: SparkSession, d: String): DataFrame = {
+    val accented = concat(lit("café "), lit("résumé "),
+      substring(col("text"), 1, 16))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.strip_accents(accented).as("stripped"),
+      text.nfc_normalize(accented).as("nfc"),
+      (length(text.nfc_normalize(accented)) <= length(accented))
+        .as("nfc_no_longer"),
+      (text.strip_accents(col("text")) === col("text")).as("corpus_ascii_stable"))
+    .orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    """SELECT doc_id,
+      |  strip_accents('café ' || 'résumé ' || SUBSTRING(text, 1, 16)) AS stripped,
+      |  nfc_normalize('café ' || 're' || chr(769) || 'sume' || chr(769) || ' '
+      |                || SUBSTRING(text, 1, 16)) AS nfc,
+      |  LENGTH(nfc_normalize('café ' || 're' || chr(769) || 'sume' || chr(769)
+      |         || ' ' || SUBSTRING(text, 1, 16)))
+      |    <= LENGTH('café ' || 're' || chr(769) || 'sume' || chr(769) || ' '
+      |              || SUBSTRING(text, 1, 16)) AS nfc_no_longer,
+      |  strip_accents(text) = text AS corpus_ascii_stable
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_split" -> (q51Split _),
     "q66_bpe_tokens" -> (q66BpeTokens _),
     "q83_char_entropy" -> (q83CharEntropy _),
+    "q86_normalize" -> (q86Normalize _),
     "q35_chunk" -> (q35Chunk _),
     "q41_heavy_hitters" -> (q41HeavyHitters _),
     "q20_text_tokens" -> (q20Tokens _),
@@ -373,6 +406,7 @@ object TextAnalysis {
     "q20_text_tokens" -> q20Sql,
     "q66_bpe_tokens" -> q66Sql,
     "q83_char_entropy" -> q83Sql,
+    "q86_normalize" -> q86Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
     "q34_ngram_jaccard" -> q34Sql,

@@ -58,7 +58,8 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.functions.map(_._1).toSet == Set(
       "simhash64", "minhash_signature", "rolling_fingerprint",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
-      "dot_product", "duration_ms", "chunk_tokens"))
+      "dot_product", "duration_ms", "chunk_tokens",
+      "strip_accents", "nfc_normalize"))
     assert(e != null)
   }
 
@@ -77,7 +78,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 85)
+    assert(SparkEntry.queries.size == 86)
     // every oracle key refers to an existing query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
