@@ -88,11 +88,87 @@ object Retrieval {
       |WHERE u.pos < 8
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  // One Lloyd iteration of distributed k-means over the embeddings (the
+  // refinement step that turns q29's seeded centroids into trained ones):
+  // broadcast-assign every vector to its argmax-cosine centroid, compute
+  // per-dimension DECIMAL-exact means, report cluster size + L1 drift of
+  // each centroid. Every arithmetic step is order-insensitive (decimal
+  // sums) or identical-per-value (double division, abs), so a genuinely
+  // iterative ML kernel is hash-verified cross-engine.
+  def q87KmeansStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("cid"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .withColumn("c_sim", round(
+        graft.functions.vectors.cosine_similarity(col("embedding"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("cid", "vec_id", "embedding")
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val means = assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("val").cast(DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("mean"))
+    val old = centroids
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "old_val")))
+    means.join(old, Seq("cid", "pos"))
+      .groupBy("cid")
+      .agg(round(sum(abs(col("mean") - col("old_val").cast("double"))
+        .cast(DecimalType(20, 10))).cast("double"), 6).as("l1_drift"))
+      .join(sizes, "cid")
+      .select("cid", "n_members", "l1_drift")
+      .orderBy("cid")
+  }
+
+  val q87Sql: String =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % 97 = 0),
+      |a AS (
+      |  SELECT cid, vec_id, embedding FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+      |        c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT cid, u.pos, u.val FROM (
+      |    SELECT cid,
+      |      unnest(list_transform(embedding, (v, i) -> {'pos': i - 1, 'val': v})) AS u
+      |    FROM a)),
+      |means AS (
+      |  SELECT cid, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mean
+      |  FROM dims GROUP BY 1, 2),
+      |old AS (
+      |  SELECT cid, u.pos, u.val AS old_val FROM (
+      |    SELECT cid,
+      |      unnest(list_transform(cv, (v, i) -> {'pos': i - 1, 'val': v})) AS u
+      |    FROM c)),
+      |sizes AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY 1)
+      |SELECT means.cid, sizes.n_members,
+      |  ROUND(CAST(SUM(CAST(ABS(means.mean - CAST(old.old_val AS DOUBLE))
+      |                      AS DECIMAL(20,10))) AS DOUBLE), 6) AS l1_drift
+      |FROM means
+      |JOIN old ON means.cid = old.cid AND means.pos = old.pos
+      |JOIN sizes ON means.cid = sizes.cid
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf" -> (q74Tfidf _),
-    "q75_embedding_centroids" -> (q75EmbeddingCentroids _))
+    "q75_embedding_centroids" -> (q75EmbeddingCentroids _),
+    "q87_kmeans_step" -> (q87KmeansStep _))
 
   val oracles: Map[String, String] = Map(
     "q74_tfidf" -> q74Sql,
-    "q75_embedding_centroids" -> q75Sql)
+    "q75_embedding_centroids" -> q75Sql,
+    "q87_kmeans_step" -> q87Sql)
 }
