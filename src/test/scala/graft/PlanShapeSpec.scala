@@ -123,6 +123,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("observe() rides metrics along the job without an extra pass") {
+    // production pipelines attach row-count/invariant metrics to the
+    // SAME action (CollectMetrics operator) instead of re-scanning
+    val obs = new org.apache.spark.sql.Observation("gate")
+    val n = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        count(when(col("o_totalprice") <= 0, true)).as("bad_prices"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .count()
+    assert(n > 0)
+    // metrics reflect rows BEFORE the filter — one scan, two answers
+    assert(obs.get("rows_seen").asInstanceOf[Long] == 1500L)
+    assert(obs.get("bad_prices").asInstanceOf[Long] == 0L)
+  }
+
   test("custom expressions do not break whole-stage codegen fusion") {
     import graft.functions.text
     val p = plan(Tables.documents(spark, sf)
