@@ -123,6 +123,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a cartesian product; nested loops only where intended") {
+    // blanket regression guard over the relational surface: a dropped
+    // join predicate or broken equi-key extraction shows up as
+    // CartesianProduct / an unexpected BroadcastNestedLoopJoin long
+    // before it shows up as a timeout at scale. Streaming, iterative,
+    // and side-effecting queries are excluded (building their DataFrame
+    // executes work); the broadcast-tiny cross joins (KNN/IVF/TF-IDF
+    // query fan-outs, scalar-count attach) are the documented exceptions.
+    val skip = Set(
+      "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
+      "q65_stream_join", "q41_heavy_hitters", "q71_dedup_clusters",
+      "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
+      "q70_format_roundtrip", "q78_bucketed_join", "q80_schema_evolution",
+      "q77_pipeline")
+    val bnljAllowed = Set("q28_knn_exact", "q29_ann_ivf", "q74_tfidf",
+      "q87_kmeans_step")
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      if (!bnljAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested loop join:\n$plan")
+      }
+    }
+  }
+
   test("observe() rides metrics along the job without an extra pass") {
     // production pipelines attach row-count/invariant metrics to the
     // SAME action (CollectMetrics operator) instead of re-scanning
