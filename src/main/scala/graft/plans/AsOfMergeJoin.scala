@@ -106,8 +106,14 @@ object AsOfMergeJoin {
       // zipPartitions fails loudly on unequal partition counts rather
       // than silently merging misaligned key ranges.
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+        // payload refs MUST be projected as nullable regardless of the
+        // right child's schema: unmatched left rows read from an all-null
+        // row, and a non-nullable BoundReference skips the null check and
+        // would emit 0/""/false instead of NULL (caught by the random
+        // equivalence property in AsOfMergeJoinSpec)
         val project = UnsafeProjection.create(
-          leftOutput ++ payloadAttrs, leftOutput ++ rightOutput)
+          leftOutput ++ payloadAttrs.map(_.withNullability(true)),
+          leftOutput ++ rightOutput.map(_.withNullability(true)))
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rightWidth)
         var rHead: InternalRow = null     // un-consumed lookahead

@@ -59,6 +59,31 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, plan)
   }
 
+  test("merge exec equals windowed composition on random keyed series") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L), Gen.choose(100L, 999L)))
+    val prop = Prop.forAllNoShrink(rowGen, rowGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "lt", "lid")
+      val right = rs.toDF("k", "rt", "pid")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("lid", "pid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(identity).toSeq
+      val viaWindow = canon(AsOfJoin.backward(
+        left, right, Seq("k"), "lt", "rt", payload = Seq("rt", "pid")))
+      val viaMerge = canon(AsOfMergeJoin.backward(
+        left, right, "k", "lt", "rt", payload = Seq("rt", "pid")))
+      viaWindow == viaMerge
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("ties on (key, time): greatest payload wins, matching window variant") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "lt")
