@@ -119,6 +119,29 @@ class PropertySpec extends AnyFunSuite {
     assert(out == Seq(("p0", "early"), ("p1", "exact"), ("p2", null)))
   }
 
+  test("bucketized range join equals naive on random intervals") {
+    import graft.operators.RangeJoin
+    val intervalGen = Gen.listOfN(10, for {
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 80L)
+    } yield (s, s + len))
+    val pointsGen = Gen.listOfN(20, Gen.choose(-10L, 260L))
+    check(Prop.forAllNoShrink(intervalGen, pointsGen, Gen.oneOf(7L, 32L, 64L)) {
+      (ivs, pts, binWidth) =>
+        val left = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("lid", "s", "e")
+        val right = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("rid", "t")
+        val naive = left.join(right, col("t").between(col("s"), col("e")))
+          .select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val fast = RangeJoin.bucketed(left, "s", "e", right, "t", binWidth)
+          .select("lid", "rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        naive == fast
+    }, 8)
+  }
+
   test("merge is idempotent and key-unique under generated updates") {
     import graft.operators.Upsert
     val updGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(100, 999)))
