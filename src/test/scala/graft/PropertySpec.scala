@@ -142,6 +142,34 @@ class PropertySpec extends AnyFunSuite {
     }, 8)
   }
 
+  test("connected components equal driver-side union-find on random graphs") {
+    import graft.dedup.Clusters
+    val edgeGen = Gen.listOfN(14, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    check(Prop.forAllNoShrink(edgeGen) { es =>
+      val vertices = (0L to 11L).map(Tuple1(_)).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val got = Clusters.connectedComponents(vertices, edges, rounds = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map((0L to 11L).map(v => v -> v): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L to 11L).map { v =>
+        v -> (0L to 11L).filter(u => find(u) == find(v)).min
+      }.toMap
+      got == expected
+    }, 8)
+  }
+
   test("merge is idempotent and key-unique under generated updates") {
     import graft.operators.Upsert
     val updGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(100, 999)))
