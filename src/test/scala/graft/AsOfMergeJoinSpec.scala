@@ -84,6 +84,35 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("merge exec matches a brute-force reference on random inputs") {
+    // equivalence with the windowed variant can't catch a bug BOTH share;
+    // this pins ground truth: latest right row with rt <= lt, ties by
+    // greatest (rt, pid)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L), Gen.choose(100L, 999L)))
+    val prop = Prop.forAllNoShrink(rowGen, rowGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }.toDF("k", "lt", "lid")
+      val right = rs.toDF("k", "rt", "pid")
+      val got = AsOfMergeJoin.backward(left, right, "k", "lt", "rt",
+          payload = Seq("rt", "pid"))
+        .select("lid", "pid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        val candidates = rs.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (candidates.isEmpty) -1L
+          else candidates.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("ties on (key, time): greatest payload wins, matching window variant") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "lt")
