@@ -56,4 +56,35 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(sh.sorted.sameElements(sh))
     assert(sh.distinct.length == sh.length)
   }
+
+  test("kernels survive arbitrary unicode and degenerate inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mixed ASCII / CJK / emoji / combining marks / control chars /
+    // whitespace floods — every kernel must return deterministically,
+    // never throw
+    val weird = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("的是不我了在有"),
+      Gen.const("😀🎉"), // surrogate pairs
+      Gen.const("éé"),           // combining marks
+      Gen.const("   \t\n  "),
+      Gen.const(""),
+      Gen.const("x" * 300)                   // one giant token
+    )).map(_.mkString(" "))
+    val prop = Prop.forAllNoShrink(weird) { s =>
+      val runs = (1 to 2).map { _ =>
+        (TextKernels.simhash64(s),
+          TextKernels.minhashSig(s, 3, 16).toSeq,
+          TextKernels.winnow(s, 8, 4).toSeq,
+          TextKernels.shingleHashes(s, 3).toSeq,
+          TextKernels.langScores(s).toSeq,
+          TextKernels.stripAccents(s),
+          TextKernels.nfcNormalize(s))
+      }
+      runs(0) == runs(1)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
