@@ -206,13 +206,65 @@ object Dedup {
       |SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM planted
       |WHERE ROUND(cs, 6) >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental dedup of a new batch against a historical corpus — the
+    * daily-crawl shape: broadcast a Bloom filter of history's content
+    * hashes, narrow-filter the new batch (no shuffle of history against
+    * it), then exact-verify ONLY the bloom hits with a semi join. A
+    * Bloom filter has no false negatives, so bloom + exact-verify equals
+    * the exact join — false positives only cost verify volume (fpp 1%).
+    * At 100 TB the history side is read once to build a ~MB filter and
+    * never shuffled against the daily batch.
+    *
+    * "Today" = odd doc_ids plus planted exact copies of every 10th
+    * history doc (negative marker ids), so the dup counts are non-trivial
+    * and deterministic.
+    */
+  def q88IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"), col("lang"), col("h"))
+    val today = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+
+    val bf = history.stat.bloomFilter("h", expectedNumItems = 100000L, fpp = 0.01)
+    val bbf = s.sparkContext.broadcast(bf)
+    val probe = udf((h: String) => bbf.value.mightContainString(h))
+
+    val candidates = today.filter(probe(col("h")))
+    val confirmed = candidates
+      .join(history.select("h").distinct(), Seq("h"), "left_semi")
+    today.groupBy("lang").agg(count(lit(1)).as("n_today"))
+      .join(confirmed.groupBy("lang").agg(count(lit(1)).as("n_dup")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_today"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_today") - coalesce(col("n_dup"), lit(0L))).as("n_new"))
+      .orderBy("lang")
+  }
+
+  val q88Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, md5(text) AS h FROM documents),
+      |hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+      |today AS (
+      |  SELECT doc_id, lang, h FROM d WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT -doc_id - 1, lang, h FROM d WHERE doc_id % 10 = 0)
+      |SELECT t.lang, COUNT(*) AS n_today, COUNT(hist.h) AS n_dup,
+      |  COUNT(*) - COUNT(hist.h) AS n_new
+      |FROM today t LEFT JOIN hist ON t.h = hist.h
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_dedup_exact" -> (q25ExactDedup _),
     "q26_neardup_minhash" -> (q26NearDupPairs _),
     "q27_neardup_simhash" -> (q27SimhashPairs _),
-    "q33_neardup_embedding" -> (q33EmbeddingNearDup _))
+    "q33_neardup_embedding" -> (q33EmbeddingNearDup _),
+    "q88_incremental_dedup" -> (q88IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" -> q25Sql,
-    "q33_neardup_embedding" -> q33Sql)
+    "q33_neardup_embedding" -> q33Sql,
+    "q88_incremental_dedup" -> q88Sql)
 }
