@@ -679,6 +679,27 @@ object Complete {
       |  FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  // Right outer join — completes the join-type matrix (inner/left/full/
+  // semi/anti/cross covered elsewhere): every customer kept, order
+  // aggregate attached where present.
+  def q89RightOuter(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    big.join(Tables.customer(s, d), big("o_custkey") === col("c_custkey"),
+        "right_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy("c_custkey")
+  }
+
+  val q89Sql: String =
+    """SELECT c_custkey, c_mktsegment, COALESCE(big.n_big, 0) AS n_big
+      |FROM (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      |      WHERE o_totalprice > 300000.0 GROUP BY 1) big
+      |RIGHT JOIN customer ON big.o_custkey = c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q84
   // Ordered-event funnel: signup → first view after signup → first
   // purchase after that view, per user; stage counts = the conversion
@@ -783,7 +804,8 @@ object Complete {
     "q81_grouping_sets" -> (q81GroupingSets _),
     "q82_sliding_window" -> (q82SlidingWindow _),
     "q84_funnel"       -> (q84Funnel _),
-    "q85_cohort"       -> (q85Cohort _))
+    "q85_cohort"       -> (q85Cohort _),
+    "q89_right_outer"  -> (q89RightOuter _))
 
   val oracles: Map[String, String] = Map(
     "q40_cube"         -> q40Sql,
@@ -812,5 +834,6 @@ object Complete {
     "q81_grouping_sets" -> q81Sql,
     "q82_sliding_window" -> q82Sql,
     "q84_funnel"       -> q84Sql,
-    "q85_cohort"       -> q85Sql)
+    "q85_cohort"       -> q85Sql,
+    "q89_right_outer"  -> q89Sql)
 }

@@ -78,7 +78,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 88)
+    assert(SparkEntry.queries.size == 89)
     // every oracle key refers to an existing query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
