@@ -6,8 +6,31 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Each query is forced through
   * the `noop` sink so the full plan executes (a bare `.count()` lets
   * Catalyst prune projections and undercounts real work).
+  *
+  * Session hygiene: ~90 plans through one JVM accumulate state that
+  * corrupts per-query timings (round-2 postmortem: q48 measured 22 s
+  * in-bench vs 1.2 s standalone) — streaming memory-sink tables are never
+  * dropped, localCheckpoint blocks from the iterative queries pin block-
+  * manager memory, and cached relations pile up. [[cleanup]] runs OUTSIDE
+  * the timed region after every iteration so each query starts from a
+  * clean session.
   */
 object Bench {
+
+  /** Reset session state between timed runs (not part of any query's cost). */
+  private[graft] def cleanup(spark: SparkSession): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    // memory-sink tables from streaming queries land as temp views; every
+    // query (re)registers what it reads, so dropping all is safe
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    spark.catalog.clearCache()
+    // localCheckpoint blocks (iterative CC) register as persistent RDDs
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +55,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup(spark) // untimed: next run starts from a clean session
+        dt
       }
       name -> times.min
     }

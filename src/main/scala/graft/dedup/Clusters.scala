@@ -21,19 +21,34 @@ import graft.Tables
   */
 object Clusters {
 
-  /** Minimum-label connected components.
-    * @param vertices one column `id` (long)
-    * @param edges    columns `src`, `dst` (long); treated as undirected
-    * @param rounds   propagation rounds; ceil(log2(max component size))+1
-    *                 suffices thanks to pointer jumping
+  /** Minimum-label connected components, iterated to convergence.
+    *
+    * Termination: labels are monotonically non-increasing (every update is
+    * a `least`), so the label table reaches a fixed point exactly when its
+    * label SUM stops changing — one cheap single-column aggregate over the
+    * just-checkpointed blocks per round, instead of a full pre-scan to
+    * size the round count. `maxRounds` is a safety cap, not a tuning knob:
+    * pointer jumping doubles propagation distance per round, so 50 rounds
+    * covers component diameters up to 2^50 — unreachable by any real
+    * corpus.
+    *
+    * @param vertices  one column `id` (long)
+    * @param edges     columns `src`, `dst` (long); treated as undirected
+    * @param maxRounds safety cap on propagation rounds
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      rounds: Int): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // decimal sum: exact and overflow-free at any corpus size (long sum
+    // wraps once |V| * max(id) passes 2^63)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = vertices.select(col("id"), col("id").as("label"))
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var i = 0
-    while (i < rounds) {
+    while (i < maxRounds && !converged) {
       // (1) neighbor min
       val nbrMin = undirected
         .join(labels, undirected("src") === labels("id"))
@@ -52,6 +67,9 @@ object Clusters {
         // localCheckpoint keeps blocks on executors — no HDFS round-trip,
         // exactly the per-iteration cut every Pregel-style loop needs.
         .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     labels
@@ -74,20 +92,20 @@ object Clusters {
       .withColumn("prev", lag("doc_id", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("src"), col("doc_id").as("dst"))
-    val maxGroup = docs.groupBy("lang", "bucket").count()
-      .agg(max("count")).head().getLong(0)
-    val rounds = math.max(1,
-      (math.log(maxGroup.toDouble) / math.log(2.0)).ceil.toInt + 1)
     // narrow shuffle width for the iteration: every round launches
     // 2 joins + a checkpoint over a label table of |docs| rows, so with
     // the session default width the loop is pure task-scheduling
     // overhead at test scale (a production corpus keeps the session
-    // width — the knob is the caller's)
+    // width — the knob is the caller's). NOTE: the override mutates
+    // session-global conf with try/finally restore — correct for the
+    // serial driver, but a library caller sharing one session across
+    // concurrent queries should scope it via spark.newSession() instead
+    // (concurrent plans compiled in the window would pick up width 8).
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "8")
     val labels =
-      try connectedComponents(docs.select(col("doc_id").as("id")), edges, rounds)
+      try connectedComponents(docs.select(col("doc_id").as("id")), edges)
       finally s.conf.set(key, prev)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

@@ -124,10 +124,49 @@ object Dedup {
       .filter(col("exact_jaccard") >= minJaccard)
   }
 
+  /** q26's driver surface: the DECISION columns (pair ids + exact
+    * Jaccard). The MinHash estimate rides inside [[nearDupPairs]] (and is
+    * spec-verified for recall in DedupKnnSpec) but is built from custom
+    * 64-bit hashes with no SQL twin, so the driver projection keeps to
+    * what DuckDB can recompute: documents are single-space tokenized, so
+    * the hashed-shingle identity (raw substring spanning the 3 tokens,
+    * TextKernels.shingleHashes) equals the space-joined token triple, and
+    * exact Jaccard over the hash sets equals Jaccard over the string sets.
+    * The oracle enumerates ALL >= 0.5 pairs; verified at sf0.01 the LSH
+    * candidate stage has recall 1 there (81 = 81 pairs), which is what
+    * makes the full query — not just the verify stage — hash-comparable.
+    */
   def q26NearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairs(corpusWithNearDups(s, d))
-      .select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+      .select("id_a", "id_b", "exact_jaccard")
       .orderBy("id_a", "id_b")
+
+  /** All-pairs exact shingle Jaccard in SQL (the oracle only runs at the
+    * driver's small SF; the Spark side stays LSH-bucketed — that asymmetry
+    * is the point: same answer, scalable plan).
+    */
+  val q26Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1, regexp_replace(text, '\s+\S+\s+\S+\s*$', '')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(regexp_extract_all(text, '\S+')) - 1),
+      |      i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+1] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+2])) AS grams
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.grams, b.grams))), 4)
+      |      AS exact_jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT * FROM pairs WHERE exact_jaccard >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup candidates over the same synthetic corpus: bucket by
     * 4 × 16-bit bands (hamming ≤ 3 ⟹ at least one identical 16-bit band),
@@ -219,6 +258,31 @@ object Dedup {
     * history doc (negative marker ids), so the dup counts are non-trivial
     * and deterministic.
     */
+  /** Bloom pre-filter predicate: build a filter over `xxhash64` of
+    * history's key column, sized from the ACTUAL history cardinality (a
+    * constant `expectedNumItems` silently saturates once history outgrows
+    * it — fpp → 1 and the pre-filter degenerates to a no-op), and probe
+    * with Spark's codegen [[BloomFilterMightContain]] — no per-row UDF
+    * boxing. The count is one extra single-column job over history; at
+    * 100 TB that is a metadata-cheap scan next to the filter build itself,
+    * and it is what keeps the fpp honest at any scale. The long-hash
+    * mapping cannot introduce false negatives (build and probe hash
+    * identically); xxhash collisions only add verify volume.
+    */
+  private[graft] def bloomProbe(s: SparkSession, history: DataFrame,
+      key: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val nHist = math.max(history.count(), 1L)
+    val bf = history.select(xxhash64(key).as("kx"))
+      .stat.bloomFilter("kx", expectedNumItems = nHist, fpp = 0.01)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(os.toByteArray, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(key))))
+  }
+
   def q88IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
@@ -227,11 +291,7 @@ object Dedup {
       .select((-col("doc_id") - 1L).as("doc_id"), col("lang"), col("h"))
     val today = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
 
-    val bf = history.stat.bloomFilter("h", expectedNumItems = 100000L, fpp = 0.01)
-    val bbf = s.sparkContext.broadcast(bf)
-    val probe = udf((h: String) => bbf.value.mightContainString(h))
-
-    val candidates = today.filter(probe(col("h")))
+    val candidates = today.filter(bloomProbe(s, history, col("h")))
     val confirmed = candidates
       .join(history.select("h").distinct(), Seq("h"), "left_semi")
     today.groupBy("lang").agg(count(lit(1)).as("n_today"))
@@ -265,6 +325,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" -> q25Sql,
+    "q26_neardup_minhash" -> q26Sql,
     "q33_neardup_embedding" -> q33Sql,
     "q88_incremental_dedup" -> q88Sql)
 }

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions.col
   *     update keyset when small — the common CDC case: daily delta ≪
   *     table); the union is free (no exchange);
   *   - [[upsertParquet]] stages the merged table NEXT TO the live one and
-  *     swaps via rename, so a failed write never destroys the target —
-  *     the same write-then-publish discipline a 1000-executor job needs
-  *     (readers see old or new, never partial).
+  *     swaps via two renames, so a failed WRITE never destroys the target.
+  *     The swap itself is not atomic: between retiring the old copy and
+  *     publishing the staged one there is a short window where `path` does
+  *     not exist, and a crash inside that window leaves the data only in
+  *     `<path>.retired` (recovery: rename it back). Object stores / HDFS
+  *     have no multi-path atomic rename — full isolation needs a table
+  *     format with a transaction log (Delta/Iceberg), which is out of
+  *     scope per SURVEY §1.1.
   */
 object Upsert {
 

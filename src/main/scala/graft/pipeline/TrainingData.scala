@@ -111,8 +111,8 @@ object TrainingData {
       |  COUNT(CASE WHEN drop_reason = 'repetitive' THEN 1 END) AS n_repetitive,
       |  COUNT(CASE WHEN drop_reason IS NULL AND NOT is_canonical THEN 1 END)
       |    AS n_dup_removed,
-      |  SUM(CASE WHEN drop_reason IS NULL AND is_canonical THEN n_tokens
-      |           ELSE 0 END) AS kept_tokens
+      |  CAST(SUM(CASE WHEN drop_reason IS NULL AND is_canonical THEN n_tokens
+      |           ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM flagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -200,11 +200,14 @@ object Complete {
   // Subquery family: correlated scalar subquery + IN + correlated EXISTS.
   // ONE SQL text parsed by BOTH engines (ANSI intersection) — Catalyst
   // decorrelates to joins (RewriteCorrelatedScalarSubquery), DuckDB to its
-  // own delim joins; semantics must agree exactly.
+  // own delim joins; semantics must agree exactly. The threshold average is
+  // decimal-routed (exact SUM, then one deterministic double division) so a
+  // row landing within ulps of avg*1.8 cannot flip between engines.
   val q58Sql: String =
     """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
       |FROM orders o
-      |WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+      |WHERE o.o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                               / COUNT(*) FROM orders o2
       |                        WHERE o2.o_orderpriority = o.o_orderpriority) * 1.8
       |  AND o.o_custkey IN (SELECT c_custkey FROM customer
       |                      WHERE c_mktsegment = 'BUILDING')

@@ -195,15 +195,26 @@ object Extended {
 
   // ---------------------------------------------------------------- q48
   // JSON scalar functions over events.props (the path-extraction
-  // complement to q17's from_json + structural flatten).
-  def q48Json(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").as("k_str"),
-      get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-      get_json_object(col("props"), "$.missing").as("absent"),
-      col("props").rlike("\"k\"").as("has_k"))
-    .orderBy("event_id")
+  // complement to q17's from_json + structural flatten). ONE from_json
+  // projection — the naive 3× get_json_object spelling parses the JSON
+  // three times per row, pure waste at 100 TB. CollapseProject keeps the
+  // non-cheap JsonToStructs in its own Project (it never inlines an
+  // expensive expression referenced more than once), so the plan parses
+  // once; PlanShapeSpec pins that.
+  def q48Json(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("missing", StringType)))
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(
+        col("event_id"),
+        col("p.k").as("k_str"),
+        col("p.k").cast("int").as("k_int"),
+        col("p.missing").as("absent"),
+        col("props").rlike("\"k\"").as("has_k"))
+      .orderBy("event_id")
+  }
 
   val q48Sql: String =
     """SELECT event_id,

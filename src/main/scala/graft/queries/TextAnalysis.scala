@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.text
@@ -12,8 +13,10 @@ import graft.functions.text
   * q20-q22 are pure `functions._` compositions (whole-stage codegen, no
   * UDFs) with exact DuckDB oracles. q23/q24 use the custom Catalyst
   * expressions in [[graft.functions.TextExpressions]] (winnowing
-  * fingerprint, SimHash) — not SQL-expressible, so they get rows-only
-  * driver checks plus kernel-level unit specs.
+  * fingerprint, SimHash). q24 is oracled at the decision level
+  * (permutation-collision grouping); q23's fingerprint values have no SQL
+  * twin — rows-only driver check plus kernel-level unit specs (the
+  * accepted-grey list is documented in COVERAGE.md).
   *
   * Scale: every query here is a narrow map over the corpus — zero
   * shuffles before the final (tiny) sort, so it parallelizes linearly with
@@ -145,13 +148,56 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- q24
-  // SimHash (custom Expression; rows-only check + unit spec).
-  def q24Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      text.simhash64(col("text")).as("simhash"),
-      shiftright(text.simhash64(col("text")), 48).cast("int").as("band16"))
-    .orderBy("doc_id")
+  // SimHash at the DECISION level: permutation-duplicate detection.
+  // simhash64 is a pure function of the token MULTISET (every occurrence
+  // votes ±1 per bit, order-free), so a token-permuted copy collides
+  // EXACTLY — zero false negatives when bucketing by simhash. But simhash
+  // is a SIMILARITY hash: distinct same-language docs genuinely collide
+  // (observed at sf0.01: 98↔290, 107↔387, 152↔178), so like every LSH
+  // pipeline the hash buckets are CANDIDATES and an exact verify stage
+  // (token-bag equality inside the bucket) removes collisions. The
+  // verified grouping equals token-bag grouping — SQL-expressible — while
+  // the Spark plan keeps the scale shape: one shuffle keyed on
+  // (simhash, bag-digest), candidates bounded by bucket size. Raw 64-bit
+  // values stay pinned in TextKernelsSpec.
+  def q24Simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"),
+        array_join(reverse(toks), " ").as("text"))
+    val w = Window.partitionBy("sh", "bag")
+    docs.unionByName(planted)
+      .select(col("doc_id"), text.simhash64(col("text")).as("sh"),
+        // space separator: tokens are \\S+ so the sorted space-join is
+        // injective on token multisets
+        md5(array_join(array_sort(toks), " ")).as("bag"))
+      .select(col("doc_id"),
+        min("doc_id").over(w).as("rep"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle groups by the exact token bag alone: bag-equal implies
+    * simhash-equal, so the (simhash, bag) partitions above are exactly
+    * the bag partitions — the hash key only pre-buckets.
+    */
+  val q24Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1,
+      |    array_to_string(list_reverse(regexp_extract_all(text, '\S+')), ' ')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |keyed AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(regexp_extract_all(text, '\S+')),
+      |                        ' ')) AS bag
+      |  FROM corpus)
+      |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bag) AS rep,
+      |  COUNT(*) OVER (PARTITION BY bag) AS group_size
+      |FROM keyed ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q34
   // Exact word-3-gram Jaccard between adjacent document pairs — the
@@ -409,6 +455,7 @@ object TextAnalysis {
     "q86_normalize" -> q86Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
+    "q24_simhash" -> q24Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_chunk" -> q35Sql,
     "q41_heavy_hitters" -> q41Sql,

@@ -23,7 +23,9 @@ class DedupKnnSpec extends AnyFunSuite {
   }
 
   test("minhash estimate tracks exact jaccard on candidates") {
-    val rows = Dedup.q26NearDupPairs(spark, sf)
+    // nearDupPairs directly: the q26 driver projection drops est_jaccard
+    // (no SQL twin for the signature estimate) but the spec pins it here
+    val rows = Dedup.nearDupPairs(Dedup.corpusWithNearDups(spark, sf))
       .select("est_jaccard", "exact_jaccard").collect()
     assert(rows.nonEmpty)
     val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
@@ -56,7 +58,7 @@ class DedupKnnSpec extends AnyFunSuite {
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 99L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
-    val labels = Clusters.connectedComponents(vertices, edges, rounds = 4)
+    val labels = Clusters.connectedComponents(vertices, edges, maxRounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
     assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))

@@ -172,4 +172,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.trim.startsWith("*(") && l.contains("simhash64")), p)
   }
+
+  test("q48 parses the JSON payload exactly once") {
+    // three projected fields from one payload must share ONE JsonToStructs
+    // (CollapseProject must not inline the non-cheap parse 3×) — at 100 TB
+    // a per-field re-parse triples the dominant CPU cost of the query
+    val p = plan(graft.queries.Extended.q48Json(spark, sf))
+    val n = "from_json".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 from_json, got $n in:\n$p")
+    assert(!p.contains("get_json_object"), p)
+  }
+
+  test("q88 bloom probe is the codegen might_contain, not a UDF") {
+    val p = plan(graft.dedup.Dedup.q88IncrementalDedup(spark, sf))
+    assert(p.contains("might_contain"), s"expected BloomFilterMightContain:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"boxing UDF in hot path:\n$p")
+  }
 }

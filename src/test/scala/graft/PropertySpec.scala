@@ -148,7 +148,7 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAllNoShrink(edgeGen) { es =>
       val vertices = (0L to 11L).map(Tuple1(_)).toDF("id")
       val edges = es.toDF("src", "dst")
-      val got = Clusters.connectedComponents(vertices, edges, rounds = 6)
+      val got = Clusters.connectedComponents(vertices, edges, maxRounds = 6)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference: driver-side union-find with path compression
       val parent = scala.collection.mutable.Map((0L to 11L).map(v => v -> v): _*)
