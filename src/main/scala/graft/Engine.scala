@@ -69,6 +69,31 @@ object Engine {
       .getOrCreate()
     s
   }
+
+  /** Session over a PERSISTENT catalog: Derby-backed Hive metastore under
+    * `root/metastore_db`, warehouse under `root/warehouse`. This is the
+    * fidelity twin of the reference's `CREATE DATABASE silver LOCATION
+    * ...` against a workspace metastore (`Transform Silver Data.py:71-72`,
+    * reproduced as scaladoc-cited behavior, not code): databases and
+    * managed tables created here survive JVM restarts — a second process
+    * pointed at the same `root` sees them from catalog metadata alone.
+    * The in-memory-catalog [[session]] stays the default for tests and
+    * the driver gate (same SQL surface, no on-disk metastore state).
+    */
+  def persistentSession(root: String, master: String = "local[2]",
+      shufflePartitions: Int = 8): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft-persistent")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$root/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$root/metastore_db;create=true")
+      .enableHiveSupport()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — injects

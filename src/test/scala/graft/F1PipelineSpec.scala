@@ -247,6 +247,43 @@ class F1PipelineSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head.getAs[String]("driverName") == "alice alice")
   }
 
+  test("silver database survives a JVM restart (Derby metastore)") {
+    // the reference's CREATE DATABASE silver LOCATION ... lives in a
+    // workspace metastore that outlives any one cluster/session; the
+    // fidelity claim needs PROCESS separation, so each phase forks its
+    // own JVM over the same metastore root (PersistentCatalogDemo)
+    val root = Files.createTempDirectory("graft_metastore").toString
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(phase: String): (Int, String) = {
+      import scala.sys.process._
+      val cmd = Seq(java) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.f1.PersistentCatalogDemo", root, phase)
+      val out = new StringBuilder
+      val code = Process(cmd).!(ProcessLogger(l => { out.append(l).append('\n'); () }))
+      (code, out.toString)
+    }
+    val (c1, o1) = fork("create")
+    assert(c1 == 0 && o1.contains("CREATED report_rows=2"), o1.takeRight(4000))
+    val (c2, o2) = fork("reopen")
+    assert(c2 == 0, o2.takeRight(4000))
+    // reopened JVM ran the full SqlReports flow from catalog metadata
+    // alone: alice and bob, 2 races each in 2021, alice ranked first
+    assert(o2.contains("PERSISTED 2021:alice alice:2,2021:bob bob:2"),
+      o2.takeRight(4000))
+  }
+
   test("ingest driver: pagination loop, page files, year guards") {
     val bronzeRoot = Files.createTempDirectory("f1bronze").toString
     var urls = Vector.empty[String]
