@@ -20,16 +20,28 @@ object Bench {
   /** Reset session state between timed runs (not part of any query's cost). */
   private[graft] def cleanup(spark: SparkSession): Unit = {
     spark.streams.active.foreach { q =>
-      try q.stop() catch { case _: Throwable => () }
+      // a wedged stream that refuses to stop WILL contaminate later
+      // timings — surface it instead of swallowing
+      try q.stop() catch { case e: Throwable =>
+        System.err.println(s"[bench] stream stop failed (${q.name}): $e")
+      }
     }
     // memory-sink tables from streaming queries land as temp views; every
     // query (re)registers what it reads, so dropping all is safe
     spark.catalog.listTables().collect()
       .filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
+    // dropTempView skips global_temp — sweep that namespace separately
+    try spark.catalog.listTables("global_temp").collect()
+      .foreach(t => spark.catalog.dropGlobalTempView(t.name))
+    catch { case _: org.apache.spark.sql.AnalysisException => () } // namespace not materialized yet
     spark.catalog.clearCache()
     // localCheckpoint blocks (iterative CC) register as persistent RDDs
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // reclaim unpersisted blocks/codegen garbage now, in the untimed
+    // region, instead of mid-measurement (residual drag audit r3: 2-5×
+    // in-bench vs standalone on some queries even after state cleanup)
+    System.gc()
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,10 +73,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full-double formatting made the line ~3.3 KB
+    // and the driver's output capture truncated its head (BENCH_r03
+    // "parsed": null) — sub-ms digits carry no signal at these runtimes
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

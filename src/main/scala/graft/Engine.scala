@@ -79,9 +79,20 @@ object Engine {
     * pointed at the same `root` sees them from catalog metadata alone.
     * The in-memory-catalog [[session]] stays the default for tests and
     * the driver gate (same SQL surface, no on-disk metastore state).
+    *
+    * PRECONDITION — fresh JVM: `getOrCreate` reuses any live session and
+    * silently ignores the Hive/Derby/warehouse configs, so a caller in a
+    * JVM that already built a session would get the in-memory catalog
+    * while believing it has persistence. Guarded with an explicit
+    * `require` rather than documentation alone.
     */
   def persistentSession(root: String, master: String = "local[2]",
-      shufflePartitions: Int = 8): SparkSession =
+      shufflePartitions: Int = 8): SparkSession = {
+    require(SparkSession.getDefaultSession.isEmpty &&
+        SparkSession.getActiveSession.isEmpty,
+      "persistentSession must be the first session in this JVM: " +
+        "getOrCreate would reuse the live session and silently drop the " +
+        "metastore/warehouse configs (stop() the existing session first)")
     SparkSession.builder()
       .master(master)
       .appName("graft-persistent")
@@ -94,6 +105,7 @@ object Engine {
       .enableHiveSupport()
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+  }
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — injects

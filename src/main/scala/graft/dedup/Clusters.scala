@@ -68,7 +68,10 @@ object Clusters {
         // exactly the per-iteration cut every Pregel-style loop needs.
         .localCheckpoint(true)
       val s = labelSum(labels)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // empty vertex set: sum(NULL group) is null — there is nothing to
+      // propagate, so stop immediately instead of burning maxRounds of
+      // no-op join/checkpoint/agg rounds on an empty table
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       i += 1
     }

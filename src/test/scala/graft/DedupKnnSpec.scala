@@ -22,6 +22,35 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(found >= 0.9, s"recall of planted near-dups: $found")
   }
 
+  test("q26 LSH recall is exactly 1 at the gate SF (oracle precondition)") {
+    // The q26 DuckDB oracle enumerates ALL exact-Jaccard >= 0.5 pairs,
+    // while the Spark side emits only LSH-bucket candidates — the gate
+    // holds only while LSH recall is exactly 1 on the gate corpus. This
+    // asserts that precondition explicitly at sf0.01 (the driver's gate
+    // SF): brute-force exact pairs == the LSH pipeline's output. If THIS
+    // fails after a corpus/SF change, triage as recall < 1 (tune
+    // bands/rows or maxBucket), not as an engine bug.
+    val gateSf = "/root/testdata/sf0.01"
+    val corpus = Dedup.corpusWithNearDups(spark, gateSf)
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.text.shingle_hashes(col("text"), shingle = 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(round(col("j"), 4) >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.q26NearDupPairs(spark, gateSf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"LSH != exact at gate SF: missing=${exact.diff(lsh).take(5)} " +
+        s"extra=${lsh.diff(exact).take(5)}")
+  }
+
   test("minhash estimate tracks exact jaccard on candidates") {
     // nearDupPairs directly: the q26 driver projection drops est_jaccard
     // (no SQL twin for the signature estimate) but the spec pins it here
