@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Retrieval.queries ++
       graft.pipeline.TrainingData.queries ++
+      graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Retrieval.oracles ++
       graft.pipeline.TrainingData.oracles ++
+      graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++

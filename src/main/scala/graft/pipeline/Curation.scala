@@ -1,0 +1,346 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Corpus-curation operators — the stages between "deduped documents" and
+  * "training shards" that q77's end-to-end pipeline composes at a coarse
+  * grain, here exposed as first-class, individually-oracled operators:
+  * token-budget packing, benchmark-contamination screening, stratified
+  * domain sampling, quality binning, unigram domain divergence, and
+  * embedding quantization error.
+  *
+  * House rules apply throughout: integer/decimal-routed aggregates so a
+  * 1000-way tree reduction is bit-identical to DuckDB's serial fold;
+  * ROUND before any cross-engine float comparison surface; deterministic
+  * total ORDER BY; per-language (or per-label) partitioning so every
+  * shuffle key matches the natural sharding of a production corpus.
+  */
+object Curation {
+
+  private def toks: Column = expr("regexp_extract_all(text, '\\\\S+', 0)")
+
+  // ---------------------------------------------------------------- q90
+  // Token-budget packing: assign documents, in deterministic order within
+  // each language shard, to fixed-budget training bins by global token
+  // offset (pack = cumulative-tokens-before / budget). This is the
+  // offset-binning packer: O(1) per row after one window sum, no driver
+  // state, and bins are reproducible from the (shard, order) alone — the
+  // property that matters when 1000 executors pack shards independently.
+  // (A first-fit greedy packer trades that determinism for ~budget/2
+  // fewer wasted tokens per bin boundary; at 100 TB the window-sum shape
+  // is the one that parallelizes, and the boundary doc that straddles two
+  // bins is split downstream by the chunker, q35.)
+  def q90Pack(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", (col("cum_before") / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
+  val q90Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM t)
+      |SELECT lang, cum_before // 512 AS pack_id, COUNT(*) AS n_docs,
+      |  SUM(n_tok) AS pack_tokens, MIN(doc_id) AS first_doc,
+      |  MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  // Benchmark-contamination screen: the eval set is the last-16-token
+  // tail of every 25th document (planted leakage — the mechanism by which
+  // real benchmarks leak: excerpts, not whole documents). Every corpus
+  // document is scored by how many of its distinct word-8-grams appear in
+  // the benchmark gram set. Scale shape: the benchmark side is tiny by
+  // definition (eval suites are KBs against a 100 TB corpus) — distinct
+  // grams BROADCAST to every executor and the corpus side is one narrow
+  // explode + map-side-combined count; the corpus is never shuffled.
+  def q91Contamination(s: SparkSession, d: String): DataFrame = {
+    val grams8 = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(size(tk) - 7, 0)),
+        |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
+        |              element_at(tk, i + 2), ' ', element_at(tk, i + 3), ' ',
+        |              element_at(tk, i + 4), ' ', element_at(tk, i + 5), ' ',
+        |              element_at(tk, i + 6), ' ', element_at(tk, i + 7))))""".stripMargin)
+    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("tk"))
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+      .select(slice(col("tk"), greatest(size(col("tk")) - lit(15), lit(1)),
+        lit(16)).as("tk"))
+      .select(explode(grams8).as("gram")).distinct()
+    // gram list materialized as a column ONCE (multi-referenced non-trivial
+    // aliases stay un-inlined by CollapseProject — same reasoning as q34)
+    val corpus = docs
+      .withColumn("grams", grams8)
+      .select(col("doc_id"), explode(col("grams")).as("gram"),
+        size(col("grams")).as("n_grams"))
+    corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_grams").cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("frac",
+        round(col("n_contaminated") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 6),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+      |        || t[i+7])) AS grams
+      |  FROM tk),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |      range(1, len(tail) - 6),
+      |      i -> tail[i] || ' ' || tail[i+1] || ' ' || tail[i+2] || ' ' ||
+      |           tail[i+3] || ' ' || tail[i+4] || ' ' || tail[i+5] || ' ' ||
+      |           tail[i+6] || ' ' || tail[i+7]))) AS gram
+      |  FROM (SELECT list_slice(t, greatest(len(t) - 15, 1), len(t)) AS tail
+      |        FROM tk WHERE doc_id % 25 = 0)),
+      |bl AS (SELECT list(gram) AS bg FROM bench),
+      |scored AS (
+      |  -- bench list via CROSS JOIN, not a scalar subquery: DuckDB
+      |  -- rewrites list_intersect through a lambda, where subqueries
+      |  -- are rejected
+      |  SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+      |    CAST(len(list_intersect(g.grams, bl.bg)) AS BIGINT)
+      |      AS n_contaminated
+      |  FROM g CROSS JOIN bl)
+      |SELECT doc_id, n_grams, n_contaminated,
+      |  ROUND(n_contaminated / n_grams, 6) AS frac
+      |FROM scored WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  // Stratified domain sampling (the "data mixing" stage): per-language
+  // keep-rates in permille, applied as a SYSTEMATIC modulo sample
+  // (doc_id % 1000 < rate) so the sample is deterministic, resumable, and
+  // identical no matter how the corpus is partitioned — properties a
+  // random() sample lacks on a cluster. The rates table is cardinality-
+  // |domains| and broadcasts; the corpus side is a narrow filter, zero
+  // extra shuffles beyond the reporting aggregate.
+  def q92StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 500L), ("de", 300L), ("fr", 200L), ("es", 100L),
+      ("zh", 50L)).toDF("lang", "permille")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("permille", coalesce(col("permille"), lit(100L)))
+      .withColumn("kept", (col("doc_id") % 1000 < col("permille")).cast("long"))
+      .groupBy("lang", "permille")
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, size(toks).cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .withColumn("achieved_permille",
+        round(col("n_kept") * lit(1000.0) / col("n_total"), 3))
+      .orderBy("lang")
+  }
+
+  val q92Sql: String =
+    """WITH rates(lang, permille) AS (
+      |  VALUES ('en', CAST(500 AS BIGINT)), ('de', 300), ('fr', 200),
+      |         ('es', 100), ('zh', 50)),
+      |s AS (
+      |  SELECT d.lang, COALESCE(r.permille, 100) AS permille, d.doc_id,
+      |    CASE WHEN d.doc_id % 1000 < COALESCE(r.permille, 100)
+      |         THEN 1 ELSE 0 END AS kept,
+      |    CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents d LEFT JOIN rates r ON d.lang = r.lang)
+      |SELECT lang, permille, COUNT(*) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  ROUND(SUM(kept) * 1000.0 / COUNT(*), 3) AS achieved_permille
+      |FROM s GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  // Quality-decile binning: a curriculum/filter stage bins the corpus
+  // into score deciles (NTILE over a deterministic order) and reports the
+  // per-bin profile a mixing recipe consumes. The score is a pure
+  // integer-ratio density (tokens per 1000 chars) so the bin boundaries
+  // are bit-identical cross-engine; ties break on doc_id, making NTILE's
+  // bucket assignment unique. One window sort + one aggregate.
+  def q93QualityBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("score", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("score",
+        round(col("n_tok") * lit(1000.0) / col("n_chars"), 6))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min("score").as("min_score"), max("score").as("max_score"),
+        sum("n_tok").as("sum_tokens"),
+        round(avg(col("n_chars").cast(DecimalType(18, 2))).cast("double"), 3)
+          .as("avg_chars"))
+      .orderBy("decile")
+  }
+
+  val q93Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |    ROUND(len(regexp_extract_all(text, '\S+')) * 1000.0 / n_chars, 6)
+      |      AS score
+      |  FROM documents),
+      |binned AS (
+      |  SELECT *, CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+      |    AS decile
+      |  FROM scored)
+      |SELECT decile, COUNT(*) AS n, MIN(score) AS min_score,
+      |  MAX(score) AS max_score, SUM(n_tok) AS sum_tokens,
+      |  ROUND(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE), 3)
+      |    AS avg_chars
+      |FROM binned GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  // Unigram domain divergence: chi-square distance between each
+  // language's unigram distribution and the corpus-global one — the
+  // domain-shift diagnostic behind mixing-weight tuning. Deliberately
+  // chi-square, not KL: every per-term step is +,-,*,/ (exactly-rounded
+  // IEEE, bit-identical in any engine) with no transcendentals, and the
+  // rounded per-term contributions are summed as DECIMALs so the
+  // 1000-way tree reduction matches DuckDB's serial fold exactly.
+  // Shuffle shape: one map-side-combined count per (lang, term), the
+  // vocabulary-sized global table broadcasts.
+  def q94DomainDivergence(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("term"))
+    val perLang = tokens.groupBy("lang", "term").agg(count(lit(1)).as("c_l"))
+    // independent re-read: global totals share no lineage with perLang
+    // (joining two aggregates of one lineage trips AMBIGUOUS_SELF_JOIN)
+    val tokens2 = Tables.documents(s, d)
+      .select(explode(toks).as("term"))
+    val global = tokens2.groupBy("term").agg(count(lit(1)).as("c_g"))
+    val tLang = perLang.groupBy("lang").agg(sum("c_l").as("t_l"))
+    val tGlob = global.agg(sum("c_g").as("t_g"))
+    val term = perLang
+      .join(broadcast(global), "term")
+      .join(broadcast(tLang), "lang")
+      .crossJoin(broadcast(tGlob))
+      .withColumn("p", col("c_l") / col("t_l"))
+      .withColumn("q", col("c_g") / col("t_g"))
+      .withColumn("contrib",
+        round((col("p") - col("q")) * (col("p") - col("q")) / col("q"), 8)
+          .cast(DecimalType(28, 10)))
+    term.groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("contrib").cast("double"), 6).as("chi2"))
+      .orderBy("lang")
+  }
+
+  val q94Sql: String =
+    """WITH tokens AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS term
+      |  FROM documents),
+      |per_lang AS (
+      |  SELECT lang, term, COUNT(*) AS c_l FROM tokens GROUP BY 1, 2),
+      |gl AS (
+      |  SELECT term, COUNT(*) AS c_g FROM tokens GROUP BY 1),
+      |t_lang AS (
+      |  SELECT lang, SUM(c_l) AS t_l FROM per_lang GROUP BY 1),
+      |t_glob AS (SELECT SUM(c_g) AS t_g FROM gl),
+      |probs AS (
+      |  SELECT p.lang, p.c_l / CAST(tl.t_l AS DOUBLE) AS p,
+      |    g.c_g / CAST(tg.t_g AS DOUBLE) AS q
+      |  FROM per_lang p JOIN gl g USING (term)
+      |  JOIN t_lang tl USING (lang) CROSS JOIN t_glob tg),
+      |contrib AS (
+      |  -- (p-q)*(p-q), never POWER(x,2): pow goes through libm and is not
+      |  -- guaranteed exactly-rounded, the explicit product is
+      |  SELECT lang,
+      |    CAST(ROUND((p - q) * (p - q) / q, 8) AS DECIMAL(28,10)) AS contrib
+      |  FROM probs)
+      |SELECT lang, COUNT(*) AS n_terms,
+      |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2
+      |FROM contrib GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  // Embedding int8 scalar quantization error: per-vector min/max range,
+  // 255-level floor quantization, reconstruction, per-vector max absolute
+  // error, aggregated per label. The storage-shrink audit every vector
+  // corpus runs before committing to int8 shards. All per-element
+  // arithmetic is exactly-rounded IEEE on values derived from the same
+  // float inputs (floor, not round, for the level so no tie-break
+  // semantics are involved); the corpus aggregate is decimal-routed.
+  // Zero shuffles before the final per-label aggregate.
+  def q95QuantizeError(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("max_err",
+        when(col("scale") === 0.0, lit(0.0)).otherwise(
+          round(aggregate(
+            transform(col("v"), x =>
+              abs(x - (col("mn") +
+                least(floor((x - col("mn")) / col("scale")), lit(255.0)) *
+                  col("scale")))),
+            lit(0.0), (acc, e) => greatest(acc, e)), 9)))
+    emb.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("max_err").cast(DecimalType(20, 12))).cast("double") /
+          count(lit(1)), 6).as("avg_max_err"),
+        max("max_err").as("worst_err"))
+      .orderBy("label")
+  }
+
+  val q95Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CASE WHEN list_max(v) = list_min(v) THEN 0.0 ELSE
+      |      ROUND(list_max(list_transform(v, x ->
+      |        abs(x - (list_min(v) +
+      |          least(floor((x - list_min(v)) /
+      |                      ((list_max(v) - list_min(v)) / 255.0)), 255.0) *
+      |          ((list_max(v) - list_min(v)) / 255.0))))), 9)
+      |    END AS max_err
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      |        FROM embeddings))
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(max_err AS DECIMAL(20,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_max_err,
+      |  MAX(max_err) AS worst_err
+      |FROM q GROUP BY 1 ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pack"            -> (q90Pack _),
+    "q91_contamination"   -> (q91Contamination _),
+    "q92_stratified"      -> (q92StratifiedSample _),
+    "q93_quality_bins"    -> (q93QualityBins _),
+    "q94_domain_div"      -> (q94DomainDivergence _),
+    "q95_quantize_err"    -> (q95QuantizeError _))
+
+  val oracles: Map[String, String] = Map(
+    "q90_pack"            -> q90Sql,
+    "q91_contamination"   -> q91Sql,
+    "q92_stratified"      -> q92Sql,
+    "q93_quality_bins"    -> q93Sql,
+    "q94_domain_div"      -> q94Sql,
+    "q95_quantize_err"    -> q95Sql)
+}
