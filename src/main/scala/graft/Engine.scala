@@ -25,6 +25,10 @@ object Engine {
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("simhash64", "simhash64(str) - 64-bit token SimHash",
       es => TextExpressions.SimHash(es.head)),
+    ("simhash_md5", "simhash_md5(str) - SimHash with md5_number_lower token hashes",
+      es => TextExpressions.SimHashMd5(es.head)),
+    ("winnow_md5", "winnow_md5(str, k, w) - winnowing fingerprint set, md5 gram hashes",
+      es => TextExpressions.WinnowMd5(es.head, intArg(es(1)), intArg(es(2)))),
     ("minhash_signature", "minhash_signature(str, shingle, num) - MinHash signature",
       es => TextExpressions.MinHashSignature(es.head, intArg(es(1)), intArg(es(2)))),
     ("rolling_fingerprint", "rolling_fingerprint(str, k, w) - winnowing fingerprint",

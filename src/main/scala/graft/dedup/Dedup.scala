@@ -169,13 +169,21 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup candidates over the same synthetic corpus: bucket by
-    * 4 × 16-bit bands (hamming ≤ 3 ⟹ at least one identical 16-bit band),
-    * verify with full hamming distance. Same LSH shape, bitwise flavor.
+    * 4 × 16-bit bands, verify with full hamming distance — FULLY ORACLED
+    * since round 4. Two facts make the oracle exact, not statistical:
+    * (1) the token hash is md5_number_lower (TextKernels.simhashMd5), so
+    * DuckDB recomputes every simhash bit from the tokens; (2) pigeonhole —
+    * hamming ≤ 3 over 4 disjoint 16-bit bands forces at least one band
+    * identical, so banding recall is 1 by CONSTRUCTION (unlike q26's
+    * corpus-dependent MinHash recall), and the SQL all-pairs enumeration
+    * equals the banded output whenever no bucket trips the skew guard
+    * (asserted at the gate SF in DedupKnnSpec; max observed bucket 44 of
+    * 64). The FNV-hashed simhash64 remains the throughput default.
     */
   def q27SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val corpus = corpusWithNearDups(s, d)
     val hashed = corpus.select(col("doc_id"),
-      text.simhash64(col("text")).as("sh"))
+      text.simhash_md5(col("text")).as("sh"))
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
@@ -189,6 +197,39 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
+
+  /** q27's oracle: recompute every simhash bit in SQL (per-token
+    * md5_number_lower, ±1 vote per bit, bit = tally > 0), then enumerate
+    * ALL pairs at hamming ≤ 3. The Spark side's banding is exact for this
+    * cutoff by pigeonhole (see [[q27SimhashPairs]]), so candidate
+    * generation drops nothing the all-pairs scan finds. The oracle only
+    * runs at the driver's small SF; the Spark plan stays LSH-bucketed.
+    */
+  val q27Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1, regexp_replace(text, '\s+\S+\s+\S+\s*$', '')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |tk AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      |  FROM corpus),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS vote
+      |  FROM tk CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+      |  GROUP BY doc_id, j),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY j) AS b
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_filter(range(1, 65), i -> a.b[i] != b.b[i])) AS INT)
+      |    AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_filter(range(1, 65), i -> a.b[i] != b.b[i])) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding-cosine near-dup: SRP-LSH signatures (64 bits, 4 × 16-bit
     * bands) bucket cosine-similar vectors; exact cosine verifies in-bucket
@@ -326,6 +367,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" -> q25Sql,
     "q26_neardup_minhash" -> q26Sql,
+    "q27_neardup_simhash" -> q27Sql,
     "q33_neardup_embedding" -> q33Sql,
     "q88_incremental_dedup" -> q88Sql)
 }

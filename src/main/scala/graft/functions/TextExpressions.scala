@@ -97,6 +97,35 @@ object TextExpressions {
     override def prettyName: String = "nfc_normalize"
   }
 
+  /** MD5-hashed SimHash (oracle-recomputable twin of [[SimHash]]):
+    * string → bigint. Same voting scheme; per-token hash is DuckDB's
+    * `md5_number_lower`, so the full near-dup decision has a SQL twin.
+    */
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.simhashMd5Bridge(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhashMd5Bridge($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash_md5"
+  }
+
+  /** MD5-hashed winnowing fingerprint SET (oracle-recomputable twin of
+    * [[RollingFingerprint]]): string → sorted array<bigint>, 63-bit
+    * non-negative values.
+    */
+  case class WinnowMd5(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.winnowMd5Bridge(v.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.winnowMd5Bridge($c, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "winnow_md5"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -122,6 +151,11 @@ object text {
     column(RollingFingerprint(expression(c), k, w))
 
   def simhash64(c: Column): Column = column(SimHash(expression(c)))
+
+  def simhash_md5(c: Column): Column = column(SimHashMd5(expression(c)))
+
+  def winnow_md5(c: Column, k: Int = 8, w: Int = 4): Column =
+    column(WinnowMd5(expression(c), k, w))
 
   def minhash_signature(c: Column, shingle: Int = 3, num: Int = 64): Column =
     column(MinHashSignature(expression(c), shingle, num))

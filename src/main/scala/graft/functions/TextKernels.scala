@@ -236,6 +236,106 @@ object TextKernels {
   def nfcNormalize(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 
+  // ---- MD5-parameterized kernel variants -------------------------------
+  // Same operators as simhash64/winnow, with the per-token / per-gram hash
+  // swapped from the fast FNV+splitmix scheme to MD5's second 8 bytes read
+  // little-endian — the exact value DuckDB's `md5_number_lower` returns.
+  // That single substitution makes the WHOLE pipeline (hash → vote/min →
+  // hamming/fingerprint decision) recomputable in ANSI-ish SQL, so q23 and
+  // q27 graduate from rows-only checks to full cross-engine hash oracles.
+  // The FNV variants stay the throughput default (~10× cheaper per gram);
+  // both are registered SQL functions, and the choice is a parameter of
+  // the dedup pipeline, not a fork of it.
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Little-endian long of MD5 digest bytes 8..15 of the UTF-8 encoding —
+    * bit-identical (as a signed reinterpretation) to DuckDB 1.x
+    * `md5_number_lower`.
+    */
+  def md5Lower(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (bytes(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** ASCII-whitespace test matching Java/RE2 regex `\s` ([ \t\n\x0B\f\r])
+    * exactly — NOT `Character.isWhitespace`, whose Unicode extras would
+    * silently diverge from the `regexp_extract_all(text, '\S+')` oracle
+    * tokenization.
+    */
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** SimHash over `\S+` tokens with MD5 token hashes (oracle-recomputable
+    * twin of [[simhash64]]): every token votes ±1 per bit, bit set iff the
+    * tally is strictly positive.
+    */
+  def simhashMd5(s: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isAsciiSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isAsciiSpace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = md5Lower(s.substring(start, i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing fingerprint SET with MD5 char-gram hashes, masked to 63
+    * bits so every value is non-negative and BIGINT-comparable in SQL.
+    * Set semantics (distinct window minima, sorted) rather than
+    * [[winnow]]'s position-collapsed sequence: the set is what the
+    * dedup/overlap decision consumes, and it is exactly `list_distinct`
+    * of per-window `list_min` in SQL. Inputs shorter than k, or with
+    * fewer than w grams, fingerprint to empty (the SQL `range` produces
+    * no windows there — one convention, both engines).
+    */
+  def winnowMd5(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array.emptyLongArray
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < grams.length) {
+      grams(i) = md5Lower(s.substring(i, i + k)) & Long.MaxValue
+      i += 1
+    }
+    if (grams.length < w) return Array.emptyLongArray
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= grams.length) {
+      var m = grams(start)
+      var j = start + 1
+      while (j < start + w) { if (grams(j) < m) m = grams(j); j += 1 }
+      fps.add(m)
+      start += 1
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   // ---- UTF8String/ArrayData bridges for codegen ----
 
   def stripAccentsBridge(s: UTF8String): UTF8String =
@@ -248,6 +348,11 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(winnow(s.toString, k, w))
 
   def simhashBridge(s: UTF8String): Long = simhash64(s.toString)
+
+  def simhashMd5Bridge(s: UTF8String): Long = simhashMd5(s.toString)
+
+  def winnowMd5Bridge(s: UTF8String, k: Int, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(winnowMd5(s.toString, k, w))
 
   def minhashBridge(s: UTF8String, shingle: Int, num: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s.toString, shingle, num))

@@ -136,9 +136,16 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- q23
-  // Winnowing fingerprint (custom Expression; rows-only check + unit spec).
+  // Winnowing fingerprint — FULLY ORACLED since round 4: the custom
+  // Expression's gram hash is the md5_number_lower value DuckDB can
+  // recompute (see TextKernels.winnowMd5), so the whole fingerprint SET
+  // (distinct per-window minima over rolling 8-char grams, window 4) is
+  // an exact SQL twin, not a rows-only check. The FNV-hashed
+  // rolling_fingerprint stays the throughput default, spec-pinned in
+  // TextKernelsSpec; this driver surface uses the verifiable
+  // parameterization. Zero shuffles — one narrow codegen pass.
   def q23Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val fp = text.rolling_fingerprint(col("text"), k = 8, w = 4)
+    val fp = text.winnow_md5(col("text"), k = 8, w = 4)
     Tables.documents(s, d).select(
       col("doc_id"),
       size(fp).cast("long").as("n_fp"),
@@ -146,6 +153,29 @@ object TextAnalysis {
       array_max(fp).as("max_fp"))
     .orderBy("doc_id")
   }
+
+  /** q23's oracle: the winnow definition re-stated over DuckDB list
+    * lambdas — grams `range(1, len-6)` (= n-k+1 windows for k=8), each
+    * hashed with md5_number_lower masked to 63 bits, minima over
+    * 4-gram sliding windows, distinct. Short docs (< k chars or < w
+    * grams) fingerprint to empty on both engines by the same range
+    * convention.
+    */
+  val q23Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(text) - 6),
+      |      i -> CAST(md5_number_lower(substr(text, i, 8)) &
+      |                CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS h
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(h) - 2),
+      |      i -> list_min(list_slice(h, i, i + 3)))) AS f
+      |  FROM g)
+      |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+      |  list_min(f) AS min_fp, list_max(f) AS max_fp
+      |FROM fp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q24
   // SimHash at the DECISION level: permutation-duplicate detection.
@@ -449,6 +479,7 @@ object TextAnalysis {
     "q34_ngram_jaccard" -> (q34NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "q23_fingerprint" -> q23Sql,
     "q20_text_tokens" -> q20Sql,
     "q66_bpe_tokens" -> q66Sql,
     "q83_char_entropy" -> q83Sql,

@@ -70,6 +70,30 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(found >= 0.7, s"recall: $found")
   }
 
+  test("q27 banding equals brute-force hamming at the gate SF (oracle precondition)") {
+    // The q27 oracle enumerates ALL pairs at hamming <= 3; the Spark side
+    // emits banded candidates. Pigeonhole (3 < 4 bands) makes recall 1 by
+    // construction UNLESS a bucket trips the maxBucket=64 skew guard —
+    // this asserts the banded output equals the brute-force all-pairs
+    // result on the gate corpus, so a guard-dropped bucket can never
+    // silently turn into a gate mismatch blamed on the engine.
+    val gateSf = "/root/testdata/sf0.01"
+    val hashed = Dedup.corpusWithNearDups(spark, gateSf)
+      .select(col("doc_id"), graft.functions.text.simhash_md5(col("text")).as("sh"))
+    val a = hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("h", graft.functions.text.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("h") <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.q27SimhashPairs(spark, gateSf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"missing=${exact.diff(banded).take(5)} extra=${banded.diff(exact).take(5)}")
+  }
+
   test("SRP-LSH embedding near-dup finds all planted scaled copies") {
     val pairs = Dedup.q33EmbeddingNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -27,6 +27,35 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(fp.length < doc.length * 20 / 2)
   }
 
+  test("md5 kernels match DuckDB golden values (cross-engine byte contract)") {
+    // goldens computed with DuckDB 1.0.0: md5_number_lower = little-endian
+    // read of md5 digest bytes 8..15; any drift here breaks the q23/q27
+    // oracles before the gate would even see it
+    assert(TextKernels.md5Lower("abc") == 8250560606382298838L)
+    assert(TextKernels.simhashMd5("the quick brown fox jumps") ==
+      2205513267393430125L)
+    assert(TextKernels.winnowMd5("abcdefghijklmno", 8, 4).toSeq ==
+      Seq(1340583416817390065L, 1758791680945260881L, 1973960469362181949L))
+  }
+
+  test("md5 winnow edge conventions match the SQL range semantics") {
+    // < k chars, or < w grams: empty on both engines
+    assert(TextKernels.winnowMd5("1234567", 8, 4).isEmpty)   // n < k
+    assert(TextKernels.winnowMd5("1234567890", 8, 4).isEmpty) // 3 grams < w
+    assert(TextKernels.winnowMd5("12345678901", 8, 4).length == 1) // 4 grams
+    // values are 63-bit non-negative (BIGINT-comparable in SQL)
+    assert(TextKernels.winnowMd5(doc, 8, 4).forall(_ >= 0L))
+  }
+
+  test("md5 simhash: local edit is hamming-close, tokenization is ASCII-\\s") {
+    val a = TextKernels.simhashMd5(doc)
+    val b = TextKernels.simhashMd5(docEdited)
+    assert(TextKernels.hamming64(a, b) <= 12)
+    // unicode NBSP is NOT a separator (matches regex \S+ in both engines)
+    assert(TextKernels.simhashMd5("a\u00A0b") == TextKernels.simhashMd5("a\u00A0b"))
+    assert(TextKernels.simhashMd5("a\u00A0b") != TextKernels.simhashMd5("a b"))
+  }
+
   test("simhash: similar docs are hamming-close, different docs far") {
     val a = TextKernels.simhash64(doc)
     val b = TextKernels.simhash64(docEdited)
