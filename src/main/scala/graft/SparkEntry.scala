@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Nested.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Retrieval.queries ++
+      graft.queries.Series.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.Nested.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Retrieval.oracles ++
+      graft.queries.Series.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Time-series / warehouse completeness batch: dense-grid gap-fill
+  * (resampling), SCD-2 validity-interval construction, and a one-step
+  * link-authority (PageRank-style) iteration — three operator shapes a
+  * complete analytics engine is expected to cover that none of the
+  * earlier families exercise.
+  */
+object Series {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q96
+  // Dense-grid gap-fill: hourly event counts per type on a COMPLETE
+  // hour × type grid, missing cells zero-filled — the resampling step
+  // every downstream time-series model assumes has already happened.
+  // Scale shape: the grid is generated from a 1-row bounds aggregate
+  // (sequence + explode, never materialized on the driver), the type
+  // dimension broadcasts, and the left join keys on (hour, type) — the
+  // same exchange the counts aggregate already produced. At 100 TB the
+  // grid side is |hours| × |types| rows — trivially small next to the
+  // fact side, which is touched exactly once.
+  def q96Gapfill(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        col("value"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    // independent reads for bounds/types: grid generation must not share
+    // lineage with the aggregate it left-joins (AMBIGUOUS_SELF_JOIN rule)
+    val bounds = Tables.events(s, d)
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val types = Tables.events(s, d).select("event_type").distinct()
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(broadcast(types))
+    grid.join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  val q96Sql: String =
+    s"""WITH b AS (
+       |  SELECT date_trunc('hour', MIN(ts)) AS h0,
+       |         date_trunc('hour', MAX(ts)) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+       |  FROM b),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |c AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type,
+       |    COUNT(*) AS n, ${dsumSql("value")} AS sv
+       |  FROM events GROUP BY 1, 2)
+       |SELECT g.hour, t.event_type,
+       |  COALESCE(c.n, 0) AS n_events, COALESCE(c.sv, 0.0) AS sum_value
+       |FROM grid g CROSS JOIN types t
+       |LEFT JOIN c ON c.hour = g.hour AND c.event_type = t.event_type
+       |ORDER BY g.hour, t.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  // SCD-2 validity intervals: each customer's order history becomes a
+  // chain of [valid_from, valid_to) status rows, open-ended on the
+  // current one — the slowly-changing-dimension build every warehouse
+  // needs when snapshotting mutable entities. One window sort per
+  // customer partition; `lead` closes each interval with the next
+  // version's start. Deterministic tiebreak on o_orderkey.
+  def q97Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  val q97Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  // One link-authority (PageRank) iteration over a deterministic
+  // synthetic link graph: every document links to (7·id+13) mod N and
+  // (13·id+7) mod N, all ranks start at 1, one update r' = 0.15 +
+  // 0.85·Σ r/outdeg over in-links. Domain/page authority is a standard
+  // corpus-quality prior at training-data scale; one iteration keeps a
+  // closed-form oracle while exercising the iterate's exact shuffle
+  // shape (contribs keyed by dst — the same plan loops N times with
+  // localCheckpoint per round, like q71's CC). Out-degree is the
+  // constant 2, so every arithmetic step is exactly-rounded IEEE on
+  // identical inputs; the in-degree SUM is integer-exact.
+  def q98LinkAuthority(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).select(count(lit(1)).as("n"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 7 + 13) % col("n"),
+          (col("doc_id") * 13 + 7) % col("n"))).as("dst"))
+    val contribs = edges.groupBy("dst")
+      .agg(count(lit(1)).as("in_deg"))
+    // second independent read for the vertex side of the left join
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(contribs, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        round(lit(0.15) +
+          lit(0.85) * (coalesce(col("in_deg"), lit(0L)) * lit(0.5)), 9)
+          .as("rank"))
+      .orderBy("doc_id")
+  }
+
+  val q98Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 13) % n.n AS dst
+      |  FROM documents CROSS JOIN n
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 7) % n.n FROM documents CROSS JOIN n),
+      |c AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(c.in_deg, 0) AS in_deg,
+      |  ROUND(0.15 + 0.85 * (COALESCE(c.in_deg, 0) * 0.5), 9) AS rank
+      |FROM documents d LEFT JOIN c ON c.dst = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_gapfill"        -> (q96Gapfill _),
+    "q97_scd2"           -> (q97Scd2 _),
+    "q98_link_authority" -> (q98LinkAuthority _))
+
+  val oracles: Map[String, String] = Map(
+    "q96_gapfill"        -> q96Sql,
+    "q97_scd2"           -> q97Sql,
+    "q98_link_authority" -> q98Sql)
+}

@@ -56,7 +56,8 @@ class EngineSpec extends AnyFunSuite {
     // environments that allow a second context; on a shared test JVM we
     // verify the function list is complete instead
     assert(Engine.functions.map(_._1).toSet == Set(
-      "simhash64", "minhash_signature", "rolling_fingerprint",
+      "simhash64", "simhash_md5", "minhash_signature",
+      "rolling_fingerprint", "winnow_md5",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize"))
@@ -78,9 +79,9 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 89)
-    // every oracle key refers to an existing query
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == 98)
+    // since round 4 the oracle surface is TOTAL: every query has a twin
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("custom expressions run inside whole-stage codegen") {

@@ -82,6 +82,32 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("curation queries keep their small sides broadcast (q91/q92/q94)") {
+    // q91: benchmark gram set joins the exploded corpus via broadcast —
+    // the corpus must never shuffle on gram content
+    val p91 = plan(graft.pipeline.Curation.q91Contamination(spark, sf))
+    assert(p91.contains("BroadcastHashJoin"), p91)
+    // at most ONE gram-keyed exchange — the tiny benchmark side's
+    // distinct; the exploded corpus must reach the join un-shuffled
+    assert(p91.linesIterator.count(_.contains("Exchange hashpartitioning(gram")) <= 1,
+      p91)
+    // q92: rates table broadcasts; corpus side is filter + one aggregate
+    val p92 = plan(graft.pipeline.Curation.q92StratifiedSample(spark, sf))
+    assert(p92.contains("BroadcastHashJoin"), p92)
+    // q94: vocabulary-sized global/total tables broadcast onto the
+    // (lang, term) aggregate — no re-shuffle of the token stream
+    val p94 = plan(graft.pipeline.Curation.q94DomainDivergence(spark, sf))
+    assert(p94.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p94)
+  }
+
+  test("q95 per-vector quantization math stays in one narrow pass") {
+    // no exchange below the per-label aggregate: all array lambdas are
+    // row-local, so the only shuffle key is `label`
+    val p = plan(graft.pipeline.Curation.q95QuantizeError(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected only the label agg + sort exchanges:\n$p")
+  }
+
   test("malformed JSON rows land in the corrupt-record column, not crash") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
@@ -138,7 +164,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q70_format_roundtrip", "q78_bucketed_join", "q80_schema_evolution",
       "q77_pipeline")
     val bnljAllowed = Set("q28_knn_exact", "q29_ann_ivf", "q74_tfidf",
-      "q87_kmeans_step")
+      "q87_kmeans_step",
+      // 1-row / vocabulary-sized broadcast attaches (corpus totals, hour
+      // bounds, |documents| modulus) — the documented scalar fan-out shape
+      "q94_domain_div", "q96_gapfill", "q98_link_authority")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
