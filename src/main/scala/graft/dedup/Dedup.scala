@@ -67,7 +67,11 @@ object Dedup {
     banded.groupBy("band", "bucket")
       .agg(array_sort(collect_list(struct(col("doc_id"), col(payload)))).as("m"))
       .filter(size(col("m")).between(2, maxBucket)) // skew guard
-      .select(explode(expr(
+      // explode_outer: the skew guard already proves the pair array is
+      // non-empty, so InferFiltersFromGenerate's size(...)>0 filter would
+      // only re-evaluate the whole pair-expansion lambda a second time
+      // per bucket (see CLAUDE.md rule)
+      .select(explode_outer(expr(
         s"""flatten(transform(m, (x, i) ->
            |  transform(slice(m, i + 2, size(m)), y ->
            |    struct(x.doc_id AS id_a, y.doc_id AS id_b,

@@ -328,15 +328,61 @@ object EventsStream {
       .toDF()
   }
 
+  /** Stream-static enrichment join — the everyday production shape the
+    * other four streaming queries don't cover: a fact stream joined to a
+    * slowly-changing dimension snapshot (here the customer segment of
+    * each event's user), then windowed per segment. The static side is
+    * batch-planned INSIDE every micro-batch: Spark broadcasts it like
+    * any dimension, the join is STATELESS (no watermark state, unlike
+    * q65's stream-stream interval join), and at cluster scale the stream
+    * side never shuffles for the join — only the windowed aggregate
+    * exchanges on (window, segment).
+    */
+  def q99StreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_stream_enrich"
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 150)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    withStreamPartitions(spark, 8) {
+      val enriched = readEvents(spark, sfDir)
+        .join(broadcast(dim), col("user_id") + 1 === col("c_custkey"))
+      val q = enriched
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .select(to_date(col("w.start")).cast("timestamp").as("day"),
+          col("segment"), col("n_events"), col("sum_value"))
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(sinkName).orderBy("day", "segment")
+  }
+
+  val q99Sql: String =
+    """SELECT CAST(CAST(e.ts AS DATE) AS TIMESTAMP) AS day,
+      |  c.c_mktsegment AS segment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+      |WHERE c.c_custkey <= 150
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
     "q32_sessionize" -> (q32Sessionize _),
     "q62_stream_dedup" -> (q62StreamDedup _),
-    "q65_stream_join" -> (q65StreamJoin _))
+    "q65_stream_join" -> (q65StreamJoin _),
+    "q99_stream_enrich" -> (q99StreamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q31_stream_window" -> q31Sql,
     "q32_sessionize" -> q32Sql,
     "q62_stream_dedup" -> q62Sql,
-    "q65_stream_join" -> q65Sql)
+    "q65_stream_join" -> q65Sql,
+    "q99_stream_enrich" -> q99Sql)
 }

@@ -186,4 +186,19 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .orderBy("day", "event_type")
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("stream-static enrichment join equals its batch twin") {
+    val streamed = EventsStream.q99StreamEnrich(spark, sf)
+      .select("day", "segment", "n_events", "sum_value")
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_custkey") <= 150)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val batch = Tables.events(spark, sf)
+      .join(dim, col("user_id") + 1 === col("c_custkey"))
+      .groupBy(to_date(col("ts")).cast("timestamp").as("day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day", "segment")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
 }

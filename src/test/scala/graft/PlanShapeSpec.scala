@@ -159,7 +159,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // query fan-outs, scalar-count attach) are the documented exceptions.
     val skip = Set(
       "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
-      "q65_stream_join", "q41_heavy_hitters", "q71_dedup_clusters",
+      "q65_stream_join", "q99_stream_enrich",
+      "q41_heavy_hitters", "q71_dedup_clusters",
       "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
       "q70_format_roundtrip", "q78_bucketed_join", "q80_schema_evolution",
       "q77_pipeline")
