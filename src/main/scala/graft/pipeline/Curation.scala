@@ -334,13 +334,72 @@ object Curation {
       |  MAX(max_err) AS worst_err
       |FROM q GROUP BY 1 ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  // Blocked fuzzy matching (entity resolution): document "titles" (first
+  // 24 chars) with planted single-deletion typos (char 12 dropped from
+  // every 10th title, marker id -doc_id-1), resolved by the standard
+  // two-stage ER shape — BLOCK on a cheap key (first 8 chars), pairwise
+  // Levenshtein <= 2 only INSIDE blocks. The block join replaces the
+  // O(n²) all-pairs edit-distance scan with per-block work bounded by
+  // the same skew-guard discipline as the LSH families (blocks > 512
+  // dropped); a planted deletion beyond the block prefix keeps recall 1
+  // by construction. Both engines define levenshtein identically, so the
+  // whole decision surface is oracle-able.
+  def q100FuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    def titles(alias: String) = {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select((-col("doc_id") - 1L).as("doc_id"),
+          concat(substring(col("text"), 1, 11),
+            substring(col("text"), 13, 12)).as("title"))
+      base.unionByName(planted)
+        .select(col("doc_id").as(s"id_$alias"),
+          col("title").as(s"title_$alias"),
+          substring(col("title"), 1, 8).as(s"block_$alias"))
+    }
+    val blockSizes = titles("c").groupBy("block_c")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 512)
+      .select(col("block_c").as("block"))
+    val a = titles("a")
+    val b = titles("b")
+    a.join(broadcast(blockSizes), col("block_a") === col("block"))
+      .join(b, col("block_a") === col("block_b") && col("id_a") < col("id_b"))
+      .withColumn("lev",
+        levenshtein(col("title_a"), col("title_b")).cast("long"))
+      .filter(col("lev") <= 2)
+      .select("id_a", "id_b", "lev")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q100Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1,
+      |    substr(text, 1, 11) || substr(text, 13, 12)
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |k AS (
+      |  SELECT doc_id, title, substr(title, 1, 8) AS block FROM t),
+      |ok AS (
+      |  SELECT block FROM k GROUP BY 1 HAVING COUNT(*) <= 512)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  levenshtein(a.title, b.title) AS lev
+      |FROM k a JOIN ok USING (block)
+      |JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_pack"            -> (q90Pack _),
     "q91_contamination"   -> (q91Contamination _),
     "q92_stratified"      -> (q92StratifiedSample _),
     "q93_quality_bins"    -> (q93QualityBins _),
     "q94_domain_div"      -> (q94DomainDivergence _),
-    "q95_quantize_err"    -> (q95QuantizeError _))
+    "q95_quantize_err"    -> (q95QuantizeError _),
+    "q100_fuzzy_match"    -> (q100FuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
     "q90_pack"            -> q90Sql,
@@ -348,5 +407,6 @@ object Curation {
     "q92_stratified"      -> q92Sql,
     "q93_quality_bins"    -> q93Sql,
     "q94_domain_div"      -> q94Sql,
-    "q95_quantize_err"    -> q95Sql)
+    "q95_quantize_err"    -> q95Sql,
+    "q100_fuzzy_match"    -> q100Sql)
 }

@@ -66,6 +66,16 @@ class CurationSpec extends AnyFunSuite {
     assert(maxs.zip(maxs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q100 blocked fuzzy match finds every planted typo pair") {
+    val pairs = Curation.q100FuzzyMatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // planted: char 12 deleted from every 10th title — shares the 8-char
+    // block prefix and sits at levenshtein 1, so recall must be 1
+    val planted = (0 until 500 by 10).map(i => (-i - 1L, i.toLong))
+    val missing = planted.filterNot(pairs.contains)
+    assert(missing.isEmpty, s"missing planted pairs: ${missing.take(5)}")
+  }
+
   test("q94 chi-square divergence is non-negative, zero only for identical dist") {
     val rows = Curation.q94DomainDivergence(spark, sf).collect()
     assert(rows.length == 5)
