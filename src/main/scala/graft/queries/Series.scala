@@ -143,13 +143,92 @@ object Series {
       |FROM documents d LEFT JOIN c ON c.dst = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  // Data-quality constraint suite (the Deequ-shaped expectations check a
+  // production pipeline gates on): each rule computes one METRIC over the
+  // data plus a pass verdict against its threshold — uniqueness of the
+  // orders PK, referential integrity of the orders→customer FK (orphan
+  // count via anti-join semantics), completeness (non-null fraction),
+  // domain-range conformity, and compound-key uniqueness on lineitem.
+  // Every metric is a count ratio (exact integer counts, one double
+  // division — bit-identical cross-engine). Scale shape: one pass per
+  // constrained table (the single-table metrics share a scan inside one
+  // aggregate), plus one broadcast-able anti-join for the FK check; at
+  // 100 TB this is the same budget the data already pays for ingestion
+  // accounting.
+  def q101DqChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val pkUnique = orders.agg(
+      lit("orders_pk_unique").as("check_name"),
+      round(countDistinct(col("o_orderkey")).cast("double") /
+        count(lit(1)), 6).as("metric"))
+      .withColumn("passed", col("metric") === 1.0)
+    val complete = orders.agg(
+      lit("orders_totalprice_complete").as("check_name"),
+      round(count(col("o_totalprice")).cast("double") /
+        count(lit(1)), 6).as("metric"))
+      .withColumn("passed", col("metric") === 1.0)
+    val range = li.agg(
+      lit("lineitem_quantity_in_range").as("check_name"),
+      round(count(when(col("l_quantity").between(1, 50), 1)).cast("double") /
+        count(lit(1)), 6).as("metric"))
+      .withColumn("passed", col("metric") === 1.0)
+    val compound = li.agg(
+      lit("lineitem_compound_key_unique").as("check_name"),
+      round(countDistinct(col("l_orderkey"), col("l_linenumber"))
+        .cast("double") / count(lit(1)), 6).as("metric"))
+      .withColumn("passed", col("metric") === 1.0)
+    val orphans = orders
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(lit("orders_custkey_fk_orphans").as("check_name"),
+        count(lit(1)).cast("double").as("metric"))
+      .withColumn("passed", col("metric") === 0.0)
+    pkUnique.unionByName(complete).unionByName(range)
+      .unionByName(compound).unionByName(orphans)
+      .orderBy("check_name")
+  }
+
+  val q101Sql: String =
+    """SELECT 'orders_pk_unique' AS check_name,
+      |  ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) AS metric,
+      |  ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) = 1.0 AS passed
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_totalprice_complete',
+      |  ROUND(CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6),
+      |  ROUND(CAST(COUNT(o_totalprice) AS DOUBLE) / COUNT(*), 6) = 1.0
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_quantity_in_range',
+      |  ROUND(CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS DOUBLE)
+      |    / COUNT(*), 6),
+      |  ROUND(CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS DOUBLE)
+      |    / COUNT(*), 6) = 1.0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_compound_key_unique',
+      |  ROUND(CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / COUNT(*), 6),
+      |  ROUND(CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / COUNT(*), 6)
+      |    = 1.0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_custkey_fk_orphans',
+      |  CAST(COUNT(*) AS DOUBLE), COUNT(*) = 0
+      |FROM orders o WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_gapfill"        -> (q96Gapfill _),
     "q97_scd2"           -> (q97Scd2 _),
-    "q98_link_authority" -> (q98LinkAuthority _))
+    "q98_link_authority" -> (q98LinkAuthority _),
+    "q101_dq_checks"     -> (q101DqChecks _))
 
   val oracles: Map[String, String] = Map(
     "q96_gapfill"        -> q96Sql,
     "q97_scd2"           -> q97Sql,
-    "q98_link_authority" -> q98Sql)
+    "q98_link_authority" -> q98Sql,
+    "q101_dq_checks"     -> q101Sql)
 }

@@ -52,6 +52,24 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 constraints pass where the data is clean, fail where it is not") {
+    val rows = Series.q101DqChecks(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Double]("metric"), r.getAs[Boolean]("passed"))).toMap
+    assert(rows.size == 5)
+    // genuinely-clean surfaces verify
+    assert(rows("orders_pk_unique")._2)
+    assert(rows("orders_totalprice_complete")._2)
+    assert(rows("lineitem_quantity_in_range")._2)
+    assert(rows("orders_custkey_fk_orphans")._2)
+    // ...and the suite DETECTS a real defect: the synthetic lineitem does
+    // not key on (l_orderkey, l_linenumber) — the check must report the
+    // violation, not mask it (that detection is the whole point of a DQ
+    // gate; the oracle confirms both engines measure the same ratio)
+    val (dupMetric, dupPassed) = rows("lineitem_compound_key_unique")
+    assert(!dupPassed && dupMetric < 1.0, s"expected detected violation, got $dupMetric")
+  }
+
   test("q98 rank mass is conserved and in-degrees sum to edge count") {
     val rows = Series.q98LinkAuthority(spark, sf).collect()
     val n = rows.length
