@@ -108,7 +108,9 @@ class TextKernelsSpec extends AnyFunSuite {
           TextKernels.shingleHashes(s, 3).toSeq,
           TextKernels.langScores(s).toSeq,
           TextKernels.stripAccents(s),
-          TextKernels.nfcNormalize(s))
+          TextKernels.nfcNormalize(s),
+          TextKernels.simhashMd5(s),
+          TextKernels.winnowMd5(s, 8, 4).toSeq)
       }
       runs(0) == runs(1)
     }
