@@ -334,6 +334,36 @@ object Curation {
       |  MAX(max_err) AS worst_err
       |FROM q GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** The 100 TB path for quality binning — q93's exact global NTILE is
+    * the oracle-able REFERENCE semantics, but a single global sort is the
+    * wrong plan at corpus scale. This variant computes approximate
+    * decile boundaries with the Greenwald-Khanna sketch (one pass,
+    * mergeable, driver gets back just `bins-1` doubles) and assigns bins
+    * with a narrow codegen'd array scan — zero global sorts, one
+    * aggregate for the report. Bin populations are approximately equal
+    * (within the sketch's relative error); `CurationSpec` pins the
+    * balance against exact NTILE.
+    */
+  def approxQualityBins(docs: DataFrame, bins: Int = 10,
+      relErr: Double = 0.01): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("score",
+        round(col("n_tok") * lit(1000.0) / col("n_chars"), 6))
+    val cuts = scored.stat
+      .approxQuantile("score", (1 until bins).map(_.toDouble / bins).toArray,
+        relErr)
+    val boundaries = array(cuts.map(lit(_)).toIndexedSeq: _*)
+    scored
+      .withColumn("decile",
+        (size(filter(boundaries, b => b < col("score"))) + 1).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("decile")
+  }
+
   // --------------------------------------------------------------- q100
   // Blocked fuzzy matching (entity resolution): document "titles" (first
   // 24 chars) with planted single-deletion typos (char 12 dropped from

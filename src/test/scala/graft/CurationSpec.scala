@@ -76,6 +76,23 @@ class CurationSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"missing planted pairs: ${missing.take(5)}")
   }
 
+  test("approx quality bins track exact NTILE without a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val approx = Curation.approxQualityBins(docs, bins = 10, relErr = 0.01)
+    val plan = approx.queryExecution.executedPlan.toString
+    // the scale property: no rangepartitioning (global sort) anywhere —
+    // the exact-NTILE q93 pays one; this path must not
+    assert(!plan.contains("rangepartitioning(score"), plan)
+    val counts = approx.collect().map(r =>
+      r.getAs[Long]("decile") -> r.getAs[Long]("n")).toMap
+    val total = counts.values.sum
+    assert(total == 500)
+    // within sketch tolerance of balanced (50 per bin at this SF)
+    counts.foreach { case (d, n) =>
+      assert(math.abs(n - 50) <= 15, s"bin $d holds $n of $total")
+    }
+  }
+
   test("q94 chi-square divergence is non-negative, zero only for identical dist") {
     val rows = Curation.q94DomainDivergence(spark, sf).collect()
     assert(rows.length == 5)
