@@ -29,6 +29,8 @@ object Engine {
       es => TextExpressions.SimHashMd5(es.head)),
     ("winnow_md5", "winnow_md5(str, k, w) - winnowing fingerprint set, md5 gram hashes",
       es => TextExpressions.WinnowMd5(es.head, intArg(es(1)), intArg(es(2)))),
+    ("word_ngrams", "word_ngrams(str, n) - distinct space-joined word n-grams",
+      es => TextExpressions.WordNgrams(es.head, intArg(es(1)))),
     ("minhash_signature", "minhash_signature(str, shingle, num) - MinHash signature",
       es => TextExpressions.MinHashSignature(es.head, intArg(es(1)), intArg(es(2)))),
     ("rolling_fingerprint", "rolling_fingerprint(str, k, w) - winnowing fingerprint",

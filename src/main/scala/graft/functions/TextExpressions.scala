@@ -126,6 +126,17 @@ object TextExpressions {
     override def prettyName: String = "winnow_md5"
   }
 
+  /** Distinct space-joined word n-grams: string → array<string>. */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.wordNgramsBridge(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.wordNgramsBridge($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "word_ngrams"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -156,6 +167,9 @@ object text {
 
   def winnow_md5(c: Column, k: Int = 8, w: Int = 4): Column =
     column(WinnowMd5(expression(c), k, w))
+
+  def word_ngrams(c: Column, n: Int): Column =
+    column(WordNgrams(expression(c), n))
 
   def minhash_signature(c: Column, shingle: Int = 3, num: Int = 64): Column =
     column(MinHashSignature(expression(c), shingle, num))

@@ -336,6 +336,47 @@ object TextKernels {
     out
   }
 
+  /** Distinct space-joined word n-grams in first-occurrence order — the
+    * single-pass kernel twin of
+    * `array_distinct(transform(sequence(...), i -> concat(element_at...)))`
+    * (one tokenizer pass + substring slices instead of n array probes and
+    * n-1 concats per gram). Tokens split on ASCII whitespace, matching
+    * regex `\S+` in both Java and RE2, so the output strings are exactly
+    * DuckDB's `list_distinct(list_transform(range(...), ...))` grams.
+    */
+  def wordNgrams(s: String, n: Int): Array[String] = {
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isAsciiSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isAsciiSpace(s.charAt(i))) i += 1
+      if (i > start) { bounds += start; bounds += i }
+    }
+    val nTok = bounds.length / 2
+    if (nTok < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var t = 0
+    while (t + n <= nTok) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(s, bounds(2 * (t + k)), bounds(2 * (t + k) + 1))
+        k += 1
+      }
+      seen.add(sb.toString)
+      t += 1
+    }
+    val out = new Array[String](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   // ---- UTF8String/ArrayData bridges for codegen ----
 
   def stripAccentsBridge(s: UTF8String): UTF8String =
@@ -353,6 +394,10 @@ object TextKernels {
 
   def winnowMd5Bridge(s: UTF8String, k: Int, w: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(winnowMd5(s.toString, k, w))
+
+  def wordNgramsBridge(s: UTF8String, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      wordNgrams(s.toString, n).map(g => UTF8String.fromString(g): Any))
 
   def minhashBridge(s: UTF8String, shingle: Int, num: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s.toString, shingle, num))

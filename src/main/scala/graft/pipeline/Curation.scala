@@ -74,28 +74,25 @@ object Curation {
   // grams BROADCAST to every executor and the corpus side is one narrow
   // explode + map-side-combined count; the corpus is never shuffled.
   def q91Contamination(s: SparkSession, d: String): DataFrame = {
-    val grams8 = expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(size(tk) - 7, 0)),
-        |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
-        |              element_at(tk, i + 2), ' ', element_at(tk, i + 3), ' ',
-        |              element_at(tk, i + 4), ' ', element_at(tk, i + 5), ' ',
-        |              element_at(tk, i + 6), ' ', element_at(tk, i + 7))))""".stripMargin)
-    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("tk"))
+    import graft.functions.text
+    // word_ngrams kernel: one tokenizer pass per row (vs the Catalyst
+    // transform chain's n element_at probes + n-1 concats per gram).
     // explode_OUTER everywhere a computed array is exploded:
     // InferFiltersFromGenerate turns a plain explode into a
     // `size(<generator input>) > 0` filter with the WHOLE gram pipeline
-    // re-inlined — including the tokenizing regex re-run per element_at —
-    // measured 15x slower at sf0.1 (21 s -> 1.5 s). Outer explode infers
-    // no filter; the null row an empty array would emit is joined to
+    // re-inlined and re-run per row — measured 15x slower at sf0.1
+    // (21 s -> 1.5 s with the Catalyst chain). Outer explode infers no
+    // filter; the null row an empty array would emit is joined to
     // nothing and aggregated to zero, so semantics are unchanged.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"), col("text"))
     val bench = docs.filter(col("doc_id") % 25 === 0)
-      .select(slice(col("tk"), greatest(size(col("tk")) - lit(15), lit(1)),
-        lit(16)).as("tk"))
-      .select(explode_outer(grams8).as("gram"))
+      .select(array_join(slice(col("tk"),
+        greatest(size(col("tk")) - lit(15), lit(1)), lit(16)), " ").as("tail"))
+      .select(explode_outer(text.word_ngrams(col("tail"), 8)).as("gram"))
       .filter(col("gram").isNotNull).distinct()
     val corpus = docs
-      .withColumn("grams", grams8)
+      .withColumn("grams", text.word_ngrams(col("text"), 8))
       .select(col("doc_id"), explode_outer(col("grams")).as("gram"),
         size(col("grams")).as("n_grams"))
     corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("gram"), "left")

@@ -235,21 +235,15 @@ object TextAnalysis {
   // space-joined token triples, distinct, |∩|/|∪|).
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // tokenize ONCE into a column: referencing regexp_extract_all inside
-    // the shingle lambda would re-run the regex on every element access
-    // (measured 10× slower); CollapseProject keeps multi-referenced
-    // non-trivial aliases un-inlined, so `toks` is evaluated once per row.
+    // word_ngrams kernel: one tokenizer pass per row producing the same
+    // distinct space-joined trigram set as the oracle's list_transform
+    // construction (the earlier Catalyst transform chain re-probed the
+    // token array 3× per gram; the original regex-in-lambda version
+    // re-ran the regex per element access — measured 10× slower)
     def side(alias: String): DataFrame = docs
       .select(col("doc_id").as(s"id_$alias"),
-        expr("regexp_extract_all(text, '\\\\S+', 0)").as("toks"))
-      .select(col(s"id_$alias"),
-        expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(toks) - 2, 1)),
-            |  i -> concat(element_at(toks, i), ' ',
-            |              element_at(toks, i + 1), ' ',
-            |              element_at(toks, i + 2))))""".stripMargin).as(s"sh_$alias"),
-        size(col("toks")).as(s"nt_$alias"))
+        graft.functions.text.word_ngrams(col("text"), 3).as(s"sh_$alias"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(s"nt_$alias"))
     val a = side("a").filter(col("nt_a") >= 3)
     val b = side("b").filter(col("nt_b") >= 3)
     a.join(b, col("id_b") === col("id_a") + 1 && col("id_a") % 5 === 0)

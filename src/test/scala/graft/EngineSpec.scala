@@ -57,7 +57,7 @@ class EngineSpec extends AnyFunSuite {
     // verify the function list is complete instead
     assert(Engine.functions.map(_._1).toSet == Set(
       "simhash64", "simhash_md5", "minhash_signature",
-      "rolling_fingerprint", "winnow_md5",
+      "rolling_fingerprint", "winnow_md5", "word_ngrams",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize"))

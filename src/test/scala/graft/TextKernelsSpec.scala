@@ -47,6 +47,16 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.winnowMd5(doc, 8, 4).forall(_ >= 0L))
   }
 
+  test("word n-grams: distinct, first-occurrence order, whitespace-normalized") {
+    assert(TextKernels.wordNgrams("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(TextKernels.wordNgrams("a  b\tc", 3).toSeq == Seq("a b c"),
+      "grams join with single spaces regardless of source whitespace")
+    assert(TextKernels.wordNgrams("x y x y x y", 2).toSeq ==
+      Seq("x y", "y x"), "duplicates collapse to first occurrence")
+    assert(TextKernels.wordNgrams("a b", 3).isEmpty)
+    assert(TextKernels.wordNgrams("", 2).isEmpty)
+  }
+
   test("md5 simhash: local edit is hamming-close, tokenization is ASCII-\\s") {
     val a = TextKernels.simhashMd5(doc)
     val b = TextKernels.simhashMd5(docEdited)
