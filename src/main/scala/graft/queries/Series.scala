@@ -220,15 +220,46 @@ object Series {
       |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  // XML sink + source round-trip — Spark 4 ships the (formerly external)
+  // XML data source in spark-sql, completing the built-in format matrix
+  // alongside q68 (CSV) and q70 (ORC/JSON). A typed slice of orders is
+  // written as <order> row elements and read back with an explicit
+  // schema; the aggregate over the round-tripped frame must hash-match
+  // the oracle computed on the ORIGINAL parquet — longs, strings, and
+  // shortest-repr doubles all survive the text encoding bit-exactly.
+  def q102XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_xml_roundtrip").getAbsolutePath
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 7 === 0)
+    o.write.mode("overwrite").option("rowTag", "order").format("xml").save(dir)
+    s.read.schema(o.schema).option("rowTag", "order").format("xml").load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min("o_orderkey").as("first_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q102Sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total,
+       |  MIN(o_orderkey) AS first_key
+       |FROM orders WHERE o_orderkey % 7 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_gapfill"        -> (q96Gapfill _),
     "q97_scd2"           -> (q97Scd2 _),
     "q98_link_authority" -> (q98LinkAuthority _),
-    "q101_dq_checks"     -> (q101DqChecks _))
+    "q101_dq_checks"     -> (q101DqChecks _),
+    "q102_xml_roundtrip" -> (q102XmlRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q96_gapfill"        -> q96Sql,
     "q97_scd2"           -> q97Sql,
     "q98_link_authority" -> q98Sql,
-    "q101_dq_checks"     -> q101Sql)
+    "q101_dq_checks"     -> q101Sql,
+    "q102_xml_roundtrip" -> q102Sql)
 }

@@ -162,8 +162,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q65_stream_join", "q99_stream_enrich",
       "q41_heavy_hitters", "q71_dedup_clusters",
       "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
-      "q70_format_roundtrip", "q78_bucketed_join", "q80_schema_evolution",
-      "q77_pipeline")
+      "q70_format_roundtrip", "q102_xml_roundtrip", "q78_bucketed_join",
+      "q80_schema_evolution", "q77_pipeline")
     val bnljAllowed = Set("q28_knn_exact", "q29_ann_ivf", "q74_tfidf",
       "q87_kmeans_step",
       // 1-row / vocabulary-sized broadcast attaches (corpus totals, hour
