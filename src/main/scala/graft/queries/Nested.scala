@@ -38,9 +38,43 @@ object Nested {
       |  CAST(json_extract_string(props, '$.k') AS INT) AS "props*1->k*2"
       |FROM events ORDER BY "event_id*1", "vals*1"""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  // VARIANT (Spark 4's native semi-structured type): build a nested JSON
+  // document per event, `parse_json` it into a VARIANT, and extract
+  // typed fields back out with `variant_get` paths (nested object, array
+  // index, three target types). VARIANT stores a parsed binary form, so
+  // repeated path extraction skips re-tokenizing the JSON text — the
+  // Spark-4 answer to q48's parse-once rule. The oracle recomputes every
+  // extracted value from the ORIGINAL columns: the assertion is that the
+  // whole encode→variant→extract chain is lossless (shortest-repr
+  // doubles included).
+  def q103Variant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") % 11 === 0)
+      .select(col("event_id"),
+        to_json(struct(
+          col("event_type").as("t"),
+          struct(col("user_id").as("id"),
+            (col("user_id") % 5).as("seg")).as("user"),
+          array(col("value"), col("value") * 2).as("vals"))).as("j"))
+      .select(col("event_id"), parse_json(col("j")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.t', 'string')").as("t"),
+        expr("variant_get(v, '$.user.id', 'bigint')").as("uid"),
+        expr("variant_get(v, '$.user.seg', 'bigint')").as("seg"),
+        expr("variant_get(v, '$.vals[1]', 'double')").as("val2"))
+      .orderBy("event_id")
+
+  val q103Sql: String =
+    """SELECT event_id, event_type AS t, user_id AS uid,
+      |  user_id % 5 AS seg, value * 2 AS val2
+      |FROM events WHERE event_id % 11 = 0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q17_flatten" -> (q17Flatten _))
+    "q17_flatten" -> (q17Flatten _),
+    "q103_variant" -> (q103Variant _))
 
   val oracles: Map[String, String] = Map(
-    "q17_flatten" -> q17Sql)
+    "q17_flatten" -> q17Sql,
+    "q103_variant" -> q103Sql)
 }
