@@ -249,17 +249,51 @@ object Series {
        |FROM orders WHERE o_orderkey % 7 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  // Recursive CTE (new in Spark 4): bounded multi-hop reachability over
+  // q98's deterministic link graph — 3 seed documents, 4 hops along
+  // out-degree-2 edges, grouped into (first-reached hop, path count) per
+  // reachable doc. The SAME SQL text runs on both engines (Spark
+  // executes it via spark.sql over the registered views; DuckDB is the
+  // oracle), exercising the iterate-until-bound shape declaratively —
+  // the engine loops the plan instead of the driver (contrast q71's
+  // driver-looped CC, which that pattern needs for convergence-dependent
+  // rounds; a fixed-depth walk belongs in the recursive CTE).
+  def q104RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q104Sql)
+  }
+
+  val q104Sql: String =
+    """WITH RECURSIVE cnt AS (SELECT COUNT(*) AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 13) % cnt.n AS dst
+      |  FROM documents CROSS JOIN cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 7) % cnt.n
+      |  FROM documents CROSS JOIN cnt),
+      |hops AS (
+      |  SELECT doc_id, 0 AS hop FROM documents WHERE doc_id < 3
+      |  UNION ALL
+      |  SELECT e.dst, h.hop + 1
+      |  FROM hops h JOIN e ON e.src = h.doc_id
+      |  WHERE h.hop < 4)
+      |SELECT doc_id, MIN(hop) AS min_hop, COUNT(*) AS n_paths
+      |FROM hops GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_gapfill"        -> (q96Gapfill _),
     "q97_scd2"           -> (q97Scd2 _),
     "q98_link_authority" -> (q98LinkAuthority _),
     "q101_dq_checks"     -> (q101DqChecks _),
-    "q102_xml_roundtrip" -> (q102XmlRoundtrip _))
+    "q102_xml_roundtrip" -> (q102XmlRoundtrip _),
+    "q104_recursive_cte" -> (q104RecursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "q96_gapfill"        -> q96Sql,
     "q97_scd2"           -> q97Sql,
     "q98_link_authority" -> q98Sql,
     "q101_dq_checks"     -> q101Sql,
-    "q102_xml_roundtrip" -> q102Sql)
+    "q102_xml_roundtrip" -> q102Sql,
+    "q104_recursive_cte" -> q104Sql)
 }
