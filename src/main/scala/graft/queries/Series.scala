@@ -281,13 +281,46 @@ object Series {
       |SELECT doc_id, MIN(hop) AS min_hop, COUNT(*) AS n_paths
       |FROM hops GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q105
+  // Triangle counting — the canonical multi-way self-join graph analytic,
+  // over a circulant co-citation graph (every doc links to its next two
+  // neighbors mod N, so consecutive triples close exactly N triangles).
+  // The LEAST/GREATEST edge canonicalization is THE at-scale trick: each
+  // triangle is enumerated exactly once at its lowest vertex, so the
+  // 3-way join explores ordered wedges only (never the 6 permutations),
+  // and every join is equi-keyed — no cartesian anywhere. Same SQL text
+  // on both engines.
+  def q105Triangles(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q105Sql)
+  }
+
+  val q105Sql: String =
+    """WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+      |raw AS (
+      |  SELECT doc_id AS src, (doc_id + 1) % cnt.n AS dst
+      |  FROM documents CROSS JOIN cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id + 2) % cnt.n FROM documents CROSS JOIN cnt),
+      |und AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM raw WHERE src <> dst),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT a AS doc_id, COUNT(*) AS n_triangles
+      |FROM tri GROUP BY a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_gapfill"        -> (q96Gapfill _),
     "q97_scd2"           -> (q97Scd2 _),
     "q98_link_authority" -> (q98LinkAuthority _),
     "q101_dq_checks"     -> (q101DqChecks _),
     "q102_xml_roundtrip" -> (q102XmlRoundtrip _),
-    "q104_recursive_cte" -> (q104RecursiveCte _))
+    "q104_recursive_cte" -> (q104RecursiveCte _),
+    "q105_triangles"     -> (q105Triangles _))
 
   val oracles: Map[String, String] = Map(
     "q96_gapfill"        -> q96Sql,
@@ -295,5 +328,6 @@ object Series {
     "q98_link_authority" -> q98Sql,
     "q101_dq_checks"     -> q101Sql,
     "q102_xml_roundtrip" -> q102Sql,
-    "q104_recursive_cte" -> q104Sql)
+    "q104_recursive_cte" -> q104Sql,
+    "q105_triangles"     -> q105Sql)
 }

@@ -168,7 +168,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q87_kmeans_step",
       // 1-row / vocabulary-sized broadcast attaches (corpus totals, hour
       // bounds, |documents| modulus) — the documented scalar fan-out shape
-      "q94_domain_div", "q96_gapfill", "q98_link_authority")
+      "q94_domain_div", "q96_gapfill", "q98_link_authority",
+      "q104_recursive_cte", "q105_triangles")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
