@@ -54,13 +54,16 @@ object Curation {
       |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
       |  FROM documents),
       |c AS (
+      |  -- CAST the window sum back to BIGINT: DuckDB promotes SUM(BIGINT)
+      |  -- to HUGEINT, which pandas renders as float64 — the driver's
+      |  -- hash gate is dtype-sensitive (same artifact as q77 round 2)
       |  SELECT doc_id, lang, n_tok,
-      |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       |      AS cum_before
       |  FROM t)
       |SELECT lang, cum_before // 512 AS pack_id, COUNT(*) AS n_docs,
-      |  SUM(n_tok) AS pack_tokens, MIN(doc_id) AS first_doc,
+      |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc,
       |  MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
 
@@ -214,7 +217,7 @@ object Curation {
       |    AS decile
       |  FROM scored)
       |SELECT decile, COUNT(*) AS n, MIN(score) AS min_score,
-      |  MAX(score) AS max_score, SUM(n_tok) AS sum_tokens,
+      |  MAX(score) AS max_score, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
       |  ROUND(CAST(AVG(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE), 3)
       |    AS avg_chars
       |FROM binned GROUP BY 1 ORDER BY decile""".stripMargin

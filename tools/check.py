@@ -52,6 +52,15 @@ def main(sf_dir, out_dir):
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # The driver's hash gate is dtype-sensitive: a DuckDB HUGEINT
+            # (SUM(BIGINT) promotion) comes back as float64 while Spark's
+            # sum(long) stays int64, and 481 vs 481.0 hash-mismatch even
+            # though values are equal. Flag kind crossings here so they
+            # fail locally, not at the driver.
+            gk, ek = gv.dtype.kind, ev.dtype.kind
+            if gk != ek and not ({gk, ek} <= set('iu')):
+                bad.append((c, f"dtype {gv.dtype}", f"dtype {ev.dtype}"))
+                continue
             try:
                 if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
                     import numpy as np
