@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{LongType, StringType}
 import graft.functions.{DurationExpressions, TextExpressions, VectorExpressions}
 
 /** Session factory + SQL registration of the custom Catalyst expressions,
@@ -52,7 +53,18 @@ object Engine {
     ("strip_accents", "strip_accents(str) - NFD + drop combining marks",
       es => TextExpressions.StripAccents(es.head)),
     ("nfc_normalize", "nfc_normalize(str) - Unicode NFC composition",
-      es => TextExpressions.NfcNormalize(es.head)))
+      es => TextExpressions.NfcNormalize(es.head)),
+    // SQL paths widen inputs explicitly (integer literals arrive as INT;
+    // ExpectsInputTypes is off the table — AbstractDataType is
+    // private[sql] in Spark 4)
+    ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+      es => graft.functions.MatchExpressions.JaroWinkler(
+        Cast(es.head, StringType), Cast(es(1), StringType))),
+    ("zorder16", "zorder16(x, y) - 2-D Morton interleave of low 16 bits",
+      es => graft.functions.MatchExpressions.ZOrder16(
+        Cast(es.head, LongType), Cast(es(1), LongType))),
+    ("md5_lower64", "md5_lower64(str) - DuckDB md5_number_lower as signed bigint",
+      es => graft.functions.MatchExpressions.Md5Lower64(Cast(es.head, StringType))))
 
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =

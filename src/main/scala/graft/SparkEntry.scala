@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Retrieval.queries ++
       graft.queries.Series.queries ++
+      graft.queries.Advanced.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Retrieval.oracles ++
       graft.queries.Series.oracles ++
+      graft.queries.Advanced.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

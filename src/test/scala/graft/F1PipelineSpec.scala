@@ -270,9 +270,14 @@ class F1PipelineSpec extends AnyFunSuite {
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
         "graft.f1.PersistentCatalogDemo", root, phase)
+      // ProcessLogger invokes the sink from two pump threads (stdout +
+      // stderr); an unsynchronized StringBuilder can drop interleaved
+      // appends under load — which read as "exit 0 but the CREATED line
+      // is missing" flakes in full-suite runs
       val out = new StringBuilder
-      val code = Process(cmd).!(ProcessLogger(l => { out.append(l).append('\n'); () }))
-      (code, out.toString)
+      val code = Process(cmd).!(ProcessLogger(l =>
+        out.synchronized { out.append(l).append('\n'); () }))
+      (code, out.synchronized(out.toString))
     }
     val (c1, o1) = fork("create")
     assert(c1 == 0 && o1.contains("CREATED report_rows=2"), o1.takeRight(4000))
