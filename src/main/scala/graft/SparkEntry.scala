@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Retrieval.queries ++
       graft.queries.Series.queries ++
       graft.queries.Advanced.queries ++
+      graft.queries.Advanced2.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.queries.Retrieval.oracles ++
       graft.queries.Series.oracles ++
       graft.queries.Advanced.oracles ++
+      graft.queries.Advanced2.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -60,7 +60,8 @@ class EngineSpec extends AnyFunSuite {
       "rolling_fingerprint", "winnow_md5", "word_ngrams",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
-      "strip_accents", "nfc_normalize"))
+      "strip_accents", "nfc_normalize",
+      "jaro_winkler", "zorder16", "md5_lower64"))
     assert(e != null)
   }
 
@@ -79,7 +80,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 115)
+    assert(SparkEntry.queries.size == 120)
     // since round 4 the oracle surface is TOTAL: every query has a twin
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
