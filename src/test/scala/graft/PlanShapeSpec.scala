@@ -219,4 +219,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), s"expected BloomFilterMightContain:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), s"boxing UDF in hot path:\n$p")
   }
+
+  test("q106 top-k aggregates map-side: partial heap BEFORE the exchange") {
+    // the whole point of topk_by vs the window form — the shuffle must
+    // carry k-entry heaps, not the full group, and no Window/sort of the
+    // raw input may appear anywhere
+    val p = plan(graft.queries.Advanced.q106TopkAgg(spark, sf))
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("partial_topk_by"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(partialIdx >= 0, s"no partial topk_by in:\n$p")
+    // executedPlan prints top-down: the partial aggregate sits BELOW
+    // (after, in print order) the exchange that consumes it
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial aggregate must feed the exchange:\n$p")
+    assert(!p.contains("Window"), s"window sort defeats the operator:\n$p")
+  }
+
+  test("q119 bloom probe filters the fact scan before the join exchange") {
+    val p = plan(graft.queries.Advanced2.q119BloomPrune(spark, sf))
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx >= 0, s"no might_contain probe in:\n$p")
+    // the probe's Filter must be below every shuffle Exchange in print
+    // order (i.e. runs in the scan stage, not after the join)
+    val lastExchangeIdx = lines.lastIndexWhere(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(probeIdx > lastExchangeIdx,
+      s"probe must run scan-side, before the join exchange:\n$p")
+  }
+
+  test("zorder16 and jaro_winkler stay inside whole-stage codegen") {
+    import graft.functions.matching
+    val p = plan(Tables.orders(spark, sf)
+      .select(matching.zorder16(pmod(col("o_custkey"), lit(65536L)),
+        pmod(col("o_orderkey"), lit(65536L))).as("z"))
+      .filter(col("z") >= 0))
+    assert(p.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("zorder16")), p)
+    val p2 = plan(Tables.documents(spark, sf)
+      .select(matching.jaro_winkler(col("text"), col("lang")).as("jw"))
+      .filter(col("jw") >= 0))
+    assert(p2.linesIterator.exists(l =>
+      l.trim.startsWith("*(") && l.contains("jaro_winkler")), p2)
+  }
+
+  test("q107 chunker explode infers no expression-cloning pre-filter") {
+    // posexplode_outer keeps InferFiltersFromGenerate from duplicating
+    // the transform(...) chunking expression into a size() filter that
+    // would re-run it per row (the measured-15x q91 tax)
+    val p = plan(graft.queries.Advanced.q107ChunkDedup(spark, sf))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("size(transform")),
+      s"chunking expression cloned into a pre-filter:\n$p")
+  }
 }
