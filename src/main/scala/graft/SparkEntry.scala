@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Series.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.Advanced2.queries ++
+      graft.queries.Advanced3.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.queries.Series.oracles ++
       graft.queries.Advanced.oracles ++
       graft.queries.Advanced2.oracles ++
+      graft.queries.Advanced3.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

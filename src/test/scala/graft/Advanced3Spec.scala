@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Advanced3
+
+/** Semantic invariants for q121-q125 beyond the DuckDB oracle. */
+class Advanced3Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q121 correlation agrees with Spark's corr() within float noise") {
+    // the exact-moment form must land on the same statistic the
+    // streaming corr() computes, up to accumulation-order noise
+    val got = Advanced3.q121Correlation(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("corr")).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_discount").as("c")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("c")).toMap
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-6, s"flag $k: $v vs ${ref(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("q122 winsorization clips to in-group data values and conserves count") {
+    val rows = Advanced3.q122Winsorize(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      // discrete percentiles are actual data values: p05 <= p95, and
+      // clipped count is a strict minority at these tail quantiles
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Long]("n_clipped") < r.getAs[Long]("n") / 2)
+    }
+  }
+
+  test("q123 compaction conserves content and bounds the file count") {
+    val compacted = Advanced3.q123Compaction(spark, sf).collect()
+    val original = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+      .orderBy("event_type").collect()
+    assert(compacted.map(_.toString).toSeq == original.map(_.toString).toSeq,
+      "compaction must be content-identical")
+    // the require() inside q123 already asserts <= 4 files; double-check
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_compaction/compacted")
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) <= 4)
+  }
+
+  test("q124 histogram covers every row exactly once across ordered bins") {
+    val rows = Advanced3.q124Histogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    val bins = rows.map(_.getAs[Long]("bin"))
+    assert(bins.forall(b => b >= 0 && b <= 19))
+    assert(bins.sameElements(bins.sorted.distinct), "bins ordered, distinct")
+    // bin ranges must not overlap: each bin's max <= next bin's min
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("bin_max") <= b.getAs[Double]("bin_min"))
+      case _ =>
+    }
+  }
+
+  test("q125 period-over-period deltas telescope back to the series") {
+    val rows = Advanced3.q125PeriodOverPeriod(spark, sf).collect()
+    assert(rows.length > 1)
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val delta = cur.getAs[Double]("mom_delta")
+        val expect = BigDecimal(cur.getAs[Double]("revenue") -
+          prev.getAs[Double]("revenue"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(delta - expect) < 0.02, s"month ${cur.get(0)}")
+      case _ =>
+    }
+    // first month has no prior: delta pinned to 0
+    assert(rows.head.getAs[Double]("mom_delta") == 0.0)
+    assert(rows.head.getAs[Double]("mom_pct") == 0.0)
+  }
+}
