@@ -73,15 +73,39 @@ object Bench {
       }
       name -> times.min
     }
-    // millisecond precision: full-double formatting made the line ~3.3 KB
-    // and the driver's output capture truncated its head (BENCH_r03
-    // "parsed": null) — sub-ms digits carry no signal at these runtimes
+    // The driver's output capture keeps only the LAST 2000 chars, so the
+    // stdout contract line must fit inside that window or it arrives
+    // head-truncated and unparseable (BENCH_r01-r04 all show
+    // "parsed": null; ms precision alone was not enough once the surface
+    // passed ~90 queries). The line therefore carries the total plus a
+    // fixed HEADLINE subset (~1 per operator family, the scale-relevant
+    // ones); the complete per-query map goes to BENCH_FULL.json (picked
+    // up by the round-end commit) and to stderr for the log.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val headline = Seq(
+      "q01_agg", "q03_star_join", "q05_window_rank", "q08_topk_rank",
+      "q14_sql_cte", "q17_flatten", "q18_percentiles", "q19_approx",
+      "q25_dedup_exact", "q26_neardup_minhash", "q28_knn_exact",
+      "q29_ann_ivf", "q31_stream_window", "q36_asof_join", "q40_cube",
+      "q48_json", "q53_distinct_agg", "q58_subqueries", "q65_stream_join",
+      "q66_bpe_tokens", "q71_dedup_clusters", "q72_salted_join",
+      "q74_tfidf", "q77_pipeline", "q78_bucketed_join",
+      "q100_fuzzy_match", "q104_recursive_cte", "q106_topk_agg",
+      "q107_chunk_dedup", "q108_ewma", "q111_pagerank",
+      "q118_inverted_index", "q119_bloom_prune", "q121_correlation",
+      "q123_compaction")
+    val byName = results.toMap
+    def dict(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = dict(headline.flatMap(n => byName.get(n).map(n -> _)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    System.err.println(s"[bench-full] $fullJson")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Advanced.queries ++
       graft.queries.Advanced2.queries ++
       graft.queries.Advanced3.queries ++
+      graft.queries.Advanced4.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.queries.Advanced.oracles ++
       graft.queries.Advanced2.oracles ++
       graft.queries.Advanced3.oracles ++
+      graft.queries.Advanced4.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++
