@@ -139,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (sessions built without extensions get it lazily via
     // AsOfMergeJoin.registerStrategy on first use)
     e.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoin.AsOfJoinStrategy)
+    // optimizer extension: length pre-filter for high-threshold
+    // Jaro-Winkler predicates (provably result-preserving; see
+    // plans/JaroWinklerPruning scaladoc for the 5t-4 bound)
+    e.injectOptimizerRule(_ => graft.plans.JaroWinklerPruning)
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{matching, MatchKernels}
+import graft.plans.JaroWinklerPruning
+
+/** The optimizer rule must be (1) sound — the length bound can never
+  * reject a pair the kernel would accept; (2) effective — the guard
+  * lands in the plan, before the kernel in the conjunction; (3)
+  * transparent — results identical with and without the rule.
+  */
+class JaroWinklerPruningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("the 5t-4 length bound is sound (fuzz against the kernel)") {
+    val rnd = new scala.util.Random(7)
+    val words = "key agg row scan slow fast table value part hash".split(' ')
+    for (_ <- 1 to 5000) {
+      val a = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      val b = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      val jw = MatchKernels.jaroWinkler(a, b)
+      for (t <- Seq(0.81, 0.85, 0.9, 0.95)) {
+        if (jw >= t) {
+          val r = math.min(a.length, b.length).toDouble /
+            math.max(math.max(a.length, b.length), 1)
+          assert(r >= 5 * t - 4 - 1e-12,
+            s"bound violated: jw($a, $b)=$jw but ratio $r < ${5 * t - 4}")
+        }
+      }
+    }
+  }
+
+  test("rule injects the length guard ahead of the kernel; results identical") {
+    def query() = {
+      val a = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ia"), substring(col("text"), 1, 40).as("ta"))
+      val b = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ib"), substring(col("text"), 1, 40).as("tb"))
+      a.join(b, col("ib") === col("ia") + 25)
+        .where(matching.jaro_winkler(col("ta"), col("tb")) >= 0.9)
+        .select("ia", "ib")
+    }
+    val before = query().collect().map(_.toString).sorted
+    JaroWinklerPruning.enable(spark)
+    try {
+      val df = query()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("length("),
+        s"length guard missing from optimized plan:\n$optimized")
+      // guard precedes the kernel in the conjunction → short-circuits
+      val condLine = optimized.linesIterator
+        .find(l => l.contains("jaro_winkler") && l.contains("length("))
+        .getOrElse(fail(s"no combined filter line:\n$optimized"))
+      assert(condLine.indexOf("length(") < condLine.indexOf("jaro_winkler"), condLine)
+      val after = df.collect().map(_.toString).sorted
+      assert(after.sameElements(before), "rule changed query results")
+      // idempotence: re-optimizing an already-guarded plan adds nothing
+      val twice = query().queryExecution.optimizedPlan.toString
+      assert("length\\(".r.findAllIn(twice).length ==
+        "length\\(".r.findAllIn(optimized).length)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == JaroWinklerPruning)
+    }
+  }
+
+  test("low thresholds are left untouched (bound vacuous at t <= 0.8)") {
+    JaroWinklerPruning.enable(spark)
+    try {
+      val a = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ia"), col("text").as("ta"))
+      val b = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ib"), col("text").as("tb"))
+      val df = a.join(b, col("ib") === col("ia") + 25)
+        .where(matching.jaro_winkler(col("ta"), col("tb")) >= 0.5)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("length("), s"guard should not fire at t=0.5:\n$p")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == JaroWinklerPruning)
+    }
+  }
+}
