@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Advanced2.queries ++
       graft.queries.Advanced3.queries ++
       graft.queries.Advanced4.queries ++
+      graft.queries.Advanced5.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.Advanced2.oracles ++
       graft.queries.Advanced3.oracles ++
       graft.queries.Advanced4.oracles ++
+      graft.queries.Advanced5.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -170,9 +170,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // bounds, |documents| modulus) — the documented scalar fan-out shape
       "q94_domain_div", "q96_gapfill", "q98_link_authority",
       "q104_recursive_cte", "q105_triangles",
-      // q124/q126/q128: 1-row bounds/total attaches — the same scalar
-      // fan-out
-      "q124_histogram", "q126_mutual_info", "q128_pmi_collocations")
+      // q124/q126/q128/q130: 1-row bounds/total attaches — the same
+      // scalar fan-out
+      "q124_histogram", "q126_mutual_info", "q128_pmi_collocations",
+      "q130_psi")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
