@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Advanced3.queries ++
       graft.queries.Advanced4.queries ++
       graft.queries.Advanced5.queries ++
+      graft.queries.Advanced6.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Advanced3.oracles ++
       graft.queries.Advanced4.oracles ++
       graft.queries.Advanced5.oracles ++
+      graft.queries.Advanced6.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -173,7 +173,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // q124/q126/q128/q130: 1-row bounds/total attaches — the same
       // scalar fan-out
       "q124_histogram", "q126_mutual_info", "q128_pmi_collocations",
-      "q130_psi")
+      "q130_psi", "q133_target_encoding")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
