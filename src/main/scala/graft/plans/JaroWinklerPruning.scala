@@ -42,20 +42,35 @@ object JaroWinklerPruning extends Rule[LogicalPlan] {
       Multiply(Literal(5 * t - 4, DoubleType), Greatest(Seq(la, lb))))
   }
 
+  /** Split a condition into its top-level AND conjuncts. Only these may
+    * yield guards: a JW threshold nested under OR / NOT / CASE does NOT
+    * imply the length bound for the whole condition (the other branch
+    * may admit rows the guard would reject), so descending past anything
+    * but And would make the rewrite unsound.
+    */
+  private def topLevelConjuncts(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => topLevelConjuncts(l) ++ topLevelConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def guardFor(conjunct: Expression): Option[Expression] = conjunct match {
+    case GreaterThanOrEqual(JaroWinkler(a, b), Literal(t: Double, DoubleType))
+        if t > 0.8 => Some(lengthGuard(a, b, t))
+    case GreaterThan(JaroWinkler(a, b), Literal(t: Double, DoubleType))
+        if t > 0.8 => Some(lengthGuard(a, b, t))
+    case LessThanOrEqual(Literal(t: Double, DoubleType), JaroWinkler(a, b))
+        if t > 0.8 => Some(lengthGuard(a, b, t))
+    case LessThan(Literal(t: Double, DoubleType), JaroWinkler(a, b))
+        if t > 0.8 => Some(lengthGuard(a, b, t))
+    case _ => None
+  }
+
   private def guardsFor(cond: Expression): Seq[Expression] = {
-    val found = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    cond.foreach {
-      case GreaterThanOrEqual(JaroWinkler(a, b), Literal(t: Double, DoubleType))
-          if t > 0.8 => found += lengthGuard(a, b, t)
-      case GreaterThan(JaroWinkler(a, b), Literal(t: Double, DoubleType))
-          if t > 0.8 => found += lengthGuard(a, b, t)
-      case LessThanOrEqual(Literal(t: Double, DoubleType), JaroWinkler(a, b))
-          if t > 0.8 => found += lengthGuard(a, b, t)
-      case LessThan(Literal(t: Double, DoubleType), JaroWinkler(a, b))
-          if t > 0.8 => found += lengthGuard(a, b, t)
-      case _ => ()
+    val raw = topLevelConjuncts(cond).flatMap(guardFor)
+    // dedupe semantically-equal guards (same pair matched by two shapes)
+    raw.foldLeft(Seq.empty[Expression]) { (acc, g) =>
+      if (acc.exists(_.semanticEquals(g))) acc else acc :+ g
     }
-    found.toSeq
   }
 
   /** Guard-first conjunction: codegen's && short-circuits left-to-right,

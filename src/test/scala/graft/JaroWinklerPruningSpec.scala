@@ -67,6 +67,45 @@ class JaroWinklerPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("disjunctive predicates are left untouched (guard only from top-level conjuncts)") {
+    // jw(a,b) >= 0.9 OR ib % 7 = 0: the OR's second branch admits rows the
+    // length guard would reject, so injecting a guard over the whole
+    // condition would silently drop them. The rule must not fire here.
+    def query() = {
+      val a = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ia"), substring(col("text"), 1, 40).as("ta"))
+      val b = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ib"), substring(col("text"), 1, 12).as("tb"))
+      a.join(b, col("ib") === col("ia") + 25)
+        .where(matching.jaro_winkler(col("ta"), col("tb")) >= 0.9 ||
+          col("ib") % 7 === 0)
+        .select("ia", "ib")
+    }
+    val before = query().collect().map(_.toString).sorted
+    assert(before.nonEmpty, "test needs rows surviving via the OR branch")
+    JaroWinklerPruning.enable(spark)
+    try {
+      val df = query()
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("length("),
+        s"guard must not fire on a JW predicate under OR:\n$p")
+      val after = df.collect().map(_.toString).sorted
+      assert(after.sameElements(before), "rule changed disjunctive query results")
+      // a JW conjunct ALONGSIDE a disjunction still guards (top-level AND)
+      val mixed = Tables.documents(spark, sf)
+        .select(col("doc_id").as("ia"), substring(col("text"), 1, 40).as("ta"),
+          substring(col("text"), 3, 40).as("tb"))
+        .where(matching.jaro_winkler(col("ta"), col("tb")) >= 0.9 &&
+          (col("ia") % 2 === 0 || col("ia") % 3 === 0))
+      val mp = mixed.queryExecution.optimizedPlan.toString
+      assert(mp.contains("length("),
+        s"top-level JW conjunct next to an OR must still guard:\n$mp")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == JaroWinklerPruning)
+    }
+  }
+
   test("low thresholds are left untouched (bound vacuous at t <= 0.8)") {
     JaroWinklerPruning.enable(spark)
     try {
