@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix scans — global row numbers and running aggregates
+  * over a total order WITHOUT a single-partition window.
+  *
+  * A bare `Window.orderBy(...)` funnels the entire input through ONE
+  * task: fine when the input is a bounded grain (months, days, a small
+  * dim aggregate), a scale-killer when it grows with the data (documents,
+  * customers, distinct prices). The classic fix is the two-pass parallel
+  * scan: split the order into contiguous buckets, compute the scan
+  * locally per bucket, then combine per-bucket summaries (one tiny row
+  * per bucket) into exclusive carry-ins that are broadcast back. The only
+  * remaining un-partitioned window runs over that summary table — at most
+  * `buckets` rows by construction, independent of input size
+  * (PlanShapeSpec's blanket guard recognizes this shape structurally via
+  * the `__pid` grouping beneath it).
+  *
+  * Bucket assignment is a DETERMINISTIC function of the row — min/max
+  * linear interpolation on the leading order column, attached as a 1-row
+  * broadcast — NOT `spark_partition_id()` after `repartitionByRange`.
+  * The range exchange samples its boundaries with an RDD-id-dependent
+  * seed, so the two consumers of the scan (the ranked rows and the
+  * per-bucket counts) can see DIFFERENT partition assignments whenever
+  * column pruning makes their subplans non-identical and defeats
+  * ReuseExchange — an off-by-a-few rank bug that only appears once the
+  * input outgrows the boundary sample (ScanSpec pins the fixed behavior
+  * across bucket counts). Min/max are order-insensitive aggregates, so
+  * every re-evaluation agrees.
+  *
+  * Requirements: `orderCols` must be a total (duplicate-free) order with
+  * a NUMERIC leading column — callers append a unique tie-breaker, same
+  * as for any deterministic rank. Skewed leading-column distributions
+  * degrade bucket balance, not correctness (rows equal on the leading
+  * column always share a bucket; the within-bucket sort restores the full
+  * order).
+  */
+object Scan {
+
+  private val Pid = "__pid"
+
+  /** Tag each row with its deterministic order-bucket id in
+    * [0, buckets): nulls-first rows get bucket -1, matching the window
+    * form's NULLS FIRST default.
+    */
+  private def bucketed(df: DataFrame, orderCols: Seq[Column],
+      buckets: Int): DataFrame = {
+    val c1 = orderCols.head.cast("double")
+    val bounds = df.select(min(c1).as("__lo"), max(c1).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(Pid,
+        when(c1.isNull, lit(-1))
+          .when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((c1 - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit(buckets - 1))).cast("int"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Global 1-based row_number over `orderCols` as column `out`; when
+    * `totalOut` is set, the overall row count rides along on the same
+    * broadcast (no second pass over the data).
+    */
+  def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String,
+      partitions: Int = 32, totalOut: Option[String] = None): DataFrame = {
+    val r = bucketed(df, orderCols, partitions)
+    val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
+    val counts = r.groupBy(Pid).agg(count(lit(1)).as("__n"))
+    // exclusive prefix sum over <= `partitions` summary rows
+    val tiny = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy(Pid)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = counts
+      .withColumn("__off", coalesce(sum("__n").over(tiny), lit(0L)))
+    val offsets = totalOut match {
+      case Some(t) => offsets0.withColumn(t, sum("__n").over(all))
+        .select(Pid, "__off", t)
+      case None => offsets0.select(Pid, "__off")
+    }
+    r.withColumn("__lrn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq(Pid))
+      .withColumn(out, col("__lrn") + col("__off"))
+      .drop(Pid, "__lrn", "__off")
+  }
+
+  /** Exclusive running max of `value` over `orderCols` as column `out`
+    * (null for the globally first row, matching an un-partitioned
+    * `max().over(rowsBetween(unboundedPreceding, -1))`).
+    */
+  def withRunningMax(df: DataFrame, orderCols: Seq[Column], value: Column,
+      out: String, partitions: Int = 32): DataFrame = {
+    val r = bucketed(df, orderCols, partitions)
+    val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = r.groupBy(Pid).agg(max(value).as("__pm"))
+    val tiny = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
+    val prev = summaries
+      .withColumn("__pprev", max("__pm").over(tiny))
+      .select(Pid, "__pprev")
+    // greatest() skips nulls, so it coalesces the (null-for-first-row)
+    // local prefix with the (null-for-first-bucket) carry-in
+    r.withColumn("__lmax", max(value).over(local))
+      .join(broadcast(prev), Seq(Pid))
+      .withColumn(out, greatest(col("__lmax"), col("__pprev")))
+      .drop(Pid, "__lmax", "__pprev")
+  }
+
+  /** Exclusive running sum of `value` over `orderCols` as column `out`
+    * (null for the globally first row, matching the un-partitioned
+    * window form).
+    */
+  def withRunningSum(df: DataFrame, orderCols: Seq[Column], value: Column,
+      out: String, partitions: Int = 32): DataFrame = {
+    val r = bucketed(df, orderCols, partitions)
+    val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summaries = r.groupBy(Pid).agg(sum(value).as("__ps"))
+    val tiny = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
+    val prev = summaries
+      .withColumn("__pprev", sum("__ps").over(tiny))
+      .select(Pid, "__pprev")
+    r.withColumn("__lsum", sum(value).over(local))
+      .join(broadcast(prev), Seq(Pid))
+      .withColumn(out,
+        when(col("__lsum").isNull && col("__pprev").isNull, lit(null))
+          .otherwise(coalesce(col("__lsum"), lit(0)) +
+            coalesce(col("__pprev"), lit(0))))
+      .drop(Pid, "__lsum", "__pprev")
+  }
+}

@@ -183,19 +183,31 @@ object Curation {
 
   // ---------------------------------------------------------------- q93
   // Quality-decile binning: a curriculum/filter stage bins the corpus
-  // into score deciles (NTILE over a deterministic order) and reports the
-  // per-bin profile a mixing recipe consumes. The score is a pure
-  // integer-ratio density (tokens per 1000 chars) so the bin boundaries
-  // are bit-identical cross-engine; ties break on doc_id, making NTILE's
-  // bucket assignment unique. One window sort + one aggregate.
+  // into score deciles (NTILE semantics over a deterministic order) and
+  // reports the per-bin profile a mixing recipe consumes. The score is a
+  // pure integer-ratio density (tokens per 1000 chars) so the bin
+  // boundaries are bit-identical cross-engine; ties break on doc_id,
+  // making the bucket assignment unique. The corpus-wide rank comes from
+  // the PARTITIONED two-pass scan (operators.Scan) — a bare
+  // NTILE-over-everything window would funnel every document through one
+  // task — and NTILE's bucket rule is then pure arithmetic on
+  // (rank, n): with n = 10·q + m, the first m buckets hold q+1 rows.
   def q93QualityBins(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy("score", "doc_id")
-    Tables.documents(s, d)
+    val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         size(toks).cast("long").as("n_tok"))
       .withColumn("score",
         round(col("n_tok") * lit(1000.0) / col("n_chars"), 6))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = graft.operators.Scan.withGlobalRowNumber(scored,
+      Seq(col("score"), col("doc_id")), "rn", totalOut = Some("n_total"))
+    val qv = floor(col("n_total") / 10).cast("long")
+    val mv = (col("n_total") % 10).cast("long")
+    val cut = mv * (qv + lit(1L)) // rows covered by the (q+1)-sized buckets
+    ranked
+      .withColumn("decile",
+        when(col("rn") <= cut, floor((col("rn") - 1) / (qv + 1)) + 1)
+          .otherwise(mv + floor((col("rn") - 1 - cut) / qv) + 1)
+          .cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min("score").as("min_score"), max("score").as("max_score"),

@@ -325,16 +325,16 @@ object Advanced {
   // (cheaper-or-equal price, larger-or-equal size, strictly better in
   // one). The naive form is an O(n²) self-join; the scale path here
   // reduces first (max size per DISTINCT price — one shuffle), then runs
-  // the running-max frontier scan over the distinct-price set, which is
-  // orders of magnitude smaller than the fact table (the global window
-  // orders |distinct prices| rows, not |parts|). The oracle is the
-  // quadratic NOT EXISTS dominance definition itself.
+  // the running-max frontier scan over the distinct-price set as a
+  // PARTITIONED two-pass prefix-max (operators.Scan: range-partition on
+  // price → per-partition prefix → tiny carry-in combine broadcast
+  // back), so no single task ever holds the whole distinct-price set.
+  // The oracle is the quadratic NOT EXISTS dominance definition itself.
   def q113Skyline(s: SparkSession, d: String): DataFrame = {
     val g = Tables.part(s, d).groupBy("p_retailprice")
       .agg(max("p_size").as("gmax"))
-    val w = Window.orderBy("p_retailprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = g.withColumn("prev_max", max("gmax").over(w))
+    val frontier = graft.operators.Scan
+      .withRunningMax(g, Seq(col("p_retailprice")), col("gmax"), "prev_max")
       .where(col("gmax") > coalesce(col("prev_max"), lit(Int.MinValue)))
       .select("p_retailprice", "gmax")
     Tables.part(s, d) // independent read for the join back

@@ -158,12 +158,15 @@ object Advanced2 {
   // the LM (vocabulary-sized → broadcast), each document averages its
   // tokens' ln(cnt/T). Follows q83's cross-engine float discipline: the
   // per-doc sum is double in arbitrary order, absorbed by round(4).
+  // The corpus total T rides a 1-row broadcast attach (q130's scalar
+  // fan-out shape) — a window-over-everything on the TERM table would
+  // funnel the whole vocabulary (Heaps-law unbounded) through one task.
   def q120UnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(lit(1))
-    val vocab = Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .withColumn("t", sum("cnt").over(w))
+    val vocab = counts
+      .crossJoin(broadcast(counts.select(sum("cnt").as("t"))))
       .select(col("term"), log(col("cnt").cast("double") / col("t")).as("logp"))
     Tables.documents(s, d) // independent read for the token side
       .select(col("doc_id"),

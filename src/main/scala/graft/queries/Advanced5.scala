@@ -78,29 +78,29 @@ object Advanced5 {
   // ---------------------------------------------------------------- q131
   // Gini coefficient / Lorenz audit of revenue concentration across
   // customers — the inequality measure behind "top-k% of accounts drive
-  // x% of revenue". Per-customer totals first (the fact table reduces to
-  // one row per entity — that REDUCED table is what the global rank
-  // orders), decimal-routed so the cumulative math is exact; Gini via
-  // the rank identity G = 2·Σ(rank·share)/Σshare·n⁻¹... expressed as
-  // Σ((2·rank − n − 1)·rev) / (n·Σrev) on exact decimal revenue.
+  // x% of revenue". Per-customer totals first (one shuffle), then the
+  // global rank comes from the PARTITIONED two-pass scan
+  // (operators.Scan: range-partition on (rev, custkey) → local
+  // row_number → broadcast per-partition offsets), so the entity table
+  // never funnels through one task. The rank identity collapses the
+  // per-row (nc, tot) window attaches into plain aggregates:
+  // Σ((2r − n − 1)·rev) = 2·Σ(r·rev) − (n+1)·Σrev, all on exact
+  // decimals, so the value is bit-identical to the window form the
+  // oracle still states.
   def q131Gini(s: SparkSession, d: String): DataFrame = {
     val perCust = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-    val w = Window.orderBy(col("rev"), col("o_custkey"))
-    val n = Window.partitionBy(lit(1))
-    perCust
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("nc", count(lit(1)).over(n))
-      .withColumn("tot", sum(col("rev")).over(n))
-      .select(lit("customer_revenue").as("dimension"),
-        col("nc"), col("rnk"), col("rev"), col("tot"))
+    graft.operators.Scan
+      .withGlobalRowNumber(perCust, Seq(col("rev"), col("o_custkey")), "rnk")
+      .select(lit("customer_revenue").as("dimension"), col("rnk"), col("rev"))
       .groupBy("dimension")
-      .agg(max("nc").as("n_customers"),
-        round(max(col("tot")).cast("double"), 2).as("total_revenue"),
-        round(sum((col("rnk") * 2 - col("nc") - 1) * col("rev"))
-          .cast("double") /
-          (max(col("nc")).cast("double") * max(col("tot")).cast("double")), 6)
+      .agg(count(lit(1)).as("nc"), sum(col("rev")).as("tot"),
+        sum(col("rnk") * col("rev")).as("s1"))
+      .select(col("dimension"), col("nc").as("n_customers"),
+        round(col("tot").cast("double"), 2).as("total_revenue"),
+        round((col("s1") * 2 - (col("nc") + 1) * col("tot")).cast("double") /
+          (col("nc").cast("double") * col("tot").cast("double")), 6)
           .as("gini"))
       .orderBy("dimension")
   }

@@ -173,7 +173,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // q124/q126/q128/q130: 1-row bounds/total attaches — the same
       // scalar fan-out
       "q124_histogram", "q126_mutual_info", "q128_pmi_collocations",
-      "q130_psi", "q133_target_encoding")
+      "q130_psi", "q133_target_encoding",
+      // q120: corpus-total T as a 1-row attach (replaced the
+      // window-over-the-vocabulary form in round 6)
+      "q120_unigram_logprob",
+      // q93/q113/q131: operators.Scan's 1-row min/max bounds attach —
+      // the deterministic bucket function behind the two-pass scan
+      "q93_quality_bins", "q113_skyline", "q131_gini")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -266,6 +272,59 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(col("jw") >= 0))
     assert(p2.linesIterator.exists(l =>
       l.trim.startsWith("*(") && l.contains("jaro_winkler")), p2)
+  }
+
+  test("no unbounded single-partition window anywhere in the surface") {
+    // blanket 100 TB guard: a Window whose partitionSpec is empty (or
+    // all-foldable, e.g. partitionBy(lit(1))) funnels its entire input
+    // through ONE task. That is only acceptable when the input is
+    // structurally bounded regardless of data size:
+    //  - the per-partition summary of an operators.Scan two-pass scan
+    //    (<= shuffle-partitions rows — recognized by the __pid grouping
+    //    directly beneath the window), or
+    //  - a bounded-grain aggregate (enum/date grain), whitelisted below
+    //    with its grain.
+    // Anything else — ntile/rank/running-agg over an entity-grain table —
+    // must go through operators.Scan (q93/q113/q131 did in round 6).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val skip = Set(
+      "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
+      "q65_stream_join", "q99_stream_enrich",
+      "q41_heavy_hitters", "q71_dedup_clusters",
+      "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
+      "q70_format_roundtrip", "q102_xml_roundtrip", "q78_bucketed_join",
+      "q80_schema_evolution", "q77_pipeline")
+    val boundedGrain = Map(
+      "q06_global_rank" -> "5 order priorities",
+      "q14_sql_cte" -> "per-driver aggregate of a bounded dim (reference's literal SQL)",
+      "q116_mixture_weights" -> "source enum grain (~20 sources)",
+      "q125_period_over_period" -> "month grain",
+      "q132_cusum" -> "day grain")
+    def isScanSummary(child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists {
+          case ar: AttributeReference => ar.name == "__pid"
+          case _ => false
+        } => a
+      }.isDefined
+    val offenders = SparkEntry.queries.filterNot(q => skip(q._1)).flatMap {
+      case (name, fn) =>
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        val hits = lp.collect {
+          case w: LWindow if w.partitionSpec.forall(_.foldable) &&
+            !isScanSummary(w.child) => w
+          case w: WindowGroupLimit if w.partitionSpec.forall(_.foldable) &&
+            !isScanSummary(w.child) => w
+        }
+        if (hits.nonEmpty) Some(name) else None
+    }.toSet
+    val unexplained = offenders -- boundedGrain.keySet
+    assert(unexplained.isEmpty,
+      s"single-partition window over possibly-unbounded input in: $unexplained")
+    // the whitelist must not rot: every entry still has its window
+    val stale = boundedGrain.keySet -- offenders
+    assert(stale.isEmpty, s"whitelisted but no global window found: $stale")
   }
 
   test("q107 chunker explode infers no expression-cloning pre-filter") {
