@@ -14,16 +14,26 @@ object Advanced5 {
 
   // ---------------------------------------------------------------- q130
   // Population Stability Index between the first and second half of the
-  // event stream (split at the median event_id — an exact integer
-  // boundary): the drift metric every deployed-model monitor computes
-  // per feature. PSI = Σ (p_cur - p_ref)·ln(p_cur/p_ref) over value
-  // buckets; all proportions come from exact counts (one aggregate per
-  // period + a full-outer bucket align), the log sum follows q83's
-  // round(4) float discipline. Laplace-style +1 smoothing keeps empty
-  // buckets finite — identically on both engines.
+  // event stream (split at the median event_id): the drift metric every
+  // deployed-model monitor computes per feature. PSI =
+  // Σ (p_cur - p_ref)·ln(p_cur/p_ref) over value buckets; all
+  // proportions come from exact counts (one aggregate per period + a
+  // full-outer bucket align), the log sum follows q83's round(4) float
+  // discipline. Laplace-style +1 smoothing keeps empty buckets finite —
+  // identically on both engines.
+  //
+  // The split point is approx_percentile at accuracy 1e6 — a mergeable
+  // bounded-memory GK sketch — because percentile_disc is an exact
+  // BUFFERING aggregate (it collects every value into one task's
+  // memory, the q130 scale-killer the round-5 verdict named). At gate
+  // SFs the sketch's rank error bound εn = n/1e6 < 1 makes it
+  // rank-EXACT, so the oracle keeps the exact quantile_disc definition;
+  // Advanced5Spec pins the approx==exact agreement at every gate SF so
+  // a drifting sketch shows up as a failing spec, not a silent hash
+  // mismatch.
   def q130Psi(s: SparkSession, d: String): DataFrame = {
     val half = Tables.events(s, d)
-      .select(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)")
+      .select(expr("approx_percentile(event_id, 0.5, 1000000)")
         .as("mid"))
     val bucketed = Tables.events(s, d).crossJoin(broadcast(half))
       .select(col("event_type"),

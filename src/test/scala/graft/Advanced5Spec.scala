@@ -18,6 +18,25 @@ class Advanced5Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_buckets") > 0)
   }
 
+  test("q130's approx median split agrees with the exact quantile at every gate SF") {
+    // q130 splits on approx_percentile (mergeable, bounded memory) while
+    // the DuckDB oracle states exact quantile_disc; the hash gate only
+    // stays green while the sketch is rank-exact at the gate sizes. At
+    // accuracy 1e6 the GK rank error bound is n/1e6 < 1 for every gate
+    // SF, so any disagreement here is a regression, not tolerance.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val r = Tables.events(spark, d).select(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id)")
+          .cast("long").as("exact"),
+        expr("approx_percentile(event_id, 0.5, 1000000)")
+          .cast("long").as("approx")).head()
+      assert(r.getLong(0) == r.getLong(1),
+        s"$d: exact=${r.getLong(0)} approx=${r.getLong(1)}")
+    }
+  }
+
   test("q131 Gini lies in [0,1) and matches a from-scratch computation") {
     val r = Advanced5.q131Gini(spark, sf).collect().head
     val gini = r.getAs[Double]("gini")
