@@ -69,13 +69,14 @@ object Clusters {
         df.join(byId, df("label") === byId("jid"))
           .select(df("id"), least(col("label"), col("jlabel")).as("label"))
       }
-      labels = jump(jump(merged))
-        // truncate lineage: the jump self-joins labels with itself, so
-        // without materialization the logical plan DOUBLES per round and
-        // analysis cost goes exponential (observed: hang at 6 rounds).
-        // localCheckpoint keeps blocks on executors — no HDFS round-trip,
-        // exactly the per-iteration cut every Pregel-style loop needs.
-        .localCheckpoint(true)
+      // truncate lineage: the jump self-joins labels with itself, so
+      // without materialization the logical plan DOUBLES per round and
+      // analysis cost goes exponential (observed: hang at 6 rounds).
+      // Lineage.cut is executor-memory localCheckpoint by default (no
+      // filesystem round-trip — right for gate runs) and a reliable
+      // checkpoint() when spark.graft.checkpoint.dir is set — the
+      // fault-tolerant posture a cluster run hours into a loop wants.
+      labels = graft.operators.Lineage.cut(jump(jump(merged)))
       val s = labelSum(labels)
       // empty vertex set: sum(NULL group) is null — there is nothing to
       // propagate, so stop immediately instead of burning maxRounds of

@@ -234,9 +234,11 @@ object Advanced {
   // PageRank to 5 full iterations over q98's deterministic out-degree-2
   // link graph — the converged extension of q98's single step. Each round
   // is one equi-join (edges ⋈ ranks on src) + one aggregate keyed by dst +
-  // one left join back to the vertex set; `localCheckpoint(true)` per
-  // round caps the plan (without it the lineage doubles per iteration and
-  // analysis hangs — the q71 rule). Per-round contribution sums are
+  // one left join back to the vertex set; `Lineage.cut` per round caps
+  // the plan (without it the lineage doubles per iteration and analysis
+  // hangs — the q71 rule); the cut is executor-memory localCheckpoint by
+  // default, reliable checkpoint() when spark.graft.checkpoint.dir is
+  // set (the fault-tolerant cluster posture). Per-round contribution sums are
   // decimal-routed (rank/2 is an EXACT double halving, then quantized to
   // DECIMAL(20,12) before the order-insensitive exact SUM), so five
   // iterations stay bit-reproducible against the oracle's five chained
@@ -248,19 +250,19 @@ object Advanced {
       .select(col("doc_id").as("src"),
         explode_outer(array((col("doc_id") * 7 + 13) % col("n"),
           (col("doc_id") * 13 + 7) % col("n"))).as("dst"))
-      .localCheckpoint(true)
-    val verts = Tables.documents(s, d).select(col("doc_id")).localCheckpoint(true)
-    var ranks = verts.select(col("doc_id"), lit(1.0).as("rank")).localCheckpoint(true)
+    val cut = graft.operators.Lineage.cut _
+    val cutEdges = cut(edges)
+    val verts = cut(Tables.documents(s, d).select(col("doc_id")))
+    var ranks = cut(verts.select(col("doc_id"), lit(1.0).as("rank")))
     for (_ <- 1 to 5) {
-      val contribs = edges
+      val contribs = cutEdges
         .join(ranks.withColumnRenamed("doc_id", "src_id"), col("src") === col("src_id"))
         .select(col("dst"), (col("rank") / 2).cast(DecimalType(20, 12)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      ranks = verts.join(contribs, verts("doc_id") === contribs("dst"), "left")
+      ranks = cut(verts.join(contribs, verts("doc_id") === contribs("dst"), "left")
         .select(col("doc_id"),
           (lit(0.15) + lit(0.85) *
-            coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+            coalesce(col("csum").cast("double"), lit(0.0))).as("rank")))
     }
     ranks.select(col("doc_id"), round(col("rank"), 9).as("rank")).orderBy("doc_id")
   }

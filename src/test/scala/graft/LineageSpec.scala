@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Lineage
+
+/** The iterative queries (q71 connected components, q111 PageRank) must
+  * produce identical results under both lineage-cut postures: the
+  * default executor-memory localCheckpoint and the reliable
+  * checkpoint(dir) a fault-tolerant cluster run configures via
+  * spark.graft.checkpoint.dir.
+  */
+class LineageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def withReliableDir[T](f: => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Lineage.DirKey, dir)
+    try f finally {
+      spark.conf.unset(Lineage.DirKey)
+      // leave sc.checkpointDir as-is; only the conf key routes Lineage
+    }
+  }
+
+  test("q71 CC results are identical under local and reliable checkpointing") {
+    val local = graft.dedup.Clusters.q71DedupClusters(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val reliable = withReliableDir {
+      graft.dedup.Clusters.q71DedupClusters(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(local == reliable)
+  }
+
+  test("q111 PageRank results are identical under local and reliable checkpointing") {
+    val local = graft.queries.Advanced.q111PageRank(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val reliable = withReliableDir {
+      graft.queries.Advanced.q111PageRank(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(local == reliable)
+  }
+
+  test("reliable mode actually writes checkpoint data to the configured dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_probe")
+    spark.conf.set(Lineage.DirKey, dir.toString)
+    try {
+      Lineage.cut(spark.range(100).toDF("id")).count()
+      val written = java.nio.file.Files.walk(dir).filter(p =>
+        java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(Lineage.DirKey)
+  }
+}
