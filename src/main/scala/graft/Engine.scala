@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.functions.{DurationExpressions, TextExpressions, VectorExpressions}
 
 /** Session factory + SQL registration of the custom Catalyst expressions,
@@ -64,7 +64,12 @@ object Engine {
       es => graft.functions.MatchExpressions.ZOrder16(
         Cast(es.head, LongType), Cast(es(1), LongType))),
     ("md5_lower64", "md5_lower64(str) - DuckDB md5_number_lower as signed bigint",
-      es => graft.functions.MatchExpressions.Md5Lower64(Cast(es.head, StringType))))
+      es => graft.functions.MatchExpressions.Md5Lower64(Cast(es.head, StringType))),
+    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    // result in AggregateExpression, so the same registry path works
+    ("topk_by", "topk_by(score, key, k) - top-k (score,key) per group, best-first",
+      es => graft.functions.TopKAggregate.TopKBy(
+        Cast(es.head, DoubleType), Cast(es(1), LongType), intArg(es(2)))))
 
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =

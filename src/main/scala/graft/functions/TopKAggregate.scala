@@ -123,8 +123,14 @@ object TopKAggregate {
 object topk {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
-  /** Top-k (score, key) entries per group, best-first (aggregate column). */
+  /** Top-k (score, key) entries per group, best-first (aggregate column).
+    * Inputs are widened with explicit casts (decimal/int/float score,
+    * int key, …) — the buffer stores (double, long) and, with
+    * AbstractDataType private[sql] in Spark 4, an ExpectsInputTypes
+    * check isn't available to reject narrower types at analysis time.
+    */
   def topk_by(score: Column, key: Column, k: Int): Column =
-    column(TopKAggregate.TopKBy(expression(score), expression(key), k)
+    column(TopKAggregate.TopKBy(
+      expression(score.cast("double")), expression(key.cast("long")), k)
       .toAggregateExpression(isDistinct = false))
 }

@@ -24,8 +24,13 @@ object Advanced {
   // the ROW_NUMBER window, which shuffles and sorts every row of every
   // group. The oracle IS that window form: identical results, different
   // physical plan.
+  // The null contract is pinned explicitly on BOTH sides: the heap skips
+  // null scores/keys in update(), while ROW_NUMBER would rank null-price
+  // rows (NULLS LAST) — so a nullable input would diverge silently
+  // without the shared IS NOT NULL.
   def q106TopkAgg(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d)
+      .where(col("o_totalprice").isNotNull)
       .groupBy((col("o_custkey") % 97).as("grp"))
       .agg(topk.topk_by(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
       .select(col("grp"), posexplode(col("top")))
@@ -39,7 +44,7 @@ object Advanced {
       |  SELECT o_custkey % 97 AS grp, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey % 97
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |  FROM orders)
+      |  FROM orders WHERE o_totalprice IS NOT NULL)
       |SELECT grp, CAST(rn AS INTEGER) AS rank, o_orderkey, o_totalprice
       |FROM ranked WHERE rn <= 3 ORDER BY grp, rank""".stripMargin
 

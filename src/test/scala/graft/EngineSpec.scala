@@ -46,6 +46,19 @@ class EngineSpec extends AnyFunSuite {
     val chunks = spark.sql(
       "SELECT chunk_tokens('a b c d e', 2, 2) FROM t").collect()
     assert(chunks.length == 3) // [a b], [c d], [e]
+    // aggregates too: topk_by group-aggregates through the same registry,
+    // and the explicit input casts widen INT score / INT key (the buffer
+    // is (double, long) — without the casts this is a runtime CCE)
+    Seq((1, 10, 100), (1, 30, 101), (1, 20, 102), (2, 5, 200))
+      .toDF("g", "s", "k").createOrReplaceTempView("tk")
+    val top = spark.sql(
+      """SELECT g, topk_by(s, k, 2) AS top FROM tk GROUP BY g ORDER BY g""")
+      .collect()
+    assert(top.length == 2)
+    val g1 = top(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((30.0, 101L), (20.0, 102L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 
   test("GraftExtensions injects functions at session build time") {
@@ -61,7 +74,7 @@ class EngineSpec extends AnyFunSuite {
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize",
-      "jaro_winkler", "zorder16", "md5_lower64"))
+      "jaro_winkler", "zorder16", "md5_lower64", "topk_by"))
     assert(e != null)
   }
 
