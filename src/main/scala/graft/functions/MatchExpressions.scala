@@ -13,6 +13,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * clustering/data-skipping layouts, and the raw `md5_number_lower` hash
   * (DuckDB-compatible) for reproducible hash-derived uniforms.
   *
+  * Jaro-Winkler character-unit contract: the kernel iterates UTF-16 code
+  * units (String.length/charAt). The "bitwise-identical to DuckDB" claim
+  * holds for ASCII, where bytes == code units == code points (DuckDB
+  * walks UTF-8 bytes, so multi-byte text diverges between the engines by
+  * construction). The JaroWinklerPruning 5t−4 length guard (Spark's
+  * `length()` = code points) is sound for ALL BMP text — there code
+  * units == code points, so the guard bounds the kernel's own metric
+  * (fuzz-pinned over ASCII and multi-byte BMP corpora). OUT of contract:
+  * supplementary-plane text (emoji), where a code point is two code
+  * units — the similarity is still deterministic, but neither the
+  * DuckDB-parity claim nor the guard bound is established there.
+  *
   * Pure JVM, allocation-light, deterministic — called statically from
   * whole-stage codegen via the expressions below.
   */

@@ -117,9 +117,12 @@ object Advanced3 {
   // a compactor must guarantee: bounded file count and bit-exact content
   // conservation (the oracle aggregates the ORIGINAL table; the query
   // aggregates the compacted copy).
+  // The work dir is keyed by applicationId: two concurrent drivers (e.g.
+  // Bench while Verify runs) must not overwrite each other's files
+  // mid-read.
   def q123Compaction(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_compaction").getAbsolutePath
+      s"graft_compaction_${s.sparkContext.applicationId}").getAbsolutePath
     val fragDir = s"$base/fragmented"
     val compDir = s"$base/compacted"
     Tables.events(s, d).repartition(64)

@@ -16,11 +16,21 @@ class JaroWinklerPruningSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("the 5t-4 length bound is sound (fuzz against the kernel)") {
+    // two corpora: ASCII and multi-byte BMP (accented Latin + CJK). The
+    // guard compares Spark length() (code points) while the kernel walks
+    // UTF-16 code units — identical for BMP text, which is the kernel's
+    // documented contract (supplementary-plane text is out of contract;
+    // see MatchExpressions scaladoc). The BMP corpus pins that the bound
+    // survives multi-byte characters, not just the ASCII fuzz.
     val rnd = new scala.util.Random(7)
-    val words = "key agg row scan slow fast table value part hash".split(' ')
-    for (_ <- 1 to 5000) {
+    val corpora = Seq(
+      "key agg row scan slow fast table value part hash".split(' '),
+      "clé café señor 北京 données tōkyō über straße 文字 中文".split(' '))
+    for (words <- corpora; _ <- 1 to 5000) {
       val a = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
       val b = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      // BMP precondition of the contract: code points == code units
+      assert(a.codePointCount(0, a.length) == a.length)
       val jw = MatchKernels.jaroWinkler(a, b)
       for (t <- Seq(0.81, 0.85, 0.9, 0.95)) {
         if (jw >= t) {
