@@ -274,6 +274,70 @@ class PlanShapeSpec extends AnyFunSuite {
       l.trim.startsWith("*(") && l.contains("jaro_winkler")), p2)
   }
 
+  test("AQE skew-join splits the hot key without q72's manual salt") {
+    // the engine documents BOTH skew levers: the manual salt
+    // (operators.SkewJoin, for hot keys that must stay co-partitioned
+    // downstream or exceed one task under any split) and AQE's runtime
+    // skew-join, which needs no query rewrite. Here a 90%-hot-key join
+    // runs as a plain equi-join and AQE must (a) mark the SMJ as a skew
+    // join in the final plan and (b) produce exactly the plain-join
+    // rows — the same result contract PropertySpec pins for the salt.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000)
+        .select(when(col("id") < 54000, 0L).otherwise(col("id") % 100)
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = left.join(right, "k")
+      // collect() finalizes joined's OWN adaptive plan (count() would
+      // execute a different queryExecution and leave this one initial)
+      val n = joined.collect().length
+      assert(n == 60000 - 54000 + 54000, s"row contract broken: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("no query silently depends on auto-broadcast (threshold -1 => SMJ fallback, same results)") {
+    // the broadcast pins elsewhere in this spec assume the default
+    // autoBroadcastJoinThreshold; at 100x dimension growth the planner
+    // evicts those broadcasts, so the join families must stay CORRECT
+    // (if slower) under sort-merge fallback. Explicit broadcast() hints
+    // are exempt by design — this exercises the auto-planned ones.
+    val names = Seq("q03_star_join", "q04_multikey_join", "q07_having",
+      "q14_sql_cte", "q53_distinct_agg", "q58_subqueries",
+      "q91_contamination", "q92_stratified", "q100_fuzzy_match")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val expected = names.map(n => n -> run(n)).toMap
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // prove the fallback is actually exercised, not vacuous
+      val p = plan(graft.queries.Relational.q03StarJoin(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"threshold -1 should evict q03's auto-broadcasts:\n$p")
+      names.foreach { n =>
+        assert(run(n) == expected(n), s"$n diverges under SMJ fallback")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no unbounded single-partition window anywhere in the surface") {
     // blanket 100 TB guard: a Window whose partitionSpec is empty (or
     // all-foldable, e.g. partitionBy(lit(1))) funnels its entire input
