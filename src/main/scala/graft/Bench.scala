@@ -54,10 +54,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region
-    SparkEntry.queries.get("q01_agg").foreach { fn =>
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Machine calibration, recorded alongside the totals: a fixed
+    // single-thread ALU loop and a fixed 32-task shuffle. Per-query
+    // timings swing ±30% ACROSS VM BOOTS of the same code (measured in
+    // round 6: identical commits, 84.8 s vs 102.0 s totals), so a
+    // round-over-round comparison needs these to separate "the machine
+    // is slower today" from "the plan regressed".
+    val calibCpu = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var x = 88172645463325252L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      if (acc == 42L) System.err.println("") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
     }
+    val calibShuffle = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32).selectExpr("id % 1000 AS k")
+        .groupBy("k").count().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JVM/codegen warmup outside the timed region — one query per major
+    // execution family (hash agg, broadcast join, window), because q01's
+    // aggregate alone leaves the join/exchange/window code paths cold and
+    // the first queries to touch them (q03 ran second in r5: 2.29 s vs
+    // ~1 s standalone) carry the JIT bill inside their timing
+    Seq("q01_agg", "q03_star_join", "q05_window_rank").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+    cleanup(spark)
     // two iterations, report the min: steady-state throughput, not
     // first-run JIT/planning warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -100,12 +130,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qs = dict(headline.flatMap(n => byName.get(n).map(n -> _)))
     val total = results.map(_._2).sum
+    val calib =
+      s""""calib_cpu":${fmt(calibCpu)},"calib_shuffle":${fmt(calibShuffle)}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":${dict(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     System.err.println(s"[bench-full] $fullJson")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Advanced4.queries ++
       graft.queries.Advanced5.queries ++
       graft.queries.Advanced6.queries ++
+      graft.queries.Advanced7.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.Advanced4.oracles ++
       graft.queries.Advanced5.oracles ++
       graft.queries.Advanced6.oracles ++
+      graft.queries.Advanced7.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

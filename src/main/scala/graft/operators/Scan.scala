@@ -87,6 +87,23 @@ object Scan {
       .drop(Pid, "__lrn", "__off")
   }
 
+  /** NTILE(k) bucket (1-based) from a global rank and the total row
+    * count — standard SQL semantics: with n = k·q + m, the first m
+    * buckets hold q+1 rows. Pure arithmetic, so an exact NTILE needs
+    * only [[withGlobalRowNumber]] (rank + totalOut), never a
+    * single-partition window. Integer division happens in doubles
+    * (exact below 2^53, and an even quotient of exact integers cannot
+    * round across the floor boundary).
+    */
+  def ntileBucket(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("long")
+    val m = (n % k).cast("long")
+    val cut = m * (q + lit(1L)) // rows covered by the (q+1)-sized buckets
+    when(rank <= cut, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(m + floor((rank - 1 - cut) / q) + 1)
+      .cast("long")
+  }
+
   /** Exclusive running max of `value` over `orderCols` as column `out`
     * (null for the globally first row, matching an un-partitioned
     * `max().over(rowsBetween(unboundedPreceding, -1))`).

@@ -200,14 +200,9 @@ object Curation {
         round(col("n_tok") * lit(1000.0) / col("n_chars"), 6))
     val ranked = graft.operators.Scan.withGlobalRowNumber(scored,
       Seq(col("score"), col("doc_id")), "rn", totalOut = Some("n_total"))
-    val qv = floor(col("n_total") / 10).cast("long")
-    val mv = (col("n_total") % 10).cast("long")
-    val cut = mv * (qv + lit(1L)) // rows covered by the (q+1)-sized buckets
     ranked
       .withColumn("decile",
-        when(col("rn") <= cut, floor((col("rn") - 1) / (qv + 1)) + 1)
-          .otherwise(mv + floor((col("rn") - 1 - cut) / qv) + 1)
-          .cast("long"))
+        graft.operators.Scan.ntileBucket(col("rn"), col("n_total"), 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min("score").as("min_score"), max("score").as("max_score"),

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.Scan
+
+/** Round-6 batch (q135-q139): Lorenz concentration deciles on the
+  * distributed rank scan, BM25 retrieval scoring, ordered funnel
+  * conversion, 7-day rolling distinct users, and weekly retention
+  * cohorts — the product/retrieval analytics family, each shaped so no
+  * stage holds more than a bounded slice of the input.
+  */
+object Advanced7 {
+
+  // ---------------------------------------------------------------- q135
+  // Lorenz curve by revenue decile — "the top 10% of customers drive x%
+  // of revenue" as a table: per-customer totals (one shuffle), the
+  // corpus-wide rank from operators.Scan (deterministic two-pass — no
+  // single-partition window over the entity table), NTILE(10) as pure
+  // arithmetic on (rank, n), then cumulative share over the TEN-row
+  // decile table (the only global window, bounded by construction).
+  // Revenue stays decimal-exact until the final share division.
+  def q135LorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val ranked = Scan.withGlobalRowNumber(perCust,
+      Seq(col("rev"), col("o_custkey")), "rn", totalOut = Some("n_total"))
+    val byDecile = ranked
+      .withColumn("decile", Scan.ntileBucket(col("rn"), col("n_total"), 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev").as("drev"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDecile
+      .withColumn("cum", sum("drev").over(wc))
+      .withColumn("tot", sum("drev").over(wa))
+      .select(col("decile"), col("n_customers"),
+        round(col("drev").cast("double"), 2).as("decile_rev"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val q135Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT rev, NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+      |  FROM pc),
+      |d AS (
+      |  SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS drev
+      |  FROM r GROUP BY 1)
+      |SELECT decile, n_customers,
+      |  ROUND(CAST(drev AS DOUBLE), 2) AS decile_rev,
+      |  ROUND(CAST(SUM(drev) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(drev) OVER () AS DOUBLE), 6) AS cum_share
+      |FROM d ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+  // BM25 retrieval scoring (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
+  // query term set — THE lexical ranking function behind retrieval-
+  // augmented pipelines. One scan produces (doc, term, tf) with doc
+  // length attached; document frequencies reduce to a |query|-row table;
+  // N and Σdl ride a 1-row broadcast. idf is quantized at 6 (identical
+  // LN inputs cross-engine), per-term contributions at DECIMAL(18,8) so
+  // the per-doc sum is order-insensitive, final score rounded at 4 and
+  // ranked on the ROUNDED value with doc_id tiebreak.
+  def q136Bm25(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("spark", "table", "hash")
+    val k1 = 1.2
+    val b = 0.75
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode_outer(col("ws")).as("term"))
+    val corpus = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = tok.where(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(corpus))
+      .select(col("term"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6).as("idf"))
+    tf.join(broadcast(idf), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib",
+        (col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs")))))
+          .cast(DecimalType(18, 8)))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib").cast("double"), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("bm25"), col("doc_id"))
+  }
+
+  val q136Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    SUM(len(string_split(text, ' '))) AS sum_dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+      |  WHERE term IN ('spark', 'table', 'hash') GROUP BY 1, 2, 3),
+      |idf AS (
+      |  SELECT term,
+      |    ROUND(LN((c.n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+      |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+      |  CROSS JOIN corpus c)
+      |SELECT t.doc_id,
+      |  ROUND(CAST(SUM(CAST(i.idf * (t.tf * (1.2 + 1)) /
+      |    (t.tf + 1.2 * (1.0 - 0.75 +
+      |      0.75 * t.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS bm25,
+      |  COUNT(*) AS n_terms_hit
+      |FROM tf t JOIN idf i ON i.term = t.term CROSS JOIN corpus c
+      |GROUP BY 1 ORDER BY bm25 DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q137
+  // Ordered funnel conversion (view -> click -> purchase): each step
+  // counts users whose FIRST step-event strictly follows their first
+  // completion of the previous step — the product-analytics query that
+  // naive per-type counts get wrong (a purchase before any view is not a
+  // conversion). Three keyed aggregates, each one shuffle on user_id;
+  // timestamps compare as epoch MICROSECONDS on both engines so the
+  // nanosecond parquet precision cannot make strictness diverge.
+  def q137Funnel(s: SparkSession, d: String): DataFrame = {
+    def ev(t: String) = Tables.events(s, d)
+      .where(col("event_type") === t)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val v = ev("view").groupBy("user_id").agg(min("t").as("t1"))
+    val c = ev("click").join(v, "user_id").where(col("t") > col("t1"))
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val p = ev("purchase").join(c, "user_id").where(col("t") > col("t2"))
+      .groupBy("user_id").agg(min("t").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(lit("view>click>purchase").as("funnel"),
+        col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6)
+          .as("click_to_purchase"),
+        round(col("n_purchase").cast("double") / col("n_view"), 6)
+          .as("overall"))
+      .orderBy("funnel")
+  }
+
+  val q137Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t2
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t2 GROUP BY 1)
+      |SELECT 'view>click>purchase' AS funnel,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+      |  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase,
+      |  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM v), 6) AS overall
+      |ORDER BY funnel""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  // 7-day rolling distinct users per day — the DAU/WAU-style sliding
+  // distinct count. A naive per-day window over raw events re-reads six
+  // days of history per day; the scale shape is: reduce to DISTINCT
+  // (day, user) once, replicate each pair to the <=7 window-days it can
+  // serve (bounded fan-out, a narrow generate), keep only days that
+  // exist, and count distinct per window-day — one Expand exchange,
+  // state bounded by 7x the reduced pair table regardless of fact size.
+  def q138RollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = Tables.events(s, d) // independent read for the day dim
+      .select(date_trunc("day", col("ts")).as("wday")).distinct()
+    du.select(col("user_id"),
+        expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)").as("wdays"))
+      .select(col("user_id"), explode_outer(col("wdays")).as("wday"))
+      .join(days, "wday")
+      .groupBy("wday")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .select(col("wday").as("day"), col("users_7d"))
+      .orderBy("day")
+  }
+
+  val q138Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |days AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS wday FROM events)
+      |SELECT d.wday AS day, COUNT(DISTINCT u.user_id) AS users_7d
+      |FROM days d JOIN du u
+      |  ON d.wday BETWEEN u.day AND u.day + INTERVAL 6 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  // Weekly retention cohorts: users grouped by first-seen week, distinct
+  // actives per (cohort, weeks-since) cell — the retention triangle.
+  // First-seen is one aggregate on user; the join back is on the same
+  // key (co-partitioned); weeks-since is exact integer arithmetic on
+  // epoch microseconds (both engines truncate weeks to Monday), so the
+  // cell keys are bit-identical.
+  def q139Retention(s: SparkSession, d: String): DataFrame = {
+    val firstWeek = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    Tables.events(s, d) // independent read for the activity side
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .join(firstWeek, "user_id")
+      .withColumn("weeks_since",
+        ((unix_micros(col("wk")) - unix_micros(col("cohort"))) /
+          lit(604800000000L)).cast("long"))
+      .groupBy("cohort", "weeks_since")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort", "weeks_since")
+  }
+
+  val q139Sql: String =
+    """WITH fw AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY 1)
+      |SELECT f.cohort,
+      |  (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort))
+      |    // 604800000000 AS weeks_since,
+      |  COUNT(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN fw f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_lorenz_deciles"  -> (q135LorenzDeciles _),
+    "q136_bm25"            -> (q136Bm25 _),
+    "q137_funnel"          -> (q137Funnel _),
+    "q138_rolling_distinct" -> (q138RollingDistinct _),
+    "q139_retention"       -> (q139Retention _))
+
+  val oracles: Map[String, String] = Map(
+    "q135_lorenz_deciles"  -> q135Sql,
+    "q136_bm25"            -> q136Sql,
+    "q137_funnel"          -> q137Sql,
+    "q138_rolling_distinct" -> q138Sql,
+    "q139_retention"       -> q139Sql)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Advanced7
+
+/** Semantic invariants for the round-6 batch (q135-q139) — properties the
+  * hash oracle cannot state (monotonicity, partition/conservation laws).
+  */
+class Advanced7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q135 deciles partition customers; cumulative share is monotone to 1") {
+    val rows = Advanced7.q135LorenzDeciles(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    // NTILE balance: bucket sizes differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      s"cum_share not monotone: ${shares.toSeq}")
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // revenue deciles are ordered worst-to-best: the top decile holds the
+    // largest share of revenue
+    val drev = rows.map(_.getDouble(2))
+    assert(drev.last == drev.max)
+  }
+
+  test("q136 BM25 scores are positive and bounded by the idf sum; hits in 1..3") {
+    val rows = Advanced7.q136Bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      val hits = r.getLong(2)
+      assert(hits >= 1 && hits <= 3)
+    }
+    // ordering contract: descending on the rounded score
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q137 funnel counts are monotone down the steps") {
+    val r = Advanced7.q137Funnel(spark, sf).collect().head
+    val (v, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(v >= c && c >= p && p >= 0)
+    assert(v > 0, "fixture should have at least one view")
+  }
+
+  test("q138 rolling 7-day distinct dominates the single-day distinct") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val rolling = Advanced7.q138RollingDistinct(spark, sf).collect()
+    assert(rolling.nonEmpty)
+    rolling.foreach { r =>
+      val day = r.getTimestamp(0)
+      assert(r.getLong(1) >= daily(day),
+        s"$day: 7d window smaller than the day itself")
+    }
+  }
+
+  test("q139 cohort week-0 actives equal the cohort size") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced7.q139Retention(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val week0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    val cohortSizes = Tables.events(spark, sf)
+      .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      .groupBy("cohort").count()
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(week0 == cohortSizes,
+      s"week-0 actives $week0 != cohort sizes $cohortSizes")
+  }
+}

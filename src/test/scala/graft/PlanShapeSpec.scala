@@ -177,9 +177,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q120: corpus-total T as a 1-row attach (replaced the
       // window-over-the-vocabulary form in round 6)
       "q120_unigram_logprob",
-      // q93/q113/q131: operators.Scan's 1-row min/max bounds attach —
-      // the deterministic bucket function behind the two-pass scan
-      "q93_quality_bins", "q113_skyline", "q131_gini")
+      // q93/q113/q131/q135: operators.Scan's 1-row min/max bounds attach
+      // — the deterministic bucket function behind the two-pass scan
+      "q93_quality_bins", "q113_skyline", "q131_gini",
+      "q135_lorenz_deciles",
+      // q136/q137: 1-row corpus-stats / funnel-count attaches
+      "q136_bm25", "q137_funnel")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -350,7 +353,7 @@ class PlanShapeSpec extends AnyFunSuite {
     //    with its grain.
     // Anything else — ntile/rank/running-agg over an entity-grain table —
     // must go through operators.Scan (q93/q113/q131 did in round 6).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LogicalPlan, Project, Sort, Window => LWindow, WindowGroupLimit}
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val skip = Set(
       "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
@@ -364,14 +367,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "q14_sql_cte" -> "per-driver aggregate of a bounded dim (reference's literal SQL)",
       "q116_mixture_weights" -> "source enum grain (~20 sources)",
       "q125_period_over_period" -> "month grain",
-      "q132_cusum" -> "day grain")
-    def isScanSummary(child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      child.collectFirst {
-        case a: Aggregate if a.groupingExpressions.exists {
-          case ar: AttributeReference => ar.name == "__pid"
-          case _ => false
-        } => a
-      }.isDefined
+      "q132_cusum" -> "day grain",
+      "q135_lorenz_deciles" -> "10-row decile aggregate (the rank below it is Scan-distributed)")
+    // the window's DIRECT input (through narrow Project/Filter/Sort and
+    // stacked Windows only) must be the per-bucket aggregate — a
+    // whole-subtree search would excuse any window sitting ABOVE a Scan
+    // usage, which is exactly the shape the guard exists to catch
+    @annotation.tailrec
+    def isScanSummary(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.exists {
+        case ar: AttributeReference => ar.name == "__pid"
+        case _ => false
+      }
+      case pr: Project => isScanSummary(pr.child)
+      case f: LFilter => isScanSummary(f.child)
+      case s: Sort => isScanSummary(s.child)
+      case w: LWindow => isScanSummary(w.child)
+      case _ => false
+    }
     val offenders = SparkEntry.queries.filterNot(q => skip(q._1)).flatMap {
       case (name, fn) =>
         val lp = fn(spark, sf).queryExecution.optimizedPlan
