@@ -251,17 +251,130 @@ object Advanced7 {
       |FROM events e JOIN fw f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  // Exact equi-depth (equal-frequency) histogram of order prices — the
+  // feature-binning complement of q124's equi-width bins, and the
+  // binning a quantile-robust model wants. Exact at any scale: the rank
+  // comes from operators.Scan, the bin from NTILE arithmetic — no
+  // global sort, no buffering percentile aggregate. Per-bin revenue is
+  // decimal-routed.
+  def q140EquidepthBins(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Scan.withGlobalRowNumber(vals,
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn",
+        totalOut = Some("n_total"))
+      .withColumn("bin", Scan.ntileBucket(col("rn"), col("n_total"), 20))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("bin_rev"))
+      .orderBy("bin")
+  }
+
+  val q140Sql: String =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    NTILE(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT bin, COUNT(*) AS n_rows,
+      |  ROUND(MIN(o_totalprice), 2) AS lo,
+      |  ROUND(MAX(o_totalprice), 2) AS hi,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_rev
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  // Exact weighted median (extended price weighted by quantity) — the
+  // robust-statistics primitive percentile_disc cannot express and a
+  // buffering UDAF cannot scale. Shape: operators.Scan exclusive running
+  // weight sum over the value order, total weight as a 1-row broadcast,
+  // median = smallest value whose INCLUSIVE cumulative weight reaches
+  // half the total. All cumulative arithmetic on exact integer weights.
+  def q141WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("v"), col("l_orderkey"), col("l_linenumber"))
+    val cum = Scan.withRunningSum(t, ord, col("w"), "cw_excl")
+    val total = Tables.lineitem(s, d) // independent read for the 1-row total
+      .select(sum(col("l_quantity").cast("long")).as("tw"))
+    cum.crossJoin(broadcast(total))
+      .where((coalesce(col("cw_excl"), lit(0L)) + col("w")) * 2 >= col("tw"))
+      .groupBy(lit("extendedprice_by_qty").as("measure"))
+      .agg(round(min("v"), 2).as("weighted_median"), max("tw").as("total_weight"))
+      .orderBy("measure")
+  }
+
+  val q141Sql: String =
+    """WITH t AS (
+      |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT v, w,
+      |    SUM(w) OVER (ORDER BY v, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    (SELECT CAST(SUM(w) AS BIGINT) FROM t) AS tw
+      |  FROM t)
+      |SELECT 'extendedprice_by_qty' AS measure,
+      |  ROUND(MIN(v), 2) AS weighted_median, MAX(tw) AS total_weight
+      |FROM c WHERE cw * 2 >= tw
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  // Longest consecutive-active-day streak per user — the gaps-and-islands
+  // problem (day minus dense row number is constant within an island).
+  // The window is PARTITIONED on the entity key, so it shards freely;
+  // date arithmetic stays in whole days (DATE type both engines) so
+  // island keys are bit-identical.
+  def q142Streaks(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    du.withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  val q142Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM du),
+      |i AS (
+      |  SELECT user_id, day - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+      |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_lorenz_deciles"  -> (q135LorenzDeciles _),
     "q136_bm25"            -> (q136Bm25 _),
     "q137_funnel"          -> (q137Funnel _),
     "q138_rolling_distinct" -> (q138RollingDistinct _),
-    "q139_retention"       -> (q139Retention _))
+    "q139_retention"       -> (q139Retention _),
+    "q140_equidepth_bins"  -> (q140EquidepthBins _),
+    "q141_weighted_median" -> (q141WeightedMedian _),
+    "q142_streaks"         -> (q142Streaks _))
 
   val oracles: Map[String, String] = Map(
     "q135_lorenz_deciles"  -> q135Sql,
     "q136_bm25"            -> q136Sql,
     "q137_funnel"          -> q137Sql,
     "q138_rolling_distinct" -> q138Sql,
-    "q139_retention"       -> q139Sql)
+    "q139_retention"       -> q139Sql,
+    "q140_equidepth_bins"  -> q140Sql,
+    "q141_weighted_median" -> q141Sql,
+    "q142_streaks"         -> q142Sql)
 }

@@ -61,6 +61,55 @@ class Advanced7Spec extends AnyFunSuite {
     }
   }
 
+  test("q140 equi-depth bins are balanced, ordered, and non-overlapping") {
+    val rows = Advanced7.q140EquidepthBins(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+    // value ranges ascend without overlap (ties can touch, not cross)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) || a.getDouble(3) == b.getDouble(2),
+        s"bin ${a.getLong(0)} hi ${a.getDouble(3)} crosses bin ${b.getLong(0)} lo ${b.getDouble(2)}")
+    }
+  }
+
+  test("q141 weighted median matches a brute-force fold at fixture scale") {
+    import org.apache.spark.sql.functions._
+    val r = Advanced7.q141WeightedMedian(spark, sf).collect().head
+    val got = r.getDouble(1)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"),
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._3, t._4))
+    val tw = rows.map(_._2).sum
+    var cum = 0L
+    val expected = rows.find { t => cum += t._2; cum * 2 >= tw }.get._1
+    assert(got == math.rint(expected * 100) / 100,
+      s"got $got expected $expected (tw=$tw)")
+    assert(r.getLong(2) == tw)
+  }
+
+  test("q142 streak lengths conserve each user's active-day count") {
+    import org.apache.spark.sql.functions._
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Advanced7.q142Streaks(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == activeDays.keySet)
+    rows.foreach { r =>
+      val (u, longest, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(longest >= 1 && n >= 1)
+      // islands partition the active days: n streaks of length <= longest
+      // must cover exactly the user's active days
+      assert(longest <= activeDays(u) && n <= activeDays(u))
+      assert(longest + (n - 1) <= activeDays(u),
+        s"user $u: $n islands with max $longest cannot fit ${activeDays(u)} days")
+    }
+  }
+
   test("q139 cohort week-0 actives equal the cohort size") {
     import org.apache.spark.sql.functions._
     val rows = Advanced7.q139Retention(spark, sf).collect()

@@ -180,7 +180,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // q93/q113/q131/q135: operators.Scan's 1-row min/max bounds attach
       // — the deterministic bucket function behind the two-pass scan
       "q93_quality_bins", "q113_skyline", "q131_gini",
-      "q135_lorenz_deciles",
+      "q135_lorenz_deciles", "q140_equidepth_bins", "q141_weighted_median",
       // q136/q137: 1-row corpus-stats / funnel-count attaches
       "q136_bm25", "q137_funnel")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
