@@ -128,18 +128,25 @@ object Scan {
 
   /** Exclusive running sum of `value` over `orderCols` as column `out`
     * (null for the globally first row, matching the un-partitioned
-    * window form).
+    * window form); when `totalOut` is set, the grand total of `value`
+    * rides the same broadcast — no second pass over the data.
     */
   def withRunningSum(df: DataFrame, orderCols: Seq[Column], value: Column,
-      out: String, partitions: Int = 32): DataFrame = {
+      out: String, partitions: Int = 32,
+      totalOut: Option[String] = None): DataFrame = {
     val r = bucketed(df, orderCols, partitions)
     val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val summaries = r.groupBy(Pid).agg(sum(value).as("__ps"))
     val tiny = Window.orderBy(Pid).rowsBetween(Window.unboundedPreceding, -1)
-    val prev = summaries
-      .withColumn("__pprev", sum("__ps").over(tiny))
-      .select(Pid, "__pprev")
+    val all = Window.orderBy(Pid)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev0 = summaries.withColumn("__pprev", sum("__ps").over(tiny))
+    val prev = totalOut match {
+      case Some(t) => prev0.withColumn(t, sum("__ps").over(all))
+        .select(Pid, "__pprev", t)
+      case None => prev0.select(Pid, "__pprev")
+    }
     r.withColumn("__lsum", sum(value).over(local))
       .join(broadcast(prev), Seq(Pid))
       .withColumn(out,

@@ -67,9 +67,13 @@ object Advanced7 {
   // ---------------------------------------------------------------- q136
   // BM25 retrieval scoring (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
   // query term set — THE lexical ranking function behind retrieval-
-  // augmented pipelines. One scan produces (doc, term, tf) with doc
-  // length attached; document frequencies reduce to a |query|-row table;
-  // N and Σdl ride a 1-row broadcast. idf is quantized at 6 (identical
+  // augmented pipelines. The token scan produces (doc, term, tf) with
+  // doc length attached; corpus stats (N, Σdl) come from a SECOND
+  // text-only scan — deliberately: deriving them from the token stream
+  // would shuffle every token on doc_id, and a narrow columnar re-scan
+  // is cheaper than that exchange at any corpus size. Document
+  // frequencies reduce to a |query|-row table. idf is quantized at 6
+  // (identical
   // LN inputs cross-engine), per-term contributions at DECIMAL(18,8) so
   // the per-doc sum is order-insensitive, final score rounded at 4 and
   // ranked on the ROUNDED value with doc_id tiebreak.
@@ -288,19 +292,17 @@ object Advanced7 {
   // Exact weighted median (extended price weighted by quantity) — the
   // robust-statistics primitive percentile_disc cannot express and a
   // buffering UDAF cannot scale. Shape: operators.Scan exclusive running
-  // weight sum over the value order, total weight as a 1-row broadcast,
-  // median = smallest value whose INCLUSIVE cumulative weight reaches
-  // half the total. All cumulative arithmetic on exact integer weights.
+  // weight sum over the value order with the grand total riding the same
+  // bucket-summary broadcast (ONE pass over the fact), median = smallest
+  // value whose INCLUSIVE cumulative weight reaches half the total. All
+  // cumulative arithmetic on exact integer weights.
   def q141WeightedMedian(s: SparkSession, d: String): DataFrame = {
     val t = Tables.lineitem(s, d)
       .select(col("l_extendedprice").as("v"),
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
     val ord = Seq(col("v"), col("l_orderkey"), col("l_linenumber"))
-    val cum = Scan.withRunningSum(t, ord, col("w"), "cw_excl")
-    val total = Tables.lineitem(s, d) // independent read for the 1-row total
-      .select(sum(col("l_quantity").cast("long")).as("tw"))
-    cum.crossJoin(broadcast(total))
+    Scan.withRunningSum(t, ord, col("w"), "cw_excl", totalOut = Some("tw"))
       .where((coalesce(col("cw_excl"), lit(0L)) + col("w")) * 2 >= col("tw"))
       .groupBy(lit("extendedprice_by_qty").as("measure"))
       .agg(round(min("v"), 2).as("weighted_median"), max("tw").as("total_weight"))

@@ -60,4 +60,12 @@ class ScanSpec extends AnyFunSuite {
       assert(got == expected, s"partitions=$p")
     }
   }
+
+  test("withRunningSum totalOut carries the exact grand total") {
+    val out = Scan.withRunningSum(fixture, Seq(col("k")), col("v"), "ps",
+      partitions = 5, totalOut = Some("tw"))
+    val expected = fixture.agg(sum("v")).head().getLong(0)
+    assert(out.select("tw").distinct().as[Long].collect().toSeq ==
+      Seq(expected))
+  }
 }
