@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
   * degrade bucket balance, not correctness (rows equal on the leading
   * column always share a bucket; the within-bucket sort restores the full
   * order).
+  *
+  * Cost note: the two passes (rows, bucket summaries) and the bounds
+  * aggregate each reference the input subplan; correctness does NOT
+  * depend on them seeing identical data placement (the bucket id is a
+  * pure function of the row), and in practice AQE stage reuse dedupes
+  * the expensive shared prefix — q131's per-customer aggregate shuffle
+  * plans once with ReusedExchange for the other consumers, so the
+  * recomputation is projection-level, not another fact shuffle.
   */
 object Scan {
 
