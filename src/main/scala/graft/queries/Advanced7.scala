@@ -360,6 +360,66 @@ object Advanced7 {
       |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
       |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  // Set-similarity join with PREFIX FILTERING (the PPJoin family, Xiao
+  // et al.) at Jaccard >= 0.9 within language — the recall-ONE exact
+  // alternative to LSH for high thresholds: two token sets with
+  // J >= t and |x| - ceil(t*|x|) + 1 prefixes under a COMMON global
+  // rarity order MUST share a prefix token (pigeonhole on
+  // |intersect| >= ceil(t*max(|a|,|b|))), so the candidate join runs on
+  // prefix tokens only — the rarest ~10% of each document — and the
+  // exact Jaccard verify touches candidates, never all pairs. The
+  // ceil is exact integer arithmetic ((9n+9) DIV 10): a float 0.9*n
+  // rounds UP at multiples of 10 and silently shortens the prefix,
+  // which breaks the recall guarantee. The oracle is the brute-force
+  // all-pairs definition itself.
+  def q143PpJoin(s: SparkSession, d: String): DataFrame = {
+    def tokenSets(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    def prefixes() = {
+      val tok = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        explode_outer(array_distinct(split(col("text"), " "))).as("term"))
+      val freq = Tables.documents(s, d) // independent read for the rarity order
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      val wDoc = Window.partitionBy("doc_id")
+      tok.join(freq, "term")
+        .withColumn("rn", row_number().over(wDoc.orderBy("tf", "term")))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .where(col("rn") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
+        .select(col("term"), col("doc_id"), col("lang"))
+    }
+    val pa = prefixes()
+    val pb = prefixes()
+    val cand = pa.join(pb,
+        pa("term") === pb("term") && pa("lang") === pb("lang") &&
+          pa("doc_id") < pb("doc_id"))
+      .select(pa("doc_id").as("ia"), pb("doc_id").as("ib")).distinct()
+    val sa = tokenSets(Tables.documents(s, d))
+      .select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val sb = tokenSets(Tables.documents(s, d))
+      .select(col("doc_id").as("ib"), col("toks").as("tb"))
+    cand.join(sa, "ia").join(sb, "ib")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .where(col("jaccard") >= 0.9)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  val q143Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+      |ORDER BY ia, ib""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_lorenz_deciles"  -> (q135LorenzDeciles _),
     "q136_bm25"            -> (q136Bm25 _),
@@ -368,7 +428,8 @@ object Advanced7 {
     "q139_retention"       -> (q139Retention _),
     "q140_equidepth_bins"  -> (q140EquidepthBins _),
     "q141_weighted_median" -> (q141WeightedMedian _),
-    "q142_streaks"         -> (q142Streaks _))
+    "q142_streaks"         -> (q142Streaks _),
+    "q143_ppjoin"          -> (q143PpJoin _))
 
   val oracles: Map[String, String] = Map(
     "q135_lorenz_deciles"  -> q135Sql,
@@ -378,5 +439,6 @@ object Advanced7 {
     "q139_retention"       -> q139Sql,
     "q140_equidepth_bins"  -> q140Sql,
     "q141_weighted_median" -> q141Sql,
-    "q142_streaks"         -> q142Sql)
+    "q142_streaks"         -> q142Sql,
+    "q143_ppjoin"          -> q143Sql)
 }

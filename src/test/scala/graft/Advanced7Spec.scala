@@ -110,6 +110,25 @@ class Advanced7Spec extends AnyFunSuite {
     }
   }
 
+  test("q143 prefix filtering is lossless: output equals the brute-force join") {
+    import org.apache.spark.sql.functions._
+    val got = Advanced7.q143PpJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toSet))
+    val brute = (for {
+      (ia, la, ta) <- d; (ib, lb, tb) <- d
+      if la == lb && ia < ib
+      j = (ta & tb).size.toDouble / (ta | tb).size
+      if j >= 0.9
+    } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == brute,
+      s"prefix filter lost/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(got.forall(_._3 >= 0.9))
+  }
+
   test("q139 cohort week-0 actives equal the cohort size") {
     import org.apache.spark.sql.functions._
     val rows = Advanced7.q139Retention(spark, sf).collect()
