@@ -420,6 +420,101 @@ object Advanced7 {
       |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
       |ORDER BY ia, ib""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  // Rolling 7-day distinct users via MERGEABLE HLL sketches — the 100 TB
+  // path for q138: one map-side-combined sketch per day (the only pass
+  // over the fact), then the bounded 7-day fan-out and union run over
+  // the DAY GRAIN (O(#days) sketch rows, never user rows). q19's
+  // certification pattern: the estimate is checked in-engine against
+  // the exact q138 twin and only the exact count + tolerance verdict
+  // are emitted (sketch bits are engine-specific, verdicts are not).
+  // lgConfigK=14 gives ~0.8% standard error — 5% is a wide margin.
+  def q144RollingHll(s: SparkSession, d: String): DataFrame = {
+    val daySketch = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val days = Tables.events(s, d) // independent read for the day dim
+      .select(date_trunc("day", col("ts")).as("wday")).distinct()
+    val merged = daySketch
+      .select(col("sk"),
+        expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)").as("wdays"))
+      .select(col("sk"), explode_outer(col("wdays")).as("wday"))
+      .join(days, "wday")
+      .groupBy("wday")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_7d"))
+    val exact = q138RollingDistinct(s, d)
+      .select(col("day").as("wday"), col("users_7d"))
+    merged.join(exact, "wday")
+      .select(col("wday").as("day"), col("users_7d").as("exact_7d"),
+        (abs(col("approx_7d") - col("users_7d")) <=
+          greatest(col("users_7d") * 0.05, lit(5.0))).as("within_5pct"))
+      .orderBy("day")
+  }
+
+  val q144Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |days AS (
+      |  SELECT DISTINCT date_trunc('day', ts) AS wday FROM events)
+      |SELECT d.wday AS day, COUNT(DISTINCT u.user_id) AS exact_7d,
+      |  true AS within_5pct
+      |FROM days d JOIN du u
+      |  ON d.wday BETWEEN u.day AND u.day + INTERVAL 6 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  // Time-bounded funnel: q137's ordered steps with a 7-day conversion
+  // window per step (click within 7 days of the first view, purchase
+  // within 7 days of that click) — the form real conversion reporting
+  // uses (an eventual purchase a year later is not attribution). Same
+  // three keyed aggregates; window arithmetic in exact epoch micros.
+  def q145FunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L
+    def ev(t: String) = Tables.events(s, d)
+      .where(col("event_type") === t)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val v = ev("view").groupBy("user_id").agg(min("t").as("t1"))
+    val c = ev("click").join(v, "user_id")
+      .where(col("t") > col("t1") && col("t") <= col("t1") + week)
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val p = ev("purchase").join(c, "user_id")
+      .where(col("t") > col("t2") && col("t") <= col("t2") + week)
+      .groupBy("user_id").agg(min("t").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(lit("view>click>purchase_7d").as("funnel"),
+        col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6)
+          .as("click_to_purchase"))
+      .orderBy("funnel")
+  }
+
+  val q145Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t2
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t1
+      |        AND e.t <= v.t1 + 604800000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t2
+      |        AND e.t <= c.t2 + 604800000000 GROUP BY 1)
+      |SELECT 'view>click>purchase_7d' AS funnel,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+      |  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+      |ORDER BY funnel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_lorenz_deciles"  -> (q135LorenzDeciles _),
     "q136_bm25"            -> (q136Bm25 _),
@@ -429,7 +524,9 @@ object Advanced7 {
     "q140_equidepth_bins"  -> (q140EquidepthBins _),
     "q141_weighted_median" -> (q141WeightedMedian _),
     "q142_streaks"         -> (q142Streaks _),
-    "q143_ppjoin"          -> (q143PpJoin _))
+    "q143_ppjoin"          -> (q143PpJoin _),
+    "q144_rolling_hll"     -> (q144RollingHll _),
+    "q145_funnel_windowed" -> (q145FunnelWindowed _))
 
   val oracles: Map[String, String] = Map(
     "q135_lorenz_deciles"  -> q135Sql,
@@ -440,5 +537,7 @@ object Advanced7 {
     "q140_equidepth_bins"  -> q140Sql,
     "q141_weighted_median" -> q141Sql,
     "q142_streaks"         -> q142Sql,
-    "q143_ppjoin"          -> q143Sql)
+    "q143_ppjoin"          -> q143Sql,
+    "q144_rolling_hll"     -> q144Sql,
+    "q145_funnel_windowed" -> q145Sql)
 }

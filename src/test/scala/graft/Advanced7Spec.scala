@@ -129,6 +129,25 @@ class Advanced7Spec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.9))
   }
 
+  test("q144 every HLL rolling estimate is within tolerance of the exact twin") {
+    val rows = Advanced7.q144RollingHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"${r.get(0)}: sketch estimate outside 5% of exact ${r.getLong(1)}")
+    }
+  }
+
+  test("q145 windowed funnel is dominated by the unbounded q137 funnel") {
+    val unbounded = Advanced7.q137Funnel(spark, sf).collect().head
+    val windowed = Advanced7.q145FunnelWindowed(spark, sf).collect().head
+    // same view population; each bounded step can only lose conversions
+    assert(windowed.getLong(1) == unbounded.getLong(1))
+    assert(windowed.getLong(2) <= unbounded.getLong(2))
+    assert(windowed.getLong(3) <= unbounded.getLong(3))
+    assert(windowed.getLong(2) >= windowed.getLong(3))
+  }
+
   test("q139 cohort week-0 actives equal the cohort size") {
     import org.apache.spark.sql.functions._
     val rows = Advanced7.q139Retention(spark, sf).collect()
