@@ -124,7 +124,12 @@ object Bench {
       "q100_fuzzy_match", "q104_recursive_cte", "q106_topk_agg",
       "q107_chunk_dedup", "q108_ewma", "q111_pagerank",
       "q118_inverted_index", "q119_bloom_prune", "q121_correlation",
-      "q123_compaction")
+      "q123_compaction",
+      // round-6 scale-relevant representatives: distributed prefix scan,
+      // bounded-fan-out sliding distinct (+ its HLL scale path), and the
+      // recall-1 prefix-filtered similarity join
+      "q135_lorenz_deciles", "q138_rolling_distinct", "q143_ppjoin",
+      "q144_rolling_hll")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -361,18 +361,26 @@ object Advanced7 {
       |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q143
-  // Set-similarity join with PREFIX FILTERING (the PPJoin family, Xiao
-  // et al.) at Jaccard >= 0.9 within language — the recall-ONE exact
-  // alternative to LSH for high thresholds: two token sets with
-  // J >= t and |x| - ceil(t*|x|) + 1 prefixes under a COMMON global
-  // rarity order MUST share a prefix token (pigeonhole on
-  // |intersect| >= ceil(t*max(|a|,|b|))), so the candidate join runs on
-  // prefix tokens only — the rarest ~10% of each document — and the
-  // exact Jaccard verify touches candidates, never all pairs. The
-  // ceil is exact integer arithmetic ((9n+9) DIV 10): a float 0.9*n
-  // rounds UP at multiples of 10 and silently shortens the prefix,
-  // which breaks the recall guarantee. The oracle is the brute-force
-  // all-pairs definition itself.
+  // Set-similarity join with the full PPJoin filter stack (Xiao et al.)
+  // at Jaccard >= 0.95 within language — the recall-ONE exact
+  // alternative to LSH for high thresholds. Three lossless pruning
+  // bounds, all in EXACT integer arithmetic (a float t*n rounds up at
+  // exact multiples and silently breaks the recall guarantee):
+  //  - prefix filter: sets with J >= t and |x| - ceil(t|x|) + 1
+  //    prefixes under a COMMON rarity order must share a prefix token
+  //    (pigeonhole on |intersect| >= ceil(t*max(|a|,|b|)));
+  //  - length filter: J >= t forces ceil(t|a|) <= |b| (and
+  //    symmetrically), joined as a predicate;
+  //  - positional filter: a prefix match at positions (ra, rb) caps the
+  //    overlap at 1 + min(|a|-ra, |b|-rb), which must reach the Jaccard
+  //    overlap requirement alpha = ceil(t/(1+t)*(|a|+|b|)) — on this
+  //    corpus it keeps only the first ~2 prefix positions pair-eligible.
+  // The exact Jaccard verify then touches candidates, never all pairs.
+  // The oracle is the brute-force all-pairs definition itself. This
+  // corpus is ADVERSARIAL for similarity joins (small shared vocabulary,
+  // mean pairwise J = 0.62) — even DuckDB's brute force needs ~60 s at
+  // sf0.1 — which is exactly why the filter stack, not an all-pairs
+  // loop, is the operator.
   def q143PpJoin(s: SparkSession, d: String): DataFrame = {
     def tokenSets(df: DataFrame) = df.select(col("doc_id"), col("lang"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
@@ -383,18 +391,31 @@ object Advanced7 {
         .select(explode(array_distinct(split(col("text"), " "))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("tf"))
       val wDoc = Window.partitionBy("doc_id")
+      // prefix length for t = 19/20: n - ceil(19n/20) + 1
       tok.join(freq, "term")
         .withColumn("rn", row_number().over(wDoc.orderBy("tf", "term")))
         .withColumn("n", count(lit(1)).over(wDoc))
-        .where(col("rn") <= col("n") - expr("(9 * n + 9) DIV 10") + 1)
-        .select(col("term"), col("doc_id"), col("lang"))
+        .where(col("rn") <= col("n") - expr("(19 * n + 19) DIV 20") + 1)
+        .select(col("term"), col("doc_id"), col("lang"), col("rn"), col("n"))
     }
     val pa = prefixes()
     val pb = prefixes()
+    // alpha = ceil((19/39) * (na + nb)) — the minimum overlap J >= 19/20
+    // requires of a pair with these set sizes
+    val alpha = expr("(19 * (a_n + b_n) + 38) DIV 39")
     val cand = pa.join(pb,
         pa("term") === pb("term") && pa("lang") === pb("lang") &&
           pa("doc_id") < pb("doc_id"))
-      .select(pa("doc_id").as("ia"), pb("doc_id").as("ib")).distinct()
+      .select(pa("doc_id").as("ia"), pb("doc_id").as("ib"),
+        pa("n").as("a_n"), pb("n").as("b_n"),
+        pa("rn").as("a_rn"), pb("rn").as("b_rn"))
+      // length filter: ceil(t*na) <= nb and ceil(t*nb) <= na
+      .where(expr("(19 * a_n + 19) DIV 20") <= col("b_n") &&
+        expr("(19 * b_n + 19) DIV 20") <= col("a_n"))
+      // positional filter: remaining-token overlap bound must reach alpha
+      .where(lit(1) + least(col("a_n") - col("a_rn"),
+        col("b_n") - col("b_rn")) >= alpha)
+      .select(col("ia"), col("ib")).distinct()
     val sa = tokenSets(Tables.documents(s, d))
       .select(col("doc_id").as("ia"), col("toks").as("ta"))
     val sb = tokenSets(Tables.documents(s, d))
@@ -403,7 +424,7 @@ object Advanced7 {
       .withColumn("jaccard",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))))
-      .where(col("jaccard") >= 0.9)
+      .where(col("jaccard") >= 0.95)
       .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("ia", "ib")
   }
@@ -417,7 +438,7 @@ object Advanced7 {
       |    / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+      |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
       |ORDER BY ia, ib""".stripMargin
 
   // ---------------------------------------------------------------- q144

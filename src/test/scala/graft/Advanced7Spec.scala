@@ -122,11 +122,11 @@ class Advanced7Spec extends AnyFunSuite {
       (ia, la, ta) <- d; (ib, lb, tb) <- d
       if la == lb && ia < ib
       j = (ta & tb).size.toDouble / (ta | tb).size
-      if j >= 0.9
+      if j >= 0.95
     } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
     assert(got == brute,
       s"prefix filter lost/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
-    assert(got.forall(_._3 >= 0.9))
+    assert(got.forall(_._3 >= 0.95))
   }
 
   test("q144 every HLL rolling estimate is within tolerance of the exact twin") {

@@ -61,6 +61,26 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("edge cases: empty input, single row, all-equal leading keys") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+    assert(Scan.withGlobalRowNumber(empty, Seq(col("k")), "rn").count() == 0)
+    assert(Scan.withRunningMax(empty, Seq(col("k")), col("v"), "pm").count() == 0)
+    val one = spark.range(1).select(lit(7L).as("k"), lit(3L).as("v"))
+    val r1 = Scan.withGlobalRowNumber(one, Seq(col("k")), "rn").collect()
+    assert(r1.length == 1 && r1.head.getLong(2) == 1L)
+    // all rows share the leading key (lo == hi -> single bucket): the
+    // tie-breaker column must still produce a total order
+    val ties = spark.range(0, 100)
+      .select(lit(5L).as("k"), pmod(col("id") * 37, lit(100)).as("tb"))
+    val rt = Scan.withGlobalRowNumber(ties, Seq(col("k"), col("tb")), "rn",
+      partitions = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert((0L until 100L).forall(tb => rt(tb) == tb + 1))
+  }
+
   test("withRunningSum totalOut carries the exact grand total") {
     val out = Scan.withRunningSum(fixture, Seq(col("k")), col("v"), "ps",
       partitions = 5, totalOut = Some("tw"))
