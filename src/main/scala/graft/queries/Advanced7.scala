@@ -536,6 +536,58 @@ object Advanced7 {
       |    / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
       |ORDER BY funnel""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  // Last-touch marketing attribution with a 7-day lookback: every
+  // purchase is attributed to the LAST view by the same user (the
+  // backward as-of join — graft.plans.AsOfMergeJoin, the custom
+  // LogicalPlan/Strategy/SparkPlan operator) and kept only if that view
+  // is within the window; an older view does NOT re-attribute (that is
+  // the point of last-touch). Revenue is decimal-routed; the mean
+  // click-to-buy latency averages exact integer micros (both engines
+  // sum integrals exactly) before one double division.
+  def q146Attribution(s: SparkSession, d: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("value"))
+    val views = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsOfMergeJoin.backward(purchases, views,
+        key = "user_id", leftTime = "purchase_us",
+        rightTime = "view_us", payload = Seq("view_us"))
+      .withColumn("attributed",
+        col("view_us").isNotNull &&
+          col("purchase_us") - col("view_us") <= week)
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"),
+        round(avg(col("purchase_us") - col("view_us")) / 3600000000.0, 4)
+          .as("avg_latency_hr"))
+      .orderBy("attributed")
+  }
+
+  val q146Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+      |    value
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS view_us
+      |  FROM events WHERE event_type = 'view'),
+      |a AS (
+      |  SELECT p.value, p.purchase_us, v.view_us
+      |  FROM p ASOF LEFT JOIN v
+      |    ON p.user_id = v.user_id AND p.purchase_us >= v.view_us)
+      |SELECT (view_us IS NOT NULL
+      |    AND purchase_us - view_us <= 604800000000) AS attributed,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  ROUND(AVG(purchase_us - view_us) / 3600000000.0, 4) AS avg_latency_hr
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_lorenz_deciles"  -> (q135LorenzDeciles _),
     "q136_bm25"            -> (q136Bm25 _),
@@ -547,7 +599,8 @@ object Advanced7 {
     "q142_streaks"         -> (q142Streaks _),
     "q143_ppjoin"          -> (q143PpJoin _),
     "q144_rolling_hll"     -> (q144RollingHll _),
-    "q145_funnel_windowed" -> (q145FunnelWindowed _))
+    "q145_funnel_windowed" -> (q145FunnelWindowed _),
+    "q146_attribution"     -> (q146Attribution _))
 
   val oracles: Map[String, String] = Map(
     "q135_lorenz_deciles"  -> q135Sql,
@@ -560,5 +613,6 @@ object Advanced7 {
     "q142_streaks"         -> q142Sql,
     "q143_ppjoin"          -> q143Sql,
     "q144_rolling_hll"     -> q144Sql,
-    "q145_funnel_windowed" -> q145Sql)
+    "q145_funnel_windowed" -> q145Sql,
+    "q146_attribution"     -> q146Sql)
 }
