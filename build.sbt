@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to this process's stdout/stderr.
+// sbt's default LoggedOutput re-logs every line with an "[info] " prefix,
+// which breaks line-oriented JSON consumers of `runMain graft.Bench`
+// (the contract line must be parseable raw JSON on its own line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,6 +45,11 @@ object Clusters {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = vertices.select(col("id"), col("id").as("label"))
+    // per-INVOCATION chain id: two CC loops running concurrently in one
+    // session (parallel test suites; two jobs sharing a driver) must not
+    // share a reliable-checkpoint chain, or one loop's round-k cut
+    // deletes the other's live round-(k-1) files
+    val chain = s"cc_labels@${java.util.UUID.randomUUID()}"
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
@@ -76,7 +81,7 @@ object Clusters {
       // filesystem round-trip — right for gate runs) and a reliable
       // checkpoint() when spark.graft.checkpoint.dir is set — the
       // fault-tolerant posture a cluster run hours into a loop wants.
-      labels = graft.operators.Lineage.cut(jump(jump(merged)))
+      labels = graft.operators.Lineage.cut(jump(jump(merged)), chain = chain)
       val s = labelSum(labels)
       // empty vertex set: sum(NULL group) is null — there is nothing to
       // propagate, so stop immediately instead of burning maxRounds of

@@ -13,17 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * clustering/data-skipping layouts, and the raw `md5_number_lower` hash
   * (DuckDB-compatible) for reproducible hash-derived uniforms.
   *
-  * Jaro-Winkler character-unit contract: the kernel iterates UTF-16 code
-  * units (String.length/charAt). The "bitwise-identical to DuckDB" claim
-  * holds for ASCII, where bytes == code units == code points (DuckDB
-  * walks UTF-8 bytes, so multi-byte text diverges between the engines by
-  * construction). The JaroWinklerPruning 5t−4 length guard (Spark's
-  * `length()` = code points) is sound for ALL BMP text — there code
-  * units == code points, so the guard bounds the kernel's own metric
-  * (fuzz-pinned over ASCII and multi-byte BMP corpora). OUT of contract:
-  * supplementary-plane text (emoji), where a code point is two code
-  * units — the similarity is still deterministic, but neither the
-  * DuckDB-parity claim nor the guard bound is established there.
+  * Jaro-Winkler character-unit contract: the kernel iterates UNICODE
+  * CODE POINTS (surrogate pairs count as one character), so its metric
+  * agrees with Spark's `length()` for ALL text — including
+  * supplementary-plane (emoji) input — which is what makes the
+  * JaroWinklerPruning 5t−4 length guard sound universally (fuzz-pinned
+  * over ASCII, multi-byte BMP, and astral corpora, plus a direct
+  * transposition case a code-unit walk would score 0.0). The "bitwise-
+  * identical to DuckDB" claim holds for ASCII, where bytes == code
+  * points (DuckDB walks UTF-8 bytes, so multi-byte text diverges
+  * between the engines by construction — q115's oracle corpus is
+  * ASCII).
   *
   * Pure JVM, allocation-light, deterministic — called statically from
   * whole-stage codegen via the expressions below.
@@ -35,11 +35,33 @@ object MatchKernels {
     * the standard floor(max/2)-1 match window and half-transposition
     * count.
     */
+  /** Decode to code points. Surrogate-free strings (ASCII/BMP — the
+    * overwhelming hot path) take a straight char copy; only text that
+    * actually contains a surrogate pays the codePointAt walk.
+    */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.length
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n && !Character.isHighSurrogate(s.charAt(i))) {
+      out(i) = s.charAt(i); i += 1
+    }
+    if (i == n) return out
+    var k = i
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      out(k) = cp; k += 1; i += Character.charCount(cp)
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
   def jaro(s1: String, s2: String): Double = {
-    val l1 = s1.length
-    val l2 = s2.length
-    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
     if (s1 == s2) return 1.0
+    val c1 = codePoints(s1)
+    val c2 = codePoints(s2)
+    val l1 = c1.length
+    val l2 = c2.length
     val window = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
@@ -51,7 +73,7 @@ object MatchKernels {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && c1(i) == c2(j)) {
           m1(i) = true; m2(j) = true; m += 1; done = true
         }
         j += 1
@@ -65,7 +87,7 @@ object MatchKernels {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(j)) j += 1
-        if (s1.charAt(i) != s2.charAt(j)) t += 1
+        if (c1(i) != c2(j)) t += 1
         j += 1
       }
       i += 1
@@ -74,15 +96,22 @@ object MatchKernels {
     (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
   }
 
-  /** Winkler refinement: common-prefix boost (cap 4, weight 0.1) applied
-    * only above the classic 0.7 threshold — DuckDB's exact semantics.
+  /** Winkler refinement: common-prefix boost (cap 4 code points, weight
+    * 0.1) applied only above the classic 0.7 threshold — DuckDB's exact
+    * semantics (on the ASCII parity surface).
     */
   def jaroWinkler(s1: String, s2: String): Double = {
     var sim = jaro(s1, s2)
     if (sim > 0.7) {
       var p = 0
-      val cap = math.min(4, math.min(s1.length, s2.length))
-      while (p < cap && s1.charAt(p) == s2.charAt(p)) p += 1
+      var i1 = 0
+      var i2 = 0
+      while (p < 4 && i1 < s1.length && i2 < s2.length && {
+        val cp1 = s1.codePointAt(i1)
+        cp1 == s2.codePointAt(i2) && {
+          i1 += Character.charCount(cp1); i2 += Character.charCount(cp1); true
+        }
+      }) p += 1
       sim = sim + p * 0.1 * (1 - sim)
     }
     sim

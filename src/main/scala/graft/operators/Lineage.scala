@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 
 /** Per-iteration lineage truncation for iterative DataFrame loops
@@ -17,20 +18,68 @@ import org.apache.spark.sql.DataFrame
   *
   * Both are eager, so the caller's convergence check reads materialized
   * blocks either way (LineageSpec pins result equality across postures).
+  *
+  * Reliable-mode garbage: `checkpoint(true)` writes a fresh `rdd-<id>`
+  * directory every call and Spark's ContextCleaner only removes them when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` was set BEFORE the
+  * SparkContext started — which a library cannot guarantee. An hours-deep
+  * loop would otherwise grow the checkpoint dir by one full table copy per
+  * round. Callers therefore pass a `chain` id for each iteratively
+  * re-assigned variable: once round k's checkpoint of a chain has
+  * materialized, round k-1's directory for that SAME chain is provably
+  * unreferenced (the new data is fully on disk) and is deleted here.
+  * Long-lived cuts (e.g. an edge table read in every round) simply omit
+  * `chain` and are never deleted.
   */
 object Lineage {
 
   val DirKey = "spark.graft.checkpoint.dir"
 
-  def cut(df: DataFrame): DataFrame = {
+  /** (applicationId, chain) -> rdd-* checkpoint dirs written by the
+    * chain's previous cut. Keyed by app id so a restarted driver never
+    * deletes a path recorded by a dead context.
+    */
+  private val lastCkpt =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
+
+  /** Serializes reliable-mode cuts: ownership of a fresh `rdd-<id>` dir
+    * is attributed by a before/after listing diff, which is only exact
+    * when no other checkpoint materializes in between. Concurrent loops
+    * (parallel test suites; two jobs on one driver) therefore take this
+    * lock for the listing+checkpoint+delete critical section; the
+    * default localCheckpoint path never touches it.
+    */
+  private val reliableLock = new Object
+
+  def cut(df: DataFrame, chain: String = ""): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
+      case Some(dir) => reliableLock.synchronized {
         if (s.sparkContext.getCheckpointDir.isEmpty ||
           !s.sparkContext.getCheckpointDir.exists(_.contains(dir))) {
           s.sparkContext.setCheckpointDir(dir)
         }
-        df.checkpoint(true)
+        val root = new Path(s.sparkContext.getCheckpointDir.get)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def rddDirs(): Set[String] =
+          if (!fs.exists(root)) Set.empty
+          else fs.listStatus(root).iterator
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("rdd-"))
+            .map(_.getPath.toString).toSet
+        val before = if (chain.nonEmpty) rddDirs() else Set.empty[String]
+        val out = df.checkpoint(true) // eager: fully materialized on return
+        if (chain.nonEmpty) {
+          val fresh = rddDirs() -- before
+          val key = (s.sparkContext.applicationId, chain)
+          val stale = Option(lastCkpt.put(key, fresh)).getOrElse(Set.empty)
+          // the new round is on disk; the chain's previous round is garbage
+          (stale -- fresh).foreach { p =>
+            val path = new Path(p)
+            if (path.getParent == root) fs.delete(path, true)
+          }
+        }
+        out
+      }
       case None => df.localCheckpoint(true)
     }
   }

@@ -53,20 +53,56 @@ object Scan {
   /** Tag each row with its deterministic order-bucket id in
     * [0, buckets): nulls-first rows get bucket -1, matching the window
     * form's NULLS FIRST default.
+    *
+    * Two boundary strategies, both deterministic under re-evaluation:
+    *  - default: min/max linear interpolation — zero extra passes (the
+    *    1-row bounds aggregate rides a broadcast), balanced whenever the
+    *    leading column is roughly uniform. Degrades to ONE hot bucket
+    *    when the value range is dominated by outliers or the column is
+    *    duplicate-heavy (e.g. 90% of rows share a few small values under
+    *    a large max).
+    *  - `equiDepth = true`: k-1 approx_percentile boundaries, computed
+    *    ONCE at call time and frozen into the plan as literals. The
+    *    collect is deliberate, not a scale smell: it is k-1 doubles —
+    *    exactly what RangePartitioner collects driver-side — and
+    *    freezing removes the re-evaluation hazard entirely (a broadcast
+    *    SUBPLAN of a sketch aggregate could re-run per consumer, and
+    *    sketch merge order is not run-stable; a literal cannot diverge).
+    *    Bucket skew is then bounded by max(duplicate-value frequency,
+    *    ~1/k + sketch error) regardless of the value distribution.
+    * Rows equal on the leading column always share a bucket under both
+    * strategies (required: the within-bucket sort restores the full
+    * order), so a single value holding p% of all rows implies a p%
+    * bucket no boundary choice can split.
     */
-  private def bucketed(df: DataFrame, orderCols: Seq[Column],
-      buckets: Int): DataFrame = {
+  private[graft] def bucketed(df: DataFrame, orderCols: Seq[Column],
+      buckets: Int, equiDepth: Boolean): DataFrame = {
     val c1 = orderCols.head.cast("double")
-    val bounds = df.select(min(c1).as("__lo"), max(c1).as("__hi"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(Pid,
+    if (equiDepth) {
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val row = df.select(percentile_approx(c1,
+        lit(probs), lit(10000)).as("__bs")).head()
+      val bs: Array[Double] =
+        if (row.isNullAt(0)) Array.empty // empty/all-null input
+        else row.getSeq[Double](0).toArray
+      val arr = lit(bs)
+      df.withColumn(Pid,
         when(c1.isNull, lit(-1))
-          .when(col("__hi") === col("__lo"), lit(0))
-          .otherwise(least(
-            floor((c1 - col("__lo")) /
-              ((col("__hi") - col("__lo")) / buckets)),
-            lit(buckets - 1))).cast("int"))
-      .drop("__lo", "__hi")
+          // #boundaries strictly below the value: monotone in the order,
+          // ties collapse to the lower bucket, range [0, buckets-1]
+          .otherwise(size(filter(arr, b => b < c1))).cast("int"))
+    } else {
+      val bounds = df.select(min(c1).as("__lo"), max(c1).as("__hi"))
+      df.crossJoin(broadcast(bounds))
+        .withColumn(Pid,
+          when(c1.isNull, lit(-1))
+            .when(col("__hi") === col("__lo"), lit(0))
+            .otherwise(least(
+              floor((c1 - col("__lo")) /
+                ((col("__hi") - col("__lo")) / buckets)),
+              lit(buckets - 1))).cast("int"))
+        .drop("__lo", "__hi")
+    }
   }
 
   /** Global 1-based row_number over `orderCols` as column `out`; when
@@ -74,8 +110,9 @@ object Scan {
     * broadcast (no second pass over the data).
     */
   def withGlobalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String,
-      partitions: Int = 32, totalOut: Option[String] = None): DataFrame = {
-    val r = bucketed(df, orderCols, partitions)
+      partitions: Int = 32, totalOut: Option[String] = None,
+      equiDepth: Boolean = false): DataFrame = {
+    val r = bucketed(df, orderCols, partitions, equiDepth)
     val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
     val counts = r.groupBy(Pid).agg(count(lit(1)).as("__n"))
     // exclusive prefix sum over <= `partitions` summary rows
@@ -117,8 +154,9 @@ object Scan {
     * `max().over(rowsBetween(unboundedPreceding, -1))`).
     */
   def withRunningMax(df: DataFrame, orderCols: Seq[Column], value: Column,
-      out: String, partitions: Int = 32): DataFrame = {
-    val r = bucketed(df, orderCols, partitions)
+      out: String, partitions: Int = 32,
+      equiDepth: Boolean = false): DataFrame = {
+    val r = bucketed(df, orderCols, partitions, equiDepth)
     val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val summaries = r.groupBy(Pid).agg(max(value).as("__pm"))
@@ -141,8 +179,9 @@ object Scan {
     */
   def withRunningSum(df: DataFrame, orderCols: Seq[Column], value: Column,
       out: String, partitions: Int = 32,
-      totalOut: Option[String] = None): DataFrame = {
-    val r = bucketed(df, orderCols, partitions)
+      totalOut: Option[String] = None,
+      equiDepth: Boolean = false): DataFrame = {
+    val r = bucketed(df, orderCols, partitions, equiDepth)
     val local = Window.partitionBy(Pid).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val summaries = r.groupBy(Pid).agg(sum(value).as("__ps"))

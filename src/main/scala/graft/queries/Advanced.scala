@@ -255,16 +255,23 @@ object Advanced {
       .select(col("doc_id").as("src"),
         explode_outer(array((col("doc_id") * 7 + 13) % col("n"),
           (col("doc_id") * 13 + 7) % col("n"))).as("dst"))
-    val cut = graft.operators.Lineage.cut _
+    // edges/verts are read in EVERY round — no chain, never deleted; the
+    // ranks variable is re-assigned per round — chain it so reliable mode
+    // drops round k-1's checkpoint dir once round k is on disk
+    def cut(df: DataFrame) = graft.operators.Lineage.cut(df)
+    // per-invocation chain id — see Clusters.connectedComponents
+    val chain = s"q111_ranks@${java.util.UUID.randomUUID()}"
+    def cutRanks(df: DataFrame) =
+      graft.operators.Lineage.cut(df, chain = chain)
     val cutEdges = cut(edges)
     val verts = cut(Tables.documents(s, d).select(col("doc_id")))
-    var ranks = cut(verts.select(col("doc_id"), lit(1.0).as("rank")))
+    var ranks = cutRanks(verts.select(col("doc_id"), lit(1.0).as("rank")))
     for (_ <- 1 to 5) {
       val contribs = cutEdges
         .join(ranks.withColumnRenamed("doc_id", "src_id"), col("src") === col("src_id"))
         .select(col("dst"), (col("rank") / 2).cast(DecimalType(20, 12)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      ranks = cut(verts.join(contribs, verts("doc_id") === contribs("dst"), "left")
+      ranks = cutRanks(verts.join(contribs, verts("doc_id") === contribs("dst"), "left")
         .select(col("doc_id"),
           (lit(0.15) + lit(0.85) *
             coalesce(col("csum").cast("double"), lit(0.0))).as("rank")))

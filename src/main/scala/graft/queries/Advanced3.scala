@@ -119,7 +119,10 @@ object Advanced3 {
   // aggregates the compacted copy).
   // The work dir is keyed by applicationId: two concurrent drivers (e.g.
   // Bench while Verify runs) must not overwrite each other's files
-  // mid-read.
+  // mid-read. The per-group aggregate (a handful of rows) is collected
+  // eagerly so the work dir can be deleted before returning — otherwise
+  // every driver run leaks a full fragmented+compacted copy of events
+  // under java.io.tmpdir.
   def q123Compaction(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_compaction_${s.sparkContext.applicationId}").getAbsolutePath
@@ -134,12 +137,21 @@ object Advanced3 {
     val nFiles = new java.io.File(compDir).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     require(nFiles <= 4, s"compaction must bound file count, got $nFiles")
-    s.read.parquet(compDir)
+    val agg = s.read.parquet(compDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
         min("event_id").as("first_event"), max("event_id").as("last_event"))
       .orderBy("event_type")
+    val rows = agg.collect() // one row per event_type — driver-side tiny
+    deleteRecursively(new java.io.File(base))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      .coalesce(1).sortWithinPartitions("event_type")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   val q123Sql: String =

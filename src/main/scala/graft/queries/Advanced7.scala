@@ -384,34 +384,51 @@ object Advanced7 {
   def q143PpJoin(s: SparkSession, d: String): DataFrame = {
     def tokenSets(df: DataFrame) = df.select(col("doc_id"), col("lang"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    def prefixes() = {
+    // The tokenize → corpus-frequency → per-doc rarity-rank window stage
+    // is the expensive part of candidate generation, and it is IDENTICAL
+    // on both sides of the self-join — so it is built ONCE and
+    // materialized via Lineage.cut (~0.05n prefix rows: tiny), then both
+    // join sides are cheap aliased scans of the same blocks. Re-deriving
+    // it per side (round-6 shape) doubled the regex/shuffle work of the
+    // whole query.
+    val prefix = graft.operators.Lineage.cut {
       val tok = Tables.documents(s, d).select(col("doc_id"), col("lang"),
         explode_outer(array_distinct(split(col("text"), " "))).as("term"))
       val freq = Tables.documents(s, d) // independent read for the rarity order
         .select(explode(array_distinct(split(col("text"), " "))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("tf"))
       val wDoc = Window.partitionBy("doc_id")
-      // prefix length for t = 19/20: n - ceil(19n/20) + 1
+      // build prefix length for t = 19/20: n - ceil(19n/20) + 1 (the
+      // partner's size is unknown at build time, so own-size bound)
       tok.join(freq, "term")
         .withColumn("rn", row_number().over(wDoc.orderBy("tf", "term")))
         .withColumn("n", count(lit(1)).over(wDoc))
         .where(col("rn") <= col("n") - expr("(19 * n + 19) DIV 20") + 1)
         .select(col("term"), col("doc_id"), col("lang"), col("rn"), col("n"))
     }
-    val pa = prefixes()
-    val pb = prefixes()
+    val pa = prefix.select(col("term").as("a_term"), col("lang").as("a_lang"),
+      col("doc_id").as("ia"), col("rn").as("a_rn"), col("n").as("a_n"))
+    val pb = prefix.select(col("term").as("b_term"), col("lang").as("b_lang"),
+      col("doc_id").as("ib"), col("rn").as("b_rn"), col("n").as("b_n"))
     // alpha = ceil((19/39) * (na + nb)) — the minimum overlap J >= 19/20
     // requires of a pair with these set sizes
     val alpha = expr("(19 * (a_n + b_n) + 38) DIV 39")
     val cand = pa.join(pb,
-        pa("term") === pb("term") && pa("lang") === pb("lang") &&
-          pa("doc_id") < pb("doc_id"))
-      .select(pa("doc_id").as("ia"), pb("doc_id").as("ib"),
-        pa("n").as("a_n"), pb("n").as("b_n"),
-        pa("rn").as("a_rn"), pb("rn").as("b_rn"))
+        col("a_term") === col("b_term") && col("a_lang") === col("b_lang") &&
+          col("ia") < col("ib"))
       // length filter: ceil(t*na) <= nb and ceil(t*nb) <= na
       .where(expr("(19 * a_n + 19) DIV 20") <= col("b_n") &&
         expr("(19 * b_n + 19) DIV 20") <= col("a_n"))
+      // pair-level prefix tightening (the PPJoin+-style second cut): by
+      // the joint prefix lemma, overlap >= alpha forces a SHARED token
+      // with rn <= n - alpha + 1 on BOTH sides simultaneously. Shared
+      // tokens appear in the same relative order in both docs (common
+      // rarity order), so the first shared row minimizes both rn's —
+      // filtering every row by the tighter bound still keeps that first
+      // row for every true pair (recall 1), while the own-size build
+      // bound alone admits rows this provably cannot satisfy.
+      .where(col("a_rn") <= col("a_n") - alpha + 1 &&
+        col("b_rn") <= col("b_n") - alpha + 1)
       // positional filter: remaining-token overlap bound must reach alpha
       .where(lit(1) + least(col("a_n") - col("a_rn"),
         col("b_n") - col("b_rn")) >= alpha)
@@ -542,9 +559,11 @@ object Advanced7 {
   // backward as-of join — graft.plans.AsOfMergeJoin, the custom
   // LogicalPlan/Strategy/SparkPlan operator) and kept only if that view
   // is within the window; an older view does NOT re-attribute (that is
-  // the point of last-touch). Revenue is decimal-routed; the mean
-  // click-to-buy latency averages exact integer micros (both engines
-  // sum integrals exactly) before one double division.
+  // the point of last-touch). Revenue is decimal-routed; so is the mean
+  // view-to-buy latency: Spark's Average over BIGINT accumulates in
+  // DOUBLE (order-dependent parallel sum), so the delta is summed as
+  // DECIMAL(28,0) — exact and order-insensitive — and divided by the
+  // non-null count, with the oracle running the identical algebra.
   def q146Attribution(s: SparkSession, d: String): DataFrame = {
     val week = 7L * 86400L * 1000000L
     val purchases = Tables.events(s, d)
@@ -564,7 +583,10 @@ object Advanced7 {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("revenue"),
-        round(avg(col("purchase_us") - col("view_us")) / 3600000000.0, 4)
+        round(sum((col("purchase_us") - col("view_us"))
+            .cast(DecimalType(28, 0))).cast("double")
+          / count(col("purchase_us") - col("view_us"))
+          / 3600000000.0, 4)
           .as("avg_latency_hr"))
       .orderBy("attributed")
   }
@@ -585,7 +607,8 @@ object Advanced7 {
       |    AND purchase_us - view_us <= 604800000000) AS attributed,
       |  COUNT(*) AS n_purchases,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-      |  ROUND(AVG(purchase_us - view_us) / 3600000000.0, 4) AS avg_latency_hr
+      |  ROUND(CAST(SUM(CAST(purchase_us - view_us AS DECIMAL(28,0))) AS DOUBLE)
+    / COUNT(purchase_us - view_us) / 3600000000.0, 4) AS avg_latency_hr
       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

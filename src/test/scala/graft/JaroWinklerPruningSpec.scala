@@ -16,31 +16,54 @@ class JaroWinklerPruningSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("the 5t-4 length bound is sound (fuzz against the kernel)") {
-    // two corpora: ASCII and multi-byte BMP (accented Latin + CJK). The
-    // guard compares Spark length() (code points) while the kernel walks
-    // UTF-16 code units — identical for BMP text, which is the kernel's
-    // documented contract (supplementary-plane text is out of contract;
-    // see MatchExpressions scaladoc). The BMP corpus pins that the bound
-    // survives multi-byte characters, not just the ASCII fuzz.
+    // three corpora: ASCII, multi-byte BMP (accented Latin + CJK), and
+    // supplementary-plane (emoji — one code point = TWO UTF-16 units).
+    // The guard compares Spark length() (code points) and the kernel now
+    // iterates code points too, so the bound must hold on ALL of them;
+    // the astral corpus is the round-7 contract-enforcement pin (a
+    // code-unit kernel would make the guard unsound exactly there).
     val rnd = new scala.util.Random(7)
     val corpora = Seq(
       "key agg row scan slow fast table value part hash".split(' '),
-      "clé café señor 北京 données tōkyō über straße 文字 中文".split(' '))
+      "clé café señor 北京 données tōkyō über straße 文字 中文".split(' '),
+      "🚀 a🚀b 🎉🎊 x🧪 🔥data 🚀🚀".split(' '))
     for (words <- corpora; _ <- 1 to 5000) {
       val a = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
       val b = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
-      // BMP precondition of the contract: code points == code units
-      assert(a.codePointCount(0, a.length) == a.length)
       val jw = MatchKernels.jaroWinkler(a, b)
       for (t <- Seq(0.81, 0.85, 0.9, 0.95)) {
         if (jw >= t) {
-          val r = math.min(a.length, b.length).toDouble /
-            math.max(math.max(a.length, b.length), 1)
+          // Spark's length(): code points — the unit the guard compares
+          val la = a.codePointCount(0, a.length)
+          val lb = b.codePointCount(0, b.length)
+          val r = math.min(la, lb).toDouble / math.max(math.max(la, lb), 1)
           assert(r >= 5 * t - 4 - 1e-12,
             s"bound violated: jw($a, $b)=$jw but ratio $r < ${5 * t - 4}")
         }
       }
     }
+  }
+
+  test("kernel iterates code points, not UTF-16 units (astral transposition)") {
+    // "🚀ab" vs "a🚀b": three code points each, match window
+    // floor(3/2)-1 = 0 pairs only the diagonal — m=1 ('b'), so
+    // jaro = (1/3 + 1/3 + 1/1) / 3 = 5/9. A code-unit walk sees 4-unit
+    // strings with window 1, pairs the surrogate halves across the
+    // swap, and returns 5/6 — the divergent input that used to be out
+    // of contract (and the direction that breaks guard soundness: the
+    // unit metric can exceed what the code-point lengths admit).
+    val a = "🚀ab"
+    val b = "a🚀b"
+    assert(math.abs(MatchKernels.jaro(a, b) - 5.0 / 9) < 1e-12,
+      s"expected code-point jaro 5/9, got ${MatchKernels.jaro(a, b)}")
+    // equal astral strings: full similarity through the prefix boost path
+    assert(MatchKernels.jaroWinkler("🚀🚀", "🚀🚀") == 1.0)
+    // prefix boost counts code points: cap-4 prefix of astral text
+    val p1 = "🚀🚀🚀🚀ab"
+    val p2 = "🚀🚀🚀🚀ba"
+    val jw = MatchKernels.jaroWinkler(p1, p2)
+    val j = MatchKernels.jaro(p1, p2)
+    assert(math.abs(jw - (j + 4 * 0.1 * (1 - j))) < 1e-12)
   }
 
   test("rule injects the length guard ahead of the kernel; results identical") {

@@ -52,4 +52,34 @@ class LineageSpec extends AnyFunSuite {
       assert(written > 0, s"no checkpoint files under $dir")
     } finally spark.conf.unset(Lineage.DirKey)
   }
+
+  test("chained cuts delete the previous round's checkpoint dir (bounded growth)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_chain")
+    spark.conf.set(Lineage.DirKey, dir.toString)
+    try {
+      def rddDirs(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-"))
+          .map(_.toString).toSeq
+      }
+      // a pinned (un-chained) cut must survive the whole loop
+      val pinned = Lineage.cut(spark.range(50).toDF("id"))
+      val pinnedDirs = rddDirs().toSet
+      assert(pinnedDirs.nonEmpty)
+      var df = spark.range(1000).toDF("id")
+      for (_ <- 1 to 6) {
+        df = Lineage.cut(
+          df.selectExpr("id + 1 AS id"), chain = "spec_chain")
+        // every round: exactly the pinned dir(s) + the chain's CURRENT dir
+        assert(rddDirs().size <= pinnedDirs.size + 1,
+          s"checkpoint dir grew unboundedly: ${rddDirs()}")
+      }
+      // both frames still readable: chain's live round + pinned cut intact
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (0L until 1000L).map(_ + 6).sum)
+      assert(pinned.count() == 50)
+    } finally spark.conf.unset(Lineage.DirKey)
+  }
 }

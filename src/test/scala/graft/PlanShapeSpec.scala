@@ -341,6 +341,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q143 builds the tokenize->freq->rank prefix stage exactly once") {
+    // round-6 shape derived the identical prefix table independently on
+    // both sides of the candidate self-join — 2x the regex/shuffle cost
+    // of the whole query. The stage is now materialized once via
+    // Lineage.cut, so the FINAL plan must contain no Window at all (the
+    // rarity-rank window ran eagerly, once) and both join sides must be
+    // scans of that one materialized RDD.
+    val p = plan(graft.queries.Advanced7.q143PpJoin(spark, sf))
+    assert(!p.contains("Window"),
+      s"prefix rank window should be pre-materialized exactly once:\n$p")
+    val rddScans = p.linesIterator.count(_.contains("ExistingRDD"))
+    assert(rddScans >= 2,
+      s"both candidate sides should scan the one materialized prefix table:\n$p")
+  }
+
   test("no unbounded single-partition window anywhere in the surface") {
     // blanket 100 TB guard: a Window whose partitionSpec is empty (or
     // all-foldable, e.g. partitionBy(lit(1))) funnels its entire input

@@ -81,6 +81,59 @@ class ScanSpec extends AnyFunSuite {
     assert((0L until 100L).forall(tb => rt(tb) == tb + 1))
   }
 
+  // duplicate-heavy leading column under an outlier max: 900 rows hold
+  // five small values (180 each), 100 rows sit at 1e9 — the shape where
+  // min/max interpolation collapses to one hot bucket
+  private def skewed = spark.range(0, 1000)
+    .select(when(col("id") < 900, col("id") % 5)
+        .otherwise(lit(1000000000L)).as("s"),
+      col("id").as("tb"),
+      (pmod(col("id") * 31, lit(50)) - 25).as("v"))
+
+  test("equi-depth buckets bound skew where interpolation collapses to one bucket") {
+    def maxShare(equiDepth: Boolean): Double = {
+      val counts = Scan.bucketed(skewed, Seq(col("s"), col("tb")), 8,
+          equiDepth = equiDepth)
+        .groupBy("__pid").count().as[(Int, Long)].collect()
+      counts.map(_._2).max.toDouble / counts.map(_._2).sum
+    }
+    val interp = maxShare(equiDepth = false)
+    val depth = maxShare(equiDepth = true)
+    assert(interp >= 0.85,
+      s"fixture no longer adversarial for interpolation: $interp")
+    // bounded by the max duplicate-value frequency (180/1000), not the
+    // value range
+    assert(depth <= 0.25, s"equi-depth skew not bounded: $depth")
+  }
+
+  test("equi-depth results are value-identical to the window forms") {
+    val w = Window.orderBy("s", "tb")
+    val expectedRn = skewed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    val wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    val expectedPs = skewed.withColumn("ps", sum("v").over(wx))
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toMap
+    for (p <- Seq(1, 3, 8, 64)) {
+      val rn = Scan.withGlobalRowNumber(skewed, Seq(col("s"), col("tb")),
+          "rn", partitions = p, equiDepth = true)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+      assert(rn == expectedRn, s"rn diverges at partitions=$p")
+      val ps = Scan.withRunningSum(skewed, Seq(col("s"), col("tb")),
+          col("v"), "ps", partitions = p, equiDepth = true)
+        .collect().map(r => (r.getLong(1), Option(r.get(3)))).toMap
+      assert(ps == expectedPs, s"ps diverges at partitions=$p")
+    }
+    // running max too, on the uniform fixture (covers null carry-in)
+    val wm = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    val expectedPm = fixture.withColumn("pm", max("v").over(wm))
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    val pm = Scan.withRunningMax(fixture, Seq(col("k")), col("v"), "pm",
+        partitions = 7, equiDepth = true)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    assert(pm == expectedPm)
+  }
+
   test("withRunningSum totalOut carries the exact grand total") {
     val out = Scan.withRunningSum(fixture, Seq(col("k")), col("v"), "ps",
       partitions = 5, totalOut = Some("tw"))
