@@ -81,7 +81,11 @@ object Bench {
     // execution family (hash agg, broadcast join, window), because q01's
     // aggregate alone leaves the join/exchange/window code paths cold and
     // the first queries to touch them (q03 ran second in r5: 2.29 s vs
-    // ~1 s standalone) carry the JIT bill inside their timing
+    // ~1 s standalone) carry the JIT bill inside their timing.
+    // Same-boot A/B (r7, calib_cpu 0.855): q03 in-bench 2.04 s vs
+    // BenchOne min 1.77 s — a 1.15x residual, i.e. the warmup works;
+    // the r5 "2x vs standalone" reading compared numbers from DIFFERENT
+    // boots (the ~1 s claims came from a calib_cpu ~1.0 boot).
     Seq("q01_agg", "q03_star_join", "q05_window_rank").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -190,27 +190,15 @@ object Advanced7 {
 
   // ---------------------------------------------------------------- q138
   // 7-day rolling distinct users per day — the DAU/WAU-style sliding
-  // distinct count. A naive per-day window over raw events re-reads six
-  // days of history per day; the scale shape is: reduce to DISTINCT
-  // (day, user) once, replicate each pair to the <=7 window-days it can
-  // serve (bounded fan-out, a narrow generate), keep only days that
-  // exist, and count distinct per window-day — one Expand exchange,
-  // state bounded by 7x the reduced pair table regardless of fact size.
-  def q138RollingDistinct(s: SparkSession, d: String): DataFrame = {
-    val du = Tables.events(s, d)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
-    val days = Tables.events(s, d) // independent read for the day dim
-      .select(date_trunc("day", col("ts")).as("wday")).distinct()
-    du.select(col("user_id"),
-        expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)").as("wdays"))
-      .select(col("user_id"), explode_outer(col("wdays")).as("wday"))
-      .join(days, "wday")
-      .groupBy("wday")
-      .agg(countDistinct("user_id").as("users_7d"))
-      .select(col("wday").as("day"), col("users_7d"))
+  // distinct count, on operators.RollingDistinct.exact (width and grain
+  // parameterized there; the scale commentary lives on the operator).
+  def q138RollingDistinct(s: SparkSession, d: String): DataFrame =
+    graft.operators.RollingDistinct.exact(
+        Tables.events(s, d).select(col("ts"), col("user_id")),
+        col("ts"), col("user_id"), grain = "day", width = 7,
+        out = "users_7d")
+      .select(col("period").as("day"), col("users_7d"))
       .orderBy("day")
-  }
 
   val q138Sql: String =
     """WITH du AS (
@@ -460,26 +448,18 @@ object Advanced7 {
 
   // ---------------------------------------------------------------- q144
   // Rolling 7-day distinct users via MERGEABLE HLL sketches — the 100 TB
-  // path for q138: one map-side-combined sketch per day (the only pass
-  // over the fact), then the bounded 7-day fan-out and union run over
-  // the DAY GRAIN (O(#days) sketch rows, never user rows). q19's
-  // certification pattern: the estimate is checked in-engine against
-  // the exact q138 twin and only the exact count + tolerance verdict
-  // are emitted (sketch bits are engine-specific, verdicts are not).
-  // lgConfigK=14 gives ~0.8% standard error — 5% is a wide margin.
+  // path for q138, on operators.RollingDistinct.approx (scale shape
+  // documented there). q19's certification pattern: the estimate is
+  // checked in-engine against the exact q138 twin and only the exact
+  // count + tolerance verdict are emitted (sketch bits are
+  // engine-specific, verdicts are not). lgConfigK=14 gives ~0.8%
+  // standard error — 5% is a wide margin.
   def q144RollingHll(s: SparkSession, d: String): DataFrame = {
-    val daySketch = Tables.events(s, d)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-    val days = Tables.events(s, d) // independent read for the day dim
-      .select(date_trunc("day", col("ts")).as("wday")).distinct()
-    val merged = daySketch
-      .select(col("sk"),
-        expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)").as("wdays"))
-      .select(col("sk"), explode_outer(col("wdays")).as("wday"))
-      .join(days, "wday")
-      .groupBy("wday")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_7d"))
+    val merged = graft.operators.RollingDistinct.approx(
+        Tables.events(s, d).select(col("ts"), col("user_id")),
+        col("ts"), col("user_id"), grain = "day", width = 7,
+        lgConfigK = 14, out = "approx_7d")
+      .select(col("period").as("wday"), col("approx_7d"))
     val exact = q138RollingDistinct(s, d)
       .select(col("day").as("wday"), col("users_7d"))
     merged.join(exact, "wday")
