@@ -133,7 +133,10 @@ object Bench {
       // bounded-fan-out sliding distinct (+ its HLL scale path), and the
       // recall-1 prefix-filtered similarity join
       "q135_lorenz_deciles", "q138_rolling_distinct", "q143_ppjoin",
-      "q144_rolling_hll")
+      "q144_rolling_hll",
+      // round-7: PII redaction (pure narrow regex pass) and SemDeDup
+      // (IVF-bucketed in-cluster cosine pairs)
+      "q147_pii_redaction", "q148_semantic_dedup")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

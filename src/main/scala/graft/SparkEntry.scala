@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Advanced5.queries ++
       graft.queries.Advanced6.queries ++
       graft.queries.Advanced7.queries ++
+      graft.queries.Advanced8.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.dedup.Dedup.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.queries.Advanced5.oracles ++
       graft.queries.Advanced6.oracles ++
       graft.queries.Advanced7.oracles ++
+      graft.queries.Advanced8.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.vectors
+
+/** Round-7 additions: PII redaction and semantic (embedding-space)
+  * dedup — two training-data-pipeline components the curation family
+  * did not yet cover.
+  */
+object Advanced8 {
+
+  // ---------------------------------------------------------------- q147
+  // PII detection + redaction — the compliance pass every LLM training
+  // corpus runs before anything else. The synthetic tables carry no raw
+  // PII, so the profile text is FORMATTED deterministically from
+  // customer columns inside the query (email + phone derived from
+  // c_custkey — a pure function of the input, so the oracle rebuilds the
+  // identical corpus), then the real redaction stack runs over it:
+  // sequential regex passes (emails -> phones -> long digit runs), each
+  // COUNTED on the text as left by the previous pass so overlapping
+  // classes (digits inside an email) are never double-counted. The regex
+  // surface is the RE2/Java-regex intersection (\b, \d, bounded
+  // repetition — no lookbehind), so Spark and DuckDB replace
+  // identically. Scale posture: a single narrow codegen projection —
+  // ZERO shuffles; the orderBy is presentation-only.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val NumRe = "\\d{5,}"
+
+  def q147PiiRedaction(s: SparkSession, d: String): DataFrame = {
+    val profile = Tables.customer(s, d).select(col("c_custkey"),
+      concat(lit("name: "), col("c_name"),
+        lit(" contact: user"), col("c_custkey"), lit("@example.com"),
+        lit(" tel "),
+        format_string("%03d-%04d",
+          pmod(col("c_custkey") * 7, lit(1000)),
+          pmod(col("c_custkey") * 13, lit(10000))),
+        lit(" segment "), col("c_mktsegment")).as("text"))
+    profile
+      .withColumn("n_email",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("t1"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_num",
+        size(regexp_extract_all(col("t2"), lit(NumRe), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(col("t2"), NumRe, "<NUM>"))
+      .select(col("c_custkey"), col("n_email"), col("n_phone"), col("n_num"),
+        col("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val q147Sql: String =
+    """WITH profile AS (
+      |  SELECT c_custkey,
+      |    'name: ' || c_name || ' contact: user' || c_custkey ||
+      |    '@example.com tel ' ||
+      |    printf('%03d-%04d', (c_custkey * 7) % 1000,
+      |                        (c_custkey * 13) % 10000) ||
+      |    ' segment ' || c_mktsegment AS text
+      |  FROM customer),
+      |r1 AS (
+      |  SELECT c_custkey, text,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |      AS n_email,
+      |    regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+      |      AS t1
+      |  FROM profile),
+      |r2 AS (
+      |  SELECT c_custkey, n_email,
+      |    CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{4}\b')) AS BIGINT)
+      |      AS n_phone,
+      |    regexp_replace(t1, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2
+      |  FROM r1)
+      |SELECT c_custkey, n_email, n_phone,
+      |  CAST(len(regexp_extract_all(t2, '\d{5,}')) AS BIGINT) AS n_num,
+      |  regexp_replace(t2, '\d{5,}', '<NUM>', 'g') AS redacted
+      |FROM r2 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  // Semantic dedup (SemDeDup, Abbas et al. '23): cluster the embedding
+  // space (q29's deterministic IVF centroids, broadcast argmax
+  // assignment), enumerate pairs ONLY within a cluster, and drop every
+  // vector that is cosine-similar to a lower-id vector of its cluster —
+  // the keep-one-representative policy. Pairing is bounded by cluster
+  // size (never corpus-wide); at 100 TB the SemDeDup recipe subclusters
+  // hot cells (two-level IVF) exactly like q29's multi-probe path. The
+  // synthetic embeddings are isotropic-random (max pairwise cosine
+  // ~0.51), so the threshold 0.3 is chosen to exercise the policy on
+  // this corpus; on a real near-dup corpus it sits at ~0.95+ — the
+  // machinery is threshold-independent. The oracle restates the
+  // deterministic plan itself (q29's pattern): centroid argmax, in-
+  // cluster pairs, same 6-dp rounded cosine on both sides.
+  def q148SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val threshold = 0.3
+    def assigned() = {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val centroids = Tables.embeddings(s, d) // independent read (self-join rule)
+        .filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("cid"))
+      emb.join(broadcast(centroids))
+        .withColumn("c_sim",
+          round(vectors.cosine_similarity(col("embedding"), col("cv")), 6))
+        .withColumn("c_rn", row_number().over(w))
+        .filter(col("c_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
+    val a = assigned()
+      .select(col("cid"), col("vec_id").as("i"), col("embedding").as("vi"))
+    val b = assigned()
+      .select(col("cid"), col("vec_id").as("j"), col("embedding").as("vj"))
+    a.join(b, Seq("cid")).filter(col("i") < col("j"))
+      .withColumn("cs",
+        round(vectors.cosine_similarity(col("vi"), col("vj")), 6))
+      .filter(col("cs") >= threshold)
+      .groupBy(col("cid"), col("j").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min("i").as("dup_of"),
+        max("cs").as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  val q148Sql: String =
+    """WITH centroids AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id % 97 = 0),
+      |a AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+      |        c.cid) AS c_rn
+      |    FROM embeddings e CROSS JOIN centroids c)
+      |  WHERE c_rn = 1),
+      |p AS (
+      |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+      |    ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                                 CAST(y.embedding AS DOUBLE[])), 6) AS cs
+      |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      |SELECT cid, j AS vec_id, COUNT(*) AS n_dups, MIN(i) AS dup_of,
+      |  MAX(cs) AS max_sim
+      |FROM p WHERE cs >= 0.3
+      |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_pii_redaction"  -> (q147PiiRedaction _),
+    "q148_semantic_dedup" -> (q148SemanticDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q147_pii_redaction"  -> q147Sql,
+    "q148_semantic_dedup" -> q148Sql)
+}

@@ -182,7 +182,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q93_quality_bins", "q113_skyline", "q131_gini",
       "q135_lorenz_deciles", "q140_equidepth_bins", "q141_weighted_median",
       // q136/q137/q145: 1-row corpus-stats / funnel-count attaches
-      "q136_bm25", "q137_funnel", "q145_funnel_windowed")
+      "q136_bm25", "q137_funnel", "q145_funnel_windowed",
+      // q148: q29's centroid-table broadcast fan-out (argmax assignment)
+      "q148_semantic_dedup")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
