@@ -32,6 +32,8 @@ object Engine {
       es => TextExpressions.WinnowMd5(es.head, intArg(es(1)), intArg(es(2)))),
     ("word_ngrams", "word_ngrams(str, n) - distinct space-joined word n-grams",
       es => TextExpressions.WordNgrams(es.head, intArg(es(1)))),
+    ("char_shingles", "char_shingles(str, k) - distinct character k-grams",
+      es => TextExpressions.CharShingles(es.head, intArg(es(1)))),
     ("minhash_signature", "minhash_signature(str, shingle, num) - MinHash signature",
       es => TextExpressions.MinHashSignature(es.head, intArg(es(1)), intArg(es(2)))),
     ("rolling_fingerprint", "rolling_fingerprint(str, k, w) - winnowing fingerprint",

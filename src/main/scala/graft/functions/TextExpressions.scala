@@ -137,6 +137,17 @@ object TextExpressions {
     override def prettyName: String = "word_ngrams"
   }
 
+  /** Distinct character k-grams: string → array<string>. */
+  case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.charShinglesBridge(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.charShinglesBridge($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "char_shingles"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -167,6 +178,9 @@ object text {
 
   def winnow_md5(c: Column, k: Int = 8, w: Int = 4): Column =
     column(WinnowMd5(expression(c), k, w))
+
+  def char_shingles(c: Column, k: Int): Column =
+    column(CharShingles(expression(c), k))
 
   def word_ngrams(c: Column, n: Int): Column =
     column(WordNgrams(expression(c), n))

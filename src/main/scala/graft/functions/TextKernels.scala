@@ -395,9 +395,31 @@ object TextKernels {
   def winnowMd5Bridge(s: UTF8String, k: Int, w: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(winnowMd5(s.toString, k, w))
 
+  /** Distinct character k-grams in first-occurrence order — one pass,
+    * the codegen kernel behind q149's shingle sets (the higher-order
+    * transform+array_distinct composition costs ~3 s per evaluation at
+    * sf0.1; this kernel is a single substring+HashSet sweep).
+    */
+  def charShingles(s: String, k: Int): Array[String] = {
+    val len = s.length
+    if (len < k) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= len) { seen.add(s.substring(i, i + k)); i += 1 }
+    val out = new Array[String](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   def wordNgramsBridge(s: UTF8String, n: Int): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       wordNgrams(s.toString, n).map(g => UTF8String.fromString(g): Any))
+
+  def charShinglesBridge(s: UTF8String, k: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      charShingles(s.toString, k).map(g => UTF8String.fromString(g): Any))
 
   def minhashBridge(s: UTF8String, shingle: Int, num: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s.toString, shingle, num))

@@ -370,67 +370,17 @@ object Advanced7 {
   // sf0.1 — which is exactly why the filter stack, not an all-pairs
   // loop, is the operator.
   def q143PpJoin(s: SparkSession, d: String): DataFrame = {
-    def tokenSets(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    // The tokenize → corpus-frequency → per-doc rarity-rank window stage
-    // is the expensive part of candidate generation, and it is IDENTICAL
-    // on both sides of the self-join — so it is built ONCE and
-    // materialized via Lineage.cut (~0.05n prefix rows: tiny), then both
-    // join sides are cheap aliased scans of the same blocks. Re-deriving
-    // it per side (round-6 shape) doubled the regex/shuffle work of the
-    // whole query.
-    val prefix = graft.operators.Lineage.cut {
-      val tok = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        explode_outer(array_distinct(split(col("text"), " "))).as("term"))
-      val freq = Tables.documents(s, d) // independent read for the rarity order
-        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("tf"))
-      val wDoc = Window.partitionBy("doc_id")
-      // build prefix length for t = 19/20: n - ceil(19n/20) + 1 (the
-      // partner's size is unknown at build time, so own-size bound)
-      tok.join(freq, "term")
-        .withColumn("rn", row_number().over(wDoc.orderBy("tf", "term")))
-        .withColumn("n", count(lit(1)).over(wDoc))
-        .where(col("rn") <= col("n") - expr("(19 * n + 19) DIV 20") + 1)
-        .select(col("term"), col("doc_id"), col("lang"), col("rn"), col("n"))
-    }
-    val pa = prefix.select(col("term").as("a_term"), col("lang").as("a_lang"),
-      col("doc_id").as("ia"), col("rn").as("a_rn"), col("n").as("a_n"))
-    val pb = prefix.select(col("term").as("b_term"), col("lang").as("b_lang"),
-      col("doc_id").as("ib"), col("rn").as("b_rn"), col("n").as("b_n"))
-    // alpha = ceil((19/39) * (na + nb)) — the minimum overlap J >= 19/20
-    // requires of a pair with these set sizes
-    val alpha = expr("(19 * (a_n + b_n) + 38) DIV 39")
-    val cand = pa.join(pb,
-        col("a_term") === col("b_term") && col("a_lang") === col("b_lang") &&
-          col("ia") < col("ib"))
-      // length filter: ceil(t*na) <= nb and ceil(t*nb) <= na
-      .where(expr("(19 * a_n + 19) DIV 20") <= col("b_n") &&
-        expr("(19 * b_n + 19) DIV 20") <= col("a_n"))
-      // pair-level prefix tightening (the PPJoin+-style second cut): by
-      // the joint prefix lemma, overlap >= alpha forces a SHARED token
-      // with rn <= n - alpha + 1 on BOTH sides simultaneously. Shared
-      // tokens appear in the same relative order in both docs (common
-      // rarity order), so the first shared row minimizes both rn's —
-      // filtering every row by the tighter bound still keeps that first
-      // row for every true pair (recall 1), while the own-size build
-      // bound alone admits rows this provably cannot satisfy.
-      .where(col("a_rn") <= col("a_n") - alpha + 1 &&
-        col("b_rn") <= col("b_n") - alpha + 1)
-      // positional filter: remaining-token overlap bound must reach alpha
-      .where(lit(1) + least(col("a_n") - col("a_rn"),
-        col("b_n") - col("b_rn")) >= alpha)
-      .select(col("ia"), col("ib")).distinct()
-    val sa = tokenSets(Tables.documents(s, d))
-      .select(col("doc_id").as("ia"), col("toks").as("ta"))
-    val sb = tokenSets(Tables.documents(s, d))
-      .select(col("doc_id").as("ib"), col("toks").as("tb"))
-    cand.join(sa, "ia").join(sb, "ib")
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))))
-      .where(col("jaccard") >= 0.95)
-      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+    // word-token Jaccard at t = 19/20 on operators.SetSimJoin — the full
+    // filter stack (prefix/length/joint-prefix/positional, exact integer
+    // bounds) and the once-materialized prefix stage live on the
+    // operator; q149 runs the same operator over character 3-grams.
+    // tokenize once (q149's pattern): the operator consumes its input
+    // four times, and the split+distinct projection is the per-pass cost
+    val tokenSets = graft.operators.Lineage.cut(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks")))
+    graft.operators.SetSimJoin.selfJoin(
+        () => tokenSets, "doc_id", "lang", "toks", tNum = 19, tDen = 20)
       .orderBy("ia", "ib")
   }
 

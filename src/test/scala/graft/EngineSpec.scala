@@ -70,7 +70,7 @@ class EngineSpec extends AnyFunSuite {
     // verify the function list is complete instead
     assert(Engine.functions.map(_._1).toSet == Set(
       "simhash64", "simhash_md5", "minhash_signature",
-      "rolling_fingerprint", "winnow_md5", "word_ngrams",
+      "rolling_fingerprint", "winnow_md5", "word_ngrams", "char_shingles",
       "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize",
@@ -93,7 +93,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 148)
+    assert(SparkEntry.queries.size == 149)
     // since round 4 the oracle surface is TOTAL: every query has a twin
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
