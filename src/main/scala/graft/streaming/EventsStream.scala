@@ -372,17 +372,60 @@ object EventsStream {
       |WHERE c.c_custkey <= 150
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  // Streaming sketch aggregation: daily approx-distinct users over the
+  // event stream — HLL++ partial aggregation IS mergeable across
+  // micro-batches, so the per-window state is a constant-size sketch
+  // buffer regardless of user cardinality (the streaming twin of
+  // q19/q144's batch sketch posture; an exact streaming countDistinct
+  // would hold every user id per open window in the state store).
+  // Certified q144-style: only the batch-exact count and a tolerance
+  // verdict are emitted (rsd 0.02 against a 5% gate — sketch bits are
+  // engine-specific, verdicts are not).
+  def q150StreamApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_stream_approx_distinct"
+    withStreamPartitions(spark, 8) {
+      val q = readEvents(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(to_date(col("w.start")).cast("timestamp").as("day"),
+          col("approx_users"))
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    spark.table(sinkName).join(exact, "day")
+      .select(col("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.05, lit(5.0))).as("within_5pct"))
+      .orderBy("day")
+  }
+
+  val q150Sql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_window" -> (q31StreamWindow _),
     "q32_sessionize" -> (q32Sessionize _),
     "q62_stream_dedup" -> (q62StreamDedup _),
     "q65_stream_join" -> (q65StreamJoin _),
-    "q99_stream_enrich" -> (q99StreamEnrich _))
+    "q99_stream_enrich" -> (q99StreamEnrich _),
+    "q150_stream_approx_distinct" -> (q150StreamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q31_stream_window" -> q31Sql,
     "q32_sessionize" -> q32Sql,
     "q62_stream_dedup" -> q62Sql,
     "q65_stream_join" -> q65Sql,
-    "q99_stream_enrich" -> q99Sql)
+    "q99_stream_enrich" -> q99Sql,
+    "q150_stream_approx_distinct" -> q150Sql)
 }
