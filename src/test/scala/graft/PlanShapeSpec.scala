@@ -159,7 +159,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // query fan-outs, scalar-count attach) are the documented exceptions.
     val skip = Set(
       "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
-      "q65_stream_join", "q99_stream_enrich",
+      "q65_stream_join", "q99_stream_enrich", "q150_stream_approx_distinct",
       "q41_heavy_hitters", "q71_dedup_clusters",
       "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
       "q70_format_roundtrip", "q102_xml_roundtrip", "q78_bucketed_join",
@@ -374,7 +374,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val skip = Set(
       "q31_stream_window", "q32_sessionize", "q62_stream_dedup",
-      "q65_stream_join", "q99_stream_enrich",
+      "q65_stream_join", "q99_stream_enrich", "q150_stream_approx_distinct",
       "q41_heavy_hitters", "q71_dedup_clusters",
       "q61_merge", "q68_csv_roundtrip", "q69_partition_pruned",
       "q70_format_roundtrip", "q102_xml_roundtrip", "q78_bucketed_join",
