@@ -200,13 +200,69 @@ object Advanced8 {
       |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.95
       |ORDER BY ia, ib""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  // Gopher/C4-style quality-rule gate — the canonical pre-training
+  // document filter (Rae et al. '21 heuristics, reduced to the rules
+  // this corpus can violate): word-count floor, mean-word-length band,
+  // and a distinct-stopword floor. Thresholds are calibrated to the
+  // corpus (wc p25=32, mwl p05=4.17, stopwords p25=1) so every rule has
+  // real failures. All predicates are exact integer/identical-double
+  // arithmetic on single-spaced text, so the DuckDB oracle evaluates the
+  // same rules bit-identically. Scale posture: one narrow codegen pass
+  // plus a lang-keyed aggregate — nothing corpus-wide.
+  def q151QualityGate(s: SparkSession, d: String): DataFrame = {
+    val stop = array(Seq("the", "a", "and", "of", "to", "with", "that",
+      "for").map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("wc"),
+        (length(expr("replace(text, ' ', '')")).cast("double") /
+          size(split(col("text"), " "))).as("mwl"),
+        size(array_intersect(array_distinct(split(col("text"), " ")), stop))
+          .as("sw"))
+      .select(col("lang"),
+        (col("wc") >= 30).as("ok_wc"),
+        (col("mwl") >= 4.3 && col("mwl") <= 10.0).as("ok_mwl"),
+        (col("sw") >= 2).as("ok_sw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ok_wc") && col("ok_mwl") && col("ok_sw"), 1))
+          .as("n_kept"),
+        count(when(!col("ok_wc"), 1)).as("n_fail_wordcount"),
+        count(when(!col("ok_mwl"), 1)).as("n_fail_wordlen"),
+        count(when(!col("ok_sw"), 1)).as("n_fail_stopwords"))
+      .orderBy("lang")
+  }
+
+  val q151Sql: String =
+    """WITH w AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) AS wc,
+      |    CAST(len(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mwl,
+      |    len(list_intersect(list_distinct(string_split(text, ' ')),
+      |        ['the','a','and','of','to','with','that','for'])) AS sw
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, wc >= 30 AS ok_wc,
+      |    mwl >= 4.3 AND mwl <= 10.0 AS ok_mwl, sw >= 2 AS ok_sw
+      |  FROM w)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN ok_wc AND ok_mwl AND ok_sw THEN 1 END) AS n_kept,
+      |  COUNT(CASE WHEN NOT ok_wc THEN 1 END) AS n_fail_wordcount,
+      |  COUNT(CASE WHEN NOT ok_mwl THEN 1 END) AS n_fail_wordlen,
+      |  COUNT(CASE WHEN NOT ok_sw THEN 1 END) AS n_fail_stopwords
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_pii_redaction"  -> (q147PiiRedaction _),
     "q148_semantic_dedup" -> (q148SemanticDedup _),
-    "q149_ngram_jaccard"  -> (q149NgramJaccard _))
+    "q149_ngram_jaccard"  -> (q149NgramJaccard _),
+    "q151_quality_gate"   -> (q151QualityGate _))
 
   val oracles: Map[String, String] = Map(
     "q147_pii_redaction"  -> q147Sql,
     "q148_semantic_dedup" -> q148Sql,
-    "q149_ngram_jaccard"  -> q149Sql)
+    "q149_ngram_jaccard"  -> q149Sql,
+    "q151_quality_gate"   -> q151Sql)
 }

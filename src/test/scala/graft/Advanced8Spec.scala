@@ -46,6 +46,22 @@ class Advanced8Spec extends AnyFunSuite {
     assert(anchors.nonEmpty, "no kept anchor vectors — policy degenerated")
   }
 
+  test("q151 gate verdicts are conservation-consistent and non-trivial") {
+    val rows = Advanced8.q151QualityGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var anyFail = false
+    rows.foreach { r =>
+      val (n, kept, fwc, fmwl, fsw) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      // any single rule failure excludes a doc from the kept set
+      Seq(fwc, fmwl, fsw).foreach(f => assert(kept <= n - f,
+        s"${r.getString(0)}: kept $kept exceeds n - failures ($n - $f)"))
+      assert(kept >= 0 && kept <= n)
+      anyFail ||= (fwc + fmwl + fsw) > 0
+    }
+    assert(anyFail, "gate is vacuous on this corpus — recalibrate thresholds")
+  }
+
   test("q148 is deterministic across re-evaluation") {
     val a = Advanced8.q148SemanticDedup(spark, sf).collect().map(_.toSeq).toSeq
     val b = Advanced8.q148SemanticDedup(spark, sf).collect().map(_.toSeq).toSeq
