@@ -358,6 +358,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both candidate sides should scan the one materialized prefix table:\n$p")
   }
 
+  test("q147 redaction is a pure narrow pass; q151 gate aggregates once") {
+    // q147's claim is ZERO data shuffles — the only exchange allowed is
+    // the presentation orderBy's range exchange
+    val p147 = plan(graft.queries.Advanced8.q147PiiRedaction(spark, sf))
+    assert(!p147.contains("Exchange hashpartitioning"),
+      s"q147 should not shuffle on any key:\n$p147")
+    // q151: one lang-keyed aggregate exchange (+ the orderBy range
+    // exchange); the rule evaluation itself is row-local
+    val p151 = plan(graft.queries.Advanced8.q151QualityGate(spark, sf))
+    assert(p151.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"q151 should shuffle only for the lang aggregate:\n$p151")
+  }
+
   test("no unbounded single-partition window anywhere in the surface") {
     // blanket 100 TB guard: a Window whose partitionSpec is empty (or
     // all-foldable, e.g. partitionBy(lit(1))) funnels its entire input
