@@ -46,8 +46,15 @@ object SetSimJoin {
     def base() = load().select(col(id).as("__id"), col(grp).as("__grp"),
       col(toks).as("__toks"))
     val prefix = Lineage.cut {
+      // set size rides the narrow projection (the token array is distinct
+      // by contract) rather than a count().over(doc) window — one
+      // WindowExec instead of two. (Measured effect is small: the second
+      // window's doc-only ordering was already satisfied by the rank
+      // window's sort, so it cost a pass, not a sort — but one operator
+      // is strictly simpler and the narrow form survives any future
+      // reordering of the two.)
       val tok = base().select(col("__id"), col("__grp"),
-        explode_outer(col("__toks")).as("__term"))
+        size(col("__toks")).as("__n"), explode_outer(col("__toks")).as("__term"))
       val freq = base() // independent read for the rarity order
         .select(explode_outer(col("__toks")).as("__term"))
         .groupBy("__term").agg(count(lit(1)).as("__tf"))
@@ -56,7 +63,6 @@ object SetSimJoin {
       // partner's size is unknown at build time)
       tok.join(freq, "__term")
         .withColumn("__rn", row_number().over(wDoc.orderBy("__tf", "__term")))
-        .withColumn("__n", count(lit(1)).over(wDoc))
         .where(col("__rn") <=
           col("__n") - expr(s"($tNum * __n + ${tDen - 1}) DIV $tDen") + 1)
         .select(col("__term"), col("__id"), col("__grp"), col("__rn"),
