@@ -46,6 +46,27 @@ class Advanced8Spec extends AnyFunSuite {
     assert(anchors.nonEmpty, "no kept anchor vectors — policy degenerated")
   }
 
+  test("q149 shingle filtering is lossless: output equals the brute-force join") {
+    import org.apache.spark.sql.functions._
+    val got = Advanced8.q149NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(2)
+        val grams = (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+        (r.getLong(0), r.getString(1), grams)
+      }
+    val brute = (for {
+      (ia, la, ga) <- d; (ib, lb, gb) <- d
+      if la == lb && ia < ib
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= 0.95
+    } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == brute,
+      s"filter lost/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
   test("q151 gate verdicts are conservation-consistent and non-trivial") {
     val rows = Advanced8.q151QualityGate(spark, sf).collect()
     assert(rows.nonEmpty)
