@@ -51,6 +51,41 @@ class DedupKnnSpec extends AnyFunSuite {
         s"extra=${lsh.diff(exact).take(5)}")
   }
 
+  test("q27 hot buckets sub-band instead of dropping (recall 1 under a tiny cap)") {
+    // the round-7 fix: at sf0.1 the old maxBucket drop silently halved
+    // q27's answer because hot buckets are exactly where near-dups live.
+    // Forcing maxBucket=2 on the gate corpus makes EVERY bucket hot, so
+    // this passes only through the sub-band path — output must still
+    // equal the brute-force hamming<=3 enumeration.
+    val gateSf = "/root/testdata/sf0.001"
+    val hashed = Dedup.corpusWithNearDups(spark, gateSf)
+      .select(col("doc_id"), graft.functions.text.simhash_md5(col("text")).as("sh"))
+    val brute = {
+      val rows = hashed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (ia, ib)).toSet
+    }
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val got = Dedup.hammingBandPairs(banded, "sh", maxBucket = 2)
+      .withColumn("h", graft.functions.text.hamming64(col("pa"), col("pb")))
+      .filter(col("h") <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"sub-banding lost pairs: missing=${brute.diff(got).take(5)} " +
+        s"extra=${got.diff(brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
   test("minhash estimate tracks exact jaccard on candidates") {
     // nearDupPairs directly: the q26 driver projection drops est_jaccard
     // (no SQL twin for the signature estimate) but the spec pins it here
