@@ -90,6 +90,9 @@ object Clusters {
       prevSum = s
       i += 1
     }
+    // loop done: drop the chain's bookkeeping entry (its final checkpoint
+    // dir stays — `labels` is still backed by it)
+    graft.operators.Lineage.endChain(labels, chain)
     labels
   }
 

@@ -61,6 +61,16 @@ object Dedup {
   /** In-bucket ordered-pair expansion: members sorted by doc_id so pair
     * (i < j) gives id_a < id_b; cross-band duplicates collapsed. `payload`
     * rides along (signature / simhash) for downstream verification.
+    *
+    * The `maxBucket` DROP below is correct ONLY under a probabilistic-
+    * recall contract (q26's MinHash banding, q33's SRP banding — recall is
+    * corpus-statistical to begin with, and the drop is asserted harmless
+    * at the gate SF). A CONSTRUCTION-EXACT recall guarantee (q27's
+    * pigeonhole banding) must never drop a hot bucket — hot buckets are
+    * where near-dups concentrate; use [[hammingBandPairs]], which
+    * sub-bands them instead (the old drop silently halved q27's sf0.1
+    * answer for four rounds). Do not copy this drop into a
+    * deterministic-recall context.
     */
   private def bucketPairs(banded: DataFrame, payload: String,
       maxBucket: Int): DataFrame =
@@ -82,7 +92,7 @@ object Dedup {
 
   /** Hamming-banded candidate pairs with RECURSIVE SUB-BANDING instead of
     * a drop for hot buckets — the exact-recall guard q27's pigeonhole
-    * argument needs at ANY corpus size.
+    * argument needs as the corpus grows.
     *
     * Level 1 is the usual 4 × 16-bit banding over a 64-bit signature:
     * hamming ≤ 3 forces at least one identical band. A bucket whose
@@ -91,12 +101,18 @@ object Dedup {
     * answer — hot buckets are exactly where the near-dups live): its
     * members agree on the bucket's 16 bits, so any qualifying pair's ≤ 3
     * differing bits lie in the remaining 48 — pigeonhole again over
-    * 4 × 12-bit sub-bands of those 48 bits, and enumerate pairs inside
-    * (band, bucket, sub-band, sub-value) cells. Sub-cells are leaf level:
-    * a cell that still exceeds `leafCap` is a clique of near-identical
-    * signatures whose PAIR OUTPUT is inherently quadratic — the cap only
-    * bounds single-row memory, and at that density the cluster operator
-    * (q71) is the right tool, not a pair list.
+    * 4 × 12-bit sub-bands of those 48 bits, enumerating pairs inside
+    * (band, bucket, sub-band, sub-value) cells. A level-2 cell that
+    * STILL exceeds `leafCap` pigeonholes once more (its members agree on
+    * 16 + 12 bits; the ≤ 3 diffs lie in the remaining 36 → 4 × 9-bit
+    * sub-sub-bands). A level-3 cell over `leafCap` — ≥ `leafCap` docs
+    * agreeing on 37 signature bits — is a near-identical clique whose
+    * PAIR OUTPUT is inherently quadratic; rather than silently losing
+    * its pairs (the failure class this operator exists to prevent) the
+    * plan FAILS LOUDLY via `assert_true`, naming the cluster operator
+    * (q71) as the right tool at that density. So: recall is 1 by
+    * construction whenever the operator returns; overflow is an error,
+    * never a silent drop.
     */
   private[graft] def hammingBandPairs(banded: DataFrame, payload: String,
       maxBucket: Int, leafCap: Int = 4096): DataFrame = {
@@ -116,13 +132,46 @@ object Dedup {
       struct(lit(j).as("sband"),
         shiftright(col("__rem"), j * 12).bitwiseAND(lit(0xFFFL)).as("sbucket"))
     }: _*)
-    val hot = hotMembers
+    // level 2: __rem rides inside the member struct so an over-cap cell
+    // can be re-subdivided without recomputing the packed remainder
+    val l2 = hotMembers
       .select(col("band"), col("bucket"), col("doc_id"), col(payload),
-        explode(subBands).as("sb"))
+        col("__rem"), explode(subBands).as("sb"))
       .groupBy(col("band"), col("bucket"), col("sb.sband").as("sband"),
         col("sb.sbucket").as("sbucket"))
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col(payload), col("__rem")))).as("m"))
+    val hot = l2.filter(size(col("m")).between(2, leafCap)).select(col("m"))
+    // level 3: over-cap level-2 cells agree on the sub-band's 12 bits
+    // too — pigeonhole the remaining 36 bits into 4 × 9-bit cells
+    val l3Members = l2.filter(size(col("m")) > leafCap)
+      .select(col("band"), col("bucket"), col("sband"), col("sbucket"),
+        explode_outer(col("m")).as("x"))
+      .select(col("band"), col("bucket"), col("sband"), col("sbucket"),
+        col("x.doc_id").as("doc_id"), col("x").getField(payload).as(payload),
+        expr(
+          s"""shiftleft(shiftright(x.__rem, (sband + 1) * 12), sband * 12) |
+             |(x.__rem & (shiftleft(CAST(1 AS BIGINT), sband * 12) - 1))"""
+            .stripMargin).as("__rem2"))
+    val subSubBands = array((0 until 4).map { j =>
+      struct(lit(j).as("ssband"),
+        shiftright(col("__rem2"), j * 9).bitwiseAND(lit(0x1FFL)).as("ssbucket"))
+    }: _*)
+    val leaf = l3Members
+      .select(col("band"), col("bucket"), col("sband"), col("sbucket"),
+        col("doc_id"), col(payload), explode(subSubBands).as("ssb"))
+      .groupBy(col("band"), col("bucket"), col("sband"), col("sbucket"),
+        col("ssb.ssband").as("ssband"), col("ssb.ssbucket").as("ssbucket"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col(payload)))).as("m"))
-      .filter(size(col("m")).between(2, leafCap))
+      .filter(size(col("m")) >= 2)
+      // loud-failure guard: assert_true throws (with the message) on the
+      // first over-cap leaf instead of silently dropping its pairs
+      .where(assert_true(size(col("m")) <= leafCap, lit(
+        s"hammingBandPairs: a leaf cell exceeded leafCap=$leafCap — " +
+          ">leafCap signatures agree on 37 bits; the pair list is " +
+          "inherently quadratic here. Use the connected-components " +
+          "cluster operator (Clusters.connectedComponents / q71) for " +
+          "this corpus density.")).isNull)
       .select(col("m"))
     def expand(buckets: DataFrame): DataFrame = buckets
       .select(explode_outer(expr(
@@ -133,6 +182,7 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.pa").as("pa"), col("p.pb").as("pb"))
     expand(cold.select(col("m"))).unionByName(expand(hot))
+      .unionByName(expand(leaf))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -264,11 +314,12 @@ object Dedup {
     * md5_number_lower, ±1 vote per bit, bit = tally > 0), then enumerate
     * ALL pairs at hamming ≤ 3. The Spark side's banding is exact for this
     * cutoff by pigeonhole (see [[q27SimhashPairs]]), so candidate
-    * generation drops nothing the all-pairs scan finds — at ANY corpus
-    * size since round 7's [[hammingBandPairs]] (hot buckets sub-band
-    * instead of dropping; the old maxBucket drop silently halved the
-    * sf0.1 answer). The oracle only runs at the driver's small SF; the
-    * Spark plan stays LSH-bucketed.
+    * generation drops nothing the all-pairs scan finds — guaranteed by
+    * [[hammingBandPairs]] whenever it returns (hot buckets sub-band up to
+    * two extra pigeonhole levels instead of dropping — the old maxBucket
+    * drop silently halved the sf0.1 answer — and a still-over-cap leaf
+    * FAILS LOUDLY rather than losing pairs). The oracle only runs at the
+    * driver's small SF; the Spark plan stays LSH-bucketed.
     */
   val q27Sql: String =
     """WITH corpus AS (

@@ -42,34 +42,30 @@ object Lineage {
   private val lastCkpt =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
 
-  /** Serializes reliable-mode cuts: ownership of a fresh `rdd-<id>` dir
-    * is attributed by a before/after listing diff, which is only exact
-    * when no other checkpoint materializes in between. Concurrent loops
-    * (parallel test suites; two jobs on one driver) therefore take this
-    * lock for the listing+checkpoint+delete critical section; the
-    * default localCheckpoint path never touches it.
+  /** Guards only the one-time `setCheckpointDir` conf mutation. Ownership
+    * of a fresh `rdd-<id>` dir is read EXACTLY off the returned plan's
+    * checkpointed RDD ([[org.apache.spark.sql.GraftBridge.checkpointFiles]]),
+    * so the checkpoint job itself runs unlocked — concurrent loops on one
+    * driver checkpoint in parallel (the old before/after listing diff
+    * serialized every reliable cut driver-wide for the full job duration).
     */
-  private val reliableLock = new Object
+  private val confLock = new Object
 
   def cut(df: DataFrame, chain: String = ""): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption(DirKey).filter(_.nonEmpty) match {
-      case Some(dir) => reliableLock.synchronized {
-        if (s.sparkContext.getCheckpointDir.isEmpty ||
-          !s.sparkContext.getCheckpointDir.exists(_.contains(dir))) {
-          s.sparkContext.setCheckpointDir(dir)
+      case Some(dir) =>
+        confLock.synchronized {
+          if (s.sparkContext.getCheckpointDir.isEmpty ||
+            !s.sparkContext.getCheckpointDir.exists(_.contains(dir))) {
+            s.sparkContext.setCheckpointDir(dir)
+          }
         }
         val root = new Path(s.sparkContext.getCheckpointDir.get)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        def rddDirs(): Set[String] =
-          if (!fs.exists(root)) Set.empty
-          else fs.listStatus(root).iterator
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("rdd-"))
-            .map(_.getPath.toString).toSet
-        val before = if (chain.nonEmpty) rddDirs() else Set.empty[String]
         val out = df.checkpoint(true) // eager: fully materialized on return
         if (chain.nonEmpty) {
-          val fresh = rddDirs() -- before
+          val fresh = org.apache.spark.sql.GraftBridge.checkpointFiles(out)
           val key = (s.sparkContext.applicationId, chain)
           val stale = Option(lastCkpt.put(key, fresh)).getOrElse(Set.empty)
           // the new round is on disk; the chain's previous round is garbage
@@ -79,8 +75,17 @@ object Lineage {
           }
         }
         out
-      }
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** Ends a chain's bookkeeping once its loop completes: drops the
+    * `lastCkpt` entry so a long-lived driver running many loops never
+    * accumulates dead (appId, chain) keys. The chain's FINAL checkpoint
+    * directory is deliberately left on disk — the loop's result DataFrame
+    * is still backed by it; deleting would corrupt downstream reads. One
+    * surviving dir per completed chain, reclaimed at app teardown.
+    */
+  def endChain(df: DataFrame, chain: String): Unit =
+    lastCkpt.remove((df.sparkSession.sparkContext.applicationId, chain))
 }

@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   *
   * SetSimJoinSpec certifies recall 1 against the brute-force definition
   * across thresholds; q143 (word tokens, 19/20) and q149 (character
-  * 3-grams, 9/10) ride it at the driver gate.
+  * 5-grams, 19/20 — 3-grams at 9/10 were measured and REJECTED: near-
+  * universal shingles destroyed prefix selectivity, see Advanced8.q149)
+  * ride it at the driver gate.
   */
 object SetSimJoin {
 

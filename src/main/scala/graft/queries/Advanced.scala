@@ -276,6 +276,9 @@ object Advanced {
           (lit(0.15) + lit(0.85) *
             coalesce(col("csum").cast("double"), lit(0.0))).as("rank")))
     }
+    // loop done: drop the chain's bookkeeping entry (final dir stays —
+    // `ranks` is still backed by it)
+    graft.operators.Lineage.endChain(ranks, chain)
     ranks.select(col("doc_id"), round(col("rank"), 9).as("rank")).orderBy("doc_id")
   }
 

@@ -196,6 +196,7 @@ object Advanced8 {
       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  AND len(a.g) > 0 AND len(b.g) > 0
       |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.95
       |ORDER BY ia, ib""".stripMargin

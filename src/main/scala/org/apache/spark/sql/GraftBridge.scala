@@ -17,4 +17,16 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Reliable-checkpoint directories backing `df`'s plan. After
+    * `df.checkpoint(true)` the returned Dataset is a [[execution.LogicalRDD]]
+    * over the checkpointed RDD, whose `getCheckpointFile` names the exact
+    * `rdd-<id>` directory it wrote — EXACT ownership attribution, replacing
+    * a before/after filesystem listing diff (which needed a driver-wide
+    * lock across the whole checkpoint job to be race-free).
+    */
+  def checkpointFiles(df: DataFrame): Set[String] =
+    df.queryExecution.analyzed.collect {
+      case l: execution.LogicalRDD => l.rdd.getCheckpointFile
+    }.flatten.toSet
 }

@@ -86,6 +86,71 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  // --- level-3 sub-banding (round 8): synthetic signature corpus that
+  // FORCES recursion two pigeonhole levels deep. A 9-member cluster (base
+  // plus two single-bit flips in each 9-bit sub-sub-band group of bits
+  // 0-35, bits 48-63 zeroed for everyone so band 3 is one giant hot
+  // bucket) overflows a level-2 cell under leafCap=8 — the old code
+  // silently FILTERED that cell, losing all 36 cluster pairs — but every
+  // level-3 cell holds at most 7 members, so the recursion splits it and
+  // recovers the full brute-force pair set.
+  private def mix(k: Long): Long = {
+    var x = k * 0x9E3779B97F4A7C15L
+    x ^= x >>> 32
+    (x * 0xBF58476D1CE4E5B9L) ^ (x >>> 29)
+  }
+
+  private def bandedOf(sigs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val df = sigs.toDF("doc_id", "sh")
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    df.select(col("doc_id"), col("sh"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  test("hamming banding recurses to level 3 losslessly (over-cap level-2 cell splits)") {
+    val base = mix(999L) & 0x0000FFFFFFFFFFFFL
+    val flips = Seq(0, 1, 9, 10, 18, 19, 27, 28) // two per 9-bit group
+    val cluster = base +: flips.map(i => base ^ (1L << i))
+    val noise = (0 until 300).map(k => mix(k.toLong) & 0x0000FFFFFFFFFFFFL)
+    val sigs = (cluster ++ noise).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.size >= 36, s"fixture broken: only ${brute.size} true pairs")
+    val got = Dedup.hammingBandPairs(bandedOf(sigs), "sh",
+        maxBucket = 2, leafCap = 8)
+      .withColumn("h", graft.functions.text.hamming64(col("pa"), col("pb")))
+      .filter(col("h") <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"level-3 recursion lost pairs: missing=${brute.diff(got).take(5)} " +
+        s"extra=${got.diff(brute).take(5)}")
+  }
+
+  test("hamming banding fails loudly (not silently) on an over-cap leaf clique") {
+    // >leafCap identical signatures: no pigeonhole level can split them —
+    // the contract is a raised error naming the cluster operator, never a
+    // silent drop
+    val sigs = (0 until 10).map(i => (i.toLong, 0xABCDEF0123L))
+    val ex = intercept[Throwable] {
+      Dedup.hammingBandPairs(bandedOf(sigs), "sh", maxBucket = 2, leafCap = 4)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("leafCap")),
+      s"expected a loud leafCap error, got: ${messages(ex).take(3)}")
+  }
+
   test("minhash estimate tracks exact jaccard on candidates") {
     // nearDupPairs directly: the q26 driver projection drops est_jaccard
     // (no SQL twin for the signature estimate) but the spec pins it here

@@ -82,4 +82,51 @@ class LineageSpec extends AnyFunSuite {
       assert(pinned.count() == 50)
     } finally spark.conf.unset(Lineage.DirKey)
   }
+
+  test("endChain drops bookkeeping: a finished loop's final dir survives a later same-name chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_end")
+    spark.conf.set(Lineage.DirKey, dir.toString)
+    try {
+      def rddDirs(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("rdd-"))
+          .map(_.getFileName.toString).toSet
+      }
+      val done = Lineage.cut(spark.range(10).toDF("id"), chain = "spec_end")
+      val finalDirs = rddDirs()
+      assert(finalDirs.nonEmpty)
+      Lineage.endChain(done, "spec_end")
+      // a NEW loop reusing the chain name must not delete the finished
+      // loop's surviving dir (bookkeeping was dropped, not inherited)
+      Lineage.cut(spark.range(20).toDF("id"), chain = "spec_end").count()
+      assert(finalDirs.subsetOf(rddDirs()),
+        s"finished chain's final dir was deleted: $finalDirs vs ${rddDirs()}")
+      assert(done.count() == 10) // still readable off its checkpoint
+    } finally spark.conf.unset(Lineage.DirKey)
+  }
+
+  test("reliable cuts run concurrently without cross-chain interference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_conc")
+    spark.conf.set(Lineage.DirKey, dir.toString)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val loops = (1 to 3).map { k =>
+        Future {
+          var df = spark.range(100L * k).toDF("id")
+          val chain = s"conc_$k@${java.util.UUID.randomUUID()}"
+          for (_ <- 1 to 4)
+            df = Lineage.cut(df.selectExpr("id + 1 AS id"), chain = chain)
+          val got = df.agg(org.apache.spark.sql.functions.sum("id"))
+            .head.getLong(0)
+          Lineage.endChain(df, chain)
+          got == (0L until 100L * k).map(_ + 4).sum
+        }
+      }
+      assert(Await.result(Future.sequence(loops), 120.seconds).forall(identity))
+    } finally spark.conf.unset(Lineage.DirKey)
+  }
 }
