@@ -85,38 +85,33 @@ object Advanced8 {
 
   // ---------------------------------------------------------------- q148
   // Semantic dedup (SemDeDup, Abbas et al. '23): cluster the embedding
-  // space (q29's deterministic IVF centroids, broadcast argmax
-  // assignment), enumerate pairs ONLY within a cluster, and drop every
-  // vector that is cosine-similar to a lower-id vector of its cluster —
-  // the keep-one-representative policy. Pairing is bounded by cluster
-  // size (never corpus-wide); at 100 TB the SemDeDup recipe subclusters
-  // hot cells (two-level IVF) exactly like q29's multi-probe path. The
+  // space with q29's frozen two-level IVF model (fixed-k lowest-md5
+  // centroids as plan literals; hot cells sub-clustered — see
+  // similarity/Knn), enumerate pairs ONLY within a (cid, scid) cell, and
+  // drop every vector that is cosine-similar to a lower-id vector of its
+  // cell — the keep-one-representative policy. Pairing is bounded by
+  // SUB-cell size (never corpus-wide, and since r8 never by a cell that
+  // grew with the corpus: the old vec_id % 97 centroid rule scaled the
+  // broadcast side linearly and was the one flagged scale-killer). The
   // synthetic embeddings are isotropic-random (max pairwise cosine
   // ~0.51), so the threshold 0.3 is chosen to exercise the policy on
   // this corpus; on a real near-dup corpus it sits at ~0.95+ — the
   // machinery is threshold-independent. The oracle restates the
-  // deterministic plan itself (q29's pattern): centroid argmax, in-
-  // cluster pairs, same 6-dp rounded cosine on both sides.
+  // deterministic plan itself (q29's pattern): the shared ivfSqlPrologue
+  // model, in-cell pairs, same 6-dp rounded cosine on both sides.
   def q148SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val threshold = 0.3
-    def assigned() = {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val centroids = Tables.embeddings(s, d) // independent read (self-join rule)
-        .filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("c_sim"), col("cid"))
-      emb.join(broadcast(centroids))
-        .withColumn("c_sim",
-          round(vectors.cosine_similarity(col("embedding"), col("cv")), 6))
-        .withColumn("c_rn", row_number().over(w))
-        .filter(col("c_rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-    }
-    val a = assigned()
-      .select(col("cid"), col("vec_id").as("i"), col("embedding").as("vi"))
-    val b = assigned()
-      .select(col("cid"), col("vec_id").as("j"), col("embedding").as("vj"))
-    a.join(b, Seq("cid")).filter(col("i") < col("j"))
+    val m = graft.similarity.Knn.fitIvf(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    // two independent reads keep the self-join unambiguous (CLAUDE rule);
+    // the frozen literal model assigns both sides identically
+    def assigned() = graft.similarity.Knn.assignCorpus(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), m)
+    val a = assigned().select(col("cid"), col("scid"),
+      col("vec_id").as("i"), col("embedding").as("vi"))
+    val b = assigned().select(col("cid"), col("scid"),
+      col("vec_id").as("j"), col("embedding").as("vj"))
+    a.join(b, Seq("cid", "scid")).filter(col("i") < col("j"))
       .withColumn("cs",
         round(vectors.cosine_similarity(col("vi"), col("vj")), 6))
       .filter(col("cs") >= threshold)
@@ -127,27 +122,17 @@ object Advanced8 {
   }
 
   val q148Sql: String =
-    """WITH centroids AS (
-      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      |  WHERE vec_id % 97 = 0),
-      |a AS (
-      |  SELECT vec_id, embedding, cid FROM (
-      |    SELECT e.vec_id, e.embedding, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-      |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
-      |        c.cid) AS c_rn
-      |    FROM embeddings e CROSS JOIN centroids c)
-      |  WHERE c_rn = 1),
-      |p AS (
-      |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
-      |    ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-      |                                 CAST(y.embedding AS DOUBLE[])), 6) AS cs
-      |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
-      |SELECT cid, j AS vec_id, COUNT(*) AS n_dups, MIN(i) AS dup_of,
-      |  MAX(cs) AS max_sim
-      |FROM p WHERE cs >= 0.3
-      |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+    s"""WITH ${graft.similarity.Knn.ivfSqlPrologue},
+       |p AS (
+       |  SELECT x.cid, x.vec_id AS i, y.vec_id AS j,
+       |    ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                                 CAST(y.embedding AS DOUBLE[])), 6) AS cs
+       |  FROM corpus_assign x JOIN corpus_assign y
+       |    ON x.cid = y.cid AND x.scid = y.scid AND x.vec_id < y.vec_id)
+       |SELECT cid, j AS vec_id, COUNT(*) AS n_dups, MIN(i) AS dup_of,
+       |  MAX(cs) AS max_sim
+       |FROM p WHERE cs >= 0.3
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q149
   // Character n-gram Jaccard near-dup join — the shingle-level dedup

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -17,15 +17,41 @@ import graft.functions.vectors
   * and is read once; cost is O(|corpus| × |queries|) dot products, the
   * correct baseline shape.
   *
-  * q29 is the scale path: IVF-style coarse quantization. Centroids (a
-  * deterministic sample here; k-means offline in production) are broadcast,
-  * every vector is assigned to its nearest centroid in one pass, and each
-  * query searches ONLY its probe cluster — pruning the candidate set by
-  * ~|centroids|× at the cost of recall (measured in KnnSpec).
+  * q29 is the scale path: two-level IVF coarse quantization (the r8
+  * redesign — the old `vec_id % 97` centroid rule grew the centroid set
+  * LINEARLY with the corpus, making the broadcast side O(n) and the
+  * assignment stage O(n²/97) cosines: quadratic in disguise). Now:
+  *
+  *   - '''k is FIXED''' ([[K1]]): centroids are the k corpus vectors with
+  *     the lowest `md5(vec_id)` — a deterministic, SQL-restatable stand-in
+  *     for an offline k-means artifact with the same scale shape. The
+  *     centroid set never grows with the data; real deployments size k
+  *     (~√n) offline and ship the artifact.
+  *   - '''Centroids are frozen as plan literals''' (the `operators/Scan`
+  *     equi-depth pattern): k rows collected once, then level-1 assignment
+  *     is a NARROW codegen argmax over k literal vectors — zero shuffles
+  *     over the corpus, no broadcast re-evaluation hazard.
+  *   - '''Hot cells sub-cluster''' (the `Dedup.hammingBandPairs` move,
+  *     one level down): a cell with more than [[CellCap]] members gets
+  *     [[K2]] sub-centroids (its lowest-md5 members) and its vectors
+  *     re-assign to the nearest sub-centroid; `scid = -1` marks cold
+  *     cells. Search and pair enumeration run per (cid, scid), so
+  *     candidate sets are bounded by sub-cell size, not corpus size. The
+  *     sub-centroid count is ≤ K1·K2 — still corpus-size-independent.
+  *
+  * [[CellCap]] = 62 ≈ the expected cell population at the driver's gate
+  * SF, so BOTH postures (cold pass-through and hot subdivision) execute
+  * under the gate; production sets it from the per-cell candidate budget.
   */
 object Knn {
 
   val TopK = 5
+  val NProbe = 2  // level-1 cells probed per query
+  val NProbe2 = 2 // sub-cells probed inside a probed hot cell
+  val K1 = 8      // fixed top-level centroid count (corpus-independent)
+  val K2 = 4      // sub-centroids per hot cell
+  val CellCap = 62
+
   private val cosRounded =
     round(vectors.cosine_similarity(col("qv"), col("embedding")), 6)
 
@@ -55,38 +81,124 @@ object Knn {
        |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
-  /** IVF-style ANN: assign corpus to nearest centroid (broadcast), probe
-    * the query's `nprobe` closest clusters (multi-probe is the standard
-    * recall lever — candidates grow linearly with nprobe while staying
-    * ~|centroids|/nprobe× smaller than the corpus). Deterministic
-    * centroid choice (vec_id % 97 == 0) stands in for offline k-means.
+  // ------------------------------------------------------------------ IVF
+
+  /** Frozen IVF geometry: level-1 centroids, the hot cell ids, and each
+    * hot cell's sub-centroids — at most K1 + K1·K2 vectors total,
+    * independent of corpus size, all plan literals.
     */
-  val NProbe = 2
+  private[graft] final case class IvfModel(
+      cents: Seq[(Long, Seq[Float])],
+      hotCids: Seq[Long],
+      subCents: Map[Long, Seq[(Long, Seq[Float])]])
 
-  def q29AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+  /** Rounded cosine of `vec` against each literal centroid, as an array of
+    * (c_sim, -cid) structs — struct ordering then gives "highest cosine,
+    * ties to the LOWEST cid" for both max and descending sort, matching
+    * the oracle's `ORDER BY cos DESC, cid`.
+    */
+  private def simStructs(vec: Column, cents: Seq[(Long, Seq[Float])]) =
+    array(cents.map { case (cid, cv) =>
+      struct(round(vectors.cosine_similarity(vec, typedLit(cv)), 6).as("c_sim"),
+        lit(-cid).as("ncid"))
+    }: _*)
 
-    def assign(df: DataFrame, idCol: String, vecCol: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(desc("c_sim"), col("cid"))
-      df.join(broadcast(centroids))
-        .withColumn("c_sim", round(vectors.cosine_similarity(col(vecCol), col("cv")), 6))
-        .withColumn("c_rn", row_number().over(w))
-        .filter(col("c_rn") <= probes)
-        .drop("cv", "c_sim", "c_rn")
+  /** Nearest-centroid id as a narrow codegen expression (no join). */
+  private def cellOf(vec: Column, cents: Seq[(Long, Seq[Float])]): Column =
+    -array_max(simStructs(vec, cents)).getField("ncid")
+
+  /** Top-`p` nearest centroid ids, best first (query-side multi-probe). */
+  private def probeCells(vec: Column, cents: Seq[(Long, Seq[Float])],
+      p: Int): Column =
+    transform(slice(reverse(array_sort(simStructs(vec, cents))), 1, p),
+      x => -x.getField("ncid"))
+
+  /** Sub-cell id for a (vec, cid) pair: argmax over the cell's literal
+    * sub-centroids for hot cells (a when-chain over ≤ K1 hot ids), -1 for
+    * cold cells.
+    */
+  private def subCellOf(vec: Column, cidCol: Column, m: IvfModel): Column =
+    m.hotCids.foldLeft(lit(-1L)) { (acc, c) =>
+      when(cidCol === c, cellOf(vec, m.subCents(c))).otherwise(acc)
     }
 
-    val assigned = assign(
-      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", probes = 1)
-    val queries = assign(
-      emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid", "qv",
-      probes = NProbe)
+  /** Top-`p` sub-cells of a probed cell (query side); `[-1]` when cold. */
+  private def probeSubCells(vec: Column, cidCol: Column, m: IvfModel,
+      p: Int): Column =
+    m.hotCids.foldLeft(typedLit(Seq(-1L))) { (acc, c) =>
+      when(cidCol === c, probeCells(vec, m.subCents(c), p)).otherwise(acc)
+    }
 
+  private def collectVecs(df: DataFrame): Seq[(Long, Seq[Float])] =
+    df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Fit the frozen model: three driver-side jobs, each collecting at most
+    * K1·K2 rows — (1) top-K1 lowest-md5 centroids, (2) level-1 cell sizes
+    * (K1 rows), (3) lowest-md5 sub-centroids of hot cells. Deterministic
+    * (md5 order with vec_id ties; 6-dp rounded cosines), so re-evaluation
+    * cannot diverge — the reason literals are safe where a broadcast
+    * subplan would not be (see CLAUDE.md's sketch-aggregate rule).
+    */
+  private[graft] def fitIvf(emb: DataFrame, k1: Int = K1, k2: Int = K2,
+      cellCap: Int = CellCap): IvfModel = {
+    val cents = collectVecs(
+      emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k1)
+        .select(col("vec_id"), col("embedding")))
+    val withCell = emb.withColumn("cid", cellOf(col("embedding"), cents))
+    val hotCids = withCell.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cellCap)
+      .select("cid").collect().map(_.getLong(0)).toSeq.sorted
+    val subCents =
+      if (hotCids.isEmpty) Map.empty[Long, Seq[(Long, Seq[Float])]]
+      else {
+        // one window job over hot-cell members only (≤ corpus rows in,
+        // ≤ K1·K2 rows out)
+        val wc = Window.partitionBy("cid")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        withCell.filter(col("cid").isin(hotCids: _*))
+          .withColumn("s_rn", row_number().over(wc))
+          .filter(col("s_rn") <= k2)
+          .select(col("cid"), col("vec_id"), col("embedding"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Float](2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      }
+    IvfModel(cents, hotCids, subCents)
+  }
+
+  /** Corpus assignment under a frozen model: ONE narrow codegen pass —
+    * (cid, scid) per vector, zero shuffles, zero joins.
+    */
+  private[graft] def assignCorpus(emb: DataFrame, m: IvfModel): DataFrame = {
+    val withCell = emb.withColumn("cid", cellOf(col("embedding"), m.cents))
+    withCell.withColumn("scid",
+      subCellOf(col("embedding"), col("cid"), m))
+  }
+
+  /** IVF ANN: queries probe their [[NProbe]] nearest cells (and, inside a
+    * hot cell, the [[NProbe2]] nearest sub-cells), then search ONLY those
+    * (cid, scid) buckets — the standard multi-probe recall lever, with
+    * candidates per query bounded by sub-cell size. The tiny probed query
+    * set broadcasts against the assigned corpus on an equi-key, so the
+    * search join is a broadcast hash join, not a fan-out.
+    */
+  def q29AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val m = fitIvf(emb)
+    val corpus = assignCorpus(emb, m)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // non-empty literal arrays: explode_outer avoids the inferred
+      // size()>0 pre-filter re-evaluating the probe expression
+      .select(col("qid"), col("qv"),
+        explode_outer(probeCells(col("qv"), m.cents, NProbe)).as("cid"))
+      .select(col("qid"), col("qv"), col("cid"),
+        explode_outer(probeSubCells(col("qv"), col("cid"), m, NProbe2))
+          .as("scid"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
-    assigned.join(queries, Seq("cid"))
+    corpus.join(broadcast(queries), Seq("cid", "scid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim", cosRounded)
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -95,36 +207,76 @@ object Knn {
       .orderBy("qid", "rn")
   }
 
-  /** q29's oracle restates the IVF plan itself in SQL (centroid argmax
-    * assignment, probe-2 query fan-out, in-cluster top-k): the ANN result
-    * is deterministic given the centroid rule, so unlike a hash-based LSH
-    * candidate set it IS exactly checkable. Cosines are rounded on both
-    * sides before ranking — q28 established bit-compatibility of the
-    * rounded cosine between the codegen expression and DuckDB.
+  /** Shared SQL prologue restating the frozen model + corpus assignment:
+    * fixed-k lowest-md5 centroids, level-1 argmax, hot cells by CellCap,
+    * lowest-md5 sub-centroids, two-level corpus assignment. The model is
+    * deterministic given the corpus, so the ANN result — unlike a
+    * hash-based LSH candidate set — is exactly checkable; 6-dp rounding
+    * on both sides (bit-compatibility established by q28).
     */
-  val q29Sql: String =
-    s"""WITH centroids AS (
+  private[graft] val ivfSqlPrologue: String =
+    s"""centroids AS (
        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-       |  WHERE vec_id % 97 = 0),
-       |corpus_assign AS (
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K1),
+       |l1 AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
-       |        c.cid) AS c_rn
+       |        c.cid) AS rn
        |    FROM embeddings e CROSS JOIN centroids c)
-       |  WHERE c_rn <= 1),
-       |query_assign AS (
+       |  WHERE rn = 1),
+       |hot AS (
+       |  SELECT cid FROM l1 GROUP BY cid HAVING COUNT(*) > $CellCap),
+       |subc AS (
+       |  SELECT cid, vec_id AS scid, embedding AS scv FROM (
+       |    SELECT l1.cid, l1.vec_id, l1.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY l1.cid ORDER BY
+       |        md5(CAST(l1.vec_id AS VARCHAR)), l1.vec_id) AS rn
+       |    FROM l1 JOIN hot USING (cid))
+       |  WHERE rn <= $K2),
+       |hot_assign AS (
+       |  SELECT vec_id, embedding, cid, scid FROM (
+       |    SELECT l1.vec_id, l1.embedding, l1.cid, s.scid,
+       |      ROW_NUMBER() OVER (PARTITION BY l1.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(l1.embedding AS DOUBLE[]),
+       |                                     CAST(s.scv AS DOUBLE[])), 6) DESC,
+       |        s.scid) AS rn
+       |    FROM l1 JOIN subc s ON l1.cid = s.cid)
+       |  WHERE rn = 1),
+       |corpus_assign AS (
+       |  SELECT vec_id, embedding, cid, CAST(-1 AS BIGINT) AS scid FROM l1
+       |  WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT vec_id, embedding, cid, scid FROM hot_assign)""".stripMargin
+
+  val q29Sql: String =
+    s"""WITH $ivfSqlPrologue,
+       |q_l1 AS (
        |  SELECT qid, qv, cid FROM (
        |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
-       |        c.cid) AS c_rn
+       |        c.cid) AS rn
        |    FROM embeddings e CROSS JOIN centroids c
        |    WHERE e.vec_id < 10)
-       |  WHERE c_rn <= $NProbe),
+       |  WHERE rn <= $NProbe),
+       |q_sub AS (
+       |  SELECT qid, qv, cid, scid FROM (
+       |    SELECT q.qid, q.qv, q.cid, s.scid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid, q.cid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                     CAST(s.scv AS DOUBLE[])), 6) DESC,
+       |        s.scid) AS rn
+       |    FROM q_l1 q JOIN subc s ON q.cid = s.cid)
+       |  WHERE rn <= $NProbe2),
+       |q_assign AS (
+       |  SELECT qid, qv, cid, CAST(-1 AS BIGINT) AS scid FROM q_l1
+       |  WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT qid, qv, cid, scid FROM q_sub),
        |ranked AS (
        |  SELECT q.qid, a.vec_id,
        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
@@ -133,7 +285,8 @@ object Knn {
        |      ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
        |                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
        |      a.vec_id) AS rn
-       |  FROM query_assign q JOIN corpus_assign a ON q.cid = a.cid
+       |  FROM q_assign q JOIN corpus_assign a
+       |    ON q.cid = a.cid AND q.scid = a.scid
        |  WHERE a.vec_id <> q.qid)
        |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin

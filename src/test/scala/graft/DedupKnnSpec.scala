@@ -238,6 +238,51 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-9)
   }
 
+  test("IVF model size is corpus-size-independent (the r8 scale fix)") {
+    // the old vec_id % 97 rule grew the centroid set linearly with the
+    // corpus (broadcast side O(n), assignment O(n²/97) cosines). The
+    // fixed-k lowest-md5 rule must produce EXACTLY K1 centroids and at
+    // most K1·K2 sub-centroids at every SF.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val m = Knn.fitIvf(
+        Tables.embeddings(spark, d).select("vec_id", "embedding"))
+      assert(m.cents.size == Knn.K1, s"$d: ${m.cents.size} centroids")
+      assert(m.subCents.values.map(_.size).sum <= Knn.K1 * Knn.K2,
+        s"$d: ${m.subCents.values.map(_.size).sum} sub-centroids")
+      assert(m.hotCids.toSet.subsetOf(m.cents.map(_._1).toSet))
+    }
+  }
+
+  test("IVF hot cells subdivide: search cells bounded below the level-1 cell size") {
+    // gate SF: both postures must execute (cold pass-through AND hot
+    // subdivision) — CellCap sits inside the gate-SF cell-size spread
+    val gate = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val mGate = Knn.fitIvf(gate)
+    assert(mGate.hotCids.nonEmpty, "no hot cell at gate SF — cap drifted")
+    assert(mGate.hotCids.size < Knn.K1, "no cold cell at gate SF — cap drifted")
+    // bench SF: every final (cid, scid) search cell of a subdivided cell
+    // must be strictly smaller than its parent level-1 cell
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val m = Knn.fitIvf(emb)
+    val cells = Knn.assignCorpus(emb, m)
+      .groupBy("cid", "scid").count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val parent = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val subdivided = cells.filter(_._1._2 != -1L)
+    assert(subdivided.nonEmpty, "no subdivided cell at sf0.1")
+    subdivided.foreach { case ((cid, scid), n) =>
+      assert(n < parent(cid),
+        s"sub-cell ($cid,$scid)=$n not smaller than parent=${parent(cid)}")
+    }
+    // the largest search cell after subdivision sits under the largest
+    // level-1 cell (Voronoi splits on isotropic data can be lopsided, so
+    // strict reduction — not a fixed ratio — is the honest invariant)
+    assert(subdivided.values.max < parent.values.max,
+      s"max sub-cell ${subdivided.values.max} vs max cell ${parent.values.max}")
+  }
+
   test("IVF ANN recall vs exact top-k") {
     val exact = Knn.q28Knn(spark, sf).select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -183,7 +183,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q135_lorenz_deciles", "q140_equidepth_bins", "q141_weighted_median",
       // q136/q137/q145: 1-row corpus-stats / funnel-count attaches
       "q136_bm25", "q137_funnel", "q145_funnel_windowed",
-      // q148: q29's centroid-table broadcast fan-out (argmax assignment)
+      // q148: frozen-literal IVF assignment since r8 (no centroid join
+      // remains; the allowance is kept for the shared query fan-out shape)
       "q148_semantic_dedup")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
