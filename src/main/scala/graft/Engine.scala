@@ -34,6 +34,8 @@ object Engine {
       es => TextExpressions.WordNgrams(es.head, intArg(es(1)))),
     ("char_shingles", "char_shingles(str, k) - distinct character k-grams",
       es => TextExpressions.CharShingles(es.head, intArg(es(1)))),
+    ("char_shingles_md5", "char_shingles_md5(str, k) - distinct k-grams as md5_number_lower bigints",
+      es => TextExpressions.CharShinglesMd5(es.head, intArg(es(1)))),
     ("minhash_signature", "minhash_signature(str, shingle, num) - MinHash signature",
       es => TextExpressions.MinHashSignature(es.head, intArg(es(1)), intArg(es(2)))),
     ("rolling_fingerprint", "rolling_fingerprint(str, k, w) - winnowing fingerprint",
@@ -42,6 +44,8 @@ object Engine {
       es => TextExpressions.ShingleHashes(es.head, intArg(es(1)))),
     ("lang_scores", "lang_scores(str) - marker-word language scores",
       es => TextExpressions.LangScores(es.head)),
+    ("dhash64", "dhash64(bin) - 65-block dHash perceptual fingerprint of a byte payload",
+      es => TextExpressions.DHash64(es.head)),
     ("hamming64", "hamming64(a, b) - hamming distance of two bigints",
       es => TextExpressions.HammingDistance(es.head, es(1))),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays",

@@ -148,6 +148,35 @@ object TextExpressions {
     override def prettyName: String = "char_shingles"
   }
 
+  /** Distinct character k-grams hashed to the md5_number_lower int64
+    * domain: string → array<bigint>. The hashed-token twin of
+    * [[CharShingles]] — see TextKernels.charShinglesMd5 for the
+    * cross-engine contract.
+    */
+  case class CharShinglesMd5(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.charShinglesMd5Bridge(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.charShinglesMd5Bridge($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "char_shingles_md5"
+  }
+
+  /** dHash perceptual fingerprint of a byte payload: binary → bigint.
+    * See TextKernels.dhash64 for the 65-block contract and the DuckDB
+    * oracle restatement.
+    */
+  case class DHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernels.dhash64(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.dhash64($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "dhash64"
+  }
+
   /** Hamming distance between two 64-bit hashes: (bigint, bigint) → int. */
   case class HammingDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -181,6 +210,11 @@ object text {
 
   def char_shingles(c: Column, k: Int): Column =
     column(CharShingles(expression(c), k))
+
+  def char_shingles_md5(c: Column, k: Int): Column =
+    column(CharShinglesMd5(expression(c), k))
+
+  def dhash64(c: Column): Column = column(DHash64(expression(c)))
 
   def word_ngrams(c: Column, n: Int): Column =
     column(WordNgrams(expression(c), n))

@@ -413,6 +413,77 @@ object TextKernels {
     out
   }
 
+  /** Distinct character k-gram MD5 hashes — the int64 token domain for
+    * [[graft.operators.SetSimJoin]]: prefix AND verify stages shuffle
+    * longs instead of k-char strings (q149's top bench cost was the
+    * candidate verify moving `array<string>` both ways). Gram extraction
+    * is IDENTICAL to [[charShingles]]; each gram is hashed with
+    * [[md5Lower]] so DuckDB recomputes the exact domain as
+    * `list_distinct(list_transform(grams, g -> md5_number_lower(g)))`.
+    * Distinctness is on the HASH: a (negligible, 64-bit md5) collision
+    * conflates the same two grams in both engines, so the cross-engine
+    * compare stays exact. First-occurrence order; downstream set ops are
+    * order-invariant.
+    */
+  def charShinglesMd5(s: String, k: Int): Array[Long] = {
+    val len = s.length
+    if (len < k) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= len) { seen.add(md5Lower(s.substring(i, i + k))); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  def charShinglesMd5Bridge(s: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(charShinglesMd5(s.toString, k))
+
+  /** dHash-style 64-bit perceptual fingerprint of a byte payload — the
+    * multimodal near-dup hash (q152). The classic image dHash resizes to
+    * a 9×8 grayscale grid and sets bit j iff cell j is brighter than cell
+    * j+1; the decode-to-grayscale step is this container's stub (see
+    * Multimodal.decodeStub), so the "pixel stream" here is the raw byte
+    * sequence: the payload is carved into 65 equal-width blocks (FIXED
+    * block COUNT, like a resize — the fingerprint is 64 bits at any
+    * payload size) and bit j is set iff block j's mean unsigned-byte
+    * value exceeds block j+1's. Means are compared by cross-multiplying
+    * integer sums (s_j·c_{j+1} > s_{j+1}·c_j) so the decision is exact
+    * in both engines — no float division; safe from overflow below ~10^8
+    * bytes (sum ≤ 255n, count ≤ n/65+1). Payloads shorter than 65 bytes
+    * yield empty blocks (s=0, c=0), whose comparisons are 0 > 0 = false
+    * on both engines — one convention, deterministic. A local edit
+    * perturbs one block's sum, flipping at most bits j-1 and j, which is
+    * what makes hamming-banded near-dup detection work on it. DuckDB
+    * recomputes every bit over `ord(text[i:i])` (byte == code point on
+    * this printable-ASCII corpus), so the full pipeline is hash-oracled.
+    */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      val start = b * n / 65
+      val end = (b + 1) * n / 65
+      cnts(b) = end - start
+      var s = 0L
+      var i = start
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      sums(b) = s
+      b += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * cnts(j + 1) > sums(j + 1) * cnts(j)) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def wordNgramsBridge(s: UTF8String, n: Int): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       wordNgrams(s.toString, n).map(g => UTF8String.fromString(g): Any))

@@ -103,9 +103,91 @@ object Multimodal {
       |  (3 * n_bytes) // 4 AS last_offset
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash near-dup over the multimodal payload column — the
+    * image-near-dup pipeline with the decode step stubbed (the dHash
+    * "pixel stream" is the raw payload bytes; a real decoder swaps in
+    * without touching anything downstream of the fingerprint).
+    *
+    * Shape: one narrow codegen pass computes a CONSTANT-SIZE 64-bit
+    * fingerprint per payload (TextKernels.dhash64 — 65 equal-width byte
+    * blocks, bit j = block j brighter than block j+1), then the EXACT
+    * same machinery as q27: 4 × 16-bit hamming bands (pigeonhole — any
+    * pair at hamming ≤ 3 collides on at least one band, recall 1 by
+    * construction) with hot buckets sub-banded, never dropped
+    * (Dedup.hammingBandPairs). Planted near-dups: every 10th payload
+    * re-appears (id −doc_id−1) with its FIRST byte replaced — a
+    * single-block perturbation that flips at most one fingerprint bit,
+    * the byte-stream analogue of a small image retouch.
+    *
+    * 100 TB posture: payload bytes are touched exactly once (narrow
+    * fingerprint projection, no shuffle carries the payload); everything
+    * after it moves 8-byte hashes. Banding + sub-banding is the
+    * candidate-generation design — never all-pairs.
+    */
+  def q152PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.text
+    val base = withPayload(s, d).select(col("doc_id"), col("payload"))
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select((-col("doc_id") - 1L).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).cast("binary").as("payload"))
+    val hashed = base.unionByName(planted)
+      .select(col("doc_id"), text.dhash64(col("payload")).as("ph"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    val banded = hashed.select(col("doc_id"), col("ph"),
+        explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("ph"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    graft.dedup.Dedup.hammingBandPairs(banded, "ph", maxBucket = 64)
+      .withColumn("hamming", text.hamming64(col("pa"), col("pb")))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q152's oracle: recompute every dHash bit in SQL (per-block ord()
+    * sums — byte == code point on this printable-ASCII corpus — with the
+    * same cross-multiplied mean compare), then enumerate ALL pairs at
+    * hamming ≤ 3. Banding recall is 1 by pigeonhole, so the bucketed
+    * Spark plan must equal the all-pairs scan exactly (the q27 pattern).
+    * COALESCE handles DuckDB's list_sum(NULL-on-empty) for payloads
+    * shorter than 65 bytes.
+    */
+  val q152Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1, 'x' || text[2:] FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |f AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+      |blocks AS (
+      |  SELECT doc_id, b,
+      |    COALESCE(list_sum(list_transform(
+      |      range((b*n)//65 + 1, ((b+1)*n)//65 + 1),
+      |      i -> ord(text[i:i]))), 0) AS s,
+      |    ((b+1)*n)//65 - (b*n)//65 AS c
+      |  FROM f CROSS JOIN (SELECT unnest(range(0, 65)) AS b)),
+      |ph AS (
+      |  SELECT x.doc_id,
+      |    list(CASE WHEN x.s * y.c > y.s * x.c THEN 1 ELSE 0 END
+      |         ORDER BY x.b) AS bits
+      |  FROM blocks x JOIN blocks y ON x.doc_id = y.doc_id AND y.b = x.b + 1
+      |  GROUP BY x.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i]))
+      |    AS INT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_multimodal" -> (q30Multimodal _))
+    "q30_multimodal" -> (q30Multimodal _),
+    "q152_phash_neardup" -> (q152PhashNearDup _))
 
   val oracles: Map[String, String] = Map(
-    "q30_multimodal" -> q30Sql)
+    "q30_multimodal" -> q30Sql,
+    "q152_phash_neardup" -> q152Sql)
 }

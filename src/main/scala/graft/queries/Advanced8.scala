@@ -162,9 +162,16 @@ object Advanced8 {
     // keeps the scale story: executor memory at bench SF, reliable
     // checkpoint dir on a cluster. No array_sort: set intersection/union
     // sizes are order-invariant.
+    // int64 token domain (char_shingles_md5): identical gram extraction,
+    // each gram hashed to md5_number_lower — the prefix AND verify stages
+    // then shuffle primitive longs instead of 5-char strings (the verify
+    // was the bench's top cost moving array<string> both ways). DuckDB
+    // recomputes the exact domain, so the oracle stays a full hash
+    // compare; SetSimJoinSpec certifies the hashed pair set equals the
+    // string-domain pair set.
     val grams = graft.operators.Lineage.cut(
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        graft.functions.text.char_shingles(col("text"), 5).as("g")))
+        graft.functions.text.char_shingles_md5(col("text"), 5).as("g")))
     graft.operators.SetSimJoin.selfJoin(
         () => grams, "doc_id", "lang", "g", tNum = 19, tDen = 20)
       .orderBy("ia", "ib")
@@ -173,9 +180,9 @@ object Advanced8 {
   val q149Sql: String =
     """WITH d AS (
       |  SELECT doc_id, lang,
-      |    list_distinct(CASE WHEN len(text) >= 5
+      |    list_distinct(list_transform(CASE WHEN len(text) >= 5
       |      THEN list_transform(range(1, len(text) - 3), i -> text[i:i+4])
-      |      ELSE [] END) AS g
+      |      ELSE [] END, s -> md5_number_lower(s))) AS g
       |  FROM documents)
       |SELECT a.doc_id AS ia, b.doc_id AS ib,
       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)

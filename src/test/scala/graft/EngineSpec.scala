@@ -71,7 +71,8 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.functions.map(_._1).toSet == Set(
       "simhash64", "simhash_md5", "minhash_signature",
       "rolling_fingerprint", "winnow_md5", "word_ngrams", "char_shingles",
-      "shingle_hashes", "lang_scores", "hamming64", "cosine_similarity",
+      "char_shingles_md5",
+      "shingle_hashes", "lang_scores", "dhash64", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize",
       "jaro_winkler", "zorder16", "md5_lower64", "topk_by"))
@@ -93,7 +94,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 151)
+    assert(SparkEntry.queries.size == 152)
     // since round 4 the oracle surface is TOTAL: every query has a twin
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }

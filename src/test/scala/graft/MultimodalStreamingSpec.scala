@@ -29,6 +29,54 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 4).count() == 0)
   }
 
+  test("phash: dhash64 is stable, edit-local, and convention-exact") {
+    import graft.functions.TextKernels
+    val doc = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    val bytes = doc.getBytes("UTF-8")
+    assert(TextKernels.dhash64(bytes) == TextKernels.dhash64(bytes.clone()))
+    // first-byte edit perturbs block 0 only → at most bit 0 flips
+    val edited = bytes.clone(); edited(0) = 'x'.toByte
+    val ham = java.lang.Long.bitCount(
+      TextKernels.dhash64(bytes) ^ TextKernels.dhash64(edited))
+    assert(ham <= 1, s"first-byte edit flipped $ham bits")
+    // payloads shorter than 65 bytes: empty blocks compare 0 > 0 = false
+    // deterministically (no crash, stable value)
+    val short = "abc".getBytes("UTF-8")
+    assert(TextKernels.dhash64(short) == TextKernels.dhash64(short))
+    assert(TextKernels.dhash64(Array.emptyByteArray) == 0L)
+  }
+
+  test("q152 phash near-dup: planted pairs recalled, output = brute force") {
+    import graft.functions.TextKernels
+    val got = Multimodal.q152PhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every planted copy (first byte replaced) is hamming ≤ 1 from its
+    // original → must appear (banding recall is 1 by pigeonhole)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = docs.filter(_._1 % 10 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _) =>
+      assert(got.exists(p => p._1 == -id - 1 && p._2 == id && p._3 <= 1),
+        s"planted pair for doc $id missing from q152 output")
+    }
+    // losslessness: bucketed output equals the all-pairs definition
+    val corpus = docs.map { case (id, t) =>
+      (id, TextKernels.dhash64(t.getBytes("UTF-8")))
+    } ++ planted.map { case (id, t) =>
+      (-id - 1, TextKernels.dhash64(("x" + t.substring(1)).getBytes("UTF-8")))
+    }
+    val brute = (for {
+      (ia, ha) <- corpus; (ib, hb) <- corpus
+      if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == brute,
+      s"banding lost/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
   test("sessionize: hand-computed fixture") {
     import spark.implicits._
     val min = 60L * 1000000L // micros

@@ -38,6 +38,18 @@ class TextKernelsSpec extends AnyFunSuite {
       Seq(1340583416817390065L, 1758791680945260881L, 1973960469362181949L))
   }
 
+  test("md5 char shingles: md5Lower of the string shingles, hash-distinct") {
+    // same gram extraction as charShingles, each gram through md5Lower —
+    // the int64 token domain q149 rides (DuckDB recomputes it via
+    // md5_number_lower); distinctness is on the hash
+    val s = "abcdefabcdef"
+    assert(TextKernels.charShinglesMd5(s, 5).toSeq ==
+      TextKernels.charShingles(s, 5).map(TextKernels.md5Lower).toSeq)
+    assert(TextKernels.charShinglesMd5("abcd", 5).isEmpty) // n < k
+    assert(TextKernels.charShinglesMd5("abc", 3).toSeq ==
+      Seq(TextKernels.md5Lower("abc")))
+  }
+
   test("md5 winnow edge conventions match the SQL range semantics") {
     // < k chars, or < w grams: empty on both engines
     assert(TextKernels.winnowMd5("1234567", 8, 4).isEmpty)   // n < k
