@@ -136,7 +136,11 @@ object Bench {
       "q144_rolling_hll",
       // round-7: PII redaction (pure narrow regex pass) and SemDeDup
       // (IVF-bucketed in-cluster cosine pairs)
-      "q147_pii_redaction", "q148_semantic_dedup")
+      "q147_pii_redaction", "q148_semantic_dedup",
+      // round-8: the int64-domain 5-gram similarity join (top bench cost,
+      // 2x cut by hashing shingles) and the payload perceptual-hash
+      // near-dup on the q27 banding machinery
+      "q149_ngram_jaccard", "q152_phash_neardup")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
