@@ -37,7 +37,8 @@ object SparkEntry {
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
       graft.multimodal.Multimodal.queries ++
-      graft.streaming.EventsStream.queries
+      graft.streaming.EventsStream.queries ++
+      graft.streaming.DocSetSimStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++
       graft.multimodal.Multimodal.oracles ++
-      graft.streaming.EventsStream.oracles
+      graft.streaming.EventsStream.oracles ++
+      graft.streaming.DocSetSimStream.oracles
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental (stream-side) exact set-similarity join — [[SetSimJoin]]'s
+  * filter stack re-derived for an APPEND-ONLY prefix index, so a
+  * micro-batch stream of documents converges to the batch pair set
+  * (VERDICT r7 stretch: "new docs vs indexed prefix history, q88's
+  * Bloom-gate pattern").
+  *
+  * The one design change that makes incrementality possible: the batch
+  * operator ranks tokens by CORPUS rarity, which shifts as documents
+  * arrive — an incremental index built on it would need re-ranking
+  * history every batch. But the prefix-filter recall theorem holds for
+  * ANY fixed total order on tokens (rarity is only a selectivity
+  * heuristic), so here tokens are ordered by `(xxhash64(token), token)`
+  * — corpus-independent, deterministic, and total. History prefix rows
+  * NEVER change; each batch appends its own and joins against the past.
+  * The index stores the 8-byte token hash, not the string (the q149
+  * int64-domain lesson): a hash collision can only add a candidate,
+  * which the exact-Jaccard verify kills — recall is unaffected.
+  *
+  * Per arriving batch B (ids must be globally unique, disjoint from
+  * history):
+  *  1. build B's prefix rows under the fixed order: first
+  *     n − ceil(t·n) + 1 tokens of the hash-sorted set (pigeonhole —
+  *     same bound as the batch operator's build prefix);
+  *  2. Bloom-gate the HISTORY index by B's prefix-hash set
+  *     ([[graft.dedup.Dedup.bloomProbe]], q88's pattern — the filter is
+  *     built over the SMALL new side and probes the big history scan,
+  *     so a batch touching few tokens prunes most of the index before
+  *     the join shuffle);
+  *  3. candidate-join B's prefix against (gated history ∪ B) with the
+  *     full lossless stack from [[SetSimJoin]] — length filter,
+  *     pair-level joint-prefix cut, positional filter, all exact
+  *     integer arithmetic (every bound is per-side (rn, n) symmetric,
+  *     so they transfer verbatim to the ordered-by-hash ranks);
+  *  4. exact-Jaccard verify against the token-set store, emit pairs
+  *     with `least/greatest`-normalized ids;
+  *  5. append B's prefix rows, token sets, and emitted pairs to state.
+  *
+  * Every qualifying pair (a, b) is emitted EXACTLY once — in the batch
+  * where its later member arrives (both-new pairs are ordered `ia < ib`;
+  * new-vs-history pairs exist in one direction only) — so the pair sink
+  * needs no dedup and the union over batches equals the batch
+  * definition for any partition of the corpus into batches
+  * (IncrementalSetSimSpec certifies convergence against both
+  * [[SetSimJoin.selfJoin]] and brute force, across batch splits).
+  *
+  * State lives in three append-mode parquet dirs under `stateDir`
+  * (`prefix/`, `toks/`, `pairs/`) — the CDC-sink shape: at cluster
+  * scale these are tables partitioned by the group key so the per-batch
+  * history scan prunes to the groups the batch touches; the Bloom gate
+  * then prunes within them.
+  */
+object IncrementalSetSim {
+
+  private val prefixSchema = StructType(Seq(
+    StructField("__h", LongType), StructField("__grp", StringType),
+    StructField("__id", LongType), StructField("__rn", IntegerType),
+    StructField("__n", IntegerType)))
+  private val toksSchema = StructType(Seq(
+    StructField("__id", LongType), StructField("__toks",
+      ArrayType(StringType))))
+
+  private def readOrEmpty(s: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists()) s.read.schema(schema).parquet(dir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+
+  /** B's prefix rows under the fixed (xxhash64, token) order:
+    * (__h, __grp, __id, __rn, __n).
+    */
+  private def prefixRows(batch: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    // hash-sorted token structs: struct ordering compares h then t — a
+    // total order with deterministic tie-break on the token itself
+    val ordered = expr(
+      "array_sort(transform(__toks, t -> struct(xxhash64(t) AS h, t AS t)))")
+    batch
+      .select(col("__id"), col("__grp"), size(col("__toks")).as("__n"),
+        ordered.as("__o"))
+      .select(col("__id"), col("__grp"), col("__n"),
+        posexplode(slice(col("__o"), lit(1),
+          col("__n") - expr(s"($tNum * __n + ${tDen - 1}) DIV $tDen") + 1)))
+      .select(col("col.h").as("__h"), col("__grp"), col("__id"),
+        (col("pos") + 1).cast("int").as("__rn"), col("__n").cast("int"))
+  }
+
+  /** Process one arriving micro-batch (`__id` long, `__grp` string,
+    * `__toks` distinct token array) against the accumulated state.
+    */
+  def processBatch(s: SparkSession, batch: DataFrame, stateDir: String,
+      tNum: Int, tDen: Int): Unit = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen out of (0,1]")
+    val t = tNum.toDouble / tDen
+    val b = batch.select(col("__id"), col("__grp"), col("__toks"))
+      .localCheckpoint(true) // consumed 4x below; stream batches re-read
+    // checkpointed: consumed 5x (bloom count+build, both join sides, the
+    // state append), and the hash-sort token projection is the hot part
+    // of a batch — measured cheaper to materialize than to recompute
+    val newPfx = prefixRows(b, tNum, tDen).localCheckpoint(true)
+
+    val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
+    // Bloom over the SMALL new side's prefix hashes, probing the big
+    // history scan (q88's gate, direction flipped to fit CDC). The
+    // empty-batch guard is load-bearing: stat.bloomFilter NPEs on an
+    // empty build side — and isEmpty over the checkpointed prefix is a
+    // cached-partition scan, not a recompute.
+    val histGated =
+      if (newPfx.isEmpty) hist.limit(0)
+      else hist.filter(graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h")))
+
+    val pa = newPfx.select(col("__h"), col("__grp"),
+      col("__id").as("ia"), col("__rn").as("a_rn"), col("__n").as("a_n"))
+    val pb = histGated.withColumn("__new", lit(false))
+      .unionByName(newPfx.withColumn("__new", lit(true)))
+      .select(col("__h"), col("__grp"), col("__id").as("ib"),
+        col("__rn").as("b_rn"), col("__n").as("b_n"), col("__new"))
+    val alpha = expr(
+      s"($tNum * (a_n + b_n) + ${tNum + tDen - 1}) DIV ${tNum + tDen}")
+    val cand = pa.join(pb, Seq("__h", "__grp"))
+      .where((!col("__new") && col("ia") =!= col("ib")) ||
+        (col("__new") && col("ia") < col("ib")))
+      .where(expr(s"($tNum * a_n + ${tDen - 1}) DIV $tDen") <= col("b_n") &&
+        expr(s"($tNum * b_n + ${tDen - 1}) DIV $tDen") <= col("a_n"))
+      .where(col("a_rn") <= col("a_n") - alpha + 1 &&
+        col("b_rn") <= col("b_n") - alpha + 1)
+      .where(lit(1) + least(col("a_n") - col("a_rn"),
+        col("b_n") - col("b_rn")) >= alpha)
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
+      .distinct()
+
+    val toksAll = readOrEmpty(s, s"$stateDir/toks", toksSchema)
+      .unionByName(b.select(col("__id"), col("__toks")))
+    val sa = toksAll.select(col("__id").as("ia"), col("__toks").as("ta"))
+    val sb = toksAll.select(col("__id").as("ib"), col("__toks").as("tb"))
+    cand.join(sa, "ia").join(sb, "ib")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .where(col("jaccard") >= t)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+      .write.mode("append").parquet(s"$stateDir/pairs")
+
+    // state appends AFTER the pair write: the candidate plan above must
+    // never see this batch's rows through the history dirs
+    newPfx.write.mode("append").parquet(s"$stateDir/prefix")
+    b.select(col("__id"), col("__toks"))
+      .write.mode("append").parquet(s"$stateDir/toks")
+  }
+
+  /** The accumulated pair set (the converged result after a drain). */
+  def pairs(s: SparkSession, stateDir: String): DataFrame =
+    readOrEmpty(s, s"$stateDir/pairs", StructType(Seq(
+      StructField("ia", LongType), StructField("ib", LongType),
+      StructField("jaccard", DoubleType))))
+}

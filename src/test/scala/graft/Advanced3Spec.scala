@@ -45,10 +45,10 @@ class Advanced3Spec extends AnyFunSuite {
       .orderBy("event_type").collect()
     assert(compacted.map(_.toString).toSeq == original.map(_.toString).toSeq,
       "compaction must be content-identical")
-    // the require() inside q123 already asserts <= 4 files; double-check
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_compaction/compacted")
-    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) <= 4)
+    // file-count bound: asserted by the require() INSIDE q123 against its
+    // per-invocation dir (which it deletes on completion — checking a
+    // path out here only ever saw a stale dir from pre-per-invocation
+    // runs, and NPE'd on a clean tmpdir)
   }
 
   test("q124 histogram covers every row exactly once across ordered bins") {
