@@ -427,12 +427,21 @@ object Dedup {
     * identically); xxhash collisions only add verify volume.
     */
   private[graft] def bloomProbe(s: SparkSession, history: DataFrame,
-      key: Column): Column = {
+      key: Column): Column =
+    bloomProbe(s, history, key, math.max(history.count(), 1L))
+
+  /** Variant for callers that already know the build-side cardinality
+    * (e.g. a per-batch count that also serves an empty-batch guard) —
+    * skips the sizing count job. The honesty contract stands: pass the
+    * ACTUAL cardinality, not a guess.
+    */
+  private[graft] def bloomProbe(s: SparkSession, history: DataFrame,
+      key: Column, nItems: Long): Column = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val nHist = math.max(history.count(), 1L)
     val bf = history.select(xxhash64(key).as("kx"))
-      .stat.bloomFilter("kx", expectedNumItems = nHist, fpp = 0.01)
+      .stat.bloomFilter("kx", expectedNumItems = math.max(nItems, 1L),
+        fpp = 0.01)
     val os = new java.io.ByteArrayOutputStream()
     bf.writeTo(os)
     GraftBridge.column(BloomFilterMightContain(

@@ -105,13 +105,16 @@ object IncrementalSetSim {
 
     val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
     // Bloom over the SMALL new side's prefix hashes, probing the big
-    // history scan (q88's gate, direction flipped to fit CDC). The
-    // empty-batch guard is load-bearing: stat.bloomFilter NPEs on an
-    // empty build side — and isEmpty over the checkpointed prefix is a
-    // cached-partition scan, not a recompute.
+    // history scan (q88's gate, direction flipped to fit CDC). ONE count
+    // over the checkpointed prefix serves both the empty-batch guard
+    // (load-bearing: stat.bloomFilter NPEs on an empty build side) and
+    // the filter's sizing — a bounded replay pays per-JOB scheduling
+    // overhead, so the count/isEmpty pair is folded into one job.
+    val nNewPfx = newPfx.count()
     val histGated =
-      if (newPfx.isEmpty) hist.limit(0)
-      else hist.filter(graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h")))
+      if (nNewPfx == 0L) hist.limit(0)
+      else hist.filter(
+        graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h"), nNewPfx))
 
     val pa = newPfx.select(col("__h"), col("__grp"),
       col("__id").as("ia"), col("__rn").as("a_rn"), col("__n").as("a_n"))

@@ -291,11 +291,173 @@ object Knn {
        |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
+  // ----------------------------------------------------------------- PQ
+
+  /** Product-quantization parameters: 64 dims → [[MSub]] subspaces of
+    * [[SubDim]] dims, [[KPq]] codes per subspace. A vector stores as
+    * MSub small ints (8 bytes at KPq ≤ 256) instead of 64 floats
+    * (256 bytes) — the 32× memory compression that lets a 100 TB corpus'
+    * ANN index live executor-resident while raw vectors stay on disk.
+    */
+  val MSub = 8
+  val SubDim = 8
+  val KPq = 16
+
+  /** Deterministic PQ codebook: code k of subspace j is the j-th
+    * [[SubDim]]-slice of the k-th lowest-md5 corpus vector — the same
+    * SQL-restatable stand-in for an offline per-subspace k-means that
+    * [[fitIvf]] uses for centroids. `cb(j)(k)` is a literal; the whole
+    * codebook is KPq·64 floats (4 KB), corpus-size-independent.
+    */
+  private[graft] def fitPq(emb: DataFrame): Seq[Seq[Seq[Float]]] = {
+    val anchors = collectVecs(
+      emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(KPq)
+        .select(col("vec_id"), col("embedding")))
+    Seq.tabulate(MSub) { j =>
+      anchors.map { case (_, v) => v.slice(j * SubDim, (j + 1) * SubDim) }
+    }
+  }
+
+  /** Per-subspace code assignment: argmax of 6-dp-rounded cosine against
+    * the KPq literal sub-centers, ties to the lowest code — one narrow
+    * codegen expression per subspace (the [[cellOf]] machinery on
+    * slices), no join, no shuffle.
+    */
+  private def pqCodes(vec: Column, cb: Seq[Seq[Seq[Float]]]): Column =
+    array(Seq.tabulate(MSub) { j =>
+      val sub = slice(vec, j * SubDim + 1, SubDim)
+      cellOf(sub, cb(j).zipWithIndex.map { case (cv, k) => (k.toLong, cv) })
+        .cast("int")
+    }: _*)
+
+  /** Reconstruction (decode): concatenate each subspace's chosen literal
+    * sub-center — `element_at` over a per-subspace literal code table,
+    * statically unrolled.
+    */
+  private def pqReconstruct(codes: Column, cb: Seq[Seq[Seq[Float]]]): Column =
+    concat(Seq.tabulate(MSub) { j =>
+      element_at(typedLit(cb(j)), element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** Diagnostic/spec surface: encode + decode in one narrow pass —
+    * (vec_id, embedding, rec, codes).
+    */
+  private[graft] def pqEncodeDecode(emb: DataFrame,
+      cb: Seq[Seq[Seq[Float]]]): DataFrame =
+    emb.withColumn("codes", pqCodes(col("embedding"), cb))
+      .withColumn("rec", pqReconstruct(col("codes"), cb))
+      .select("vec_id", "embedding", "rec", "codes")
+
+  /** IVF-PQ ANN: q29's frozen two-level IVF prunes WHICH vectors a query
+    * scores (multi-probe over (cid, scid) buckets); PQ compresses WHAT is
+    * scored — candidates are ranked by asymmetric distance (raw query
+    * against the candidate's codebook reconstruction), so the scoring
+    * stage touches only the 8-byte codes + the 4 KB codebook, never the
+    * raw corpus vectors. One narrow pass assigns cells AND codes; the
+    * probed query set broadcasts onto the bucket equi-key exactly as in
+    * q29. Output is deterministic end-to-end (rounded cosines, lowest-id
+    * ties), so the oracle restates the full model — anchors, slices,
+    * encode argmax, reconstruction, probe, ADC ranking — in SQL.
+    */
+  def q154AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val m = fitIvf(emb)
+    val cb = fitPq(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    // one narrow projection: IVF cell, sub-cell, PQ codes, reconstruction
+    val corpus = assignCorpus(emb, m)
+      .withColumn("codes", pqCodes(col("embedding"), cb))
+      .withColumn("rec", pqReconstruct(col("codes"), cb))
+      .select("vec_id", "cid", "scid", "rec")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        explode_outer(probeCells(col("qv"), m.cents, NProbe)).as("cid"))
+      .select(col("qid"), col("qv"), col("cid"),
+        explode_outer(probeSubCells(col("qv"), col("cid"), m, NProbe2))
+          .as("scid"))
+    val adc = round(vectors.cosine_similarity(col("qv"), col("rec")), 6)
+    val w = Window.partitionBy("qid").orderBy(desc("adc_sim"), col("vec_id"))
+    corpus.join(broadcast(queries), Seq("cid", "scid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc_sim", adc)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "adc_sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  val q154Sql: String =
+    s"""WITH $ivfSqlPrologue,
+       |pq_anchor AS (
+       |  SELECT k, av FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS k, embedding AS av
+       |    FROM embeddings)
+       |  WHERE k < $KPq),
+       |pq_cb AS (
+       |  SELECT j, k, list_slice(av, j*$SubDim + 1, j*$SubDim + $SubDim) AS cv8
+       |  FROM pq_anchor CROSS JOIN generate_series(0, ${MSub - 1}) AS t(j)),
+       |enc AS (
+       |  SELECT vec_id, j, k AS code FROM (
+       |    SELECT a.vec_id, c.j, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, c.j ORDER BY
+       |        ROUND(list_cosine_similarity(
+       |          CAST(list_slice(a.embedding, c.j*$SubDim + 1,
+       |                          c.j*$SubDim + $SubDim) AS DOUBLE[]),
+       |          CAST(c.cv8 AS DOUBLE[])), 6) DESC, c.k) AS rn
+       |    FROM corpus_assign a CROSS JOIN pq_cb c)
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT e.vec_id, flatten(list(c.cv8 ORDER BY e.j)) AS rv
+       |  FROM enc e JOIN pq_cb c ON e.j = c.j AND e.code = c.k
+       |  GROUP BY e.vec_id),
+       |q_l1 AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+       |        c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= $NProbe),
+       |q_sub AS (
+       |  SELECT qid, qv, cid, scid FROM (
+       |    SELECT q.qid, q.qv, q.cid, s.scid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid, q.cid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                     CAST(s.scv AS DOUBLE[])), 6) DESC,
+       |        s.scid) AS rn
+       |    FROM q_l1 q JOIN subc s ON q.cid = s.cid)
+       |  WHERE rn <= $NProbe2),
+       |q_assign AS (
+       |  SELECT qid, qv, cid, CAST(-1 AS BIGINT) AS scid FROM q_l1
+       |  WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT qid, qv, cid, scid FROM q_sub),
+       |ranked AS (
+       |  SELECT q.qid, a.vec_id,
+       |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                 CAST(r.rv AS DOUBLE[])), 6) AS adc_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |      ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                   CAST(r.rv AS DOUBLE[])), 6) DESC,
+       |      a.vec_id) AS rn
+       |  FROM q_assign q JOIN corpus_assign a
+       |    ON q.cid = a.cid AND q.scid = a.scid
+       |  JOIN rec r ON r.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, adc_sim, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_knn_exact" -> (q28Knn _),
-    "q29_ann_ivf" -> (q29AnnIvf _))
+    "q29_ann_ivf" -> (q29AnnIvf _),
+    "q154_ann_ivfpq" -> (q154AnnIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "q28_knn_exact" -> q28Sql,
-    "q29_ann_ivf" -> q29Sql)
+    "q29_ann_ivf" -> q29Sql,
+    "q154_ann_ivfpq" -> q154Sql)
 }

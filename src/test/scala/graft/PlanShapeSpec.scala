@@ -108,6 +108,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the label agg + sort exchanges:\n$p")
   }
 
+  test("q154 IVF-PQ: corpus assign/encode/decode is shuffle-free; probe join broadcasts") {
+    // the corpus side (cell assignment + PQ codes + reconstruction) must
+    // be ONE narrow projection over the scan — at 100 TB any exchange
+    // here shuffles the full vector corpus. The only allowed exchanges:
+    // the probed-query BroadcastExchange, the top-k window's per-qid
+    // hash exchange (query-set-sized input), and the final presentation
+    // sort (rangepartitioning).
+    val p = plan(graft.similarity.Knn.q154AnnIvfPq(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"corpus-side shuffle leaked into IVF-PQ:\n$p")
+  }
+
   test("malformed JSON rows land in the corrupt-record column, not crash") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString

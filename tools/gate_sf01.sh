@@ -11,10 +11,14 @@
 #   should be committed as CORRECTNESS_sf01_r{N}.json.
 #
 # Exclusions (documented, not hidden):
-#  - q143_ppjoin / q149_ngram_jaccard: their DuckDB oracles are the
-#    brute-force all-pairs DEFINITION (quadratic) — minutes at sf0.1.
-#    Rows-only here; exact-compare runs at the sf0.01 driver gate, and
-#    SetSimJoinSpec certifies recall 1 vs brute force on planted corpora.
+#  - q143_ppjoin / q149_ngram_jaccard / q153_stream_setsim: their DuckDB
+#    oracles are the brute-force all-pairs DEFINITION (quadratic) —
+#    minutes at sf0.1. Rows-only here; exact-compare runs at the sf0.01
+#    driver gate, and SetSimJoinSpec certifies recall 1 vs brute force on
+#    planted corpora. q153 gets a STRONGER check below: its converged
+#    stream result must be row-identical to q143's batch answer (same
+#    definition, independent code paths — batch rarity-ordered PPJoin vs
+#    incremental hash-ordered index).
 #  - q26_neardup_minhash: documented probabilistic recall (over-cap LSH
 #    buckets dropped per contract) — a diff at sf0.1 is expected and
 #    recorded as EXPECTED_DIFF, not a failure. q27 (deterministic-recall
@@ -28,6 +32,25 @@ rm -rf "$OUT"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check.py "$SF" "$OUT" \
-  --skip q143_ppjoin,q149_ngram_jaccard \
+  --skip q143_ppjoin,q149_ngram_jaccard,q153_stream_setsim \
   --expect-diff q26_neardup_minhash \
   --json "$ART"
+# cross-path check: the incremental stream result (q153) must equal the
+# batch PPJoin answer (q143) exactly — same all-pairs definition.
+python3 - "$OUT" <<'EOF'
+import sys, duckdb
+out = sys.argv[1]
+n = duckdb.sql(f"""
+  SELECT count(*) FROM (
+    (SELECT ia, ib, jaccard FROM '{out}/q143_ppjoin/*.parquet'
+     EXCEPT
+     SELECT ia, ib, jaccard FROM '{out}/q153_stream_setsim/*.parquet')
+    UNION ALL
+    (SELECT ia, ib, jaccard FROM '{out}/q153_stream_setsim/*.parquet'
+     EXCEPT
+     SELECT ia, ib, jaccard FROM '{out}/q143_ppjoin/*.parquet'))
+""").fetchone()[0]
+if n:
+    print(f"FAIL q153 vs q143 cross-path: {n} differing rows"); sys.exit(1)
+print("PASS q153_stream_setsim == q143_ppjoin (cross-path exact match)")
+EOF
