@@ -96,25 +96,42 @@ object IncrementalSetSim {
       tNum: Int, tDen: Int): Unit = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen out of (0,1]")
     val t = tNum.toDouble / tDen
+    // NOT checkpointed: a foreachBatch frame is backed by the source's
+    // parquet files, so each of its three consumers (prefix build, verify
+    // union, state append) is a cheap narrow re-scan — an eager
+    // localCheckpoint here costs a whole extra job per batch for nothing
+    // (bounded replays pay per-JOB scheduling overhead; the q65 lesson).
     val b = batch.select(col("__id"), col("__grp"), col("__toks"))
-      .localCheckpoint(true) // consumed 4x below; stream batches re-read
     // checkpointed: consumed 5x (bloom count+build, both join sides, the
     // state append), and the hash-sort token projection is the hot part
     // of a batch — measured cheaper to materialize than to recompute
+    val __tstart = System.nanoTime()
     val newPfx = prefixRows(b, tNum, tDen).localCheckpoint(true)
 
+    val histExists = new java.io.File(s"$stateDir/prefix").exists()
     val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
     // Bloom over the SMALL new side's prefix hashes, probing the big
     // history scan (q88's gate, direction flipped to fit CDC). ONE count
     // over the checkpointed prefix serves both the empty-batch guard
     // (load-bearing: stat.bloomFilter NPEs on an empty build side) and
     // the filter's sizing — a bounded replay pays per-JOB scheduling
-    // overhead, so the count/isEmpty pair is folded into one job.
+    // overhead, so the count/isEmpty pair is folded into one job, and
+    // the bloom build (another job) is skipped outright while the
+    // history is still empty (first arriving batch).
+    var __tlast = __tstart
+    def __mark(l: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[isim-prof] $l ${(now - __tlast) / 1e9}%.2f")
+      __tlast = now
+    }
+    __mark("pfx_ckpt")
     val nNewPfx = newPfx.count()
+    __mark("count")
     val histGated =
-      if (nNewPfx == 0L) hist.limit(0)
+      if (nNewPfx == 0L || !histExists) hist.limit(0)
       else hist.filter(
         graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h"), nNewPfx))
+    __mark("bloom")
 
     val pa = newPfx.select(col("__h"), col("__grp"),
       col("__id").as("ia"), col("__rn").as("a_rn"), col("__n").as("a_n"))
@@ -147,13 +164,23 @@ object IncrementalSetSim {
           size(array_union(col("ta"), col("tb"))))
       .where(col("jaccard") >= t)
       .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+      // no coalesce here: it would propagate up the narrow verify stage
+      // and serialize the token-store scan to one task; the pairs sink
+      // is read once at the end, so its file count is irrelevant
       .write.mode("append").parquet(s"$stateDir/pairs")
+    __mark("pairs_write")
 
     // state appends AFTER the pair write: the candidate plan above must
-    // never see this batch's rows through the history dirs
-    newPfx.write.mode("append").parquet(s"$stateDir/prefix")
+    // never see this batch's rows through the history dirs. Each append
+    // is sized to the ARRIVAL RATE, not the cluster (coalesce(1)): a
+    // micro-batch's state delta is one file's worth, and writing
+    // shuffle-width small files per batch multiplies every later
+    // history scan's task count by the batch count (at cluster scale
+    // this is the CDC sink's compaction policy — see q123).
+    newPfx.coalesce(1).write.mode("append").parquet(s"$stateDir/prefix")
     b.select(col("__id"), col("__toks"))
-      .write.mode("append").parquet(s"$stateDir/toks")
+      .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")
+    __mark("state_append")
   }
 
   /** The accumulated pair set (the converged result after a drain). */

@@ -53,8 +53,16 @@ object DocSetSimStream {
     // q65 lesson, minus the state stores — production sizes this to the
     // arrival rate, not the cluster)
     val widthKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prevWidth = s.conf.get(widthKey)
+    val prevAqe = s.conf.get(aqeKey)
     s.conf.set(widthKey, "8")
+    // AQE re-optimizes and resubmits at EVERY stage boundary; on a
+    // bounded replay each batch's candidate/verify DAG is ~4 stages of
+    // tiny exchanges, so the adaptive machinery is pure per-batch
+    // latency with nothing to adapt (width is already pinned to the
+    // arrival rate)
+    s.conf.set(aqeKey, "false")
     try {
       val q = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", "1")
@@ -64,7 +72,10 @@ object DocSetSimStream {
         .foreachBatch(fold)
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set(widthKey, prevWidth)
+    } finally {
+      s.conf.set(widthKey, prevWidth)
+      s.conf.set(aqeKey, prevAqe)
+    }
     graft.operators.IncrementalSetSim.pairs(s, stateDir)
       .orderBy("ia", "ib")
   }
