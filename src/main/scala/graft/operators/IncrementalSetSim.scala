@@ -89,6 +89,24 @@ object IncrementalSetSim {
         (col("pos") + 1).cast("int").as("__rn"), col("__n").cast("int"))
   }
 
+  /** Cumulative history prefix-row count, tracked driver-side so the
+    * Bloom-gate decision costs ZERO jobs (at cluster scale this is one
+    * line in the CDC sink's manifest; here a sidecar text file).
+    */
+  private[graft] def readMeta(stateDir: String): Long = {
+    val f = new java.io.File(s"$stateDir/meta.count")
+    if (f.exists()) new String(
+      java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else 0L
+  }
+
+  private[graft] def writeMeta(stateDir: String, n: Long): Unit = {
+    new java.io.File(stateDir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(s"$stateDir/meta.count").toPath,
+      n.toString.getBytes)
+  }
+
   /** Process one arriving micro-batch (`__id` long, `__grp` string,
     * `__toks` distinct token array) against the accumulated state.
     */
@@ -102,85 +120,95 @@ object IncrementalSetSim {
     // localCheckpoint here costs a whole extra job per batch for nothing
     // (bounded replays pay per-JOB scheduling overhead; the q65 lesson).
     val b = batch.select(col("__id"), col("__grp"), col("__toks"))
-    // checkpointed: consumed 5x (bloom count+build, both join sides, the
-    // state append), and the hash-sort token projection is the hot part
-    // of a batch — measured cheaper to materialize than to recompute
-    val __tstart = System.nanoTime()
-    val newPfx = prefixRows(b, tNum, tDen).localCheckpoint(true)
+    // persist + count folds materialization and the sizing/empty-guard
+    // count into ONE job (an eager localCheckpoint + count was TWO jobs
+    // per batch — ~0.2 s/batch of pure scheduling on a bounded replay;
+    // the hash-sort projection is the hot part of a batch, so it IS
+    // worth materializing for its 4 downstream consumers).
+    val newPfx = prefixRows(b, tNum, tDen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNewPfx = newPfx.count()
+      val histCount = readMeta(stateDir)
+      val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
+      // Bloom over the SMALL new side's prefix hashes, probing the big
+      // history scan (q88's gate, direction flipped to fit CDC). The
+      // count above is load-bearing (stat.bloomFilter NPEs on an empty
+      // build side) AND sizes the filter. The gate is skipped when the
+      // new side is within 2x of the history: at that ratio nearly every
+      // history row passes the filter anyway (selectivity ~1 on a
+      // shared-vocabulary corpus), so the bloom-build job buys nothing —
+      // it only pays once history dwarfs the arrival rate, which is the
+      // steady CDC state it exists for.
+      val histGated =
+        if (nNewPfx == 0L || histCount == 0L) hist.limit(0)
+        else if (nNewPfx * 2 >= histCount) hist
+        else hist.filter(
+          graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h"), nNewPfx))
 
-    val histExists = new java.io.File(s"$stateDir/prefix").exists()
-    val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
-    // Bloom over the SMALL new side's prefix hashes, probing the big
-    // history scan (q88's gate, direction flipped to fit CDC). ONE count
-    // over the checkpointed prefix serves both the empty-batch guard
-    // (load-bearing: stat.bloomFilter NPEs on an empty build side) and
-    // the filter's sizing — a bounded replay pays per-JOB scheduling
-    // overhead, so the count/isEmpty pair is folded into one job, and
-    // the bloom build (another job) is skipped outright while the
-    // history is still empty (first arriving batch).
-    var __tlast = __tstart
-    def __mark(l: String): Unit = {
-      val now = System.nanoTime()
-      System.err.println(f"[isim-prof] $l ${(now - __tlast) / 1e9}%.2f")
-      __tlast = now
-    }
-    __mark("pfx_ckpt")
-    val nNewPfx = newPfx.count()
-    __mark("count")
-    val histGated =
-      if (nNewPfx == 0L || !histExists) hist.limit(0)
-      else hist.filter(
-        graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h"), nNewPfx))
-    __mark("bloom")
+      val pa = newPfx.select(col("__h"), col("__grp"),
+        col("__id").as("ia"), col("__rn").as("a_rn"), col("__n").as("a_n"))
+      val pb = histGated.withColumn("__new", lit(false))
+        .unionByName(newPfx.withColumn("__new", lit(true)))
+        .select(col("__h"), col("__grp"), col("__id").as("ib"),
+          col("__rn").as("b_rn"), col("__n").as("b_n"), col("__new"))
+      val alpha = expr(
+        s"($tNum * (a_n + b_n) + ${tNum + tDen - 1}) DIV ${tNum + tDen}")
+      val cand = pa.join(pb, Seq("__h", "__grp"))
+        .where((!col("__new") && col("ia") =!= col("ib")) ||
+          (col("__new") && col("ia") < col("ib")))
+        .where(expr(s"($tNum * a_n + ${tDen - 1}) DIV $tDen") <= col("b_n") &&
+          expr(s"($tNum * b_n + ${tDen - 1}) DIV $tDen") <= col("a_n"))
+        .where(col("a_rn") <= col("a_n") - alpha + 1 &&
+          col("b_rn") <= col("b_n") - alpha + 1)
+        .where(lit(1) + least(col("a_n") - col("a_rn"),
+          col("b_n") - col("b_rn")) >= alpha)
+        .select(least(col("ia"), col("ib")).as("ia"),
+          greatest(col("ia"), col("ib")).as("ib"))
+        .distinct()
 
-    val pa = newPfx.select(col("__h"), col("__grp"),
-      col("__id").as("ia"), col("__rn").as("a_rn"), col("__n").as("a_n"))
-    val pb = histGated.withColumn("__new", lit(false))
-      .unionByName(newPfx.withColumn("__new", lit(true)))
-      .select(col("__h"), col("__grp"), col("__id").as("ib"),
-        col("__rn").as("b_rn"), col("__n").as("b_n"), col("__new"))
-    val alpha = expr(
-      s"($tNum * (a_n + b_n) + ${tNum + tDen - 1}) DIV ${tNum + tDen}")
-    val cand = pa.join(pb, Seq("__h", "__grp"))
-      .where((!col("__new") && col("ia") =!= col("ib")) ||
-        (col("__new") && col("ia") < col("ib")))
-      .where(expr(s"($tNum * a_n + ${tDen - 1}) DIV $tDen") <= col("b_n") &&
-        expr(s"($tNum * b_n + ${tDen - 1}) DIV $tDen") <= col("a_n"))
-      .where(col("a_rn") <= col("a_n") - alpha + 1 &&
-        col("b_rn") <= col("b_n") - alpha + 1)
-      .where(lit(1) + least(col("a_n") - col("a_rn"),
-        col("b_n") - col("b_rn")) >= alpha)
-      .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"))
-      .distinct()
+      // verify: candidates are ARRIVAL-RATE-bounded (a micro-batch's
+      // surviving pairs), the token store is CORPUS-sized — so the
+      // candidate side is broadcast through both lookups and the store
+      // is read narrow, never shuffled (was: two shuffle joins moving
+      // the full store per batch — measured ~0.75 s/batch at sf0.1,
+      // dominated by exactly those exchanges)
+      val toksAll = readOrEmpty(s, s"$stateDir/toks", toksSchema)
+        .unionByName(b.select(col("__id"), col("__toks")))
+      val sa = toksAll.select(col("__id").as("ia"), col("__toks").as("ta"))
+      val sb = toksAll.select(col("__id").as("ib"), col("__toks").as("tb"))
+      broadcast(broadcast(cand).join(sa, "ia")).join(sb, "ib")
+        .withColumn("jaccard",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))))
+        .where(col("jaccard") >= t)
+        .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+        // no coalesce here: it would propagate up the narrow verify stage
+        // and serialize the token-store scan to one task; the pairs sink
+        // is read once at the end, so its file count is irrelevant
+        .write.mode("append").parquet(s"$stateDir/pairs")
 
-    val toksAll = readOrEmpty(s, s"$stateDir/toks", toksSchema)
-      .unionByName(b.select(col("__id"), col("__toks")))
-    val sa = toksAll.select(col("__id").as("ia"), col("__toks").as("ta"))
-    val sb = toksAll.select(col("__id").as("ib"), col("__toks").as("tb"))
-    cand.join(sa, "ia").join(sb, "ib")
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))))
-      .where(col("jaccard") >= t)
-      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
-      // no coalesce here: it would propagate up the narrow verify stage
-      // and serialize the token-store scan to one task; the pairs sink
-      // is read once at the end, so its file count is irrelevant
-      .write.mode("append").parquet(s"$stateDir/pairs")
-    __mark("pairs_write")
-
-    // state appends AFTER the pair write: the candidate plan above must
-    // never see this batch's rows through the history dirs. Each append
-    // is sized to the ARRIVAL RATE, not the cluster (coalesce(1)): a
-    // micro-batch's state delta is one file's worth, and writing
-    // shuffle-width small files per batch multiplies every later
-    // history scan's task count by the batch count (at cluster scale
-    // this is the CDC sink's compaction policy — see q123).
-    newPfx.coalesce(1).write.mode("append").parquet(s"$stateDir/prefix")
-    b.select(col("__id"), col("__toks"))
-      .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")
-    __mark("state_append")
+      // state appends AFTER the pair write: the candidate plan above must
+      // never see this batch's rows through the history dirs. Each append
+      // is sized to the ARRIVAL RATE, not the cluster (coalesce(1)): a
+      // micro-batch's state delta is one file's worth, and writing
+      // shuffle-width small files per batch multiplies every later
+      // history scan's task count by the batch count (at cluster scale
+      // this is the CDC sink's compaction policy — see q123). The two
+      // appends touch disjoint dirs from disjoint plans, so they are
+      // submitted as CONCURRENT jobs (sink latency = max, not sum).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val appends = Seq(
+        Future(newPfx.coalesce(1).write.mode("append")
+          .parquet(s"$stateDir/prefix")),
+        Future(b.select(col("__id"), col("__toks"))
+          .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")))
+      appends.foreach(Await.result(_, Duration.Inf))
+      writeMeta(stateDir, histCount + nNewPfx)
+    } finally newPfx.unpersist(false)
   }
 
   /** The accumulated pair set (the converged result after a drain). */
