@@ -48,15 +48,17 @@ object MakeScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // events.parquet carries TIMESTAMP(NANOS): read it as the raw int64
+    // the driver ships (a plain bigint round-trips through Tables.load;
+    // converting to TimestampType would write INT96 and break the layout
+    // contract). The conf is session-wide and harmless for the other
+    // tables (none carries nanos), so set it ONCE up front — r8 ADVICE:
+    // the old per-table conditional was dead structure that worked only
+    // because the conf happened to stick.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      // events: keep `ts` as the raw int64 nanos the driver ships (a plain
-      // bigint column round-trips through Tables.events' LongType branch);
-      // converting to TimestampType here would write INT96 and break the
-      // layout contract.
-      val base = if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        Tables.load(spark, src, name)
-      } else Tables.load(spark, src, name)
+      val base = Tables.load(spark, src, name)
       (0 until n).map(r => f(base, r)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }

@@ -38,7 +38,8 @@ object SparkEntry {
       graft.similarity.Knn.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.streaming.EventsStream.queries ++
-      graft.streaming.DocSetSimStream.queries
+      graft.streaming.DocSetSimStream.queries ++
+      graft.streaming.PhashStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -66,5 +67,6 @@ object SparkEntry {
       graft.similarity.Knn.oracles ++
       graft.multimodal.Multimodal.oracles ++
       graft.streaming.EventsStream.oracles ++
-      graft.streaming.DocSetSimStream.oracles
+      graft.streaming.DocSetSimStream.oracles ++
+      graft.streaming.PhashStream.oracles
 }

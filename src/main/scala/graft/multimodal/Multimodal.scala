@@ -124,23 +124,38 @@ object Multimodal {
     * after it moves 8-byte hashes. Banding + sub-banding is the
     * candidate-generation design — never all-pairs.
     */
-  def q152PhashNearDup(s: SparkSession, d: String): DataFrame = {
+  /** The q152 corpus as (doc_id, ph) fingerprints: every payload plus a
+    * planted first-byte-edited copy of each 10th one (id −doc_id−1) —
+    * shared by the batch (q152) and streaming (q155) near-dup paths so
+    * the cross-path equality claim compares the SAME input.
+    */
+  private[graft] def corpusFingerprints(s: SparkSession, d: String): DataFrame = {
     import graft.functions.text
     val base = withPayload(s, d).select(col("doc_id"), col("payload"))
     val planted = Tables.documents(s, d)
       .filter(col("doc_id") % 10 === 0)
       .select((-col("doc_id") - 1L).as("doc_id"),
         concat(lit("x"), expr("substring(text, 2)")).cast("binary").as("payload"))
-    val hashed = base.unionByName(planted)
+    base.unionByName(planted)
       .select(col("doc_id"), text.dhash64(col("payload")).as("ph"))
+  }
+
+  /** 4 × 16-bit hamming band rows per fingerprint (pigeonhole: any pair
+    * at hamming ≤ 3 agrees on at least one band) — q152/q155 banding.
+    */
+  private[graft] def phashBands(fp: DataFrame): DataFrame = {
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }: _*)
-    val banded = hashed.select(col("doc_id"), col("ph"),
-        explode(bandStructs).as("bb"))
+    fp.select(col("doc_id"), col("ph"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("ph"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def q152PhashNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.text
+    val banded = phashBands(corpusFingerprints(s, d))
     graft.dedup.Dedup.hammingBandPairs(banded, "ph", maxBucket = 64)
       .withColumn("hamming", text.hamming64(col("pa"), col("pb")))
       .filter(col("hamming") <= 3)
@@ -149,7 +164,10 @@ object Multimodal {
   }
 
   /** q152's oracle: recompute every dHash bit in SQL (per-block ord()
-    * sums — byte == code point on this printable-ASCII corpus — with the
+    * sums — byte == code point on this printable-ASCII corpus, and the
+    * `f` CTE errors LOUDLY via octet_length(text) <> len(text) if a
+    * future testdata change ever introduces a multi-byte character,
+    * instead of surfacing as an opaque hash mismatch (r8 ADVICE) — with the
     * same cross-multiplied mean compare), then enumerate ALL pairs at
     * hamming ≤ 3. Banding recall is 1 by pigeonhole, so the bucketed
     * Spark plan must equal the all-pairs scan exactly (the q27 pattern).
@@ -162,7 +180,10 @@ object Multimodal {
       |  UNION ALL
       |  SELECT -doc_id - 1, 'x' || text[2:] FROM documents
       |  WHERE doc_id % 10 = 0),
-      |f AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+      |f AS (SELECT doc_id, text,
+      |  len(text) + CASE WHEN octet_length(encode(text)) <> len(text)
+      |    THEN error('q152 oracle requires an ASCII corpus: byte-hash != char-hash')
+      |    ELSE 0 END AS n FROM corpus),
       |blocks AS (
       |  SELECT doc_id, b,
       |    COALESCE(list_sum(list_transform(

@@ -54,3 +54,23 @@ if n:
     print(f"FAIL q153 vs q143 cross-path: {n} differing rows"); sys.exit(1)
 print("PASS q153_stream_setsim == q143_ppjoin (cross-path exact match)")
 EOF
+# cross-path check: the incremental phash index (q155) must equal the
+# batch perceptual-hash answer (q152) exactly — same banding definition,
+# independent code paths (batch sub-banding vs streaming banded index).
+python3 - "$OUT" <<'EOF'
+import sys, duckdb
+out = sys.argv[1]
+n = duckdb.sql(f"""
+  SELECT count(*) FROM (
+    (SELECT id_a, id_b, hamming FROM '{out}/q152_phash_neardup/*.parquet'
+     EXCEPT
+     SELECT id_a, id_b, hamming FROM '{out}/q155_stream_phash/*.parquet')
+    UNION ALL
+    (SELECT id_a, id_b, hamming FROM '{out}/q155_stream_phash/*.parquet'
+     EXCEPT
+     SELECT id_a, id_b, hamming FROM '{out}/q152_phash_neardup/*.parquet'))
+""").fetchone()[0]
+if n:
+    print(f"FAIL q155 vs q152 cross-path: {n} differing rows"); sys.exit(1)
+print("PASS q155_stream_phash == q152_phash_neardup (cross-path exact match)")
+EOF
