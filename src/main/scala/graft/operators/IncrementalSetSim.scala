@@ -65,11 +65,23 @@ object IncrementalSetSim {
     StructField("__id", LongType), StructField("__toks",
       ArrayType(StringType))))
 
+  /** Read a state dir by an EXPLICIT file-list snapshot taken now.
+    * Correctness-bearing: this batch's candidate/verify plans must never
+    * see rows appended DURING the batch (the state appends run
+    * concurrently with the verify job — see processBatch), and an
+    * explicit path list is immune to re-listing no matter when Spark
+    * materializes the file index.
+    */
   private def readOrEmpty(s: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists()) s.read.schema(schema).parquet(dir)
+      schema: StructType): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    if (files.nonEmpty) s.read.schema(schema).parquet(files: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema)
+  }
 
   /** B's prefix rows under the fixed (xxhash64, token) order:
     * (__h, __grp, __id, __rn, __n).
@@ -128,21 +140,52 @@ object IncrementalSetSim {
     val newPfx = prefixRows(b, tNum, tDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nNewPfx = newPfx.count()
+      // snapshot BOTH state dirs' file lists before anything is appended
+      // this batch (correctness-bearing — see readOrEmpty)
       val histCount = readMeta(stateDir)
       val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
+      val histToks = readOrEmpty(s, s"$stateDir/toks", toksSchema)
+      // the two state appends depend only on this batch's rows — never
+      // on the gating decision — so they launch FIRST and run
+      // concurrently with the count and the verify job below (batch
+      // latency = max, not sum). Safe because every state-dir read in
+      // this batch's plans is pinned to the explicit file-list snapshot
+      // above, so the appends can never leak this batch's rows into its
+      // own candidate or verify scans — which would double-count pairs
+      // (toksAll already unions the in-flight batch explicitly). Each
+      // append is sized to the ARRIVAL RATE, not the cluster
+      // (coalesce(1)): a micro-batch's state delta is one file's worth,
+      // and writing shuffle-width small files per batch multiplies
+      // every later history scan's task count by the batch count (at
+      // cluster scale this is the CDC sink's compaction policy — see
+      // q123). The prefix append also populates newPfx's cache blocks
+      // while the count below runs (Spark's per-block locks make the
+      // concurrent materialization safe).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val appends = Seq(
+        Future(newPfx.coalesce(1).write.mode("append")
+          .parquet(s"$stateDir/prefix")),
+        Future(b.select(col("__id"), col("__toks"))
+          .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")))
+      val nNewPfx = newPfx.count()
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
       // count above is load-bearing (stat.bloomFilter NPEs on an empty
-      // build side) AND sizes the filter. The gate is skipped when the
-      // new side is within 2x of the history: at that ratio nearly every
-      // history row passes the filter anyway (selectivity ~1 on a
-      // shared-vocabulary corpus), so the bloom-build job buys nothing —
-      // it only pays once history dwarfs the arrival rate, which is the
-      // steady CDC state it exists for.
+      // build side) AND sizes the filter. The gate stays DISARMED until
+      // history is ~an order of magnitude past the arrival rate: below
+      // that nearly every history row passes the filter anyway
+      // (selectivity ~1 on a shared-vocabulary corpus — measured on the
+      // sf0.1 replay, where each build job cost ~0.07-0.1 s of pure
+      // scheduling and pruned nothing at hist/new ≤ 7), so it only pays
+      // in the steady CDC state it exists for (hist/new in the
+      // hundreds; IncrementalSetSimSpec exercises the armed path with a
+      // skewed split).
       val histGated =
         if (nNewPfx == 0L || histCount == 0L) hist.limit(0)
-        else if (nNewPfx * 2 >= histCount) hist
+        else if (nNewPfx * 8 >= histCount) hist
         else hist.filter(
           graft.dedup.Dedup.bloomProbe(s, newPfx, col("__h"), nNewPfx))
 
@@ -154,7 +197,7 @@ object IncrementalSetSim {
           col("__rn").as("b_rn"), col("__n").as("b_n"), col("__new"))
       val alpha = expr(
         s"($tNum * (a_n + b_n) + ${tNum + tDen - 1}) DIV ${tNum + tDen}")
-      val cand = pa.join(pb, Seq("__h", "__grp"))
+      val cand = broadcast(pa).join(pb, Seq("__h", "__grp"))
         .where((!col("__new") && col("ia") =!= col("ib")) ||
           (col("__new") && col("ia") < col("ib")))
         .where(expr(s"($tNum * a_n + ${tDen - 1}) DIV $tDen") <= col("b_n") &&
@@ -165,47 +208,45 @@ object IncrementalSetSim {
           col("b_n") - col("b_rn")) >= alpha)
         .select(least(col("ia"), col("ib")).as("ia"),
           greatest(col("ia"), col("ib")).as("ib"))
-        .distinct()
+      // no .distinct() on candidates: the verify's groupBy(ia, ib)
+      // absorbs duplicate candidates (a pair matching on several shared
+      // prefix tokens) for free — a distinct here was a whole extra
+      // shuffle stage per batch
 
       // verify: candidates are ARRIVAL-RATE-bounded (a micro-batch's
       // surviving pairs), the token store is CORPUS-sized — so the
-      // candidate side is broadcast through both lookups and the store
-      // is read narrow, never shuffled (was: two shuffle joins moving
-      // the full store per batch — measured ~0.75 s/batch at sf0.1,
-      // dominated by exactly those exchanges)
-      val toksAll = readOrEmpty(s, s"$stateDir/toks", toksSchema)
+      // store must be read ONCE, narrow, never shuffled. Each pair is
+      // exploded to two (pair, id) probe rows and broadcast through a
+      // SINGLE hash-join over the store, then the two member token sets
+      // meet again in one width-8 groupBy — one scan + one tiny
+      // exchange, where the previous shape (cand ⋈ toks ⋈ toks) ran two
+      // sequential broadcast sub-DAGs and scanned the store twice
+      // (measured ~1.2 s/batch at sf0.1, ~0.3 s of it per sub-DAG of
+      // pure scheduling floor)
+      val toksAll = histToks
         .unionByName(b.select(col("__id"), col("__toks")))
-      val sa = toksAll.select(col("__id").as("ia"), col("__toks").as("ta"))
-      val sb = toksAll.select(col("__id").as("ib"), col("__toks").as("tb"))
-      broadcast(broadcast(cand).join(sa, "ia")).join(sb, "ib")
+      val probes = cand.select(explode(array(
+        struct(col("ia"), col("ib"), col("ia").as("__id")),
+        struct(col("ia"), col("ib"), col("ib").as("__id")))).as("e"))
+        .select(col("e.ia"), col("e.ib"), col("e.__id"))
+      val verifyWrite = broadcast(probes).join(toksAll, "__id")
+        .groupBy(col("ia"), col("ib"))
+        .agg(
+          first(when(col("__id") === col("ia"), col("__toks")),
+            ignoreNulls = true).as("ta"),
+          first(when(col("__id") === col("ib"), col("__toks")),
+            ignoreNulls = true).as("tb"))
         .withColumn("jaccard",
           size(array_intersect(col("ta"), col("tb"))).cast("double") /
             size(array_union(col("ta"), col("tb"))))
         .where(col("jaccard") >= t)
         .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
-        // no coalesce here: it would propagate up the narrow verify stage
-        // and serialize the token-store scan to one task; the pairs sink
-        // is read once at the end, so its file count is irrelevant
-        .write.mode("append").parquet(s"$stateDir/pairs")
 
-      // state appends AFTER the pair write: the candidate plan above must
-      // never see this batch's rows through the history dirs. Each append
-      // is sized to the ARRIVAL RATE, not the cluster (coalesce(1)): a
-      // micro-batch's state delta is one file's worth, and writing
-      // shuffle-width small files per batch multiplies every later
-      // history scan's task count by the batch count (at cluster scale
-      // this is the CDC sink's compaction policy — see q123). The two
-      // appends touch disjoint dirs from disjoint plans, so they are
-      // submitted as CONCURRENT jobs (sink latency = max, not sum).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val appends = Seq(
-        Future(newPfx.coalesce(1).write.mode("append")
-          .parquet(s"$stateDir/prefix")),
-        Future(b.select(col("__id"), col("__toks"))
-          .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")))
+      verifyWrite
+        // no coalesce: it would propagate up the narrow verify stage
+        // and serialize the token-store scan to one task; the pairs
+        // sink is read once at the end, so file count is irrelevant
+        .write.mode("append").parquet(s"$stateDir/pairs")
       appends.foreach(Await.result(_, Duration.Inf))
       writeMeta(stateDir, histCount + nNewPfx)
     } finally newPfx.unpersist(false)

@@ -81,8 +81,12 @@ object DocSetSimStream {
     // the replay copy + checkpoint + state is a full corpus per
     // invocation, and before r9 a bench+verify+gate run leaked ~5 of
     // them in /tmp
+    // deterministic (ia, ib) order without a range shuffle: the pair
+    // sink is RESULT-sized, so a single-task sort replaces orderBy's
+    // two-pass (boundary-sample + shuffle) shape for the presentation
+    // sort — the operator itself never globally sorts
     val out = graft.operators.IncrementalSetSim.pairs(ss, stateDir)
-      .orderBy("ia", "ib").localCheckpoint(true)
+      .coalesce(1).sortWithinPartitions("ia", "ib").localCheckpoint(true)
     deleteRecursively(tmp)
     out
   }

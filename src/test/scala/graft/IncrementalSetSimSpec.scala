@@ -82,6 +82,27 @@ class IncrementalSetSimSpec extends AnyFunSuite {
     assert(n7 == seven.size)
   }
 
+  test("armed Bloom gate (history >> arrival) loses no pairs") {
+    // the gate only arms once history > 8x the arriving prefix rows
+    // (below that, measured selectivity ~1 makes the build job pure
+    // overhead) — a 95/5 split is safely past the threshold, and the
+    // 5 late near-dups pair against HISTORY docs, so recall through the
+    // armed filter is exactly what this certifies
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_spec_").toString
+    val df = corpus.toDF("__id", "__grp", "__toks")
+    IncrementalSetSim.processBatch(spark,
+      df.filter(col("__id") < 2005), dir, 4, 5)
+    val h0 = IncrementalSetSim.readMeta(dir)
+    IncrementalSetSim.processBatch(spark,
+      df.filter(col("__id") >= 2005), dir, 4, 5)
+    val h1 = IncrementalSetSim.readMeta(dir)
+    assert(h0 > 8 * (h1 - h0), "split failed to arm the Bloom gate")
+    val got = IncrementalSetSim.pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute(4, 5))
+  }
+
   test("empty batches and empty token arrays neither crash nor pair") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_incr_spec_").toString
