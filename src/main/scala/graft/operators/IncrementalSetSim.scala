@@ -132,11 +132,9 @@ object IncrementalSetSim {
     // localCheckpoint here costs a whole extra job per batch for nothing
     // (bounded replays pay per-JOB scheduling overhead; the q65 lesson).
     val b = batch.select(col("__id"), col("__grp"), col("__toks"))
-    // persist + count folds materialization and the sizing/empty-guard
-    // count into ONE job (an eager localCheckpoint + count was TWO jobs
-    // per batch — ~0.2 s/batch of pure scheduling on a bounded replay;
-    // the hash-sort projection is the hot part of a batch, so it IS
-    // worth materializing for its 4 downstream consumers).
+    // persisted: the hash-sort projection is the hot part of a batch and
+    // has 3 downstream consumers (state append, candidate join, Bloom
+    // build when armed); the append job is what materializes the cache.
     val newPfx = prefixRows(b, tNum, tDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -146,35 +144,53 @@ object IncrementalSetSim {
       val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
       val histToks = readOrEmpty(s, s"$stateDir/toks", toksSchema)
       // the two state appends depend only on this batch's rows — never
-      // on the gating decision — so they launch FIRST and run
-      // concurrently with the count and the verify job below (batch
-      // latency = max, not sum). Safe because every state-dir read in
-      // this batch's plans is pinned to the explicit file-list snapshot
-      // above, so the appends can never leak this batch's rows into its
-      // own candidate or verify scans — which would double-count pairs
-      // (toksAll already unions the in-flight batch explicitly). Each
-      // append is sized to the ARRIVAL RATE, not the cluster
-      // (coalesce(1)): a micro-batch's state delta is one file's worth,
-      // and writing shuffle-width small files per batch multiplies
-      // every later history scan's task count by the batch count (at
-      // cluster scale this is the CDC sink's compaction policy — see
-      // q123). The prefix append also populates newPfx's cache blocks
-      // while the count below runs (Spark's per-block locks make the
-      // concurrent materialization safe).
+      // on the gating decision — so they launch FIRST, run concurrently
+      // with each other, and the toks append further overlaps the verify
+      // job below (batch latency = max, not sum). Safe because every
+      // state-dir read in this batch's plans is pinned to the explicit
+      // file-list snapshot above, so the appends can never leak this
+      // batch's rows into its own candidate or verify scans — which
+      // would double-count pairs (toksAll already unions the in-flight
+      // batch explicitly). Each append is sized to the ARRIVAL RATE, not
+      // the cluster (coalesce(1)): a micro-batch's state delta is one
+      // file's worth, and writing shuffle-width small files per batch
+      // multiplies every later history scan's task count by the batch
+      // count (at cluster scale this is the CDC sink's compaction
+      // policy — see q123). The prefix append also materializes newPfx's
+      // cache blocks for the candidate join below.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      val appends = Seq(
-        Future(newPfx.coalesce(1).write.mode("append")
-          .parquet(s"$stateDir/prefix")),
-        Future(b.select(col("__id"), col("__toks"))
-          .coalesce(1).write.mode("append").parquet(s"$stateDir/toks")))
-      val nNewPfx = newPfx.count()
+      val pfxDir = new java.io.File(s"$stateDir/prefix")
+      def listPfx(): Set[String] = Option(pfxDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getPath).toSet
+      val pfxBefore = listPfx()
+      val prefixAppend = Future(newPfx.coalesce(1).write.mode("append")
+        .parquet(s"$stateDir/prefix"))
+      val toksAppend = Future(b.select(col("__id"), col("__toks"))
+        .coalesce(1).write.mode("append").parquet(s"$stateDir/toks"))
+      // the prefix-row count (gate decision + Bloom sizing + meta) is
+      // read from the parquet FOOTERS of the file the append just wrote
+      // — a driver-side metadata read, zero jobs, where a dedicated
+      // count() was one whole extra job per batch of scheduling floor
+      // (and an Observation metric stalled every batch on the async
+      // listener bus — measured +5 s over the replay). An empty batch
+      // writes no part files (0 input partitions), so the sum is 0.
+      Await.result(prefixAppend, Duration.Inf)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val nNewPfx = (listPfx() -- pfxBefore).toSeq.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), hconf))
+        try r.getRecordCount finally r.close()
+      }.sum
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
-      // count above is load-bearing (stat.bloomFilter NPEs on an empty
-      // build side) AND sizes the filter. The gate stays DISARMED until
+      // footer count above is load-bearing (stat.bloomFilter NPEs on an
+      // empty build side) AND sizes the filter. The gate stays DISARMED until
       // history is ~an order of magnitude past the arrival rate: below
       // that nearly every history row passes the filter anyway
       // (selectivity ~1 on a shared-vocabulary corpus — measured on the
@@ -247,7 +263,7 @@ object IncrementalSetSim {
         // and serialize the token-store scan to one task; the pairs
         // sink is read once at the end, so file count is irrelevant
         .write.mode("append").parquet(s"$stateDir/pairs")
-      appends.foreach(Await.result(_, Duration.Inf))
+      Await.result(toksAppend, Duration.Inf)
       writeMeta(stateDir, histCount + nNewPfx)
     } finally newPfx.unpersist(false)
   }
