@@ -43,6 +43,27 @@ object Multimodal {
       ((n * 131L + id * 13L) % 1024L + 1L).toInt)
   }
 
+  /** A REAL (if minimal) decoder for the seam: parses the PNG signature
+    * and IHDR chunk — 8-byte magic, then the 13-byte IHDR whose first
+    * two big-endian u32s are width and height (PNG spec §11.2.2; public
+    * format, no codec library needed). Exists to PROVE the decoder seam:
+    * MultimodalStreamingSpec drops it into [[extractMeta]] in place of
+    * [[decodeStub]] and asserts the physical plan is unchanged — the
+    * claim "a real decoder swaps in without touching the plan" is
+    * spec-backed, not scaladoc folklore.
+    */
+  def decodePngHeader(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val magic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val isPng = bytes.length >= 24 &&
+      magic.indices.forall(i => (bytes(i) & 0xFF) == magic(i))
+    if (isPng) {
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+          ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      MediaMeta(id, bytes.length.toLong, "png", be32(16), be32(20))
+    } else MediaMeta(id, bytes.length.toLong, "unknown", 0, 0)
+  }
+
   /** Attach a synthetic binary payload to the documents table (UTF-8 bytes
     * of the text — a deterministic stand-in for real media ingestion).
     */
@@ -51,15 +72,22 @@ object Multimodal {
       .select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
 
-  /** Partition-wise metadata extraction (the mapInPandas-shaped step). */
-  def extractMeta(df: DataFrame): Dataset[MediaMeta] = {
+  /** Partition-wise metadata extraction (the mapInPandas-shaped step).
+    * The decoder is the pluggable seam: any `(id, bytes) => MediaMeta`
+    * rides the same narrow mapPartitions — same schema, same batch
+    * shape, same physical plan (pinned by MultimodalStreamingSpec's
+    * seam test with [[decodePngHeader]]).
+    */
+  def extractMeta(df: DataFrame,
+      decoder: (Long, Array[Byte]) => MediaMeta = decodeStub _)
+      : Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (one codec instance)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decoder(id, bytes) }
       }
   }
 

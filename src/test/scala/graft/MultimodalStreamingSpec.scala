@@ -20,6 +20,41 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(df.count() == 500)
   }
 
+  test("multimodal: a real decoder drops into extractMeta with an unchanged plan") {
+    import spark.implicits._
+    // planted PNG payloads: 8-byte signature + IHDR with known big-endian
+    // dims — decodePngHeader is a REAL header parse, not a stub
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(x => b.put(x.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w).putInt(h)
+      Seq(8, 2, 0, 0, 0).foreach(x => b.put(x.toByte))
+      b.array()
+    }
+    val planted = Seq((1L, png(640, 480)), (2L, png(13, 7)),
+      (3L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val decoded = Multimodal.extractMeta(planted, Multimodal.decodePngHeader)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(decoded(1L).format == "png" &&
+      decoded(1L).width == 640 && decoded(1L).height == 480)
+    assert(decoded(2L).width == 13 && decoded(2L).height == 7)
+    assert(decoded(3L).format == "unknown")
+    // the seam claim: swapping the decoder changes NOTHING in the
+    // physical plan — same node sequence over the same input (the
+    // decoder only ever rides inside the one MapPartitions)
+    val payloads = Multimodal.withPayload(spark, sf)
+    def shape(d: org.apache.spark.sql.Dataset[_]): Seq[String] =
+      d.queryExecution.executedPlan.collect { case p => p.getClass.getSimpleName }
+    val stubShape = shape(Multimodal.extractMeta(payloads))
+    val realShape = shape(Multimodal.extractMeta(payloads, Multimodal.decodePngHeader))
+    assert(stubShape == realShape,
+      s"decoder swap changed the plan: $stubShape vs $realShape")
+    assert(stubShape.contains("MapPartitionsExec"),
+      s"expected a partition-wise decode node in $stubShape")
+  }
+
   test("multimodal: frame offsets are evenly spaced within payload") {
     import spark.implicits._
     val frames = Multimodal.frameSample(Multimodal.withPayload(spark, sf), 4)
