@@ -42,7 +42,10 @@ object Bench {
   }
 
   private final case class QStat(sec: Double, spillDiskB: Long,
-      spillMemB: Long, gcMs: Long, rerun: Boolean = false)
+      spillMemB: Long, gcMs: Long, rerun: Boolean = false,
+      err: Option[String] = None) {
+    def failed: Boolean = err.nonEmpty
+  }
 
   /** Previous round's per-query seconds from BENCH_FULL.json (either the
     * legacy `"name":sec` or the current `"name":{"sec":...}` row shape) —
@@ -140,13 +143,19 @@ object Bench {
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       mx.reset()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // a crashed query must be DISTINGUISHABLE from a fast one (r9: ten
+      // thrown queries recorded ~0.05 s with rc=0 and the 196 s "total"
+      // looked like a 26% improvement) — capture the error into the stat
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
-      val stat = QStat(dt, mx.spillDiskB.get, mx.spillMemB.get, mx.gcMs.get)
+      val stat = QStat(dt, mx.spillDiskB.get, mx.spillMemB.get, mx.gcMs.get,
+        err = err)
       cleanup(spark) // untimed: next run starts from a clean session
       stat
     }
@@ -154,7 +163,13 @@ object Bench {
     // first-run JIT/planning warmup. Telemetry rides the min-time run.
     val prior = priorSeconds(java.nio.file.Paths.get("BENCH_FULL.json"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = (1 to 2).map(_ => runOnce(name, fn)).minBy(_.sec)
+      // a failed iteration never wins the min on time — its near-zero
+      // elapsed is not a measurement
+      val iters = (1 to 2).map(_ => runOnce(name, fn))
+      val first = iters.filterNot(_.failed) match {
+        case ok if ok.nonEmpty => ok.minBy(_.sec)
+        case _ => iters.head
+      }
       // outlier re-measurement (r8: the official artifact recorded q143
       // at 95.0 s against a 5.7-6.9 s seven-run band — not reproducible
       // at the same commit). A min that still exceeds 3× last round's
@@ -212,19 +227,31 @@ object Bench {
       s""""calib_cpu":${fmt(calibCpu)},"calib_shuffle":${fmt(calibShuffle)}"""
     // BENCH_FULL rows carry the telemetry; the stdout contract line keeps
     // the original flat name→sec map (driver-parsed — do not change)
+    val nFailed = results.count(_._2.failed)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val fullRows = results.map { case (n, st) =>
       "\"" + n + "\":{\"sec\":" + fmt(st.sec) +
         ",\"spill_disk_b\":" + st.spillDiskB +
         ",\"spill_mem_b\":" + st.spillMemB +
         ",\"gc_ms\":" + st.gcMs +
-        ",\"rerun\":" + st.rerun + "}"
+        ",\"rerun\":" + st.rerun +
+        ",\"failed\":" + st.failed +
+        st.err.map(e => ",\"err\":" + jq(e)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$fullRows,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,$calib,"queries":$fullRows,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     System.err.println(s"[bench-full] $fullJson")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$calib,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // a bench with crashed queries is not a valid measurement — make the
+    // process say so (the driver still gets the stdout line either way)
+    if (nFailed > 0) sys.exit(1)
   }
 }

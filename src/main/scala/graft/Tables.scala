@@ -30,21 +30,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf, set
-    * per-session at runtime so any session origin works) and convert to a
-    * proper micros TimestampType column — truncation matches DuckDB's
-    * ns→us cast semantics, keeping the oracle comparable.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark's vectorized reader rejects it — read as raw nanos
+    * via the legacy conf and truncate ns→us, matching DuckDB cast
+    * semantics) and as TIMESTAMP(micros, isAdjustedToUTC=false) in others
+    * (Spark reads TIMESTAMP_NTZ, which `unix_micros`/`window` reject).
+    * Normalize every generation to session-TZ TimestampType (sessions run
+    * UTC, so NTZ→TZ preserves the instant) — callers never branch on the
+    * storage flavor.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events-shaped `ts` column to TimestampType — see
+    * [[events]] for the storage-flavor history.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integral DIV: ns→us must not round-trip through double (2^53 loss)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -21,11 +21,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter(kv => only(kv._1))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Leave an explicit on-disk marker, not just a stderr line: a
+        // query that throws must surface as FAIL in the artifact, never
+        // as silently-absent (r9 postmortem — 10 thrown queries simply
+        // vanished from CORRECTNESS_r09.json and the gate looked green).
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,7 +47,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump oracles only for the SELECTED queries: check.py treats the
+    // oracle key set as "expected to have a dump" and FAILs any gap, so a
+    // prefix-restricted dev run must not list the unselected ones.
     val json = SparkEntry.oracleSql
+      .filter(kv => selected.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

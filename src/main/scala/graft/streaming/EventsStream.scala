@@ -22,23 +22,30 @@ import graft.Tables
   */
 object EventsStream {
 
-  /** Events schema as the stream source sees it (ts read as raw nanos —
-    * same legacy-parquet handling as [[Tables.events]]).
+  /** Events schema as the stream source sees it. The `ts` storage flavor
+    * has varied across testdata generations (raw-nanos int64 vs micros
+    * TIMESTAMP_NTZ — see [[Tables.events]]); a stream source needs a
+    * user-supplied schema, so probe the actual flavor from the parquet
+    * footer (one cheap batch metadata read) and pin the matching type.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Bounded event stream from the parquet file source. */
+  /** Bounded event stream from the parquet file source, `ts` normalized to
+    * TimestampType via the same rules as the batch reader.
+    */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    Tables.normalizeTs(spark.readStream
+      .schema(rawSchema(tsType))
       // file source needs a directory-rooted glob, not a bare file path
       .option("basePath", sfDir)
-      .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(s"$sfDir/{events.parquet}"))
   }
 
   /** Run `f` with a narrower shuffle width: a stateful streaming query

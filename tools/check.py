@@ -35,10 +35,23 @@ def main(sf_dir, out_dir, skip=(), expect_diff=(), json_path=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(f"{out_dir}/{d}"))
+    dumped = set(d for d in os.listdir(out_dir)
+                 if os.path.isdir(f"{out_dir}/{d}"))
+    # The oracle key set IS the expected query set (Verify writes it for
+    # exactly the queries it attempted). A query that threw in Verify has
+    # no dump dir — that is a FAIL, not an omission (r9: 10 thrown queries
+    # were silently absent from the artifact and the gate looked green).
+    names = sorted(dumped | set(oracles))
     n_pass = n_fail = 0
     for name in names:
+        if name not in dumped:
+            err_file = f"{out_dir}/{name}.err"
+            why = "no dump dir (query threw in Verify)"
+            if os.path.exists(err_file):
+                why += ": " + open(err_file).read().strip()[:300]
+            print(f"FAIL {name}: {why}"); n_fail += 1
+            results[name] = {"status": "fail", "why": why}
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1
