@@ -451,13 +451,147 @@ object Knn {
        |SELECT qid, vec_id, adc_sim, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------------------------------- re-rank
+
+  /** ADC candidates carried into the exact re-rank stage, per query. The
+    * production dial: recall approaches the candidate-set ceiling as R
+    * grows, at R extra exact cosines per query — bounded work independent
+    * of corpus size.
+    */
+  val RerankR = 20
+
+  /** IVF-PQ ANN with exact re-ranking — the standard production refinement
+    * over q154: ADC ranking (8-byte codes + 4 KB codebook only) selects
+    * the top-[[RerankR]] candidates per query, then ONLY those |Q|·R rows
+    * fetch their raw vectors for an exact-cosine re-rank. PQ's
+    * reconstruction error can reorder true neighbors inside the candidate
+    * list but the re-rank stage restores the exact order, so recall@k
+    * equals the candidate-set ceiling (asserted in DedupKnnSpec at two
+    * SFs, alongside recall(q156) ≥ recall(q154)).
+    *
+    * Scale posture: stage 1 is q154's shape (narrow encode pass, broadcast
+    * probe join, per-bucket candidates); stage 2 broadcasts the tiny
+    * candidate list (qid, qv, vec_id) onto an independent corpus read by
+    * vec_id equi-key — the 100 TB corpus is scanned, never shuffled, and
+    * raw vectors travel only for candidates.
+    */
+  def q156AnnRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val m = fitIvf(emb)
+    val cb = fitPq(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    val corpus = assignCorpus(emb, m)
+      .withColumn("codes", pqCodes(col("embedding"), cb))
+      .withColumn("rec", pqReconstruct(col("codes"), cb))
+      .select("vec_id", "cid", "scid", "rec")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        explode_outer(probeCells(col("qv"), m.cents, NProbe)).as("cid"))
+      .select(col("qid"), col("qv"), col("cid"),
+        explode_outer(probeSubCells(col("qv"), col("cid"), m, NProbe2))
+          .as("scid"))
+    val adc = round(vectors.cosine_similarity(col("qv"), col("rec")), 6)
+    val wAdc = Window.partitionBy("qid").orderBy(desc("adc_sim"), col("vec_id"))
+    val cands = corpus.join(broadcast(queries), Seq("cid", "scid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc_sim", adc)
+      .withColumn("adc_rn", row_number().over(wAdc))
+      .filter(col("adc_rn") <= RerankR)
+      .select("qid", "qv", "vec_id")
+    // independent read (not `emb`): joining two derivations of one lineage
+    // trips AMBIGUOUS_SELF_JOIN (CLAUDE.md)
+    val raw = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    raw.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos_sim", cosRounded)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "cos_sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  val q156Sql: String =
+    s"""WITH $ivfSqlPrologue,
+       |pq_anchor AS (
+       |  SELECT k, av FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS k, embedding AS av
+       |    FROM embeddings)
+       |  WHERE k < $KPq),
+       |pq_cb AS (
+       |  SELECT j, k, list_slice(av, j*$SubDim + 1, j*$SubDim + $SubDim) AS cv8
+       |  FROM pq_anchor CROSS JOIN generate_series(0, ${MSub - 1}) AS t(j)),
+       |enc AS (
+       |  SELECT vec_id, j, k AS code FROM (
+       |    SELECT a.vec_id, c.j, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, c.j ORDER BY
+       |        ROUND(list_cosine_similarity(
+       |          CAST(list_slice(a.embedding, c.j*$SubDim + 1,
+       |                          c.j*$SubDim + $SubDim) AS DOUBLE[]),
+       |          CAST(c.cv8 AS DOUBLE[])), 6) DESC, c.k) AS rn
+       |    FROM corpus_assign a CROSS JOIN pq_cb c)
+       |  WHERE rn = 1),
+       |rec AS (
+       |  SELECT e.vec_id, flatten(list(c.cv8 ORDER BY e.j)) AS rv
+       |  FROM enc e JOIN pq_cb c ON e.j = c.j AND e.code = c.k
+       |  GROUP BY e.vec_id),
+       |q_l1 AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                     CAST(c.cv AS DOUBLE[])), 6) DESC,
+       |        c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= $NProbe),
+       |q_sub AS (
+       |  SELECT qid, qv, cid, scid FROM (
+       |    SELECT q.qid, q.qv, q.cid, s.scid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid, q.cid ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                     CAST(s.scv AS DOUBLE[])), 6) DESC,
+       |        s.scid) AS rn
+       |    FROM q_l1 q JOIN subc s ON q.cid = s.cid)
+       |  WHERE rn <= $NProbe2),
+       |q_assign AS (
+       |  SELECT qid, qv, cid, CAST(-1 AS BIGINT) AS scid FROM q_l1
+       |  WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT qid, qv, cid, scid FROM q_sub),
+       |adc_ranked AS (
+       |  SELECT q.qid, q.qv, a.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |      ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |                                   CAST(r.rv AS DOUBLE[])), 6) DESC,
+       |      a.vec_id) AS adc_rn
+       |  FROM q_assign q JOIN corpus_assign a
+       |    ON q.cid = a.cid AND q.scid = a.scid
+       |  JOIN rec r ON r.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid),
+       |cand AS (
+       |  SELECT qid, qv, vec_id FROM adc_ranked WHERE adc_rn <= $RerankR),
+       |rer AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ROUND(list_cosine_similarity(CAST(c.qv AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+       |      ROUND(list_cosine_similarity(CAST(c.qv AS DOUBLE[]),
+       |                                   CAST(e.embedding AS DOUBLE[])), 6) DESC,
+       |      c.vec_id) AS rn
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id)
+       |SELECT qid, vec_id, cos_sim, rn FROM rer WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_knn_exact" -> (q28Knn _),
     "q29_ann_ivf" -> (q29AnnIvf _),
-    "q154_ann_ivfpq" -> (q154AnnIvfPq _))
+    "q154_ann_ivfpq" -> (q154AnnIvfPq _),
+    "q156_ann_rerank" -> (q156AnnRerank _))
 
   val oracles: Map[String, String] = Map(
     "q28_knn_exact" -> q28Sql,
     "q29_ann_ivf" -> q29Sql,
-    "q154_ann_ivfpq" -> q154Sql)
+    "q154_ann_ivfpq" -> q154Sql,
+    "q156_ann_rerank" -> q156Sql)
 }

@@ -342,4 +342,41 @@ class DedupKnnSpec extends AnyFunSuite {
     assert(recall > 0.15, s"IVF-PQ recall: $recall")
     assert(approx.nonEmpty)
   }
+
+  test("exact re-rank (q156) recalls at least ADC-only (q154), at two SFs") {
+    // PQ reconstruction error can reorder true neighbors INSIDE the ADC
+    // candidate list; the re-rank stage scores candidates with exact
+    // cosines, so its top-k can only improve on ranking the same
+    // candidate pool with ADC. R > TopK also widens the pool, so strict
+    // improvement is typical — but the contract asserted here is the
+    // monotone one that holds by construction.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = Knn.q28Knn(spark, d).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adc = Knn.q154AnnIvfPq(spark, d).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rer = Knn.q156AnnRerank(spark, d).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recallAdc = exact.intersect(adc).size.toDouble / exact.size
+      val recallRer = exact.intersect(rer).size.toDouble / exact.size
+      assert(recallRer >= recallAdc,
+        s"$d: re-rank recall $recallRer < ADC recall $recallAdc")
+      assert(rer.nonEmpty)
+    }
+  }
+
+  test("q156 similarities are EXACT cosines (re-rank really left PQ space)") {
+    val res = Knn.q156AnnRerank(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qv = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val drift = res
+      .join(emb, "vec_id").join(qv, "qid")
+      .withColumn("true_cos",
+        round(vectors.cosine_similarity(col("qv"), col("embedding")), 6))
+      .filter(col("true_cos") =!= col("cos_sim"))
+    assert(drift.count() == 0,
+      "q156 reported a similarity that is not the exact rounded cosine")
+  }
 }
