@@ -119,6 +119,23 @@ object IncrementalSetSim {
       n.toString.getBytes)
   }
 
+  /** Row count of parquet files from their FOOTERS — a driver-side
+    * metadata read, zero Spark jobs; replaces a dedicated per-batch
+    * `count()` (one whole job of scheduling floor — and an Observation
+    * metric stalled every batch on the async listener bus, measured
+    * +5 s over a replay). Shared by the incremental sinks (q153, q155).
+    */
+  private[graft] def footerRows(s: SparkSession,
+      paths: Iterable[String]): Long = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    paths.toSeq.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), hconf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Process one arriving micro-batch (`__id` long, `__grp` string,
     * `__toks` distinct token array) against the accumulated state.
     */
@@ -180,13 +197,7 @@ object IncrementalSetSim {
       // listener bus — measured +5 s over the replay). An empty batch
       // writes no part files (0 input partitions), so the sum is 0.
       Await.result(prefixAppend, Duration.Inf)
-      val hconf = s.sparkContext.hadoopConfiguration
-      val nNewPfx = (listPfx() -- pfxBefore).toSeq.map { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), hconf))
-        try r.getRecordCount finally r.close()
-      }.sum
+      val nNewPfx = footerRows(s, listPfx() -- pfxBefore)
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
       // footer count above is load-bearing (stat.bloomFilter NPEs on an

@@ -91,7 +91,7 @@ object DocSetSimStream {
     out
   }
 
-  private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     val stream = java.nio.file.Files.walk(root)
     try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))

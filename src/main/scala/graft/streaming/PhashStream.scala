@@ -59,53 +59,82 @@ object PhashStream {
 
   private def readOrEmpty(s: SparkSession, dir: String,
       schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists()) s.read.schema(schema).parquet(dir)
+    readFiles(s, listParquet(dir), schema)
+
+  /** Explicit-path read — immune to re-listing, so a plan built on a
+    * file-list SNAPSHOT can never see rows appended later in the same
+    * batch (the q153 pinning rule that lets the state append run before
+    * the pair job instead of after it).
+    */
+  private def readFiles(s: SparkSession, files: Seq[String],
+      schema: StructType): DataFrame =
+    if (files.nonEmpty) s.read.schema(schema).parquet(files: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
 
-  /** Fold one micro-batch of (doc_id, ph) into the banded index. */
+  private def listParquet(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sorted
+
+  /** Fold one micro-batch of (doc_id, ph) into the banded index.
+    *
+    * Per-batch job budget (r10 — the q153 cost-cut pattern applied to
+    * the phash sink; was persist+count, bloom build, pair write, state
+    * append = 4+ jobs of mostly scheduling floor): snapshot the history
+    * file list, APPEND the batch's band rows first, take the new row
+    * count from the appended file's parquet FOOTER (zero jobs), then run
+    * the pair job against the pinned pre-append history — 2 jobs per
+    * batch in the steady replay (append + pairs), with the Bloom build
+    * only arming once history is ~an order of magnitude past the
+    * arrival rate (below that it prunes nothing on a banded index:
+    * every batch touches most 16-bit buckets — same measured rationale
+    * as q153's 8× disarm; the armed path is spec-covered with a skewed
+    * split in MultimodalStreamingSpec).
+    */
   def processBatch(s: SparkSession, batch: DataFrame,
       stateDir: String): Unit = {
     val fp = batch.select(col("doc_id"), col("ph"))
+    // banding is 4 shift/mask projections over a one-file batch — cheap
+    // enough to re-evaluate per consumer; a persist+count here cost a
+    // whole job per batch
     val newBanded = graft.multimodal.Multimodal.phashBands(fp)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one job: materializes the band rows AND serves the empty-batch
-      // guard + Bloom sizing (the q153 persist+count pattern)
-      val nNew = newBanded.count()
-      val histCount = graft.operators.IncrementalSetSim.readMeta(stateDir)
-      val hist = readOrEmpty(s, s"$stateDir/banded", bandedSchema)
-      // (band, bucket) packs into one long (bucket is 16 bits) — the
-      // Bloom key valid on both build (new) and probe (history) sides
-      val cellKey = col("bucket") * 4L + col("band")
-      val gated =
-        if (nNew == 0L || histCount == 0L) hist.limit(0)
-        else if (nNew * 2 >= histCount) hist
-        else hist.filter(
-          graft.dedup.Dedup.bloomProbe(s, newBanded, cellKey, nNew))
-      // the EXACT batch candidate machinery (recall 1 by pigeonhole, hot
-      // buckets sub-banded, loud leaf overflow) over gated history ∪ new
-      val pairs = graft.dedup.Dedup
-        .hammingBandPairs(gated.unionByName(newBanded), "ph", maxBucket = 64)
-        .withColumn("hamming",
-          graft.functions.text.hamming64(col("pa"), col("pb")))
-        .filter(col("hamming") <= 3)
-      // exactly-once: only pairs touching THIS batch's ids (history×
-      // history pairs re-found by the union were emitted in the batch
-      // their later member arrived). Arrival-rate-bounded broadcast;
-      // the OR-condition semi-join is a BNL over a tiny build side.
-      val newIds = fp.select(col("doc_id").as("nid"))
-      pairs.join(broadcast(newIds),
-          col("id_a") === col("nid") || col("id_b") === col("nid"),
-          "left_semi")
-        .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
-        .write.mode("append").parquet(s"$stateDir/pairs")
-      // state append AFTER the pair write (the candidate plan must never
-      // see this batch through the history dir); one file per batch —
-      // arrival-rate-sized, the q123 compaction posture
-      newBanded.coalesce(1).write.mode("append")
-        .parquet(s"$stateDir/banded")
-      graft.operators.IncrementalSetSim.writeMeta(stateDir, histCount + nNew)
-    } finally newBanded.unpersist(false)
+    val histCount = graft.operators.IncrementalSetSim.readMeta(stateDir)
+    val bandedDir = s"$stateDir/banded"
+    val before = listParquet(bandedDir)
+    val hist = readFiles(s, before, bandedSchema)
+    // one file per batch — arrival-rate-sized, the q123 compaction
+    // posture; safe to run BEFORE the pair job because `hist` is pinned
+    // to the pre-append file list above
+    newBanded.coalesce(1).write.mode("append").parquet(bandedDir)
+    val nNew = graft.operators.IncrementalSetSim.footerRows(s,
+      listParquet(bandedDir).toSet -- before)
+    // (band, bucket) packs into one long (bucket is 16 bits) — the
+    // Bloom key valid on both build (new) and probe (history) sides
+    val cellKey = col("bucket") * 4L + col("band")
+    val gated =
+      if (nNew == 0L || histCount == 0L) hist.limit(0)
+      else if (nNew * 8 >= histCount) hist
+      else hist.filter(
+        graft.dedup.Dedup.bloomProbe(s, newBanded, cellKey, nNew))
+    // the EXACT batch candidate machinery (recall 1 by pigeonhole, hot
+    // buckets sub-banded, loud leaf overflow) over gated history ∪ new
+    val pairs = graft.dedup.Dedup
+      .hammingBandPairs(gated.unionByName(newBanded), "ph", maxBucket = 64)
+      .withColumn("hamming",
+        graft.functions.text.hamming64(col("pa"), col("pb")))
+      .filter(col("hamming") <= 3)
+    // exactly-once: only pairs touching THIS batch's ids (history×
+    // history pairs re-found by the union were emitted in the batch
+    // their later member arrived). Arrival-rate-bounded broadcast;
+    // the OR-condition semi-join is a BNL over a tiny build side.
+    val newIds = fp.select(col("doc_id").as("nid"))
+    pairs.join(broadcast(newIds),
+        col("id_a") === col("nid") || col("id_b") === col("nid"),
+        "left_semi")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+      .write.mode("append").parquet(s"$stateDir/pairs")
+    graft.operators.IncrementalSetSim.writeMeta(stateDir, histCount + nNew)
   }
 
   def q155StreamPhash(s: SparkSession, d: String): DataFrame = {

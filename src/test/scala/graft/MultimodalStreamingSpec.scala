@@ -132,6 +132,45 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("q155 Bloom-ARMED path (skewed split) still converges to brute force") {
+    import spark.implicits._
+    // The steady 8-batch replay never arms the Bloom gate (hist/new < 8
+    // at every batch — the r10 disarm threshold), so this drives
+    // processBatch directly with a skewed split: 400-doc history then a
+    // 10-doc batch → 1600 history band rows vs 40 new (40·8 < 1600,
+    // gate ARMED). Planted hamming-1 twins must all survive the gate —
+    // a Bloom has no false negatives, and the key is the (band, bucket)
+    // cell every qualifying pair shares.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 400).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 10).map { j =>
+      val (id, h) = base(j * 17)
+      (1000L + j, h ^ (1L << (j % 64)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q155_spec_")
+    try {
+      val state = s"$tmp/state"
+      graft.streaming.PhashStream.processBatch(
+        spark, base.toDF("doc_id", "ph"), state)
+      graft.streaming.PhashStream.processBatch(
+        spark, planted.toDF("doc_id", "ph"), state)
+      val got = spark.read.parquet(s"$state/pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val all = base ++ planted
+      val brute = (for {
+        (ia, ha) <- all; (ib, hb) <- all
+        if ia < ib
+        hm = java.lang.Long.bitCount(ha ^ hb)
+        if hm <= 3
+      } yield (ia, ib, hm)).toSet
+      assert(got == brute,
+        s"armed-gate replay diverged: missing=${(brute -- got).take(3)} " +
+          s"extra=${(got -- brute).take(3)}")
+      assert(got.size >= 10, "planted twins should all be found")
+    } finally
+      graft.streaming.DocSetSimStream.deleteRecursively(tmp)
+  }
+
   test("sessionize: hand-computed fixture") {
     import spark.implicits._
     val min = 60L * 1000000L // micros
