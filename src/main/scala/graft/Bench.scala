@@ -214,8 +214,9 @@ object Bench {
       // round-7: PII redaction (pure narrow regex pass) and SemDeDup
       // (IVF-bucketed in-cluster cosine pairs)
       "q147_pii_redaction", "q148_semantic_dedup",
-      // round-10: compressed ANN + its exact re-rank refinement
-      "q154_ann_ivfpq", "q156_ann_rerank",
+      // round-10: compressed ANN + exact re-rank; zero-fit LSH ANN +
+      // its streaming index twin
+      "q154_ann_ivfpq", "q156_ann_rerank", "q157_ann_lsh", "q158_stream_ann",
       // round-8: the int64-domain 5-gram similarity join (top bench cost,
       // 2x cut by hashing shingles) and the payload perceptual-hash
       // near-dup on the q27 banding machinery

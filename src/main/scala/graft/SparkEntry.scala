@@ -36,6 +36,7 @@ object SparkEntry {
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
+      graft.similarity.LshAnn.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.streaming.EventsStream.queries ++
       graft.streaming.DocSetSimStream.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++
+      graft.similarity.LshAnn.oracles ++
       graft.multimodal.Multimodal.oracles ++
       graft.streaming.EventsStream.oracles ++
       graft.streaming.DocSetSimStream.oracles ++

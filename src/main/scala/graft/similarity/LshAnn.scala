@@ -1,0 +1,277 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.vectors
+
+/** LSH-bucketed approximate-nearest-neighbor — the brief's second scale
+  * path next to IVF (q29/q154/q156): sign-random-projection signatures
+  * bucket the corpus, a query scores ONLY vectors sharing at least one
+  * band bucket, exact cosine ranks the survivors.
+  *
+  * The property IVF does not have: the model is CORPUS-INDEPENDENT. SRP
+  * hyperplanes are hash-derived ([[graft.functions.VectorExpressions
+  * .SrpSignature]]: sign of `mix64(bit·dim + j)`), so a vector's buckets
+  * never depend on what else is in the corpus — which is what makes the
+  * STREAMING index (q158) trivially correct: arriving vectors bucket
+  * themselves once, append-only, no re-clustering, and the maintained
+  * top-k converges to the batch answer for ANY split of the corpus into
+  * micro-batches. (Contrast q29's centroids, which are corpus vectors:
+  * its index must be fit before serving; the production pairing is an
+  * offline-fit IVF for density adaptation OR hash-LSH for zero-fit
+  * incremental ingest — this operator is the second posture.)
+  *
+  * Banding: [[NBands]] × [[BBits]]-bit buckets from the 64-bit signature.
+  * Bucket width is the occupancy dial: expected candidates per query ≈
+  * NBands · N / 2^BBits; production at 10⁹ rows widens toward 16 bits
+  * (q33's near-dup banding) — at the test corpus' scale 8 bits keeps
+  * real multi-candidate buckets so the ranking machinery is actually
+  * exercised. Every piece (mix64, signature, banding, candidate rule,
+  * ranking) is restated in the DuckDB oracle — splitmix64 runs in
+  * HUGEINT mod-2⁶⁴ arithmetic, so this "hash-surface" operator is
+  * hash-checkable end-to-end (the q23/q27 md5 lesson, xorshift form).
+  *
+  * Scale posture: the corpus is scanned once, narrowly (signature is a
+  * codegen kernel; banding a literal unroll); the query side is tiny and
+  * broadcasts onto the (band, bucket) equi-key; candidates per query are
+  * bounded by band occupancy. No shuffle touches the corpus — the
+  * candidate join's shuffle moves only matched candidates.
+  */
+object LshAnn {
+
+  val TopK = 5
+  val NBands = 8
+  val BBits = 8
+
+  /** Corpus plus a planted scaled twin of every query vector (×1.0001 —
+    * cosine 1.0, identical SRP signature by positive-scale invariance;
+    * q33's re-encoded-duplicate mechanism, aimed at the query set so
+    * every query has a guaranteed rank-1 hit). Twin ids `-qid - 1` are
+    * collision-free against genuine non-negative ids at any scale.
+    */
+  private[graft] def corpusWithTwins(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val twins = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select((-col("vec_id") - 1L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    emb.unionByName(twins)
+  }
+
+  /** (band, bucket) rows of a vector column: NBands × BBits slices of the
+    * SRP signature, exploded. The signature rides as an unsigned-style
+    * long; arithmetic shiftright + mask agrees with the oracle's HUGEINT
+    * `>> then % 256` because the mask keeps only the shifted-in low bits.
+    */
+  private def bandRows(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val sig = vectors.srp_signature(col(vecCol), bits = 64)
+    val bands = array((0 until NBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * BBits).bitwiseAND(lit((1L << BBits) - 1))
+          .as("bucket"))
+    }: _*)
+    df.select(col(idCol), col(vecCol), explode(bands).as("bb"))
+      .select(col(idCol), col(vecCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private val cosQ = round(
+    vectors.cosine_similarity(col("qv"), col("embedding")), 6)
+
+  /** Batch LSH ANN: top-[[TopK]] per query over band-sharing candidates. */
+  def q157AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val cb = bandRows(corpusWithTwins(s, d), "vec_id", "embedding")
+    val qb = bandRows(
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv")
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      // dedupe multi-band matches; candidate rows are occupancy-bounded,
+      // so carrying the two vectors through this small shuffle is cheaper
+      // than a second corpus scan to re-fetch them
+      .groupBy("qid", "vec_id")
+      .agg(first(col("qv")).as("qv"), first(col("embedding")).as("embedding"))
+      .withColumn("cos_sim", cosQ)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "cos_sim", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Shared oracle prologue: splitmix64 sign table (HUGEINT mod-2⁶⁴ —
+    * wrapping multiply split at 32 bits so no product exceeds HUGEINT),
+    * SRP signatures as unsigned HUGEINT, band rows for the corpus (with
+    * planted twins) and the query set.
+    */
+  private val lshSqlPrologue: String =
+    s"""m1 AS (
+       |  SELECT b, j, (CAST(b*64+j AS HUGEINT) + 11400714819323198485)
+       |    % 18446744073709551616 AS z
+       |  FROM generate_series(0,63) tb(b), generate_series(0,63) tj(j)),
+       |m2 AS (SELECT b, j, xor(z, z >> 30) AS z2 FROM m1),
+       |m3 AS (SELECT b, j, ((z2 % 4294967296) * 13787848793156543929
+       |  + ((z2 // 4294967296) * 13787848793156543929 % 4294967296)
+       |    * 4294967296) % 18446744073709551616 AS z FROM m2),
+       |m4 AS (SELECT b, j, xor(z, z >> 27) AS z2 FROM m3),
+       |m5 AS (SELECT b, j, ((z2 % 4294967296) * 10723151780598845931
+       |  + ((z2 // 4294967296) * 10723151780598845931 % 4294967296)
+       |    * 4294967296) % 18446744073709551616 AS z FROM m4),
+       |signs AS (
+       |  SELECT b, j, CASE WHEN xor(z, z >> 31) % 2 = 1
+       |    THEN 1.0 ELSE -1.0 END AS sgn FROM m5),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(x * CAST(1.0001 AS REAL) AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id < 10),
+       |sig AS (
+       |  SELECT c.vec_id,
+       |    SUM(CASE WHEN d > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS u
+       |  FROM (
+       |    SELECT c.vec_id, s.b,
+       |      SUM(s.sgn * CAST(c.embedding[s.j + 1] AS DOUBLE)) AS d
+       |    FROM corpus c JOIN signs s ON true GROUP BY 1, 2) c
+       |  GROUP BY 1),
+       |cband AS (
+       |  SELECT g.vec_id, t.b AS band,
+       |    CAST((g.u >> (t.b * $BBits)) % ${1L << BBits} AS BIGINT) AS bucket
+       |  FROM sig g, generate_series(0, ${NBands - 1}) t(b)),
+       |qband AS (
+       |  SELECT cb.vec_id AS qid, cb.band, cb.bucket
+       |  FROM cband cb WHERE cb.vec_id >= 0 AND cb.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, c.vec_id
+       |  FROM qband q JOIN cband c
+       |    ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE c.vec_id <> q.qid),
+       |scored AS (
+       |  SELECT n.qid, n.vec_id,
+       |    ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                 CAST(ce.embedding AS DOUBLE[])), 6)
+       |      AS cos_sim
+       |  FROM cand n
+       |  JOIN embeddings qe ON qe.vec_id = n.qid
+       |  JOIN corpus ce ON ce.vec_id = n.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM scored)""".stripMargin
+
+  val q157Sql: String =
+    s"""WITH $lshSqlPrologue
+       |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------------------------ streaming
+
+  private val topkSchema = StructType(Seq(
+    StructField("qid", LongType), StructField("vec_id", LongType),
+    StructField("cos_sim", DoubleType)))
+
+  private def listParquet(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq.sorted
+
+  /** Fold one arriving micro-batch of vectors into the running per-query
+    * top-k: band the batch (corpus-independent model — no re-fit, the
+    * q158 point), candidate-join against the FROZEN query band keys,
+    * score exact cosines (batch-bounded work), merge with the current
+    * top-k and keep the best [[TopK]] per query. Selection over a union
+    * is associative and the ordering (rounded cosine desc, vec_id) is
+    * total, so the final state equals the batch answer for any split.
+    * State is ≤ |Q|·k rows — read and rewritten whole per batch (a
+    * production sink compare-and-swaps it in a serving store).
+    */
+  def processBatch(s: SparkSession, batch: DataFrame, qbRows: Seq[Row],
+      stateDir: String): Unit = {
+    val qb = s.createDataFrame(
+      s.sparkContext.parallelize(qbRows, 1),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("qv", ArrayType(FloatType)),
+        StructField("band", IntegerType), StructField("bucket", LongType))))
+    val cb = bandRows(batch, "vec_id", "embedding")
+    val scored = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(first(col("qv")).as("qv"), first(col("embedding")).as("embedding"))
+      .withColumn("cos_sim", cosQ)
+      .select("qid", "vec_id", "cos_sim")
+    val topkDir = s"$stateDir/topk"
+    val prev = listParquet(topkDir)
+    val prevTopk =
+      if (prev.nonEmpty) s.read.schema(topkSchema).parquet(prev: _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], topkSchema)
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    val merged = prevTopk.unionByName(scored)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "cos_sim")
+      // materialize BEFORE overwriting the directory the plan reads from
+      .localCheckpoint(true)
+    merged.coalesce(1).write.mode("overwrite").parquet(topkDir)
+  }
+
+  /** Streaming ANN index maintenance: the corpus replayed as micro-batches
+    * through [[processBatch]]; the drained top-k state must equal
+    * [[q157AnnLsh]] row-for-row (same oracle; cross-path spec in
+    * DedupKnnSpec).
+    */
+  def q158StreamAnn(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q158_")
+    val srcDir = s"$tmp/src"
+    val stateDir = s"$tmp/state"
+    // isolated session + narrow width + AQE off: the bounded-replay drain
+    // posture shared with q153/q155 (per-batch jobs are tiny and
+    // scheduling-dominated; conf pins must not leak to concurrent suites)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    corpusWithTwins(ss, d).repartition(8, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    // the query band keys are FROZEN once (10 queries × NBands rows,
+    // collected with their vectors) — per-batch work reads no query table
+    val qbRows = bandRows(
+      Tables.embeddings(ss, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv")
+      .select(col("qid"), col("qv"), col("band"), col("bucket"))
+      .collect().toSeq
+    val fold: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, _) => processBatch(batch.sparkSession, batch, qbRows, stateDir)
+    val q = ss.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch(fold)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    val out = ss.read.schema(topkSchema).parquet(s"$stateDir/topk")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("qid", "vec_id", "cos_sim", "rn")
+      .orderBy("qid", "rn").localCheckpoint(true)
+    graft.streaming.DocSetSimStream.deleteRecursively(tmp)
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_ann_lsh" -> (q157AnnLsh _),
+    "q158_stream_ann" -> (q158StreamAnn _))
+
+  val oracles: Map[String, String] = Map(
+    "q157_ann_lsh" -> q157Sql,
+    "q158_stream_ann" -> q157Sql)
+}

@@ -365,6 +365,35 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 LSH ANN surfaces every query's planted twin at rank 1") {
+    // a positive-scaled copy has an IDENTICAL SRP signature (every
+    // hyperplane sign preserved), so the twin collides in all NBands
+    // bands and wins the ranking at cosine ~1.0
+    val top1 = graft.similarity.LshAnn.q157AnnLsh(spark, sf)
+      .filter(col("rn") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.length == 10)
+    top1.foreach { case (qid, vid, cos) =>
+      assert(vid == -qid - 1, s"q$qid rank-1 is $vid, expected twin ${-qid - 1}")
+      assert(cos >= 0.999999, s"q$qid twin cosine $cos")
+    }
+  }
+
+  test("q158 streaming ANN index converges to the batch LSH answer") {
+    // corpus-independent model → the maintained top-k must equal q157
+    // ROW-IDENTICALLY for any micro-batch split (selection over union
+    // with a total order); this pins the cross-path equality in-suite
+    // (the driver gate pins both against the same DuckDB oracle)
+    val batch = graft.similarity.LshAnn.q157AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val stream = graft.similarity.LshAnn.q158StreamAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(stream == batch,
+      s"stream != batch: missing=${(batch -- stream).take(3)} " +
+        s"extra=${(stream -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("q156 similarities are EXACT cosines (re-rank really left PQ space)") {
     val res = Knn.q156AnnRerank(spark, sf)
     val emb = Tables.embeddings(spark, sf)
