@@ -48,13 +48,11 @@ object MakeScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.parquet carries TIMESTAMP(NANOS): read it as the raw int64
-    // the driver ships (a plain bigint round-trips through Tables.load;
-    // converting to TimestampType would write INT96 and break the layout
-    // contract). The conf is session-wide and harmless for the other
-    // tables (none carries nanos), so set it ONCE up front — r8 ADVICE:
-    // the old per-table conditional was dead structure that worked only
-    // because the conf happened to stick.
+    // events.ts passes through OPAQUELY in whatever flavor the source
+    // generation carries (nanos int64 <= r8, micros TIMESTAMP_NTZ >= r9);
+    // consumers normalize via Tables.normalizeTs. The legacy conf makes
+    // the nanos vintage readable as raw int64 and is harmless otherwise,
+    // so set it ONCE up front.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def replicate(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
