@@ -121,6 +121,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx <= 1, s"corpus-side shuffle leaked into IVF-PQ:\n$p")
   }
 
+  test("q157 LSH ANN: corpus never shuffles; only bounded candidates do") {
+    // the corpus side is signature+banding — one narrow codegen
+    // projection over the scan feeding a BroadcastHashJoin on the tiny
+    // query band keys. Allowed exchanges: the candidate dedupe and the
+    // top-k window (both over the occupancy-BOUNDED candidate set) plus
+    // the presentation sort; anything more means the corpus leaked into
+    // a shuffle.
+    val p = plan(graft.similarity.LshAnn.q157AnnLsh(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"corpus-side shuffle leaked into LSH ANN:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("malformed JSON rows land in the corrupt-record column, not crash") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
