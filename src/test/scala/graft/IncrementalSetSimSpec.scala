@@ -49,16 +49,18 @@ class IncrementalSetSimSpec extends AnyFunSuite {
 
   private def run(tNum: Int, tDen: Int, nBatches: Int,
       split: Long => Int): (Set[(Long, Long, Double)], Long) = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_incr_spec_").toString
-    val df = corpus.toDF("__id", "__grp", "__toks")
-    (0 until nBatches).foreach { k =>
-      IncrementalSetSim.processBatch(spark,
-        df.filter(udf(split).apply(col("__id")) === k), dir, tNum, tDen)
-    }
-    val rows = IncrementalSetSim.pairs(spark, dir).collect()
-    (rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
-      rows.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec_")
+    try {
+      val df = corpus.toDF("__id", "__grp", "__toks")
+      (0 until nBatches).foreach { k =>
+        IncrementalSetSim.processBatch(spark,
+          df.filter(udf(split).apply(col("__id")) === k), dir.toString,
+          tNum, tDen)
+      }
+      val rows = IncrementalSetSim.pairs(spark, dir.toString).collect()
+      (rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+        rows.length.toLong)
+    } finally graft.streaming.DocSetSimStream.deleteRecursively(dir)
   }
 
   for ((tNum, tDen) <- Seq((4, 5), (19, 20), (1, 1))) {
@@ -88,28 +90,32 @@ class IncrementalSetSimSpec extends AnyFunSuite {
     // overhead) — a 95/5 split is safely past the threshold, and the
     // 5 late near-dups pair against HISTORY docs, so recall through the
     // armed filter is exactly what this certifies
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_incr_spec_").toString
-    val df = corpus.toDF("__id", "__grp", "__toks")
-    IncrementalSetSim.processBatch(spark,
-      df.filter(col("__id") < 2005), dir, 4, 5)
-    val h0 = IncrementalSetSim.readMeta(dir)
-    IncrementalSetSim.processBatch(spark,
-      df.filter(col("__id") >= 2005), dir, 4, 5)
-    val h1 = IncrementalSetSim.readMeta(dir)
-    assert(h0 > 8 * (h1 - h0), "split failed to arm the Bloom gate")
-    val got = IncrementalSetSim.pairs(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == brute(4, 5))
+    val dirP = java.nio.file.Files.createTempDirectory("graft_incr_spec_")
+    try {
+      val dir = dirP.toString
+      val df = corpus.toDF("__id", "__grp", "__toks")
+      IncrementalSetSim.processBatch(spark,
+        df.filter(col("__id") < 2005), dir, 4, 5)
+      val h0 = IncrementalSetSim.readMeta(dir)
+      IncrementalSetSim.processBatch(spark,
+        df.filter(col("__id") >= 2005), dir, 4, 5)
+      val h1 = IncrementalSetSim.readMeta(dir)
+      assert(h0 > 8 * (h1 - h0), "split failed to arm the Bloom gate")
+      val got = IncrementalSetSim.pairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute(4, 5))
+    } finally graft.streaming.DocSetSimStream.deleteRecursively(dirP)
   }
 
   test("empty batches and empty token arrays neither crash nor pair") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_incr_spec_").toString
-    val empty = Seq((1L, "g", Seq.empty[String]), (2L, "g", Seq.empty[String]))
-      .toDF("__id", "__grp", "__toks")
-    IncrementalSetSim.processBatch(spark, empty.limit(0), dir, 1, 2)
-    IncrementalSetSim.processBatch(spark, empty, dir, 1, 2)
-    assert(IncrementalSetSim.pairs(spark, dir).collect().isEmpty)
+    val dirP = java.nio.file.Files.createTempDirectory("graft_incr_spec_")
+    try {
+      val dir = dirP.toString
+      val empty = Seq((1L, "g", Seq.empty[String]),
+        (2L, "g", Seq.empty[String])).toDF("__id", "__grp", "__toks")
+      IncrementalSetSim.processBatch(spark, empty.limit(0), dir, 1, 2)
+      IncrementalSetSim.processBatch(spark, empty, dir, 1, 2)
+      assert(IncrementalSetSim.pairs(spark, dir).collect().isEmpty)
+    } finally graft.streaming.DocSetSimStream.deleteRecursively(dirP)
   }
 }
