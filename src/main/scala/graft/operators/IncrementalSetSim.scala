@@ -49,13 +49,21 @@ import org.apache.spark.sql.types._
   * (IncrementalSetSimSpec certifies convergence against both
   * [[SetSimJoin.selfJoin]] and brute force, across batch splits).
   *
-  * State lives in three append-mode parquet dirs under `stateDir`
-  * (`prefix/`, `toks/`, `pairs/`) — the CDC-sink shape: at cluster
-  * scale these are tables partitioned by the group key so the per-batch
-  * history scan prunes to the groups the batch touches; the Bloom gate
-  * then prunes within them.
+  * State lives in three batch-id-keyed parquet dirs under `stateDir`
+  * (`prefix/`, `toks/`, `pairs/` — [[graft.streaming.StateDir]]'s layout)
+  * — the CDC-sink shape: at cluster scale these are tables partitioned by
+  * the group key so the per-batch history scan prunes to the groups the
+  * batch touches; the Bloom gate then prunes within them. Every write is
+  * a deterministic per-batch subdirectory with overwrite semantics and
+  * every history read pins itself to strictly-earlier batches, so an
+  * at-least-once `foreachBatch` replay of any batch leaves state and
+  * emitted pairs EXACTLY as a failure-free run would (the r10 "exactly
+  * once under failure-free replay" caveat is gone; ReplayIdempotenceSpec
+  * re-runs folds mid-drain and asserts bytes-equal convergence).
   */
 object IncrementalSetSim {
+
+  import graft.streaming.StateDir
 
   private val prefixSchema = StructType(Seq(
     StructField("__h", LongType), StructField("__grp", StringType),
@@ -64,24 +72,6 @@ object IncrementalSetSim {
   private val toksSchema = StructType(Seq(
     StructField("__id", LongType), StructField("__toks",
       ArrayType(StringType))))
-
-  /** Read a state dir by an EXPLICIT file-list snapshot taken now.
-    * Correctness-bearing: this batch's candidate/verify plans must never
-    * see rows appended DURING the batch (the state appends run
-    * concurrently with the verify job — see processBatch), and an
-    * explicit path list is immune to re-listing no matter when Spark
-    * materializes the file index.
-    */
-  private def readOrEmpty(s: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getPath).sorted
-    if (files.nonEmpty) s.read.schema(schema).parquet(files: _*)
-    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schema)
-  }
 
   /** B's prefix rows under the fixed (xxhash64, token) order:
     * (__h, __grp, __id, __rn, __n).
@@ -101,46 +91,25 @@ object IncrementalSetSim {
         (col("pos") + 1).cast("int").as("__rn"), col("__n").cast("int"))
   }
 
-  /** Cumulative history prefix-row count, tracked driver-side so the
-    * Bloom-gate decision costs ZERO jobs (at cluster scale this is one
-    * line in the CDC sink's manifest; here a sidecar text file).
+  /** History prefix-row count visible to `beforeBatch` — derived from the
+    * parquet footers of the files actually present (driver-side metadata
+    * reads, zero jobs), never a running sidecar count that a replayed
+    * batch would double-add (the r10 `meta.count` hazard). At cluster
+    * scale a CDC sink's table manifest carries this.
     */
-  private[graft] def readMeta(stateDir: String): Long = {
-    val f = new java.io.File(s"$stateDir/meta.count")
-    if (f.exists()) new String(
-      java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
-    else 0L
-  }
-
-  private[graft] def writeMeta(stateDir: String, n: Long): Unit = {
-    new java.io.File(stateDir).mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(s"$stateDir/meta.count").toPath,
-      n.toString.getBytes)
-  }
-
-  /** Row count of parquet files from their FOOTERS — a driver-side
-    * metadata read, zero Spark jobs; replaces a dedicated per-batch
-    * `count()` (one whole job of scheduling floor — and an Observation
-    * metric stalled every batch on the async listener bus, measured
-    * +5 s over a replay). Shared by the incremental sinks (q153, q155).
-    */
-  private[graft] def footerRows(s: SparkSession,
-      paths: Iterable[String]): Long = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    paths.toSeq.map { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), hconf))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
+  private[graft] def historyRows(s: SparkSession, stateDir: String,
+      beforeBatch: Long = Long.MaxValue): Long =
+    StateDir.historyRows(s, s"$stateDir/prefix", beforeBatch)
 
   /** Process one arriving micro-batch (`__id` long, `__grp` string,
     * `__toks` distinct token array) against the accumulated state.
+    * `batchId` keys every state write: re-invoking with the same id and
+    * input (an at-least-once replay) overwrites the first attempt's
+    * deltas in place and reads exactly the pre-batch history, so the
+    * fold is idempotent.
     */
   def processBatch(s: SparkSession, batch: DataFrame, stateDir: String,
-      tNum: Int, tDen: Int): Unit = {
+      tNum: Int, tDen: Int, batchId: Long): Unit = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen out of (0,1]")
     val t = tNum.toDouble / tDen
     // NOT checkpointed: a foreachBatch frame is backed by the source's
@@ -155,49 +124,43 @@ object IncrementalSetSim {
     val newPfx = prefixRows(b, tNum, tDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // snapshot BOTH state dirs' file lists before anything is appended
-      // this batch (correctness-bearing — see readOrEmpty)
-      val histCount = readMeta(stateDir)
-      val hist = readOrEmpty(s, s"$stateDir/prefix", prefixSchema)
-      val histToks = readOrEmpty(s, s"$stateDir/toks", toksSchema)
-      // the two state appends depend only on this batch's rows — never
+      // history = state of strictly-earlier batches, by explicit
+      // file-list snapshot (correctness-bearing twice over: this batch's
+      // candidate/verify plans must never see rows its own concurrent
+      // appends write, and a REPLAYED batch must never read its first
+      // attempt's leftovers as history — StateDir's `< batchId` rule
+      // covers both)
+      val histCount = historyRows(s, stateDir, batchId)
+      val hist = StateDir.read(s, s"$stateDir/prefix", prefixSchema, batchId)
+      val histToks = StateDir.read(s, s"$stateDir/toks", toksSchema, batchId)
+      // the two state writes depend only on this batch's rows — never
       // on the gating decision — so they launch FIRST, run concurrently
-      // with each other, and the toks append further overlaps the verify
-      // job below (batch latency = max, not sum). Safe because every
-      // state-dir read in this batch's plans is pinned to the explicit
-      // file-list snapshot above, so the appends can never leak this
-      // batch's rows into its own candidate or verify scans — which
-      // would double-count pairs (toksAll already unions the in-flight
-      // batch explicitly). Each append is sized to the ARRIVAL RATE, not
-      // the cluster (coalesce(1)): a micro-batch's state delta is one
-      // file's worth, and writing shuffle-width small files per batch
-      // multiplies every later history scan's task count by the batch
-      // count (at cluster scale this is the CDC sink's compaction
-      // policy — see q123). The prefix append also materializes newPfx's
-      // cache blocks for the candidate join below.
+      // with each other, and the toks write further overlaps the verify
+      // job below (batch latency = max, not sum). Each delta is sized to
+      // the ARRIVAL RATE, not the cluster (single file per batch dir):
+      // shuffle-width small files per batch would multiply every later
+      // history scan's task count by the batch count (the CDC sink's
+      // compaction policy — StateDir.compact — bounds the dir count
+      // too). The prefix write also materializes newPfx's cache blocks
+      // for the candidate join below.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      val pfxDir = new java.io.File(s"$stateDir/prefix")
-      def listPfx(): Set[String] = Option(pfxDir.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getPath).toSet
-      val pfxBefore = listPfx()
-      val prefixAppend = Future(newPfx.coalesce(1).write.mode("append")
-        .parquet(s"$stateDir/prefix"))
-      val toksAppend = Future(b.select(col("__id"), col("__toks"))
-        .coalesce(1).write.mode("append").parquet(s"$stateDir/toks"))
-      // the prefix-row count (gate decision + Bloom sizing + meta) is
-      // read from the parquet FOOTERS of the file the append just wrote
-      // — a driver-side metadata read, zero jobs, where a dedicated
+      val prefixAppend = Future(
+        StateDir.writeBatch(newPfx, s"$stateDir/prefix", batchId))
+      val toksAppend = Future(StateDir.writeBatch(
+        b.select(col("__id"), col("__toks")), s"$stateDir/toks", batchId))
+      // the new-prefix-row count (gate decision + Bloom sizing) is read
+      // from the parquet FOOTERS of the file the write just produced —
+      // a driver-side metadata read, zero jobs, where a dedicated
       // count() was one whole extra job per batch of scheduling floor
       // (and an Observation metric stalled every batch on the async
       // listener bus — measured +5 s over the replay). An empty batch
       // writes no part files (0 input partitions), so the sum is 0.
       Await.result(prefixAppend, Duration.Inf)
-      val nNewPfx = footerRows(s, listPfx() -- pfxBefore)
+      val nNewPfx = StateDir.footerRows(s,
+        StateDir.filesOf(s"$stateDir/prefix", batchId))
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
       // footer count above is load-bearing (stat.bloomFilter NPEs on an
@@ -269,19 +232,18 @@ object IncrementalSetSim {
         .where(col("jaccard") >= t)
         .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
 
-      verifyWrite
-        // no coalesce: it would propagate up the narrow verify stage
-        // and serialize the token-store scan to one task; the pairs
-        // sink is read once at the end, so file count is irrelevant
-        .write.mode("append").parquet(s"$stateDir/pairs")
+      // no coalesce: it would propagate up the narrow verify stage
+      // and serialize the token-store scan to one task; the pairs
+      // sink is read once at the end, so file count is irrelevant
+      StateDir.writeBatch(verifyWrite, s"$stateDir/pairs", batchId,
+        singleFile = false)
       Await.result(toksAppend, Duration.Inf)
-      writeMeta(stateDir, histCount + nNewPfx)
     } finally newPfx.unpersist(false)
   }
 
   /** The accumulated pair set (the converged result after a drain). */
   def pairs(s: SparkSession, stateDir: String): DataFrame =
-    readOrEmpty(s, s"$stateDir/pairs", StructType(Seq(
+    StateDir.read(s, s"$stateDir/pairs", StructType(Seq(
       StructField("ia", LongType), StructField("ib", LongType),
       StructField("jaccard", DoubleType))))
 }

@@ -176,11 +176,13 @@ object LshAnn {
     StructField("qid", LongType), StructField("vec_id", LongType),
     StructField("cos_sim", DoubleType)))
 
-  private def listParquet(dir: String): Seq[String] =
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getPath).toSeq.sorted
+  /** The frozen (qid, qv, band, bucket) rows [[processBatch]] consumes:
+    * a `(qid, qv)` query table banded and collected once per drain.
+    */
+  private[graft] def queryBandRows(q: DataFrame): Seq[Row] =
+    bandRows(q, "qid", "qv")
+      .select(col("qid"), col("qv"), col("band"), col("bucket"))
+      .collect().toSeq
 
   /** Fold one arriving micro-batch of vectors into the running per-query
     * top-k: band the batch (corpus-independent model — no re-fit, the
@@ -189,11 +191,18 @@ object LshAnn {
     * top-k and keep the best [[TopK]] per query. Selection over a union
     * is associative and the ordering (rounded cosine desc, vec_id) is
     * total, so the final state equals the batch answer for any split.
-    * State is ≤ |Q|·k rows — read and rewritten whole per batch (a
-    * production sink compare-and-swaps it in a serving store).
+    *
+    * State is ≤ |Q|·k rows, rewritten whole per batch as a batch-keyed
+    * VERSION ([[graft.streaming.StateDir.writeVersion]]): batch n reads
+    * version n−1 and writes version n, so an at-least-once replay
+    * recomputes from exactly the pre-batch state and overwrites its own
+    * first attempt — idempotent by construction, and no localCheckpoint
+    * job to shield an in-place overwrite (a production sink
+    * compare-and-swaps the same versioned value in a serving store).
     */
   def processBatch(s: SparkSession, batch: DataFrame, qbRows: Seq[Row],
-      stateDir: String): Unit = {
+      stateDir: String, batchId: Long): Unit = {
+    import graft.streaming.StateDir
     val qb = s.createDataFrame(
       s.sparkContext.parallelize(qbRows, 1),
       StructType(Seq(StructField("qid", LongType),
@@ -207,18 +216,13 @@ object LshAnn {
       .withColumn("cos_sim", cosQ)
       .select("qid", "vec_id", "cos_sim")
     val topkDir = s"$stateDir/topk"
-    val prev = listParquet(topkDir)
-    val prevTopk =
-      if (prev.nonEmpty) s.read.schema(topkSchema).parquet(prev: _*)
-      else s.createDataFrame(s.sparkContext.emptyRDD[Row], topkSchema)
+    val prevTopk = StateDir.readNewestVersion(s, topkDir, topkSchema, batchId)
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
     val merged = prevTopk.unionByName(scored)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select("qid", "vec_id", "cos_sim")
-      // materialize BEFORE overwriting the directory the plan reads from
-      .localCheckpoint(true)
-    merged.coalesce(1).write.mode("overwrite").parquet(topkDir)
+    StateDir.writeVersion(merged, topkDir, batchId)
   }
 
   /** Streaming ANN index maintenance: the corpus replayed as micro-batches
@@ -227,44 +231,33 @@ object LshAnn {
     * DedupKnnSpec).
     */
   def q158StreamAnn(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q158_")
-    val srcDir = s"$tmp/src"
-    val stateDir = s"$tmp/state"
-    // isolated session + narrow width + AQE off: the bounded-replay drain
-    // posture shared with q153/q155 (per-batch jobs are tiny and
-    // scheduling-dominated; conf pins must not leak to concurrent suites)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    corpusWithTwins(ss, d).repartition(8, col("vec_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    // the query band keys are FROZEN once (10 queries × NBands rows,
-    // collected with their vectors) — per-batch work reads no query table
-    val qbRows = bandRows(
-      Tables.embeddings(ss, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "qid", "qv")
-      .select(col("qid"), col("qv"), col("band"), col("bucket"))
-      .collect().toSeq
-    val fold: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
-      (batch, _) => processBatch(batch.sparkSession, batch, qbRows, stateDir)
-    val q = ss.readStream
-      .schema(StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch(fold)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
-    val out = ss.read.schema(topkSchema).parquet(s"$stateDir/topk")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select("qid", "vec_id", "cos_sim", "rn")
-      .orderBy("qid", "rn").localCheckpoint(true)
-    graft.streaming.DocSetSimStream.deleteRecursively(tmp)
-    out
+    import graft.streaming.{Replay, StateDir}
+    Replay.run(s, Replay.Drain(
+      tag = "q158",
+      srcSchema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      writeSource = (ss, srcDir) =>
+        corpusWithTwins(ss, d).repartition(8, col("vec_id"))
+          .write.mode("overwrite").parquet(srcDir),
+      // the query band keys are FROZEN once (10 queries × NBands rows,
+      // collected with their vectors) — per-batch work reads no query
+      // table
+      mkFold = (ss, stateDir) => {
+        val qbRows = queryBandRows(
+          Tables.embeddings(ss, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        (batch, batchId) =>
+          processBatch(batch.sparkSession, batch, qbRows, stateDir, batchId)
+      },
+      readResult = (ss, stateDir) => {
+        val w = Window.partitionBy("qid")
+          .orderBy(desc("cos_sim"), col("vec_id"))
+        StateDir.readNewestVersion(ss, s"$stateDir/topk", topkSchema,
+            Long.MaxValue)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select("qid", "vec_id", "cos_sim", "rn")
+          .orderBy("qid", "rn")
+      }))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -31,72 +31,33 @@ object DocSetSimStream {
     StructField("__id", LongType), StructField("__grp", StringType),
     StructField("__toks", ArrayType(StringType))))
 
-  def q153StreamSetSim(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q153_")
-    val srcDir = s"$tmp/src"
-    val stateDir = s"$tmp/state"
-    // ISOLATED session for the whole drain: it pins a narrow shuffle
-    // width and disables AQE (below), and a shared-session conf mutation
-    // is exactly the cross-suite flake class CLAUDE.md documents (one
-    // SparkSession across concurrent suites). newSession() shares the
-    // SparkContext (so cached/checkpointed blocks survive) but owns its
-    // conf — the pins are invisible outside this query, and nothing
-    // needs restoring.
-    val ss = s.newSession()
-    // narrow width: each micro-batch runs a handful of SMALL joins/
-    // aggregates, and 32-partition exchanges per batch are pure
-    // task-scheduling overhead on a bounded replay (the q65 lesson,
-    // minus the state stores — production sizes this to the arrival
-    // rate, not the cluster)
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    // AQE re-optimizes and resubmits at EVERY stage boundary; on a
-    // bounded replay each batch's candidate/verify DAG is ~4 stages of
-    // tiny exchanges, so the adaptive machinery is pure per-batch
-    // latency with nothing to adapt (width is already pinned to the
-    // arrival rate)
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    // replay source: the corpus tokenized once, split into 8 hash files
-    // (deterministic membership; arrival order is irrelevant — the pair
-    // sink converges to the same set for ANY batch split)
-    Tables.documents(ss, d)
-      .select(col("doc_id").as("__id"), col("lang").as("__grp"),
-        array_distinct(split(col("text"), " ")).as("__toks"))
-      .repartition(8, col("__id"))
-      .write.mode("overwrite").parquet(srcDir)
-    // fold under the BATCH's session (the micro-batch clone of ss), so
-    // the operator sees the pinned confs
-    val fold: (Dataset[Row], Long) => Unit = (batch, _) =>
-      graft.operators.IncrementalSetSim
-        .processBatch(batch.sparkSession, batch, stateDir, tNum = 19, tDen = 20)
-    val q = ss.readStream.schema(srcSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch(fold)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // materialize the converged pairs OFF the temp state (eager
-    // localCheckpoint → executor blocks), then delete the working set:
-    // the replay copy + checkpoint + state is a full corpus per
-    // invocation, and before r9 a bench+verify+gate run leaked ~5 of
-    // them in /tmp
-    // deterministic (ia, ib) order without a range shuffle: the pair
-    // sink is RESULT-sized, so a single-task sort replaces orderBy's
-    // two-pass (boundary-sample + shuffle) shape for the presentation
-    // sort — the operator itself never globally sorts
-    val out = graft.operators.IncrementalSetSim.pairs(ss, stateDir)
-      .coalesce(1).sortWithinPartitions("ia", "ib").localCheckpoint(true)
-    deleteRecursively(tmp)
-    out
-  }
-
-  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
-    val stream = java.nio.file.Files.walk(root)
-    try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally stream.close()
-  }
+  def q153StreamSetSim(s: SparkSession, d: String): DataFrame =
+    Replay.run(s, Replay.Drain(
+      tag = "q153",
+      srcSchema = srcSchema,
+      // replay source: the corpus tokenized once, split into 8 hash files
+      // (deterministic membership; arrival order is irrelevant — the pair
+      // sink converges to the same set for ANY batch split)
+      writeSource = (ss, srcDir) =>
+        Tables.documents(ss, d)
+          .select(col("doc_id").as("__id"), col("lang").as("__grp"),
+            array_distinct(split(col("text"), " ")).as("__toks"))
+          .repartition(8, col("__id"))
+          .write.mode("overwrite").parquet(srcDir),
+      // fold under the BATCH's session (the micro-batch clone of the
+      // drain session), so the operator sees the pinned confs; the
+      // stream's batchId keys the state writes (replay idempotence)
+      mkFold = (_, stateDir) => (batch, batchId) =>
+        graft.operators.IncrementalSetSim.processBatch(
+          batch.sparkSession, batch, stateDir, tNum = 19, tDen = 20,
+          batchId = batchId),
+      // deterministic (ia, ib) order without a range shuffle: the pair
+      // sink is RESULT-sized, so a single-task sort replaces orderBy's
+      // two-pass (boundary-sample + shuffle) shape for the presentation
+      // sort — the operator itself never globally sorts
+      readResult = (ss, stateDir) =>
+        graft.operators.IncrementalSetSim.pairs(ss, stateDir)
+          .coalesce(1).sortWithinPartitions("ia", "ib")))
 
   /** Identical to q143's oracle — the converged stream result must
     * equal the batch definition (that IS the claim under test).

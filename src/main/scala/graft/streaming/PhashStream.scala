@@ -1,48 +1,60 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Streaming image near-dup (q155): the q152 perceptual-hash corpus
   * replayed as a bounded micro-batch stream, each batch folded into an
   * append-only BANDED fingerprint index — the multimodal analogue of
-  * q153's incremental set-similarity join (VERDICT r8 task 6: "close the
-  * q152 ↔ q153 loop").
+  * q153's incremental set-similarity join.
   *
   * Per arriving batch of (doc_id, ph) fingerprints:
   *  1. band the batch (4 × 16-bit bands, [[graft.multimodal.Multimodal
   *     .phashBands]] — the exact q152 banding);
-  *  2. Bloom-gate the banded HISTORY by the batch's (band, bucket) keys
-  *     (q88's gate as used by q153: filter built over the SMALL new
-  *     side, probing the big history scan; skipped while the new side
-  *     is within 2× of history, where selectivity ≈ 1 buys nothing);
-  *  3. run [[graft.dedup.Dedup.hammingBandPairs]] — the SAME recall-1
-  *     candidate machinery as batch q152, hot buckets sub-banded, leaf
-  *     overflow loud — over (gated history ∪ batch), verify
-  *     `hamming ≤ 3`;
-  *  4. keep only pairs touching THIS batch's ids and append to the pair
-  *     sink; then append the batch's band rows to the index.
+  *  2. within-batch pairs: [[graft.dedup.Dedup.hammingBandPairs]] over
+  *     the batch alone (arrival-rate-sized — the sub-banding/overflow
+  *     machinery only matters for a pathologically hot batch);
+  *  3. batch×history pairs: the batch's band rows BROADCAST-probe the
+  *     banded history on the exact (band, bucket) key. Recall is 1 by
+  *     the same pigeonhole as q152 (hamming ≤ 3 over 4 bands leaves ≥ 1
+  *     band intact, and that band's cell is an exact join key);
+  *  4. verify `hamming ≤ 3`, dedupe multi-band matches, and write the
+  *     batch's pairs and band rows under batch-keyed state dirs.
+  *
+  * r10 VERDICT task 2 asked for the per-batch `hammingBandPairs` re-group
+  * over gated history (group + collect members per cell, every batch) to
+  * be replaced by MAINTAINED per-cell member lists. The join probe above
+  * is that fix taken one step further: the banded index rows ARE the
+  * member lists, stored row-wise on their cell key, and a broadcast hash
+  * join evaluates exactly the "new member × cell members" products a
+  * list-merge would — with no collect_list, no shuffle over history, and
+  * no state rewrite (the index stays append-only, which is what makes
+  * the batch-keyed idempotence contract possible). Per-batch history
+  * cost is one narrow columnar scan + a hash probe per row; the former
+  * Bloom gate is gone because a Bloom test before a broadcast hash join
+  * is the same hash probe twice (the gate existed to keep non-matching
+  * history OUT OF the group-by shuffle — there is no shuffle now). At
+  * cluster scale the index is partitioned by band/bucket range, so the
+  * scan itself prunes to the cells the batch touches.
   *
   * Exactly-once emission (q153's argument, fingerprint form): a pair is
-  * emitted in the batch its LATER member arrives — history×history
-  * pairs are filtered (they were emitted when their later member was
-  * the batch), both-new pairs appear once (`id_a < id_b` normalized
-  * inside hammingBandPairs), and the Bloom gate cannot lose a pair
-  * (no false negatives; a qualifying pair shares a band bucket, and the
-  * gate is keyed on exactly those buckets). So the pair-sink union over
-  * ANY batch split converges to q152's batch answer row-for-row —
-  * that equality IS the oracle claim, checked three ways: the DuckDB
-  * all-pairs definition (driver gate), the q155 == q152 cross-path
-  * compare (gate_sf01), and MultimodalStreamingSpec's in-suite check.
+  * emitted in the batch its LATER member arrives — within-batch pairs
+  * once (`id_a < id_b` normalized), batch×history pairs exist in one
+  * direction only — so the pair-sink union over ANY batch split
+  * converges to q152's batch answer row-for-row. That equality IS the
+  * oracle claim, checked three ways: the DuckDB all-pairs definition
+  * (driver gate), the q155 == q152 cross-path compare (gate_sf01), and
+  * MultimodalStreamingSpec's in-suite check. Unlike r10, the claim now
+  * survives at-least-once replay: state writes are batch-keyed
+  * ([[StateDir]]), history reads pin to strictly-earlier batches, so a
+  * crashed-and-replayed batch overwrites its own first attempt
+  * (ReplayIdempotenceSpec).
   *
   * Scale notes: state is a constant 8 bytes/doc × 4 band rows —
-  * append-only parquet, partition-prunable by band at cluster scale;
-  * per-batch work is arrival-rate × gated-bucket occupancy, never
-  * all-pairs. Re-grouping gated history members each batch is the
-  * bounded-replay trade (hammingBandPairs is battle-tested recall-1);
-  * a production CDC sink would keep the per-cell member lists
-  * materialized and merge instead of re-collecting.
+  * append-only parquet, partition-prunable by band at cluster scale,
+  * compactable between drains ([[StateDir.compact]]); per-batch work is
+  * arrival-rate × touched-cell occupancy, never all-pairs.
   */
 object PhashStream {
 
@@ -57,116 +69,65 @@ object PhashStream {
     StructField("id_a", LongType), StructField("id_b", LongType),
     StructField("hamming", IntegerType)))
 
-  private def readOrEmpty(s: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    readFiles(s, listParquet(dir), schema)
-
-  /** Explicit-path read — immune to re-listing, so a plan built on a
-    * file-list SNAPSHOT can never see rows appended later in the same
-    * batch (the q153 pinning rule that lets the state append run before
-    * the pair job instead of after it).
-    */
-  private def readFiles(s: SparkSession, files: Seq[String],
-      schema: StructType): DataFrame =
-    if (files.nonEmpty) s.read.schema(schema).parquet(files: _*)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-
-  private def listParquet(dir: String): Seq[String] =
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getPath).toSeq.sorted
-
   /** Fold one micro-batch of (doc_id, ph) into the banded index.
     *
-    * Per-batch job budget (r10 — the q153 cost-cut pattern applied to
-    * the phash sink; was persist+count, bloom build, pair write, state
-    * append = 4+ jobs of mostly scheduling floor): snapshot the history
-    * file list, APPEND the batch's band rows first, take the new row
-    * count from the appended file's parquet FOOTER (zero jobs), then run
-    * the pair job against the pinned pre-append history — 2 jobs per
-    * batch in the steady replay (append + pairs), with the Bloom build
-    * only arming once history is ~an order of magnitude past the
-    * arrival rate (below that it prunes nothing on a banded index:
-    * every batch touches most 16-bit buckets — same measured rationale
-    * as q153's 8× disarm; the armed path is spec-covered with a skewed
-    * split in MultimodalStreamingSpec).
+    * Per-batch job budget: band-rows write + one pair job (the history
+    * probe and within-batch pairs meet in the same DAG) — 2 jobs in the
+    * steady replay, nothing driver-side but parquet-footer metadata.
     */
   def processBatch(s: SparkSession, batch: DataFrame,
-      stateDir: String): Unit = {
+      stateDir: String, batchId: Long): Unit = {
     val fp = batch.select(col("doc_id"), col("ph"))
     // banding is 4 shift/mask projections over a one-file batch — cheap
     // enough to re-evaluate per consumer; a persist+count here cost a
     // whole job per batch
     val newBanded = graft.multimodal.Multimodal.phashBands(fp)
-    val histCount = graft.operators.IncrementalSetSim.readMeta(stateDir)
     val bandedDir = s"$stateDir/banded"
-    val before = listParquet(bandedDir)
-    val hist = readFiles(s, before, bandedSchema)
-    // one file per batch — arrival-rate-sized, the q123 compaction
-    // posture; safe to run BEFORE the pair job because `hist` is pinned
-    // to the pre-append file list above
-    newBanded.coalesce(1).write.mode("append").parquet(bandedDir)
-    val nNew = graft.operators.IncrementalSetSim.footerRows(s,
-      listParquet(bandedDir).toSet -- before)
-    // (band, bucket) packs into one long (bucket is 16 bits) — the
-    // Bloom key valid on both build (new) and probe (history) sides
-    val cellKey = col("bucket") * 4L + col("band")
-    val gated =
-      if (nNew == 0L || histCount == 0L) hist.limit(0)
-      else if (nNew * 8 >= histCount) hist
-      else hist.filter(
-        graft.dedup.Dedup.bloomProbe(s, newBanded, cellKey, nNew))
-    // the EXACT batch candidate machinery (recall 1 by pigeonhole, hot
-    // buckets sub-banded, loud leaf overflow) over gated history ∪ new
-    val pairs = graft.dedup.Dedup
-      .hammingBandPairs(gated.unionByName(newBanded), "ph", maxBucket = 64)
-      .withColumn("hamming",
-        graft.functions.text.hamming64(col("pa"), col("pb")))
+    // history pinned to strictly-earlier batches (idempotence: a replay
+    // never sees its first attempt's rows), then the batch's own band
+    // rows land under their batch-keyed dir — overwritten on replay
+    val hist = StateDir.read(s, bandedDir, bandedSchema, batchId)
+    StateDir.writeBatch(newBanded, bandedDir, batchId)
+    // within-batch pairs: the battle-tested q152 machinery on the batch
+    // alone (id_a < id_b normalized inside)
+    val newNew = graft.dedup.Dedup
+      .hammingBandPairs(newBanded, "ph", maxBucket = 64)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.text.hamming64(col("pa"), col("pb")).as("hamming"))
+    // batch×history pairs: broadcast the arrival-rate-sized batch band
+    // rows onto the history scan — exact cell key, so the probe IS the
+    // candidate generation (see class doc for why this replaced the
+    // gated re-group)
+    val newSide = newBanded.select(col("doc_id").as("id_n"),
+      col("ph").as("ph_n"), col("band"), col("bucket"))
+    val newOld = hist.join(broadcast(newSide), Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("id_n"))
+      .select(least(col("doc_id"), col("id_n")).as("id_a"),
+        greatest(col("doc_id"), col("id_n")).as("id_b"),
+        graft.functions.text.hamming64(col("ph"), col("ph_n")).as("hamming"))
+    val pairs = newNew.unionByName(newOld)
       .filter(col("hamming") <= 3)
-    // exactly-once: only pairs touching THIS batch's ids (history×
-    // history pairs re-found by the union were emitted in the batch
-    // their later member arrived). Arrival-rate-bounded broadcast;
-    // the OR-condition semi-join is a BNL over a tiny build side.
-    val newIds = fp.select(col("doc_id").as("nid"))
-    pairs.join(broadcast(newIds),
-        col("id_a") === col("nid") || col("id_b") === col("nid"),
-        "left_semi")
+      // a qualifying pair can share several intact bands — dedupe on the
+      // RESULT-sized set (hamming is a function of the pair, so any row
+      // kept is the right one)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
-      .write.mode("append").parquet(s"$stateDir/pairs")
-    graft.operators.IncrementalSetSim.writeMeta(stateDir, histCount + nNew)
+    StateDir.writeBatch(pairs, s"$stateDir/pairs", batchId)
   }
 
-  def q155StreamPhash(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q155_")
-    val srcDir = s"$tmp/src"
-    val stateDir = s"$tmp/state"
-    // isolated session + narrow width + AQE off: the q153 drain posture
-    // (bounded replay of small per-batch jobs is scheduling-dominated;
-    // conf pins must not leak to concurrent suites)
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    graft.multimodal.Multimodal.corpusFingerprints(ss, d)
-      .repartition(8, col("doc_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    val fold: (Dataset[Row], Long) => Unit = (batch, _) =>
-      processBatch(batch.sparkSession, batch, stateDir)
-    val q = ss.readStream.schema(srcSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch(fold)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // materialize off the temp state, then delete the working set
-    // (the q153 lifecycle-hygiene rule: no leaked /tmp corpora)
-    val out = readOrEmpty(ss, s"$stateDir/pairs", pairsSchema)
-      .orderBy("id_a", "id_b").localCheckpoint(true)
-    DocSetSimStream.deleteRecursively(tmp)
-    out
-  }
+  def q155StreamPhash(s: SparkSession, d: String): DataFrame =
+    Replay.run(s, Replay.Drain(
+      tag = "q155",
+      srcSchema = srcSchema,
+      writeSource = (ss, srcDir) =>
+        graft.multimodal.Multimodal.corpusFingerprints(ss, d)
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(srcDir),
+      mkFold = (_, stateDir) => (batch, batchId) =>
+        processBatch(batch.sparkSession, batch, stateDir, batchId),
+      readResult = (ss, stateDir) =>
+        StateDir.read(ss, s"$stateDir/pairs", pairsSchema)
+          .orderBy("id_a", "id_b")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_stream_phash" -> (q155StreamPhash _))

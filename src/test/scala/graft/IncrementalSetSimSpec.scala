@@ -55,12 +55,12 @@ class IncrementalSetSimSpec extends AnyFunSuite {
       (0 until nBatches).foreach { k =>
         IncrementalSetSim.processBatch(spark,
           df.filter(udf(split).apply(col("__id")) === k), dir.toString,
-          tNum, tDen)
+          tNum, tDen, batchId = k)
       }
       val rows = IncrementalSetSim.pairs(spark, dir.toString).collect()
       (rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
         rows.length.toLong)
-    } finally graft.streaming.DocSetSimStream.deleteRecursively(dir)
+    } finally graft.streaming.Replay.deleteRecursively(dir)
   }
 
   for ((tNum, tDen) <- Seq((4, 5), (19, 20), (1, 1))) {
@@ -95,16 +95,16 @@ class IncrementalSetSimSpec extends AnyFunSuite {
       val dir = dirP.toString
       val df = corpus.toDF("__id", "__grp", "__toks")
       IncrementalSetSim.processBatch(spark,
-        df.filter(col("__id") < 2005), dir, 4, 5)
-      val h0 = IncrementalSetSim.readMeta(dir)
+        df.filter(col("__id") < 2005), dir, 4, 5, batchId = 0)
+      val h0 = IncrementalSetSim.historyRows(spark, dir)
       IncrementalSetSim.processBatch(spark,
-        df.filter(col("__id") >= 2005), dir, 4, 5)
-      val h1 = IncrementalSetSim.readMeta(dir)
+        df.filter(col("__id") >= 2005), dir, 4, 5, batchId = 1)
+      val h1 = IncrementalSetSim.historyRows(spark, dir)
       assert(h0 > 8 * (h1 - h0), "split failed to arm the Bloom gate")
       val got = IncrementalSetSim.pairs(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == brute(4, 5))
-    } finally graft.streaming.DocSetSimStream.deleteRecursively(dirP)
+    } finally graft.streaming.Replay.deleteRecursively(dirP)
   }
 
   test("empty batches and empty token arrays neither crash nor pair") {
@@ -113,9 +113,10 @@ class IncrementalSetSimSpec extends AnyFunSuite {
       val dir = dirP.toString
       val empty = Seq((1L, "g", Seq.empty[String]),
         (2L, "g", Seq.empty[String])).toDF("__id", "__grp", "__toks")
-      IncrementalSetSim.processBatch(spark, empty.limit(0), dir, 1, 2)
-      IncrementalSetSim.processBatch(spark, empty, dir, 1, 2)
+      IncrementalSetSim.processBatch(spark, empty.limit(0), dir, 1, 2,
+        batchId = 0)
+      IncrementalSetSim.processBatch(spark, empty, dir, 1, 2, batchId = 1)
       assert(IncrementalSetSim.pairs(spark, dir).collect().isEmpty)
-    } finally graft.streaming.DocSetSimStream.deleteRecursively(dirP)
+    } finally graft.streaming.Replay.deleteRecursively(dirP)
   }
 }

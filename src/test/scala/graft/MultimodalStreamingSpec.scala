@@ -132,15 +132,14 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
-  test("q155 Bloom-ARMED path (skewed split) still converges to brute force") {
+  test("q155 skewed split (large history, small batch) converges to brute force") {
     import spark.implicits._
-    // The steady 8-batch replay never arms the Bloom gate (hist/new < 8
-    // at every batch — the r10 disarm threshold), so this drives
-    // processBatch directly with a skewed split: 400-doc history then a
-    // 10-doc batch → 1600 history band rows vs 40 new (40·8 < 1600,
-    // gate ARMED). Planted hamming-1 twins must all survive the gate —
-    // a Bloom has no false negatives, and the key is the (band, bucket)
-    // cell every qualifying pair shares.
+    // Drives processBatch directly with a skewed split: 400-doc history
+    // then a 10-doc batch — the steady-CDC shape where the broadcast
+    // history probe does the candidate pruning (the r11 join-based path
+    // that replaced the gated per-batch re-group). Planted hamming-1
+    // twins pair against HISTORY docs, so cross-batch recall through the
+    // exact (band, bucket) probe is exactly what this certifies.
     val rnd = new scala.util.Random(7)
     val base = (0 until 400).map(i => (i.toLong, rnd.nextLong()))
     val planted = (0 until 10).map { j =>
@@ -151,10 +150,13 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     try {
       val state = s"$tmp/state"
       graft.streaming.PhashStream.processBatch(
-        spark, base.toDF("doc_id", "ph"), state)
+        spark, base.toDF("doc_id", "ph"), state, batchId = 0)
       graft.streaming.PhashStream.processBatch(
-        spark, planted.toDF("doc_id", "ph"), state)
-      val got = spark.read.parquet(s"$state/pairs").collect()
+        spark, planted.toDF("doc_id", "ph"), state, batchId = 1)
+      val got = graft.streaming.StateDir.read(spark, s"$state/pairs",
+        new org.apache.spark.sql.types.StructType()
+          .add("id_a", "long").add("id_b", "long").add("hamming", "int"))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val all = base ++ planted
       val brute = (for {
@@ -168,7 +170,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
           s"extra=${(got -- brute).take(3)}")
       assert(got.size >= 10, "planted twins should all be found")
     } finally
-      graft.streaming.DocSetSimStream.deleteRecursively(tmp)
+      graft.streaming.Replay.deleteRecursively(tmp)
   }
 
   test("sessionize: hand-computed fixture") {
