@@ -23,6 +23,20 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter(kv => only(kv._1))
     selected.foreach { case (name, fn) =>
+      // Clear BOTH of this query's previous artifacts up front (r10
+      // ADVICE): in a reused out dir, a stale dump from an earlier run
+      // next to a fresh .err would let a newly-broken query pass the
+      // compare against old data — and vice versa, a stale .err next to
+      // a fresh dump would fail a newly-fixed one.
+      def del(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          val s = Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(q => Files.deleteIfExists(q))
+          finally s.close()
+        }
+      del(Paths.get(s"$outDir/$name"))
+      del(Paths.get(s"$outDir/$name.err"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -39,6 +39,7 @@ object EventsStream {
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.assertEventsTsFlavor(spark, s"$sfDir/events.parquet")
     val tsType = spark.read.parquet(s"$sfDir/events.parquet")
       .schema("ts").dataType
     Tables.normalizeTs(spark.readStream

@@ -44,9 +44,15 @@ def main(sf_dir, out_dir, skip=(), expect_diff=(), json_path=None):
     names = sorted(dumped | set(oracles))
     n_pass = n_fail = 0
     for name in names:
-        if name not in dumped:
-            err_file = f"{out_dir}/{name}.err"
-            why = "no dump dir (query threw in Verify)"
+        # A .err marker FAILs the query even when a dump dir is present:
+        # Verify deletes both artifacts before each attempt, so their
+        # coexistence means a stale dump survived next to a fresh error
+        # (pre-r11 Verify, or a manually assembled out dir) — comparing
+        # the stale data would silently pass a newly-broken query.
+        err_file = f"{out_dir}/{name}.err"
+        if name not in dumped or os.path.exists(err_file):
+            why = ("stale dump next to .err (query threw in Verify)"
+                   if name in dumped else "no dump dir (query threw in Verify)")
             if os.path.exists(err_file):
                 why += ": " + open(err_file).read().strip()[:300]
             print(f"FAIL {name}: {why}"); n_fail += 1
