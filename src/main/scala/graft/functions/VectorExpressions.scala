@@ -52,20 +52,32 @@ object VectorKernels {
     * vectors collide on most bits, so banding the signature buckets
     * near-neighbors without any pairwise comparison. Deterministic across
     * JVMs — no RNG state.
+    *
+    * The dot is accumulated over INTEGER-quantized components
+    * (`floor(x · 2²⁰)` — the ×2²⁰ is a pure exponent shift, exact in
+    * IEEE, and floor agrees across engines where round-half does not),
+    * summed in int64. Integer addition is associative, so the sign
+    * decision is identical under ANY accumulation order — which is what
+    * makes the signature restatable in DuckDB SQL (whose SUM order is
+    * unspecified) with zero divergence risk. The r10 float form had a
+    * latent cross-engine flake: a dot within re-association ulps of zero
+    * could flip a bit between Spark's sequential loop and DuckDB's SUM
+    * (r10 ADVICE). Quantization costs < 2⁻²⁰ per component of hyperplane
+    * precision — irrelevant to LSH collision statistics.
     */
   def srpSig(v: ArrayData, bits: Int): Long = {
     val dim = v.numElements()
     var sig = 0L
     var b = 0
     while (b < bits) {
-      var dot = 0.0
+      var dot = 0L
       var j = 0
       while (j < dim) {
-        val sign = if ((TextKernels.mix64(b.toLong * dim + j) & 1L) == 1L) 1.0 else -1.0
-        dot += sign * v.getFloat(j)
+        val q = math.floor(v.getFloat(j).toDouble * 1048576.0).toLong
+        dot += (if ((TextKernels.mix64(b.toLong * dim + j) & 1L) == 1L) q else -q)
         j += 1
       }
-      if (dot > 0.0) sig |= (1L << b)
+      if (dot > 0L) sig |= (1L << b)
       b += 1
     }
     sig

@@ -123,7 +123,7 @@ object LshAnn {
        |    * 4294967296) % 18446744073709551616 AS z FROM m4),
        |signs AS (
        |  SELECT b, j, CASE WHEN xor(z, z >> 31) % 2 = 1
-       |    THEN 1.0 ELSE -1.0 END AS sgn FROM m5),
+       |    THEN 1 ELSE -1 END AS sgn FROM m5),
        |corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
@@ -136,7 +136,9 @@ object LshAnn {
        |    SUM(CASE WHEN d > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS u
        |  FROM (
        |    SELECT c.vec_id, s.b,
-       |      SUM(s.sgn * CAST(c.embedding[s.j + 1] AS DOUBLE)) AS d
+       |      SUM(CAST(s.sgn AS BIGINT) * CAST(floor(
+       |        CAST(c.embedding[s.j + 1] AS DOUBLE) * 1048576) AS BIGINT))
+       |        AS d
        |    FROM corpus c JOIN signs s ON true GROUP BY 1, 2) c
        |  GROUP BY 1),
        |cband AS (
