@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Advanced8.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
+      graft.operators.TxTable.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       graft.queries.Advanced8.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
+      graft.operators.TxTable.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++

@@ -1,0 +1,318 @@
+package graft.operators
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed transactional parquet table — the log-committed
+  * publish the reference's lake lacks (SURVEY §1.1: overwrite-only
+  * folders, newest-folder discovery; quirk Q8 documents the read-during-
+  * overwrite race, and [[Upsert.upsertParquet]]'s staged swap still has a
+  * non-atomic two-rename window). This closes the race with the public
+  * snapshot-pointer technique (Delta/Iceberg's commit shape, no
+  * dependency): data files are immutable and invisible until a MANIFEST
+  * names them, and manifests are published with an atomic put-if-absent,
+  * so every reader resolves a complete snapshot or the previous one —
+  * never a partial write.
+  *
+  * Layout under a table root:
+  * {{{
+  *   data/w-<uuid>/part-*.parquet     immutable data dirs, one per commit
+  *   _manifests/v000000000.txt        version 0's file list
+  *   _manifests/v000000001.txt        version 1 (dense, no holes)
+  * }}}
+  *
+  * Manifest = header line, one data-file path per line (relative to the
+  * root, so the table is relocatable), `COMMIT` footer. Publication
+  * writes the full content to a hidden sibling then hard-links it to
+  * `v<N>.txt`: [[Files.createLink]] fails atomically if the name exists,
+  * which makes the claim put-if-absent WITH content — a manifest either
+  * exists complete or not at all, versions are dense, and optimistic
+  * concurrency is just "retry at the new head". (On HDFS the same
+  * protocol runs on `create(overwrite=false)` + the footer check; on an
+  * object store, a conditional PUT — the seam is [[tryPublish]].)
+  *
+  * Guarantees, spec'd in TxTableSpec:
+  *   - readers pin an explicit file list (the StateDir rule): a snapshot
+  *     read is immune to concurrent commits and re-listing;
+  *   - concurrent committers serialize — every commit lands as a distinct
+  *     version and an append never loses another's rows;
+  *   - [[mergeByKey]] is SERIALIZABLE: it re-reads the head and recomputes
+  *     the merge on every claim defeat;
+  *   - a crashed writer (data dir, no manifest) is invisible to readers
+  *     and reclaimed by [[vacuum]];
+  *   - time travel: any retained version is readable by number.
+  *
+  * Scale: a commit's driver-side work is one directory listing + one
+  * manifest write — no data move (contrast the staged-swap's full-table
+  * rewrite-and-rename). Append commits reference the parent's files, so
+  * a CDC stream of small appends is O(delta) per commit; [[vacuum]]
+  * bounds manifest/orphan growth, and compaction is just
+  * `commit(read(root), Overwrite)`. At 100 TB the file LIST per manifest
+  * is the scaling limit (Iceberg splits it into manifest trees); the
+  * protocol is unchanged.
+  */
+object TxTable {
+
+  private val Header = "graft-txtable-v1"
+  private val Footer = "COMMIT"
+
+  sealed trait Mode
+  case object Overwrite extends Mode
+  case object Append extends Mode
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
+  private def manifestPath(root: String, v: Long): JPath =
+    manifestDir(root).resolve(f"v$v%09d.txt")
+
+  private def parseManifest(p: JPath): Seq[String] = {
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
+    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
+      lines.drop(1).dropRight(1)
+    else throw new java.io.IOException(
+      s"corrupt txtable manifest $p — atomic publish contract violated")
+  }
+
+  /** All committed versions, ascending (dense by construction). */
+  def versions(root: String): Seq[Long] = {
+    val d = manifestDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+        .map(_.stripPrefix("v").stripSuffix(".txt").toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def snapshotAt(root: String, v: Long): Snapshot =
+    Snapshot(v, parseManifest(manifestPath(root, v)))
+
+  def currentSnapshot(root: String): Option[Snapshot] =
+    versions(root).lastOption.map(snapshotAt(root, _))
+
+  def currentVersion(root: String): Option[Long] = versions(root).lastOption
+
+  private def readSnapshot(s: SparkSession, root: String,
+      snap: Snapshot): DataFrame =
+    if (snap.files.isEmpty)
+      throw new java.io.IOException(s"txtable $root v${snap.version} is empty")
+    else s.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+
+  /** Newest committed snapshot as an explicit-path DataFrame. */
+  def read(s: SparkSession, root: String): DataFrame =
+    readSnapshot(s, root, currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version")))
+
+  /** Time travel: the table exactly as version `v` published it. */
+  def readVersion(s: SparkSession, root: String, v: Long): DataFrame =
+    readSnapshot(s, root, snapshotAt(root, v))
+
+  /** Write `df` as a new immutable data dir; returns root-relative file
+    * paths. Invisible until a manifest references them.
+    */
+  private def writeData(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val rel = s"data/w-${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$root/$rel")
+    val d = Paths.get(root, rel)
+    val st = Files.list(d)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+      .asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet"))
+      .map(n => s"$rel/$n").toSeq.sorted
+    finally st.close()
+  }
+
+  /** Atomic put-if-absent of version `v`'s manifest: full content to a
+    * hidden sibling, then hard-link to the version name — false means
+    * another committer claimed `v` first (retry at the new head).
+    */
+  private def tryPublish(root: String, v: Long, files: Seq[String]): Boolean = {
+    val dir = manifestDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
+      (Header +: files :+ Footer)).asJava,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      Files.createLink(manifestPath(root, v), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Commit `df` as the next version. [[Overwrite]] replaces the visible
+    * table; [[Append]] adds to it (the manifest references the parent's
+    * files — no data move). Returns the committed version.
+    */
+  def commit(s: SparkSession, root: String, df: DataFrame,
+      mode: Mode = Overwrite): Long = {
+    val dataFiles = writeData(s, root, df)
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root)
+      val v = parent.map(_.version + 1).getOrElse(0L)
+      val files = mode match {
+        case Overwrite => dataFiles
+        case Append => parent.map(_.files).getOrElse(Seq.empty) ++ dataFiles
+      }
+      if (tryPublish(root, v, files)) committed = v
+    }
+    committed
+  }
+
+  /** Serializable MERGE (update matched by `keys`, insert new): recomputes
+    * from the head snapshot and retries whenever another commit wins the
+    * claim, so the published merge always reflects the version directly
+    * below it. Returns the committed version.
+    */
+  def mergeByKey(s: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to merge into"))
+      val merged = Upsert.mergeByKey(readSnapshot(s, root, parent),
+        updates, keys)
+      val dataFiles = writeData(s, root, merged)
+      if (tryPublish(root, parent.version + 1, dataFiles))
+        committed = parent.version + 1
+      // lost claims leave an unreferenced data dir for vacuum — cheaper
+      // and safer than deleting files a concurrent reader might list
+    }
+    committed
+  }
+
+  /** Drop versions older than the newest `keepVersions` and every data
+    * file no retained manifest references (including crashed or
+    * claim-defeated writers' orphan dirs). Readers pinned to a dropped
+    * version lose it — the standard retention caveat.
+    */
+  def vacuum(root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val vs = versions(root)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val referenced = keep.flatMap(v => snapshotAt(root, v).files).toSet
+    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val dataRoot = Paths.get(root, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val dirs = Files.list(dataRoot)
+      val wDirs =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(dirs.iterator())
+          .asScala.filter(Files.isDirectory(_)).toSeq
+        finally dirs.close()
+      wDirs.foreach { d =>
+        val files = Files.list(d)
+        val names =
+          try scala.jdk.CollectionConverters
+            .IteratorHasAsScala(files.iterator()).asScala
+            .map(_.getFileName.toString).toSeq
+          finally files.close()
+        val rel = s"data/${d.getFileName}"
+        val live = names.exists(n => referenced.contains(s"$rel/$n"))
+        if (!live) graft.streaming.Replay.deleteRecursively(d)
+        else names.filter(n => n.endsWith(".parquet") &&
+            !referenced.contains(s"$rel/$n"))
+          .foreach(n => Files.deleteIfExists(d.resolve(n)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------- driver queries
+
+  /** Publishes per-customer order stats through the transactional table:
+    * v0 = orders strictly before [[Cutoff]]; v1 = a serializable MERGE of
+    * full-period stats for every customer who ordered on/after the
+    * cutoff. Returns (root, cleanup) — q159 reads the head, q160
+    * time-travels to v0, and both results restate in plain SQL over
+    * `orders`, so the whole publish/merge/snapshot surface is
+    * hash-oracled.
+    */
+  private val Cutoff = "1999-01-01"
+
+  private def publishDemo(s: SparkSession, d: String): (String, JPath) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val tmp = Files.createTempDirectory("graft_txtable_")
+    val root = s"$tmp/cust_totals"
+    val dsum = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(DecimalType(18, 2))).cast("double")
+    val pre = graft.Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Cutoff))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    TxTable.commit(s, root, pre, Overwrite)
+    val upd = graft.Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderdate")).as("mx"))
+      .filter(col("mx") >= lit(Cutoff)).drop("mx")
+    TxTable.mergeByKey(s, root, upd, Seq("o_custkey"))
+    (root, tmp)
+  }
+
+  private def offTemp(df: DataFrame, tmp: JPath): DataFrame = {
+    val out = df.localCheckpoint(true)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  /** Head snapshot after the merge commit. */
+  def q159TxPublish(s: SparkSession, d: String): DataFrame = {
+    val (root, tmp) = publishDemo(s, d)
+    offTemp(read(s, root).orderBy("o_custkey"), tmp)
+  }
+
+  /** Time travel: version 0 must still be exactly the pre-cutoff publish
+    * AFTER the merge commit replaced the head.
+    */
+  def q160TxTimetravel(s: SparkSession, d: String): DataFrame = {
+    val (root, tmp) = publishDemo(s, d)
+    offTemp(readVersion(s, root, 0L).orderBy("o_custkey"), tmp)
+  }
+
+  private val preSql =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_price
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$Cutoff 00:00:00'
+       |  GROUP BY 1""".stripMargin
+
+  val q159Sql: String =
+    s"""WITH pre AS ($preSql),
+       |alltime AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_price,
+       |    MAX(o_orderdate) AS mx
+       |  FROM orders GROUP BY 1)
+       |SELECT a.o_custkey,
+       |  CASE WHEN a.mx >= TIMESTAMP '$Cutoff 00:00:00'
+       |    THEN a.n_orders ELSE p.n_orders END AS n_orders,
+       |  CASE WHEN a.mx >= TIMESTAMP '$Cutoff 00:00:00'
+       |    THEN a.total_price ELSE p.total_price END AS total_price
+       |FROM alltime a LEFT JOIN pre p ON a.o_custkey = p.o_custkey
+       |ORDER BY a.o_custkey""".stripMargin
+
+  val q160Sql: String =
+    s"""$preSql
+       |ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_tx_publish" -> (q159TxPublish _),
+    "q160_tx_timetravel" -> (q160TxTimetravel _))
+
+  val oracles: Map[String, String] = Map(
+    "q159_tx_publish" -> q159Sql,
+    "q160_tx_timetravel" -> q160Sql)
+}

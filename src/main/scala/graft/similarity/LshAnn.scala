@@ -60,17 +60,18 @@ object LshAnn {
     emb.unionByName(twins)
   }
 
-  /** (band, bucket) rows of a vector column: NBands × BBits slices of the
+  /** (band, bucket) rows of a vector column: nBands × bBits slices of the
     * SRP signature, exploded. The signature rides as an unsigned-style
     * long; arithmetic shiftright + mask agrees with the oracle's HUGEINT
     * `>> then % 256` because the mask keeps only the shifted-in low bits.
     */
-  private def bandRows(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+  private def bandRows(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = NBands, bBits: Int = BBits): DataFrame = {
+    require(nBands * bBits <= 64, s"$nBands bands x $bBits bits > 64-bit sig")
     val sig = vectors.srp_signature(col(vecCol), bits = 64)
-    val bands = array((0 until NBands).map { b =>
+    val bands = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(sig, b * BBits).bitwiseAND(lit((1L << BBits) - 1))
+        shiftright(sig, b * bBits).bitwiseAND(lit((1L << bBits) - 1))
           .as("bucket"))
     }: _*)
     df.select(col(idCol), col(vecCol), explode(bands).as("bb"))
@@ -81,13 +82,17 @@ object LshAnn {
   private val cosQ = round(
     vectors.cosine_similarity(col("qv"), col("embedding")), 6)
 
-  /** Batch LSH ANN: top-[[TopK]] per query over band-sharing candidates. */
-  def q157AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val cb = bandRows(corpusWithTwins(s, d), "vec_id", "embedding")
-    val qb = bandRows(
-      Tables.embeddings(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "qid", "qv")
+  /** LSH ANN over explicit corpus/query tables with a dialable banding —
+    * the measurement surface behind [[q157AnnLsh]]: DedupKnnSpec's recall
+    * floor and AnnLab's NBands/BBits → recall/candidate curve (SCALE.md)
+    * run THIS on the plain corpus, so the recall numbers are
+    * apples-to-apples against exact q28 (no planted twins occupying
+    * top-k slots).
+    */
+  private[graft] def annLshOn(corpus: DataFrame, queries: DataFrame,
+      nBands: Int = NBands, bBits: Int = BBits, k: Int = TopK): DataFrame = {
+    val cb = bandRows(corpus, "vec_id", "embedding", nBands, bBits)
+    val qb = bandRows(queries, "qid", "qv", nBands, bBits)
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
     cb.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
@@ -98,10 +103,32 @@ object LshAnn {
       .agg(first(col("qv")).as("qv"), first(col("embedding")).as("embedding"))
       .withColumn("cos_sim", cosQ)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= k)
       .select("qid", "vec_id", "cos_sim", "rn")
       .orderBy("qid", "rn")
   }
+
+  /** Distinct (qid, vec_id) band-sharing candidates — the occupancy side
+    * of the recall/candidate trade measured by AnnLab's curve.
+    */
+  private[graft] def candidatePairs(corpus: DataFrame, queries: DataFrame,
+      nBands: Int, bBits: Int): DataFrame = {
+    val cb = bandRows(corpus, "vec_id", "embedding", nBands, bBits)
+      .select("vec_id", "band", "bucket")
+    val qb = bandRows(queries, "qid", "qv", nBands, bBits)
+      .select("qid", "band", "bucket")
+    cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+  }
+
+  private[graft] def queriesOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Batch LSH ANN: top-[[TopK]] per query over band-sharing candidates. */
+  def q157AnnLsh(s: SparkSession, d: String): DataFrame =
+    annLshOn(corpusWithTwins(s, d), queriesOf(s, d))
 
   /** Shared oracle prologue: splitmix64 sign table (HUGEINT mod-2⁶⁴ —
     * wrapping multiply split at 32 bits so no product exceeds HUGEINT),
@@ -245,9 +272,7 @@ object LshAnn {
       // collected with their vectors) — per-batch work reads no query
       // table
       mkFold = (ss, stateDir) => {
-        val qbRows = queryBandRows(
-          Tables.embeddings(ss, d).filter(col("vec_id") < 10)
-            .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        val qbRows = queryBandRows(queriesOf(ss, d))
         (batch, batchId) =>
           processBatch(batch.sparkSession, batch, qbRows, stateDir, batchId)
       },

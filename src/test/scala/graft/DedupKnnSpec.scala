@@ -365,6 +365,29 @@ class DedupKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 LSH recall vs exact top-k, at two SFs (the IVF-family measure)") {
+    // the LSH analogue of the IVF/PQ recall floors above, run on the
+    // PLAIN corpus so q157's planted twins can't occupy top-k slots the
+    // exact answer doesn't have; AnnLab's curve (SCALE.md) records how
+    // the floor moves with NBands/BBits
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = Knn.q28Knn(spark, d).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val corpus = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      val lsh = graft.similarity.LshAnn
+        .annLshOn(corpus, graft.similarity.LshAnn.queriesOf(spark, d))
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      // SRP banding on random 64-dim data: real but modest recall, like
+      // the IVF floors (measured 0.18 / 0.16 — AnnLab, SCALE.md curve);
+      // candidates ≈ NBands·N/2^BBits keeps this non-degenerate at both
+      // SFs
+      assert(recall > 0.1, s"$d: LSH recall $recall")
+      assert(lsh.nonEmpty)
+    }
+  }
+
   test("q157 LSH ANN surfaces every query's planted twin at rank 1") {
     // a positive-scaled copy has an IDENTICAL SRP signature (every
     // hyperplane sign preserved), so the twin collides in all NBands
