@@ -55,23 +55,37 @@ object TxTable {
 
   private val Header = "graft-txtable-v1"
   private val Footer = "COMMIT"
+  private val TxnPrefix = "txn "
 
   sealed trait Mode
   case object Overwrite extends Mode
   case object Append extends Mode
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** `txns` carries the high-water batch id per writer application — the
+    * public idempotent-streaming-commit pattern (Delta's txnAppId /
+    * txnVersion): each manifest holds the FULL map (parent's merged with
+    * this commit's), so an at-least-once `foreachBatch` replay checks the
+    * head in O(1) and skips a batch it already published.
+    */
+  final case class Snapshot(version: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
     manifestDir(root).resolve(f"v$v%09d.txt")
 
-  private def parseManifest(p: JPath): Seq[String] = {
+  private def parseManifest(p: JPath, v: Long): Snapshot = {
     val lines = scala.jdk.CollectionConverters
       .ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
-    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
-      lines.drop(1).dropRight(1)
-    else throw new java.io.IOException(
+    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer)) {
+      val (txnLines, files) = lines.drop(1).dropRight(1)
+        .partition(_.startsWith(TxnPrefix))
+      val txns = txnLines.map { l =>
+        val Array(app, bid) = l.stripPrefix(TxnPrefix).split(' ')
+        app -> bid.toLong
+      }.toMap
+      Snapshot(v, files, txns)
+    } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
 
@@ -92,7 +106,7 @@ object TxTable {
   }
 
   def snapshotAt(root: String, v: Long): Snapshot =
-    Snapshot(v, parseManifest(manifestPath(root, v)))
+    parseManifest(manifestPath(root, v), v)
 
   def currentSnapshot(root: String): Option[Snapshot] =
     versions(root).lastOption.map(snapshotAt(root, _))
@@ -135,12 +149,15 @@ object TxTable {
     * hidden sibling, then hard-link to the version name — false means
     * another committer claimed `v` first (retry at the new head).
     */
-  private def tryPublish(root: String, v: Long, files: Seq[String]): Boolean = {
+  private def tryPublish(root: String, v: Long, files: Seq[String],
+      txns: Map[String, Long]): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
+    val txnLines = txns.toSeq.sortBy(_._1)
+      .map { case (app, bid) => s"$TxnPrefix$app $bid" }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: files :+ Footer)).asJava,
+      (Header +: (txnLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -153,19 +170,33 @@ object TxTable {
   /** Commit `df` as the next version. [[Overwrite]] replaces the visible
     * table; [[Append]] adds to it (the manifest references the parent's
     * files — no data move). Returns the committed version.
+    *
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT per
+    * (appId, batchId): if the head already records that writer at or past
+    * that batch, the commit no-ops and returns the head version — the
+    * exactly-once publish contract for an at-least-once `foreachBatch`
+    * sink ([[streamAppend]]); a skipped attempt's data dir is orphaned
+    * for [[vacuum]], never visible.
     */
   def commit(s: SparkSession, root: String, df: DataFrame,
-      mode: Mode = Overwrite): Long = {
+      mode: Mode = Overwrite, txn: Option[(String, Long)] = None): Long = {
+    def alreadyApplied(parent: Option[Snapshot]): Boolean =
+      txn.exists { case (app, bid) =>
+        parent.exists(_.txns.get(app).exists(_ >= bid)) }
+    if (alreadyApplied(currentSnapshot(root))) // fast path: no data write
+      return currentVersion(root).get
     val dataFiles = writeData(s, root, df)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
+      if (alreadyApplied(parent)) return parent.get.version
       val v = parent.map(_.version + 1).getOrElse(0L)
       val files = mode match {
         case Overwrite => dataFiles
         case Append => parent.map(_.files).getOrElse(Seq.empty) ++ dataFiles
       }
-      if (tryPublish(root, v, files)) committed = v
+      val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      if (tryPublish(root, v, files, txns)) committed = v
     }
     committed
   }
@@ -184,7 +215,7 @@ object TxTable {
       val merged = Upsert.mergeByKey(readSnapshot(s, root, parent),
         updates, keys)
       val dataFiles = writeData(s, root, merged)
-      if (tryPublish(root, parent.version + 1, dataFiles))
+      if (tryPublish(root, parent.version + 1, dataFiles, parent.txns))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -227,6 +258,20 @@ object TxTable {
     }
   }
 
+  /** `foreachBatch` sink: idempotently append one micro-batch as a
+    * transactional commit. `foreachBatch` is at-least-once; the (appId,
+    * batchId) txn makes the PUBLISH exactly-once — a replayed batch finds
+    * its id at or below the head's high-water mark and no-ops (the same
+    * contract StateDir's batch-keyed dirs give the incremental indexes,
+    * here provided by the table itself, which is how a production CDC
+    * sink replaces the bespoke state protocol).
+    */
+  def streamAppend(root: String, appId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    commit(batch.sparkSession, root, batch, Append, Some((appId, batchId)))
+    ()
+  }
+
   // ------------------------------------------------------- driver queries
 
   /** Publishes per-customer order stats through the transactional table:
@@ -239,13 +284,15 @@ object TxTable {
     */
   private val Cutoff = "1999-01-01"
 
+  private def dsum(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.sum
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+  }
+
   private def publishDemo(s: SparkSession, d: String): (String, JPath) = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.DecimalType
     val tmp = Files.createTempDirectory("graft_txtable_")
     val root = s"$tmp/cust_totals"
-    val dsum = (c: org.apache.spark.sql.Column) =>
-      sum(c.cast(DecimalType(18, 2))).cast("double")
     val pre = graft.Tables.orders(s, d)
       .filter(col("o_orderdate") < lit(Cutoff))
       .groupBy("o_custkey")
@@ -281,6 +328,41 @@ object TxTable {
     offTemp(readVersion(s, root, 0L).orderBy("o_custkey"), tmp)
   }
 
+  /** Streaming CDC publish: orders replayed as micro-batches, each batch
+    * [[streamAppend]]ed as an idempotent transactional commit (exactly
+    * one version per batch even under at-least-once replay —
+    * TxTableSpec's double-fold proof); the head then aggregates to the
+    * same answer plain SQL computes from `orders` directly.
+    */
+  def q161StreamTxPublish(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Replay
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_orderstatus",
+      "o_totalprice")
+    val tmp = Files.createTempDirectory("graft_txcdc_")
+    val root = s"$tmp/orders_f"
+    val out = Replay.run(s, Replay.Drain(
+      tag = "q161",
+      srcSchema = graft.Tables.orders(s, d).select(proj.map(col): _*).schema,
+      writeSource = (ss, srcDir) =>
+        graft.Tables.orders(ss, d).select(proj.map(col): _*)
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(srcDir),
+      mkFold = (_, _) => (batch, batchId) =>
+        streamAppend(root, "q161")(
+          batch.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          batchId),
+      readResult = (ss, _) =>
+        read(ss, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy("o_orderpriority")))
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
   private val preSql =
     s"""SELECT o_custkey, COUNT(*) AS n_orders,
        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -308,11 +390,20 @@ object TxTable {
     s"""$preSql
        |ORDER BY o_custkey""".stripMargin
 
+  val q161Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_tx_publish" -> (q159TxPublish _),
-    "q160_tx_timetravel" -> (q160TxTimetravel _))
+    "q160_tx_timetravel" -> (q160TxTimetravel _),
+    "q161_stream_tx" -> (q161StreamTxPublish _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
-    "q160_tx_timetravel" -> q160Sql)
+    "q160_tx_timetravel" -> q160Sql,
+    "q161_stream_tx" -> q161Sql)
 }

@@ -132,6 +132,50 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("txn commit is idempotent per (appId, batchId) — replayed batch no-ops") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((0L, "base")).toDF("id", "s"))
+      val v1 = TxTable.commit(spark, root, Seq((1L, "b0")).toDF("id", "s"),
+        TxTable.Append, Some(("app", 0L)))
+      // at-least-once replay of the same batch: same app, same batch id
+      val v1r = TxTable.commit(spark, root, Seq((1L, "b0")).toDF("id", "s"),
+        TxTable.Append, Some(("app", 0L)))
+      assert(v1 == 1L && v1r == 1L, s"replay minted a new version: $v1r")
+      assert(TxTable.versions(root) == Seq(0L, 1L))
+      assert(rows(root) == Set((0L, "base"), (1L, "b0")))
+      // the NEXT batch still commits
+      val v2 = TxTable.commit(spark, root, Seq((2L, "b1")).toDF("id", "s"),
+        TxTable.Append, Some(("app", 1L)))
+      assert(v2 == 2L)
+      assert(rows(root) ==
+        Set((0L, "base"), (1L, "b0"), (2L, "b1")))
+      // a DIFFERENT app's batch 0 is not confused with ours
+      val v3 = TxTable.commit(spark, root, Seq((3L, "x0")).toDF("id", "s"),
+        TxTable.Append, Some(("other", 0L)))
+      assert(v3 == 3L)
+      assert(TxTable.currentSnapshot(root).get.txns ==
+        Map("app" -> 1L, "other" -> 0L))
+    }
+  }
+
+  test("streamAppend double-fold: state and answer unchanged on replay") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, spark.emptyDataset[(Long, String)]
+        .toDF("id", "s"))
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      val b1 = Seq((3L, "c")).toDF("id", "s")
+      TxTable.streamAppend(root, "q")(b0, 0L)
+      TxTable.streamAppend(root, "q")(b0, 0L) // crash-replay of batch 0
+      TxTable.streamAppend(root, "q")(b1, 1L)
+      TxTable.streamAppend(root, "q")(b1, 1L) // and of batch 1
+      assert(TxTable.versions(root) == Seq(0L, 1L, 2L),
+        "a replayed batch minted an extra version")
+      assert(rows(root) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
