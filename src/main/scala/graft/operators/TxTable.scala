@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Manifest-committed transactional parquet table — the log-committed
   * publish the reference's lake lacks (SURVEY §1.1: overwrite-only
@@ -56,6 +57,7 @@ object TxTable {
   private val Header = "graft-txtable-v1"
   private val Footer = "COMMIT"
   private val TxnPrefix = "txn "
+  private val StatPrefix = "stat "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -66,9 +68,17 @@ object TxTable {
     * txnVersion): each manifest holds the FULL map (parent's merged with
     * this commit's), so an at-least-once `foreachBatch` replay checks the
     * head in O(1) and skips a batch it already published.
+    *
+    * `stats` holds per-file (column, min, max) — Delta-style data
+    * skipping: [[prunedFiles]] drops files whose recorded range cannot
+    * intersect a predicate BEFORE Spark plans the scan. Files without a
+    * stats line are never pruned (correctness does not depend on stats
+    * presence), and [[readPruned]] re-applies the exact filter, so stats
+    * only ever REMOVE provably-dead I/O.
     */
   final case class Snapshot(version: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      stats: Map[String, (String, Double, Double)] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -78,13 +88,18 @@ object TxTable {
     val lines = scala.jdk.CollectionConverters
       .ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
     if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer)) {
-      val (txnLines, files) = lines.drop(1).dropRight(1)
-        .partition(_.startsWith(TxnPrefix))
-      val txns = txnLines.map { l =>
+      val body = lines.drop(1).dropRight(1)
+      val txns = body.filter(_.startsWith(TxnPrefix)).map { l =>
         val Array(app, bid) = l.stripPrefix(TxnPrefix).split(' ')
         app -> bid.toLong
       }.toMap
-      Snapshot(v, files, txns)
+      val stats = body.filter(_.startsWith(StatPrefix)).map { l =>
+        val Array(path, c, mn, mx) = l.stripPrefix(StatPrefix).split(' ')
+        path -> ((c, mn.toDouble, mx.toDouble))
+      }.toMap
+      val files = body.filterNot(l =>
+        l.startsWith(TxnPrefix) || l.startsWith(StatPrefix))
+      Snapshot(v, files, txns, stats)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -145,19 +160,58 @@ object TxTable {
     finally st.close()
   }
 
+  /** Per-file (min, max) of a numeric column from the parquet FOOTERS —
+    * driver-side metadata I/O, zero Spark jobs (the StateDir.footerRows
+    * pattern). Returns no entry for a file whose footer lacks usable
+    * stats — such files are simply never pruned.
+    */
+  private def footerStats(s: SparkSession, root: String, relFiles: Seq[String],
+      colName: String): Map[String, (String, Double, Double)] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    relFiles.flatMap { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$rel"), hconf))
+      try {
+        val ranges = scala.jdk.CollectionConverters
+          .ListHasAsScala(r.getFooter.getBlocks).asScala.flatMap { b =>
+            scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+              .asScala
+              .find(_.getPath.toDotString == colName)
+              .flatMap { c =>
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Number, mx: java.lang.Number) =>
+                    Some((mn.doubleValue(), mx.doubleValue()))
+                  case _ => None
+                }
+              }
+          }
+        if (ranges.isEmpty) None
+        else Some(rel -> ((colName, ranges.map(_._1).min, ranges.map(_._2).max)))
+      } finally r.close()
+    }.toMap
+  }
+
   /** Atomic put-if-absent of version `v`'s manifest: full content to a
     * hidden sibling, then hard-link to the version name — false means
     * another committer claimed `v` first (retry at the new head).
     */
   private def tryPublish(root: String, v: Long, files: Seq[String],
-      txns: Map[String, Long]): Boolean = {
+      txns: Map[String, Long],
+      stats: Map[String, (String, Double, Double)] = Map.empty): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, bid) => s"$TxnPrefix$app $bid" }
+    val statLines = stats.toSeq.sortBy(_._1).collect {
+      case (path, (c, mn, mx)) if files.contains(path) =>
+        s"$StatPrefix$path $c $mn $mx"
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (txnLines ++ files) :+ Footer)).asJava,
+      (Header +: (txnLines ++ statLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -177,15 +231,32 @@ object TxTable {
     * exactly-once publish contract for an at-least-once `foreachBatch`
     * sink ([[streamAppend]]); a skipped attempt's data dir is orphaned
     * for [[vacuum]], never visible.
+    *
+    * `clusterBy = Some(col)` range-clusters the data files on a numeric
+    * column and records each file's footer (min, max) in the manifest —
+    * the data-skipping layout: tight per-file ranges make
+    * [[prunedFiles]] drop most files for a selective range predicate.
+    * Clustering changes only file ASSIGNMENT (any assignment is correct;
+    * stats are read back from the actual footers), so the
+    * range-shuffle's sampled boundaries are correctness-irrelevant here.
     */
   def commit(s: SparkSession, root: String, df: DataFrame,
-      mode: Mode = Overwrite, txn: Option[(String, Long)] = None): Long = {
+      mode: Mode = Overwrite, txn: Option[(String, Long)] = None,
+      clusterBy: Option[String] = None): Long = {
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
     if (alreadyApplied(currentSnapshot(root))) // fast path: no data write
       return currentVersion(root).get
-    val dataFiles = writeData(s, root, df)
+    val clustered = clusterBy match {
+      case Some(c) => df.repartitionByRange(8, col(c))
+      case None => df
+    }
+    val dataFiles = writeData(s, root, clustered)
+    val newStats = clusterBy match {
+      case Some(c) => footerStats(s, root, dataFiles, c)
+      case None => Map.empty[String, (String, Double, Double)]
+    }
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
@@ -196,9 +267,44 @@ object TxTable {
         case Append => parent.map(_.files).getOrElse(Seq.empty) ++ dataFiles
       }
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-      if (tryPublish(root, v, files, txns)) committed = v
+      val stats = (mode match {
+        case Overwrite => Map.empty[String, (String, Double, Double)]
+        case Append => parent.map(_.stats).getOrElse(Map.empty)
+      }) ++ newStats
+      if (tryPublish(root, v, files, txns, stats)) committed = v
     }
     committed
+  }
+
+  /** The head's files that can intersect `lo <= col <= hi`: a file with
+    * recorded stats on `colName` is dropped when its range provably
+    * misses; files without stats always survive. Manifest-level pruning —
+    * the skipped files never reach Spark's scan planning at all.
+    */
+  def prunedFiles(root: String, colName: String, lo: Double,
+      hi: Double): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case Some((c, mn, mx)) if c == colName => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+  }
+
+  /** Range read with manifest-level data skipping; the exact predicate is
+    * re-applied, so the result is identical to `read(...).filter(...)`
+    * whatever the stats say — skipping only removes provably-dead I/O.
+    */
+  def readPruned(s: SparkSession, root: String, colName: String, lo: Double,
+      hi: Double): DataFrame = {
+    val files = prunedFiles(root, colName, lo, hi)
+    val df =
+      if (files.isEmpty)
+        read(s, root).limit(0) // schema-preserving empty
+      else s.read.parquet(files.map(f => s"$root/$f"): _*)
+    df.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   /** Serializable MERGE (update matched by `keys`, insert new): recomputes
@@ -390,6 +496,34 @@ object TxTable {
     s"""$preSql
        |ORDER BY o_custkey""".stripMargin
 
+  /** Data-skipping read: orders published range-clustered on
+    * `o_totalprice`, then a selective range aggregate over
+    * [[readPruned]] — the manifest's footer stats drop the files whose
+    * range misses (TxTableSpec proves the pruning; the oracle proves the
+    * answer is exactly the plain filter's).
+    */
+  def q162TxDataskip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txskip_")
+    val root = s"$tmp/orders_by_price"
+    commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Overwrite, clusterBy = Some("o_totalprice"))
+    val out = readPruned(s, root, "o_totalprice", 50000.0, 100000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q162Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders WHERE o_totalprice >= 50000 AND o_totalprice <= 100000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q161Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -400,10 +534,12 @@ object TxTable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_tx_publish" -> (q159TxPublish _),
     "q160_tx_timetravel" -> (q160TxTimetravel _),
-    "q161_stream_tx" -> (q161StreamTxPublish _))
+    "q161_stream_tx" -> (q161StreamTxPublish _),
+    "q162_tx_dataskip" -> (q162TxDataskip _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
     "q160_tx_timetravel" -> q160Sql,
-    "q161_stream_tx" -> q161Sql)
+    "q161_stream_tx" -> q161Sql,
+    "q162_tx_dataskip" -> q162Sql)
 }

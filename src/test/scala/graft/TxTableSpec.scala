@@ -176,6 +176,40 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered commit records footer stats; pruning drops dead files only") {
+    import spark.implicits._
+    withRoot { root =>
+      val df = (1 to 800).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+      TxTable.commit(spark, root, df, TxTable.Overwrite,
+        clusterBy = Some("v"))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.size > 1, "need multiple files to prove pruning")
+      assert(snap.stats.keySet == snap.files.toSet,
+        "every clustered file should carry stats")
+      // a selective range must prune most range-clustered files...
+      val pruned = TxTable.prunedFiles(root, "v", 100.0, 200.0)
+      assert(pruned.size < snap.files.size,
+        s"no pruning: ${pruned.size} of ${snap.files.size}")
+      // ...and the pruned read must equal the full filtered read exactly
+      val got = TxTable.readPruned(spark, root, "v", 100.0, 200.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val full = TxTable.read(spark, root)
+        .filter(col("v") >= 100.0 && col("v") <= 200.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == full && got.size == 11)
+      // stats on an unrelated column never prune
+      assert(TxTable.prunedFiles(root, "id", 100.0, 200.0).size
+        == snap.files.size)
+      // append WITHOUT clustering: new files carry no stats, survive all
+      // pruning, parent stats persist
+      TxTable.commit(spark, root, Seq((9001L, 150.0)).toDF("id", "v"),
+        TxTable.Append)
+      val got2 = TxTable.readPruned(spark, root, "v", 100.0, 200.0)
+        .collect().map(_.getLong(0)).toSet
+      assert(got2 == full.map(_._1) + 9001L)
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
