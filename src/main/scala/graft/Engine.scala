@@ -75,7 +75,11 @@ object Engine {
     // result in AggregateExpression, so the same registry path works
     ("topk_by", "topk_by(score, key, k) - top-k (score,key) per group, best-first",
       es => graft.functions.TopKAggregate.TopKBy(
-        Cast(es.head, DoubleType), Cast(es(1), LongType), intArg(es(2)))))
+        Cast(es.head, DoubleType), Cast(es(1), LongType), intArg(es(2)))),
+    ("cms_sketch", "cms_sketch(term, weight, d, w) - count-min sketch counters, row-major",
+      es => graft.functions.CmsAggregate.CmsSketch(
+        Cast(es.head, StringType), Cast(es(1), LongType),
+        intArg(es(2)), intArg(es(3)))))
 
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =

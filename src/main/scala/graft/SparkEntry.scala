@@ -31,9 +31,11 @@ object SparkEntry {
       graft.queries.Advanced6.queries ++
       graft.queries.Advanced7.queries ++
       graft.queries.Advanced8.queries ++
+      graft.queries.Sketches.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
       graft.operators.TxTable.queries ++
+      graft.operators.TxMaint.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -62,9 +64,11 @@ object SparkEntry {
       graft.queries.Advanced6.oracles ++
       graft.queries.Advanced7.oracles ++
       graft.queries.Advanced8.oracles ++
+      graft.queries.Sketches.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
       graft.operators.TxTable.oracles ++
+      graft.operators.TxMaint.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++

@@ -1,0 +1,212 @@
+package graft.operators
+
+import java.nio.file.{Files, Path => JPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Transactional-table MAINTENANCE surface (round 11) — the operations a
+  * lake table needs between commits, each published through [[TxTable]]'s
+  * manifest protocol so maintenance is just another serialized version:
+  *
+  *  - q163 [[TxTable.mergeByKeyPruned]]: copy-on-write MERGE that rewrites
+  *    ONLY the files whose manifest key range can match the updates —
+  *    at 100 TB a narrow-key merge touches a few files, not the table;
+  *  - q164 [[TxTable.optimize]]: compaction/re-clustering as a committed
+  *    transaction — an unclustered CDC append history becomes a skippable
+  *    layout without breaking any pinned reader;
+  *  - q166 additive schema evolution: a commit may append files carrying
+  *    new columns; readers see old files' missing columns as null;
+  *  - q167 [[TxTable.commitZOrdered]]: 2-D Morton layout + per-file stats
+  *    on BOTH dimensions, so [[TxTable.readPrunedMulti]] skips files for
+  *    predicates on either column (1-D clustering can only serve one).
+  *
+  * Every query's visible result restates in plain SQL over `orders`, so
+  * the whole maintenance surface is hash-oracled; the layout/pruning
+  * claims (files carried forward untouched, file counts, 2-D skipping)
+  * are pinned in TxTableSpec, where result-identity alone can't see them.
+  */
+object TxMaint {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private def offTemp(df: DataFrame, tmp: JPath): DataFrame = {
+    val out = df.localCheckpoint(true)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  // --------------------------------------------------------------- q163
+  // Pruned copy-on-write merge: v0 publishes per-customer pre-1999 order
+  // stats range-clustered on o_custkey (8 files, each a tight key range);
+  // the merge updates ONLY customers 100..400 with their all-time stats.
+  // The narrow key range intersects 1-2 of the 8 files — the rest are
+  // carried into v1 untouched (TxTableSpec counts them). The head then
+  // equals plain-SQL merge semantics: updated range rows replaced,
+  // out-of-range rows intact, never-seen-before customers inserted.
+
+  private val Cutoff = "1999-01-01"
+  private val MergeLo = 100L
+  private val MergeHi = 400L
+
+  private def preStats(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(Cutoff))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+
+  def q163TxMergePruned(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmerge_")
+    val root = s"$tmp/cust_totals"
+    TxTable.commit(s, root, preStats(s, d), TxTable.Overwrite,
+      clusterBy = Some("o_custkey"))
+    val upd = graft.Tables.orders(s, d)
+      .filter(col("o_custkey").between(MergeLo, MergeHi))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+    TxTable.mergeByKeyPruned(s, root, upd, "o_custkey")
+    offTemp(TxTable.read(s, root).orderBy("o_custkey"), tmp)
+  }
+
+  val q163Sql: String =
+    s"""WITH pre AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_price
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$Cutoff 00:00:00'
+       |  GROUP BY 1),
+       |upd AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS total_price
+       |  FROM orders WHERE o_custkey BETWEEN $MergeLo AND $MergeHi
+       |  GROUP BY 1)
+       |SELECT o_custkey, n_orders, total_price FROM pre
+       |  WHERE o_custkey NOT BETWEEN $MergeLo AND $MergeHi
+       |UNION ALL
+       |SELECT o_custkey, n_orders, total_price FROM upd
+       |ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q164
+  // OPTIMIZE as a transaction: four unclustered CDC-style appends (one
+  // file group per commit, no stats anywhere) are rewritten by
+  // `optimize(4, clusterBy = o_totalprice)` into four range-clustered
+  // files WITH footer stats — after which the same readPruned range
+  // aggregate that would have scanned every CDC file skips most of the
+  // layout. The oracle proves optimize changed NOTHING visible: the
+  // answer is exactly the plain filter's over `orders`.
+
+  def q164TxOptimize(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txopt_")
+    val root = s"$tmp/orders_cdc"
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    (0L until 4L).foreach { i =>
+      TxTable.commit(s, root, src.filter(pmod(col("o_orderkey"), lit(4L)) === i),
+        if (i == 0) TxTable.Overwrite else TxTable.Append)
+    }
+    TxTable.optimize(s, root, targetFiles = 4, clusterBy = Seq("o_totalprice"))
+    val out = TxTable.readPruned(s, root, "o_totalprice", 10000.0, 60000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q164Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders WHERE o_totalprice >= 10000 AND o_totalprice <= 60000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q166
+  // Additive schema evolution: v0 publishes the 'F' orders WITHOUT the
+  // priority column; a later commit appends the remaining orders WITH it.
+  // The head read merges the file schemas — old files surface the new
+  // column as null — which is exactly the UNION ALL the oracle states.
+
+  def q166TxSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txevo_")
+    val root = s"$tmp/orders_evo"
+    val src = graft.Tables.orders(s, d)
+    TxTable.commit(s, root,
+      src.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice"),
+      TxTable.Overwrite)
+    TxTable.commit(s, root,
+      src.filter(col("o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      TxTable.Append)
+    val out = TxTable.read(s, root)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+    offTemp(out, tmp)
+  }
+
+  val q166Sql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q167
+  // Z-order layout + 2-D data skipping: orders committed in Morton order
+  // of (o_custkey, price_bin = floor(o_totalprice / 16)), per-file stats
+  // recorded on BOTH columns. The 2-D range read prunes at the manifest
+  // on each dimension independently (TxTableSpec shows the conjunction
+  // skips files neither 1-D predicate could); the exact predicates are
+  // re-applied, so the answer is the plain 2-D filter's.
+
+  private val ZCustLo = 200.0
+  private val ZCustHi = 600.0
+  private val ZBinLo = 1000.0
+  private val ZBinHi = 3000.0
+
+  def q167TxZorderSkip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txzorder_")
+    val root = s"$tmp/orders_z"
+    val src = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        floor(col("o_totalprice") / 16d).cast("long").as("price_bin"))
+    TxTable.commitZOrdered(s, root, src, "o_custkey", "price_bin",
+      targetFiles = 8)
+    val out = TxTable.readPrunedMulti(s, root,
+      Seq(("o_custkey", ZCustLo, ZCustHi), ("price_bin", ZBinLo, ZBinHi)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q167Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price
+       |FROM orders
+       |WHERE o_custkey BETWEEN ${ZCustLo.toLong} AND ${ZCustHi.toLong}
+       |  AND CAST(FLOOR(o_totalprice / 16) AS BIGINT)
+       |        BETWEEN ${ZBinLo.toLong} AND ${ZBinHi.toLong}
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_tx_merge_pruned" -> (q163TxMergePruned _),
+    "q164_tx_optimize" -> (q164TxOptimize _),
+    "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
+    "q167_tx_zorder_skip" -> (q167TxZorderSkip _))
+
+  val oracles: Map[String, String] = Map(
+    "q163_tx_merge_pruned" -> q163Sql,
+    "q164_tx_optimize" -> q164Sql,
+    "q166_tx_schema_evolution" -> q166Sql,
+    "q167_tx_zorder_skip" -> q167Sql)
+}

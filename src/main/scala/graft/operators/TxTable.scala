@@ -69,16 +69,18 @@ object TxTable {
     * this commit's), so an at-least-once `foreachBatch` replay checks the
     * head in O(1) and skips a batch it already published.
     *
-    * `stats` holds per-file (column, min, max) — Delta-style data
+    * `stats` holds per-file (column, min, max) ranges — Delta-style data
     * skipping: [[prunedFiles]] drops files whose recorded range cannot
-    * intersect a predicate BEFORE Spark plans the scan. Files without a
-    * stats line are never pruned (correctness does not depend on stats
+    * intersect a predicate BEFORE Spark plans the scan. A file may carry
+    * ranges for SEVERAL columns (one `stat` manifest line each — the
+    * multi-dimensional layout [[commitZOrdered]] exploits); files without
+    * a stats line are never pruned (correctness does not depend on stats
     * presence), and [[readPruned]] re-applies the exact filter, so stats
     * only ever REMOVE provably-dead I/O.
     */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, (String, Double, Double)] = Map.empty)
+      stats: Map[String, Seq[(String, Double, Double)]] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -95,8 +97,8 @@ object TxTable {
       }.toMap
       val stats = body.filter(_.startsWith(StatPrefix)).map { l =>
         val Array(path, c, mn, mx) = l.stripPrefix(StatPrefix).split(' ')
-        path -> ((c, mn.toDouble, mx.toDouble))
-      }.toMap
+        (path, (c, mn.toDouble, mx.toDouble))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix))
       Snapshot(v, files, txns, stats)
@@ -128,11 +130,17 @@ object TxTable {
 
   def currentVersion(root: String): Option[Long] = versions(root).lastOption
 
+  /** Additive schema evolution on read: `mergeSchema` unions the file
+    * schemas (Delta's column-mapping-free evolution), so a commit may
+    * APPEND files carrying new columns and readers see older files'
+    * missing columns as null. Uniform-schema tables are unaffected.
+    */
   private def readSnapshot(s: SparkSession, root: String,
       snap: Snapshot): DataFrame =
     if (snap.files.isEmpty)
       throw new java.io.IOException(s"txtable $root v${snap.version} is empty")
-    else s.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+    else s.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$root/$f"): _*)
 
   /** Newest committed snapshot as an explicit-path DataFrame. */
   def read(s: SparkSession, root: String): DataFrame =
@@ -160,36 +168,39 @@ object TxTable {
     finally st.close()
   }
 
-  /** Per-file (min, max) of a numeric column from the parquet FOOTERS —
+  /** Per-file (min, max) of numeric columns from the parquet FOOTERS —
     * driver-side metadata I/O, zero Spark jobs (the StateDir.footerRows
-    * pattern). Returns no entry for a file whose footer lacks usable
-    * stats — such files are simply never pruned.
+    * pattern). Returns no entry for a (file, column) whose footer lacks
+    * usable stats — such pairs are simply never pruned.
     */
   private def footerStats(s: SparkSession, root: String, relFiles: Seq[String],
-      colName: String): Map[String, (String, Double, Double)] = {
+      colNames: Seq[String]): Map[String, Seq[(String, Double, Double)]] = {
     val hconf = s.sparkContext.hadoopConfiguration
     relFiles.flatMap { rel =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$root/$rel"), hconf))
       try {
-        val ranges = scala.jdk.CollectionConverters
-          .ListHasAsScala(r.getFooter.getBlocks).asScala.flatMap { b =>
-            scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
-              .asScala
-              .find(_.getPath.toDotString == colName)
-              .flatMap { c =>
-                val st = c.getStatistics
-                if (st == null || !st.hasNonNullValue) None
-                else (st.genericGetMin, st.genericGetMax) match {
-                  case (mn: java.lang.Number, mx: java.lang.Number) =>
-                    Some((mn.doubleValue(), mx.doubleValue()))
-                  case _ => None
+        val perCol = colNames.flatMap { colName =>
+          val ranges = scala.jdk.CollectionConverters
+            .ListHasAsScala(r.getFooter.getBlocks).asScala.flatMap { b =>
+              scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+                .asScala
+                .find(_.getPath.toDotString == colName)
+                .flatMap { c =>
+                  val st = c.getStatistics
+                  if (st == null || !st.hasNonNullValue) None
+                  else (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: java.lang.Number, mx: java.lang.Number) =>
+                      Some((mn.doubleValue(), mx.doubleValue()))
+                    case _ => None
+                  }
                 }
-              }
-          }
-        if (ranges.isEmpty) None
-        else Some(rel -> ((colName, ranges.map(_._1).min, ranges.map(_._2).max)))
+            }
+          if (ranges.isEmpty) None
+          else Some((colName, ranges.map(_._1).min, ranges.map(_._2).max))
+        }
+        if (perCol.isEmpty) None else Some(rel -> perCol)
       } finally r.close()
     }.toMap
   }
@@ -200,15 +211,16 @@ object TxTable {
     */
   private def tryPublish(root: String, v: Long, files: Seq[String],
       txns: Map[String, Long],
-      stats: Map[String, (String, Double, Double)] = Map.empty): Boolean = {
+      stats: Map[String, Seq[(String, Double, Double)]] = Map.empty): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, bid) => s"$TxnPrefix$app $bid" }
-    val statLines = stats.toSeq.sortBy(_._1).collect {
-      case (path, (c, mn, mx)) if files.contains(path) =>
-        s"$StatPrefix$path $c $mn $mx"
+    val statLines = stats.toSeq.sortBy(_._1).flatMap {
+      case (path, ranges) if files.contains(path) =>
+        ranges.map { case (c, mn, mx) => s"$StatPrefix$path $c $mn $mx" }
+      case _ => Seq.empty
     }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (txnLines ++ statLines ++ files) :+ Footer)).asJava,
@@ -254,8 +266,8 @@ object TxTable {
     }
     val dataFiles = writeData(s, root, clustered)
     val newStats = clusterBy match {
-      case Some(c) => footerStats(s, root, dataFiles, c)
-      case None => Map.empty[String, (String, Double, Double)]
+      case Some(c) => footerStats(s, root, dataFiles, Seq(c))
+      case None => Map.empty[String, Seq[(String, Double, Double)]]
     }
     var committed = -1L
     while (committed < 0) {
@@ -268,44 +280,60 @@ object TxTable {
       }
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       val stats = (mode match {
-        case Overwrite => Map.empty[String, (String, Double, Double)]
-        case Append => parent.map(_.stats).getOrElse(Map.empty)
+        case Overwrite => Map.empty[String, Seq[(String, Double, Double)]]
+        case Append => parent.map(_.stats)
+          .getOrElse(Map.empty[String, Seq[(String, Double, Double)]])
       }) ++ newStats
       if (tryPublish(root, v, files, txns, stats)) committed = v
     }
     committed
   }
 
-  /** The head's files that can intersect `lo <= col <= hi`: a file with
-    * recorded stats on `colName` is dropped when its range provably
-    * misses; files without stats always survive. Manifest-level pruning —
-    * the skipped files never reach Spark's scan planning at all.
+  /** The head's files that can intersect EVERY `lo <= col <= hi`
+    * predicate (conjunction): a file with recorded stats on a predicate
+    * column is dropped when that range provably misses; a (file, column)
+    * without stats never prunes. Manifest-level pruning — the skipped
+    * files never reach Spark's scan planning at all.
     */
-  def prunedFiles(root: String, colName: String, lo: Double,
-      hi: Double): Seq[String] = {
+  def prunedFilesMulti(root: String,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
     val snap = currentSnapshot(root).getOrElse(
       throw new java.io.IOException(s"txtable $root has no committed version"))
     snap.files.filter { f =>
-      snap.stats.get(f) match {
-        case Some((c, mn, mx)) if c == colName => mx >= lo && mn <= hi
-        case _ => true
+      val ranges = snap.stats.getOrElse(f, Seq.empty)
+      preds.forall { case (colName, lo, hi) =>
+        ranges.find(_._1 == colName) match {
+          case Some((_, mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
   }
 
-  /** Range read with manifest-level data skipping; the exact predicate is
-    * re-applied, so the result is identical to `read(...).filter(...)`
+  def prunedFiles(root: String, colName: String, lo: Double,
+      hi: Double): Seq[String] =
+    prunedFilesMulti(root, Seq((colName, lo, hi)))
+
+  /** Range read with manifest-level data skipping; the exact predicates
+    * are re-applied, so the result is identical to `read(...).filter(...)`
     * whatever the stats say — skipping only removes provably-dead I/O.
     */
-  def readPruned(s: SparkSession, root: String, colName: String, lo: Double,
-      hi: Double): DataFrame = {
-    val files = prunedFiles(root, colName, lo, hi)
+  def readPrunedMulti(s: SparkSession, root: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val files = prunedFilesMulti(root, preds)
     val df =
       if (files.isEmpty)
         read(s, root).limit(0) // schema-preserving empty
-      else s.read.parquet(files.map(f => s"$root/$f"): _*)
-    df.filter(col(colName) >= lo && col(colName) <= hi)
+      else s.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$root/$f"): _*)
+    preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
+
+  def readPruned(s: SparkSession, root: String, colName: String, lo: Double,
+      hi: Double): DataFrame =
+    readPrunedMulti(s, root, Seq((colName, lo, hi)))
 
   /** Serializable MERGE (update matched by `keys`, insert new): recomputes
     * from the head snapshot and retries whenever another commit wins the
@@ -325,6 +353,140 @@ object TxTable {
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
+    }
+    committed
+  }
+
+  /** Copy-on-write MERGE with manifest-stat file pruning — the at-scale
+    * form of [[mergeByKey]]: only files whose recorded `keyCol` range can
+    * intersect the updates' key range are read and rewritten; every other
+    * file is carried into the child manifest UNTOUCHED (no read, no
+    * write, stats preserved). A file without stats on `keyCol` is always
+    * treated as touched, so pruning can only skip provably-unmatched
+    * files — at 100 TB a narrow-key merge rewrites a few files, not the
+    * table. Inserts (update keys matched nowhere) land in the rewritten
+    * group, which is re-clustered on `keyCol` so the table STAYS
+    * skippable across merges. Serializable via the same claim-retry loop
+    * as [[mergeByKey]].
+    */
+  def mergeByKeyPruned(s: SparkSession, root: String, updates: DataFrame,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.count_distinct
+    val bounds = updates.agg(
+      fmin(col(keyCol).cast("double")), fmax(col(keyCol).cast("double")),
+      count_distinct(col(keyCol))).collect()(0)
+    if (bounds.isNullAt(0)) // no update keys: nothing to merge
+      return currentVersion(root).getOrElse(throw new java.io.IOException(
+        s"txtable $root has no version to merge into"))
+    val (uLo, uHi) = (bounds.getDouble(0), bounds.getDouble(1))
+    // Exact file-level matching when the update key set is driver-small:
+    // a sorted key array turns "does this file hold a matched key" into a
+    // binary search against its (min, max) — immune to the envelope trap
+    // where one outlier insert key (min..max spanning the table) would
+    // mark every file touched. Past the threshold the [uLo, uHi] envelope
+    // is the prune (at that update volume a wide rewrite is real work
+    // anyway, and the envelope stays sound: it can only over-touch).
+    val sortedKeys: Option[Array[Double]] =
+      if (bounds.getLong(2) <= 100000L)
+        Some(updates.select(col(keyCol).cast("double")).distinct()
+          .collect().map(_.getDouble(0)).sorted)
+      else None
+    def intersects(mn: Double, mx: Double): Boolean = sortedKeys match {
+      case Some(ks) =>
+        val i = java.util.Arrays.binarySearch(ks, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < ks.length && ks(from) <= mx
+      case None => mx >= uLo && mn <= uHi
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to merge into"))
+      val touched = parent.files.filter { f =>
+        parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+          case Some((_, mn, mx)) => intersects(mn, mx)
+          case None => true // no stats ⇒ could hold a matched key
+        }
+      }
+      val untouched = parent.files.filterNot(touched.contains)
+      val merged =
+        if (touched.isEmpty) updates
+        else Upsert.mergeByKey(
+          s.read.option("mergeSchema", "true")
+            .parquet(touched.map(f => s"$root/$f"): _*),
+          updates, Seq(keyCol))
+      val newFiles = writeData(s, root,
+        merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
+      val newStats = footerStats(s, root, newFiles, Seq(keyCol))
+      val files = untouched ++ newFiles
+      val stats = parent.stats.view.filterKeys(untouched.contains).toMap ++
+        newStats
+      if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** OPTIMIZE as a committed transaction: rewrite the head's content into
+    * `targetFiles` files — range-clustered on `clusterBy` columns when
+    * given (footer stats recorded per column, so an unclustered CDC
+    * append history BECOMES skippable) — and publish as the next version.
+    * Content is identical by construction; readers pinned to any prior
+    * version still see their snapshot (compaction never mutates data
+    * files), and the claim-retry loop recomputes from the new head if a
+    * concurrent commit wins.
+    */
+  def optimize(s: SparkSession, root: String, targetFiles: Int,
+      clusterBy: Seq[String] = Seq.empty): Long = {
+    require(targetFiles >= 1, "optimize needs targetFiles >= 1")
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to optimize"))
+      val df = readSnapshot(s, root, parent)
+      val clustered = clusterBy match {
+        case Seq() => df.repartition(targetFiles)
+        case cs => df.repartitionByRange(targetFiles, cs.map(col): _*)
+      }
+      val newFiles = writeData(s, root, clustered)
+      val newStats =
+        if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double)]]
+        else footerStats(s, root, newFiles, clusterBy)
+      if (tryPublish(root, parent.version + 1, newFiles, parent.txns, newStats))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** Z-order clustered commit: range-cluster on the 2-D Morton interleave
+    * of `(xCol, yCol)` (the [[graft.functions.matching.zorder16]] codegen
+    * expression — q110's layout lever, here driving the TRANSACTIONAL
+    * layout) and record per-file footer stats on BOTH source columns.
+    * Because Morton order alternates x/y bits, each file covers a small
+    * rectangle in (x, y) space, so [[readPrunedMulti]] skips files for a
+    * predicate on EITHER dimension — the property a 1-D sort cannot give.
+    * Clustering changes only file assignment; stats are read back from
+    * the actual footers, so the range-shuffle's sampled boundaries are
+    * correctness-irrelevant (the repartitionByRange rule).
+    */
+  def commitZOrdered(s: SparkSession, root: String, df: DataFrame,
+      xCol: String, yCol: String, targetFiles: Int): Long = {
+    val z = graft.functions.matching.zorder16(
+      col(xCol).cast("long"), col(yCol).cast("long"))
+    val clustered = df.withColumn("__zorder", z)
+      .repartitionByRange(targetFiles, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+    val dataFiles = writeData(s, root, clustered)
+    val newStats = footerStats(s, root, dataFiles, Seq(xCol, yCol))
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root)
+      val v = parent.map(_.version + 1).getOrElse(0L)
+      if (tryPublish(root, v, dataFiles, parent.map(_.txns)
+          .getOrElse(Map.empty), newStats))
+        committed = v
     }
     committed
   }

@@ -210,6 +210,120 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeByKeyPruned: untouched files carried forward byte-identical; " +
+      "result equals full mergeByKey") {
+    import spark.implicits._
+    withRoot { root =>
+      val base = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      TxTable.commit(spark, root, base, TxTable.Overwrite,
+        clusterBy = Some("id"))
+      val v0 = TxTable.currentSnapshot(root).get
+      assert(v0.files.size > 2, "need several files to prove carry-forward")
+      // narrow-key updates: keys 100..140 updated, 9001 inserted
+      val upd = ((100 to 140).map(i => (i.toLong, s"U$i")) :+
+        (9001L, "NEW")).toDF("id", "s")
+      TxTable.mergeByKeyPruned(spark, root, upd, "id")
+      val v1 = TxTable.currentSnapshot(root).get
+      val carried = v0.files.toSet.intersect(v1.files.toSet)
+      assert(carried.nonEmpty,
+        "pruned merge rewrote every file — no carry-forward happened")
+      assert(carried.size < v0.files.size,
+        "pruned merge touched nothing — the update range matched no file")
+      // carried files keep their stats (the table stays skippable)
+      carried.foreach(f => assert(v1.stats.contains(f),
+        s"carried file $f lost its stats"))
+      // and the visible result is exactly the unpruned merge's
+      val expect = Upsert.mergeByKey(base, upd, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows(root) == expect)
+    }
+  }
+
+  test("optimize: committed compaction — bounded files, stats appear, " +
+      "content identical, pinned version untouched") {
+    import spark.implicits._
+    withRoot { root =>
+      // CDC-style history: 4 unclustered appends, no stats anywhere
+      val src = (1 to 400).map(i => (i.toLong, i * 10.0))
+      (0 until 4).foreach { b =>
+        TxTable.commit(spark, root,
+          src.filter(_._1 % 4 == b).toDF("id", "v"),
+          if (b == 0) TxTable.Overwrite else TxTable.Append)
+      }
+      val pre = TxTable.currentSnapshot(root).get
+      assert(pre.stats.isEmpty)
+      val preRows = TxTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val vOpt = TxTable.optimize(spark, root, targetFiles = 2,
+        clusterBy = Seq("v"))
+      val post = TxTable.currentSnapshot(root).get
+      assert(vOpt == pre.version + 1)
+      assert(post.files.size <= 2,
+        s"optimize left ${post.files.size} files for target 2")
+      assert(post.stats.keySet == post.files.toSet,
+        "optimize should make every file skippable")
+      // content identical; the pre-optimize version still time-travels
+      assert(rows2(root) == preRows)
+      assert(TxTable.readVersion(spark, root, pre.version).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == preRows)
+      // and the re-clustered layout actually prunes now: v spans 10..4000,
+      // so a [0, 100] probe can only live in the low file
+      assert(TxTable.prunedFiles(root, "v", 0.0, 100.0).size == 1)
+    }
+  }
+
+  private def rows2(root: String): Set[(Long, Double)] =
+    TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+  test("additive schema evolution: appended new column reads as null " +
+      "from older files") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      TxTable.commit(spark, root,
+        Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra"),
+        TxTable.Append)
+      val got = TxTable.read(spark, root)
+        .select("id", "s", "extra").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set((1L, "a", -1L), (2L, "b", -1L),
+        (3L, "c", 30L), (4L, "d", 40L)))
+    }
+  }
+
+  test("commitZOrdered: 2-D stats prune on EITHER dimension; conjunction " +
+      "beats both 1-D prunings; pruned read exact") {
+    import spark.implicits._
+    withRoot { root =>
+      // uniform 64x64 grid — Morton order tiles it into clean rectangles
+      val grid = (for (x <- 0 until 64; y <- 0 until 64)
+        yield (x.toLong, y.toLong, (x * 64 + y).toLong)).toDF("x", "y", "id")
+      TxTable.commitZOrdered(spark, root, grid, "x", "y", targetFiles = 16)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.size > 4)
+      assert(snap.stats.values.forall(_.map(_._1).toSet == Set("x", "y")),
+        "every file should carry stats on BOTH dimensions")
+      val all = snap.files.size
+      val px = TxTable.prunedFilesMulti(root, Seq(("x", 0.0, 15.0))).size
+      val py = TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 15.0))).size
+      val pxy = TxTable.prunedFilesMulti(root,
+        Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))).size
+      assert(px < all, "x-range pruned nothing — not a 2-D layout")
+      assert(py < all, "y-range pruned nothing — a 1-D sort would fail this")
+      assert(pxy <= math.min(px, py),
+        s"conjunction ($pxy) should not exceed either 1-D pruning ($px, $py)")
+      val got = TxTable.readPrunedMulti(spark, root,
+        Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0)))
+        .collect().map(_.getAs[Long]("id")).toSet
+      val full = TxTable.read(spark, root)
+        .filter(col("x") <= 15 && col("y") <= 15)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == full && got.size == 256)
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
