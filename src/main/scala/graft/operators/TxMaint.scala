@@ -198,15 +198,52 @@ object TxMaint {
        |        BETWEEN ${ZBinLo.toLong} AND ${ZBinHi.toLong}
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q168
+  // Range DELETE with the three-way file classification: orders published
+  // range-clustered on o_totalprice (tight per-file ranges), then
+  // `deleteRange(o_totalprice, 20000, 200000)` — files wholly inside the
+  // range leave the manifest with ZERO data I/O (TxTableSpec counts the
+  // metadata-only drops), boundary files rewrite with the complement
+  // filter, the rest carry forward. The head then equals the plain
+  // complement filter over `orders`.
+
+  private val DelLo = 20000.0
+  private val DelHi = 200000.0
+
+  def q168TxDelete(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txdel_")
+    val root = s"$tmp/orders_del"
+    TxTable.commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"))
+    TxTable.deleteRange(s, root, "o_totalprice", DelLo, DelHi)
+    val out = TxTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q168Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price
+       |FROM orders
+       |WHERE o_totalprice < ${DelLo.toLong} OR o_totalprice > ${DelHi.toLong}
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
-    "q167_tx_zorder_skip" -> (q167TxZorderSkip _))
+    "q167_tx_zorder_skip" -> (q167TxZorderSkip _),
+    "q168_tx_delete" -> (q168TxDelete _))
 
   val oracles: Map[String, String] = Map(
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,
-    "q167_tx_zorder_skip" -> q167Sql)
+    "q167_tx_zorder_skip" -> q167Sql,
+    "q168_tx_delete" -> q168Sql)
 }

@@ -428,6 +428,51 @@ object TxTable {
     committed
   }
 
+  /** Range DELETE with the three-way file classification Delta's DELETE
+    * uses: a file whose recorded `keyCol` range is provably DISJOINT from
+    * `[lo, hi]` is carried forward untouched; a file provably CONTAINED
+    * in it is dropped from the child manifest with NO rewrite at all (a
+    * pure metadata delete — at 100 TB an aligned range delete is a
+    * manifest edit, zero data I/O); only files STRADDLING a boundary (or
+    * without stats) are read back and rewritten with the complement
+    * filter. Serializable via the claim-retry loop.
+    */
+  def deleteRange(s: SparkSession, root: String, keyCol: String, lo: Double,
+      hi: Double): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to delete from"))
+      val classified = parent.files.map { f =>
+        parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+          case Some((_, mn, mx)) if mx < lo || mn > hi => (f, 0) // keep
+          case Some((_, mn, mx)) if mn >= lo && mx <= hi => (f, 1) // drop
+          case _ => (f, 2) // straddles or statless: rewrite
+        }
+      }
+      val keep = classified.collect { case (f, 0) => f }
+      val rewrite = classified.collect { case (f, 2) => f }
+      val written =
+        if (rewrite.isEmpty) Seq.empty[String]
+        else writeData(s, root,
+          s.read.option("mergeSchema", "true")
+            .parquet(rewrite.map(f => s"$root/$f"): _*)
+            // null keys don't match the range — keep them (a bare
+            // NOT(between) would null out and silently drop those rows)
+            .filter(col(keyCol).isNull ||
+              col(keyCol) < lo || col(keyCol) > hi))
+      val files = keep ++ written
+      if (files.isEmpty) throw new java.io.IOException(
+        s"deleteRange would empty txtable $root — use an explicit " +
+          "overwrite commit to express truncation")
+      val stats = parent.stats.view.filterKeys(keep.contains).toMap ++
+        footerStats(s, root, written, Seq(keyCol))
+      if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** OPTIMIZE as a committed transaction: rewrite the head's content into
     * `targetFiles` files — range-clustered on `clusterBy` columns when
     * given (footer stats recorded per column, so an unclustered CDC

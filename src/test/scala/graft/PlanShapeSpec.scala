@@ -212,7 +212,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q136_bm25", "q137_funnel", "q145_funnel_windowed",
       // q148: frozen-literal IVF assignment since r8 (no centroid join
       // remains; the allowance is kept for the shared query fan-out shape)
-      "q148_semantic_dedup")
+      "q148_semantic_dedup",
+      // q165: the 1-row CMS sketch broadcast-attached to the 20 top
+      // terms — the scalar fan-out shape again (20 × 1 rows)
+      "q165_cms_heavyhitters")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")

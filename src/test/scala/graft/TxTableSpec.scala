@@ -324,6 +324,46 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange: contained files drop metadata-only, disjoint carry " +
+      "forward, only straddlers rewrite; null keys survive the rewrite") {
+    import spark.implicits._
+    withRoot { root =>
+      val df = (1 to 800).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+      TxTable.commit(spark, root, df, TxTable.Overwrite,
+        clusterBy = Some("v"))
+      val v0 = TxTable.currentSnapshot(root).get
+      assert(v0.files.size >= 4)
+      // delete a wide interior range: some files are wholly contained
+      TxTable.deleteRange(spark, root, "v", 2005.0, 6005.0)
+      val v1 = TxTable.currentSnapshot(root).get
+      val carried = v0.files.toSet.intersect(v1.files.toSet)
+      val written = v1.files.toSet.diff(v0.files.toSet)
+      val vanished = v0.files.toSet.diff(v1.files.toSet)
+      // the boundary straddlers are the ONLY rewrites (≤ 2 boundaries)
+      assert(written.size <= 2,
+        s"${written.size} files rewritten — more than the 2 boundaries")
+      // at least one interior file left the manifest with no replacement
+      // data write: the metadata-only delete fast path
+      assert(vanished.size > written.size,
+        "no file was dropped metadata-only — every delete was a rewrite")
+      assert(carried.nonEmpty, "disjoint files should carry forward")
+      carried.foreach(f => assert(v1.stats.contains(f)))
+      val got = rows2(root)
+      val expect = df.filter(col("v") < 2005.0 || col("v") > 6005.0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == expect)
+      // null keys never match a range delete: statless commit, null row
+      TxTable.commit(spark, root,
+        Seq((9001L, Option(150.0)), (9002L, Option.empty[Double]))
+          .toDF("id", "v"), TxTable.Append)
+      TxTable.deleteRange(spark, root, "v", 100.0, 200.0)
+      val ids = TxTable.read(spark, root).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(9001L), "in-range row should be deleted")
+      assert(ids.contains(9002L), "null-key row must survive the rewrite")
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
