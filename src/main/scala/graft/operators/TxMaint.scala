@@ -233,17 +233,64 @@ object TxMaint {
        |WHERE o_totalprice < ${DelLo.toLong} OR o_totalprice > ${DelHi.toLong}
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q169
+  // Streaming additive MERGE: orders replayed as micro-batches; each
+  // batch reduces to per-customer PARTIAL aggregates (count + decimal
+  // sum) and merges additively into the transactional table under the
+  // exactly-once (appId, batchId) publish. Decimal routing makes the
+  // combine associative, so ANY batch split converges to the global
+  // per-customer aggregate — which is exactly what the oracle states in
+  // one plain GROUP BY. File-pruned CoW per batch: only files holding a
+  // batch's customers rewrite. The at-scale CDC-aggregate sink: state IS
+  // the queryable table (no separate state store), publish is atomic,
+  // replay is idempotent (TxTableSpec's double-merge proof).
+  def q169StreamTxMergeAdditive(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Replay
+    val proj = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val tmp = Files.createTempDirectory("graft_txaddm_")
+    val root = s"$tmp/cust_running"
+    val out = Replay.run(s, Replay.Drain(
+      tag = "q169",
+      srcSchema = graft.Tables.orders(s, d).select(proj.map(col): _*).schema,
+      writeSource = (ss, srcDir) =>
+        graft.Tables.orders(ss, d).select(proj.map(col): _*)
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(srcDir),
+      mkFold = (_, _) => (batch, batchId) =>
+        TxTable.streamMergeAdditive(root, "q169", "o_custkey")(
+          batch.groupBy("o_custkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DecimalType(18, 2)).as("total_price")),
+          batchId),
+      readResult = (ss, _) =>
+        TxTable.read(ss, root)
+          .select(col("o_custkey"), col("n_orders"),
+            col("total_price").cast("double").as("total_price"))
+          .orderBy("o_custkey")))
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  val q169Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
     "q167_tx_zorder_skip" -> (q167TxZorderSkip _),
-    "q168_tx_delete" -> (q168TxDelete _))
+    "q168_tx_delete" -> (q168TxDelete _),
+    "q169_stream_tx_merge" -> (q169StreamTxMergeAdditive _))
 
   val oracles: Map[String, String] = Map(
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,
     "q167_tx_zorder_skip" -> q167Sql,
-    "q168_tx_delete" -> q168Sql)
+    "q168_tx_delete" -> q168Sql,
+    "q169_stream_tx_merge" -> q169Sql)
 }

@@ -428,6 +428,89 @@ object TxTable {
     committed
   }
 
+  /** Additive MERGE — the CDC-AGGREGATE upsert (Delta's
+    * `UPDATE SET x = t.x + s.x` shape): matched rows COMBINE with the
+    * update (long columns add; decimal columns add exactly — the decimal
+    * routing that makes the combine associative and order-free, so ANY
+    * batch split of a fact stream into per-batch partial aggregates
+    * converges to the global aggregate), unmatched update keys insert.
+    * File-pruned copy-on-write like [[mergeByKeyPruned]]: only files
+    * holding a matched key rewrite; the rest carry forward.
+    *
+    * `txn` gives the (appId, batchId) exactly-once publish contract
+    * ([[commit]]'s): an at-least-once `foreachBatch` replaying a batch
+    * finds its id at or below the head's high-water mark and no-ops —
+    * without it, re-adding a delta twice would corrupt the aggregate
+    * (the spec demonstrates exactly that, which is why the streaming
+    * sink [[streamMergeAdditive]] always passes one).
+    */
+  def mergeAdditive(s: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    def alreadyApplied(parent: Option[Snapshot]): Boolean =
+      txn.exists { case (app, bid) =>
+        parent.exists(_.txns.get(app).exists(_ >= bid)) }
+    if (alreadyApplied(currentSnapshot(root)))
+      return currentVersion(root).get
+    val sortedKeys: Array[Double] = updates
+      .select(col(keyCol).cast("double")).distinct()
+      .collect().map(_.getDouble(0)).sorted
+    def intersects(mn: Double, mx: Double): Boolean = {
+      val i = java.util.Arrays.binarySearch(sortedKeys, mn)
+      val from = if (i >= 0) i else -i - 1
+      from < sortedKeys.length && sortedKeys(from) <= mx
+    }
+    val sumAggs = updates.schema.fields.filterNot(_.name == keyCol)
+      .toIndexedSeq.map(f => fsum(col(f.name)).cast(f.dataType).as(f.name))
+    var committed = -1L
+    while (committed < 0) {
+      // bootstrap: a missing table is an empty base (the streaming sink's
+      // first batch creates v0)
+      val parent = currentSnapshot(root)
+      if (alreadyApplied(parent)) return parent.get.version
+      val touched = parent.toSeq.flatMap(_.files).filter { f =>
+        parent.get.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+          case Some((_, mn, mx)) => intersects(mn, mx)
+          case None => true
+        }
+      }
+      val untouched = parent.toSeq.flatMap(_.files).filterNot(touched.contains)
+      val aligned = updates.select(updates.columns.map(col).toIndexedSeq: _*)
+      val combinedSrc =
+        if (touched.isEmpty) aligned
+        else s.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => s"$root/$f"): _*)
+          .select(updates.columns.map(col).toIndexedSeq: _*)
+          .unionByName(aligned)
+      // additive combine: every non-key column sums; decimals re-narrow
+      // to their declared type (sum widens precision per merge, which
+      // would otherwise creep the schema version over version)
+      val merged = combinedSrc.groupBy(col(keyCol))
+        .agg(sumAggs.head, sumAggs.tail: _*)
+      val newFiles = writeData(s, root,
+        merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
+      val newStats = footerStats(s, root, newFiles, Seq(keyCol))
+      val files = untouched ++ newFiles
+      val stats = parent.map(_.stats).getOrElse(Map.empty)
+        .view.filterKeys(untouched.contains).toMap ++ newStats
+      val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      val v = parent.map(_.version + 1).getOrElse(0L)
+      if (tryPublish(root, v, files, txns, stats)) committed = v
+    }
+    committed
+  }
+
+  /** `foreachBatch` sink for per-batch partial AGGREGATES: each batch's
+    * deltas merge additively under the exactly-once (appId, batchId)
+    * publish — the CDC-aggregate counterpart of [[streamAppend]].
+    */
+  def streamMergeAdditive(root: String, appId: String, keyCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    mergeAdditive(batch.sparkSession, root, batch, keyCol,
+      Some((appId, batchId)))
+    ()
+  }
+
   /** Range DELETE with the three-way file classification Delta's DELETE
     * uses: a file whose recorded `keyCol` range is provably DISJOINT from
     * `[lo, hi]` is carried forward untouched; a file provably CONTAINED

@@ -364,6 +364,39 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeAdditive: deltas combine exactly; txn replay no-ops; the " +
+      "same replay WITHOUT txn double-counts (why the sink passes one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    withRoot { root =>
+      def deltas(rows: (Long, Long, String)*) =
+        rows.toDF("id", "n", "tp_s")
+          .select(col("id"), col("n"),
+            col("tp_s").cast(DecimalType(18, 2)).as("tp"))
+      val b0 = deltas((1L, 2L, "10.50"), (2L, 1L, "5.25"))
+      val b1 = deltas((2L, 1L, "4.75"), (3L, 1L, "1.00"))
+      TxTable.mergeAdditive(spark, root, b0, "id", Some(("a", 0L)))
+      TxTable.mergeAdditive(spark, root, b1, "id", Some(("a", 1L)))
+      def state(): Set[(Long, Long, String)] =
+        TxTable.read(spark, root).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSet
+      val converged = Set((1L, 2L, "10.50"), (2L, 2L, "10.00"),
+        (3L, 1L, "1.00"))
+      assert(state() == converged)
+      val vHead = TxTable.currentVersion(root).get
+      // at-least-once replay of batch 1 under the txn: publish no-ops
+      TxTable.mergeAdditive(spark, root, b1, "id", Some(("a", 1L)))
+      assert(TxTable.currentVersion(root).get == vHead)
+      assert(state() == converged)
+      // the SAME replay without a txn re-adds the delta — the corruption
+      // the (appId, batchId) contract exists to prevent
+      TxTable.mergeAdditive(spark, root, b1, "id", None)
+      assert(state() == Set((1L, 2L, "10.50"), (2L, 3L, "14.75"),
+        (3L, 2L, "2.00")))
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
