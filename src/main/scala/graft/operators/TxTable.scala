@@ -69,18 +69,24 @@ object TxTable {
     * this commit's), so an at-least-once `foreachBatch` replay checks the
     * head in O(1) and skips a batch it already published.
     *
-    * `stats` holds per-file (column, min, max) ranges — Delta-style data
-    * skipping: [[prunedFiles]] drops files whose recorded range cannot
-    * intersect a predicate BEFORE Spark plans the scan. A file may carry
-    * ranges for SEVERAL columns (one `stat` manifest line each — the
+    * `stats` holds per-file (column, min, max, numNulls) lines — Delta-
+    * style data skipping: [[prunedFiles]] drops files whose recorded range
+    * cannot intersect a predicate BEFORE Spark plans the scan. A file may
+    * carry ranges for SEVERAL columns (one `stat` manifest line each — the
     * multi-dimensional layout [[commitZOrdered]] exploits); files without
     * a stats line are never pruned (correctness does not depend on stats
     * presence), and [[readPruned]] re-applies the exact filter, so stats
-    * only ever REMOVE provably-dead I/O.
+    * only ever REMOVE provably-dead I/O. `numNulls` is the footer's null
+    * count for the column, or -1 when the footer doesn't state one:
+    * parquet min/max EXCLUDE nulls, so any decision that deletes or skips
+    * whole files based on range CONTAINMENT (not mere intersection) must
+    * additionally require `numNulls == 0` — [[deleteRange]]'s metadata-
+    * only drop does exactly that, and [[mergeAdditive]] uses it to pull
+    * null-key groups into the rewrite.
     */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, Seq[(String, Double, Double)]] = Map.empty)
+      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -96,8 +102,8 @@ object TxTable {
         app -> bid.toLong
       }.toMap
       val stats = body.filter(_.startsWith(StatPrefix)).map { l =>
-        val Array(path, c, mn, mx) = l.stripPrefix(StatPrefix).split(' ')
-        (path, (c, mn.toDouble, mx.toDouble))
+        val Array(path, c, mn, mx, nn) = l.stripPrefix(StatPrefix).split(' ')
+        (path, (c, mn.toDouble, mx.toDouble, nn.toLong))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix))
@@ -168,37 +174,53 @@ object TxTable {
     finally st.close()
   }
 
-  /** Per-file (min, max) of numeric columns from the parquet FOOTERS —
-    * driver-side metadata I/O, zero Spark jobs (the StateDir.footerRows
-    * pattern). Returns no entry for a (file, column) whose footer lacks
-    * usable stats — such pairs are simply never pruned.
+  /** Per-file (min, max, numNulls) of numeric columns from the parquet
+    * FOOTERS — driver-side metadata I/O, zero Spark jobs (the
+    * StateDir.footerRows pattern). Returns no entry for a (file, column)
+    * whose footer lacks usable min/max — such pairs are simply never
+    * pruned. numNulls is the summed per-block null count, or -1 when any
+    * block omits it (min/max exclude nulls, so containment-based
+    * decisions must treat -1 as "may hold nulls").
     */
   private def footerStats(s: SparkSession, root: String, relFiles: Seq[String],
-      colNames: Seq[String]): Map[String, Seq[(String, Double, Double)]] = {
+      colNames: Seq[String]): Map[String, Seq[(String, Double, Double, Long)]] = {
     val hconf = s.sparkContext.hadoopConfiguration
     relFiles.flatMap { rel =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$root/$rel"), hconf))
       try {
+        val blocks = scala.jdk.CollectionConverters
+          .ListHasAsScala(r.getFooter.getBlocks).asScala.toSeq
         val perCol = colNames.flatMap { colName =>
-          val ranges = scala.jdk.CollectionConverters
-            .ListHasAsScala(r.getFooter.getBlocks).asScala.flatMap { b =>
-              scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
-                .asScala
-                .find(_.getPath.toDotString == colName)
-                .flatMap { c =>
-                  val st = c.getStatistics
-                  if (st == null || !st.hasNonNullValue) None
-                  else (st.genericGetMin, st.genericGetMax) match {
-                    case (mn: java.lang.Number, mx: java.lang.Number) =>
-                      Some((mn.doubleValue(), mx.doubleValue()))
-                    case _ => None
-                  }
-                }
+          val chunks = blocks.map { b =>
+            scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+              .asScala.find(_.getPath.toDotString == colName)
+          }
+          val present = chunks.flatten
+          val ranges = present.flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                Some((mn.doubleValue(), mx.doubleValue()))
+              case _ => None
             }
-          if (ranges.isEmpty) None
-          else Some((colName, ranges.map(_._1).min, ranges.map(_._2).max))
+          }
+          // a usable range needs EVERY block to state min/max: a partial
+          // range would under-bound the file and pruning could drop live
+          // rows (ditto a column absent from some block)
+          if (ranges.size != chunks.size || ranges.isEmpty) None
+          else {
+            // numNulls is trustworthy only when EVERY block states it
+            val nulls: Long =
+              if (present.size == chunks.size && present.forall { c =>
+                  val st = c.getStatistics
+                  st != null && st.isNumNullsSet && st.getNumNulls >= 0
+                }) present.map(_.getStatistics.getNumNulls).sum
+              else -1L
+            Some((colName, ranges.map(_._1).min, ranges.map(_._2).max, nulls))
+          }
         }
         if (perCol.isEmpty) None else Some(rel -> perCol)
       } finally r.close()
@@ -211,15 +233,16 @@ object TxTable {
     */
   private def tryPublish(root: String, v: Long, files: Seq[String],
       txns: Map[String, Long],
-      stats: Map[String, Seq[(String, Double, Double)]] = Map.empty): Boolean = {
+      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, bid) => s"$TxnPrefix$app $bid" }
+    val fileSet = files.toSet
     val statLines = stats.toSeq.sortBy(_._1).flatMap {
-      case (path, ranges) if files.contains(path) =>
-        ranges.map { case (c, mn, mx) => s"$StatPrefix$path $c $mn $mx" }
+      case (path, ranges) if fileSet.contains(path) =>
+        ranges.map { case (c, mn, mx, nn) => s"$StatPrefix$path $c $mn $mx $nn" }
       case _ => Seq.empty
     }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
@@ -267,7 +290,7 @@ object TxTable {
     val dataFiles = writeData(s, root, clustered)
     val newStats = clusterBy match {
       case Some(c) => footerStats(s, root, dataFiles, Seq(c))
-      case None => Map.empty[String, Seq[(String, Double, Double)]]
+      case None => Map.empty[String, Seq[(String, Double, Double, Long)]]
     }
     var committed = -1L
     while (committed < 0) {
@@ -280,9 +303,9 @@ object TxTable {
       }
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       val stats = (mode match {
-        case Overwrite => Map.empty[String, Seq[(String, Double, Double)]]
+        case Overwrite => Map.empty[String, Seq[(String, Double, Double, Long)]]
         case Append => parent.map(_.stats)
-          .getOrElse(Map.empty[String, Seq[(String, Double, Double)]])
+          .getOrElse(Map.empty[String, Seq[(String, Double, Double, Long)]])
       }) ++ newStats
       if (tryPublish(root, v, files, txns, stats)) committed = v
     }
@@ -303,7 +326,7 @@ object TxTable {
       val ranges = snap.stats.getOrElse(f, Seq.empty)
       preds.forall { case (colName, lo, hi) =>
         ranges.find(_._1 == colName) match {
-          case Some((_, mn, mx)) => mx >= lo && mn <= hi
+          case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
           case None => true
         }
       }
@@ -369,47 +392,88 @@ object TxTable {
     * skippable across merges. Serializable via the same claim-retry loop
     * as [[mergeByKey]].
     */
-  def mergeByKeyPruned(s: SparkSession, root: String, updates: DataFrame,
-      keyCol: String): Long = {
+  /** Driver-side bound on the exact update-key collect: past this many
+    * distinct keys the merges fall back to the [uLo, uHi] envelope prune
+    * (sound — it can only over-touch; at that update volume a wide
+    * rewrite is real work anyway). Parameterized on the public merge
+    * entry points so the fallback is spec-testable.
+    */
+  private val ExactKeyLimit = 100000L
+
+  /** Key summary of an update batch for file-level copy-on-write pruning.
+    * `intersects(mn, mx)` answers "can a file with this NON-NULL key
+    * range hold a matched key" — exact (sorted keys + binary search,
+    * immune to the one-outlier-insert envelope trap) while the distinct
+    * key count is driver-small, envelope past `exactKeyLimit`. Null
+    * update keys never participate in matching (join/group semantics
+    * handle them at row level) and are excluded BEFORE the collect, so a
+    * null key can neither OOM-inflate the collect nor coerce to 0.0 and
+    * spuriously touch files.
+    */
+  private final case class KeyPrune(rowCount: Long, nullKeys: Long,
+      intersects: (Double, Double) => Boolean) {
+    def hasNonNullKeys: Boolean = rowCount - nullKeys > 0
+  }
+
+  private def keyPrune(updates: DataFrame, keyCol: String,
+      exactKeyLimit: Long): KeyPrune = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    import org.apache.spark.sql.functions.count_distinct
-    val bounds = updates.agg(
+    import org.apache.spark.sql.functions.{count, count_distinct, lit}
+    val b = updates.agg(
       fmin(col(keyCol).cast("double")), fmax(col(keyCol).cast("double")),
-      count_distinct(col(keyCol))).collect()(0)
-    if (bounds.isNullAt(0)) // no update keys: nothing to merge
+      count_distinct(col(keyCol)), count(lit(1)),
+      count(col(keyCol))).collect()(0)
+    val total = b.getLong(3)
+    val nulls = total - b.getLong(4)
+    if (b.isNullAt(0)) KeyPrune(total, nulls, (_, _) => false)
+    else {
+      val (uLo, uHi) = (b.getDouble(0), b.getDouble(1))
+      val fn: (Double, Double) => Boolean =
+        if (b.getLong(2) <= exactKeyLimit) {
+          val ks = updates.filter(col(keyCol).isNotNull)
+            .select(col(keyCol).cast("double")).distinct()
+            .collect().map(_.getDouble(0)).sorted
+          (mn, mx) => {
+            val i = java.util.Arrays.binarySearch(ks, mn)
+            val from = if (i >= 0) i else -i - 1
+            from < ks.length && ks(from) <= mx
+          }
+        } else (mn, mx) => mx >= uLo && mn <= uHi
+      KeyPrune(total, nulls, fn)
+    }
+  }
+
+  /** Stat columns a maintenance rewrite must re-record: the union of
+    * every column the parent snapshot carried stats for, plus the merge
+    * key — so a Z-ordered or multi-column-clustered table keeps its
+    * skipping dimensions across merges and deletes instead of degrading
+    * to key-only stats on every touched file.
+    */
+  private def statCols(parent: Option[Snapshot], keyCol: String): Seq[String] =
+    (parent.toSeq.flatMap(_.stats.values.flatten.map(_._1)).toSet +
+      keyCol).toSeq.sorted
+
+  def mergeByKeyPruned(s: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, exactKeyLimit: Long = ExactKeyLimit): Long = {
+    val kp = keyPrune(updates, keyCol, exactKeyLimit)
+    if (kp.rowCount == 0L) // empty update batch: nothing to merge
       return currentVersion(root).getOrElse(throw new java.io.IOException(
         s"txtable $root has no version to merge into"))
-    val (uLo, uHi) = (bounds.getDouble(0), bounds.getDouble(1))
-    // Exact file-level matching when the update key set is driver-small:
-    // a sorted key array turns "does this file hold a matched key" into a
-    // binary search against its (min, max) — immune to the envelope trap
-    // where one outlier insert key (min..max spanning the table) would
-    // mark every file touched. Past the threshold the [uLo, uHi] envelope
-    // is the prune (at that update volume a wide rewrite is real work
-    // anyway, and the envelope stays sound: it can only over-touch).
-    val sortedKeys: Option[Array[Double]] =
-      if (bounds.getLong(2) <= 100000L)
-        Some(updates.select(col(keyCol).cast("double")).distinct()
-          .collect().map(_.getDouble(0)).sorted)
-      else None
-    def intersects(mn: Double, mx: Double): Boolean = sortedKeys match {
-      case Some(ks) =>
-        val i = java.util.Arrays.binarySearch(ks, mn)
-        val from = if (i >= 0) i else -i - 1
-        from < ks.length && ks(from) <= mx
-      case None => mx >= uLo && mn <= uHi
-    }
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to merge into"))
       val touched = parent.files.filter { f =>
         parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
-          case Some((_, mn, mx)) => intersects(mn, mx)
-          case None => true // no stats ⇒ could hold a matched key
+          case Some((_, mn, mx, _)) => kp.intersects(mn, mx)
+          // statless: could hold a matched key — unless no update key
+          // could match anything (all-null batch = pure insert)
+          case None => kp.hasNonNullKeys
         }
       }
-      val untouched = parent.files.filterNot(touched.contains)
+      val touchedSet = touched.toSet
+      val untouched = parent.files.filterNot(touchedSet.contains)
+      val untouchedSet = untouched.toSet
       val merged =
         if (touched.isEmpty) updates
         else Upsert.mergeByKey(
@@ -418,9 +482,9 @@ object TxTable {
           updates, Seq(keyCol))
       val newFiles = writeData(s, root,
         merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
-      val newStats = footerStats(s, root, newFiles, Seq(keyCol))
+      val newStats = footerStats(s, root, newFiles, statCols(Some(parent), keyCol))
       val files = untouched ++ newFiles
-      val stats = parent.stats.view.filterKeys(untouched.contains).toMap ++
+      val stats = parent.stats.view.filterKeys(untouchedSet.contains).toMap ++
         newStats
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
         committed = parent.version + 1
@@ -445,21 +509,15 @@ object TxTable {
     * sink [[streamMergeAdditive]] always passes one).
     */
   def mergeAdditive(s: SparkSession, root: String, updates: DataFrame,
-      keyCol: String, txn: Option[(String, Long)] = None): Long = {
+      keyCol: String, txn: Option[(String, Long)] = None,
+      exactKeyLimit: Long = ExactKeyLimit): Long = {
     import org.apache.spark.sql.functions.{sum => fsum}
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
     if (alreadyApplied(currentSnapshot(root)))
       return currentVersion(root).get
-    val sortedKeys: Array[Double] = updates
-      .select(col(keyCol).cast("double")).distinct()
-      .collect().map(_.getDouble(0)).sorted
-    def intersects(mn: Double, mx: Double): Boolean = {
-      val i = java.util.Arrays.binarySearch(sortedKeys, mn)
-      val from = if (i >= 0) i else -i - 1
-      from < sortedKeys.length && sortedKeys(from) <= mx
-    }
+    val kp = keyPrune(updates, keyCol, exactKeyLimit)
     val sumAggs = updates.schema.fields.filterNot(_.name == keyCol)
       .toIndexedSeq.map(f => fsum(col(f.name)).cast(f.dataType).as(f.name))
     var committed = -1L
@@ -468,20 +526,40 @@ object TxTable {
       // first batch creates v0)
       val parent = currentSnapshot(root)
       if (alreadyApplied(parent)) return parent.get.version
+      // a file is touched when its non-null key range can hold a matched
+      // key, OR — because the combine GROUPS BY key and null keys group
+      // together — when the batch carries null keys and the file may hold
+      // null-key rows (numNulls != 0, or unknown). Leaving such a file
+      // untouched would split the null group's aggregate across files.
       val touched = parent.toSeq.flatMap(_.files).filter { f =>
         parent.get.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
-          case Some((_, mn, mx)) => intersects(mn, mx)
-          case None => true
+          case Some((_, mn, mx, nn)) =>
+            kp.intersects(mn, mx) || (kp.nullKeys > 0 && nn != 0L)
+          case None => kp.hasNonNullKeys || kp.nullKeys > 0
         }
       }
-      val untouched = parent.toSeq.flatMap(_.files).filterNot(touched.contains)
+      val touchedSet = touched.toSet
+      val untouched = parent.toSeq.flatMap(_.files)
+        .filterNot(touchedSet.contains)
+      val untouchedSet = untouched.toSet
       val aligned = updates.select(updates.columns.map(col).toIndexedSeq: _*)
       val combinedSrc =
         if (touched.isEmpty) aligned
-        else s.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => s"$root/$f"): _*)
-          .select(updates.columns.map(col).toIndexedSeq: _*)
-          .unionByName(aligned)
+        else {
+          val base = s.read.option("mergeSchema", "true")
+            .parquet(touched.map(f => s"$root/$f"): _*)
+          // the combine projects to the batch's columns — a batch
+          // narrower than the table would silently zero out the missing
+          // columns on every rewritten file, so fail fast instead
+          val missing = base.columns.toSet -- updates.columns.toSet
+          require(missing.isEmpty,
+            s"mergeAdditive batch lacks table columns ${missing.toSeq.sorted
+              .mkString(", ")} — the additive combine would discard their " +
+              "values from every rewritten file; widen the batch (nulls " +
+              "sum as identity) or evolve it to the table schema")
+          base.select(updates.columns.map(col).toIndexedSeq: _*)
+            .unionByName(aligned)
+        }
       // additive combine: every non-key column sums; decimals re-narrow
       // to their declared type (sum widens precision per merge, which
       // would otherwise creep the schema version over version)
@@ -489,10 +567,10 @@ object TxTable {
         .agg(sumAggs.head, sumAggs.tail: _*)
       val newFiles = writeData(s, root,
         merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
-      val newStats = footerStats(s, root, newFiles, Seq(keyCol))
+      val newStats = footerStats(s, root, newFiles, statCols(parent, keyCol))
       val files = untouched ++ newFiles
       val stats = parent.map(_.stats).getOrElse(Map.empty)
-        .view.filterKeys(untouched.contains).toMap ++ newStats
+        .view.filterKeys(untouchedSet.contains).toMap ++ newStats
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       val v = parent.map(_.version + 1).getOrElse(0L)
       if (tryPublish(root, v, files, txns, stats)) committed = v
@@ -518,7 +596,14 @@ object TxTable {
     * pure metadata delete — at 100 TB an aligned range delete is a
     * manifest edit, zero data I/O); only files STRADDLING a boundary (or
     * without stats) are read back and rewritten with the complement
-    * filter. Serializable via the claim-retry loop.
+    * filter. Null keys never match the range and always survive — which
+    * is why the metadata drop additionally requires the file's recorded
+    * `numNulls == 0`: parquet min/max exclude nulls, so "range contained"
+    * alone says nothing about null-key rows sharing the file, and
+    * dropping such a file whole would silently delete rows the rewrite
+    * path explicitly preserves. A file with nulls (or an unknown null
+    * count) is demoted to the rewrite path. Serializable via the
+    * claim-retry loop.
     */
   def deleteRange(s: SparkSession, root: String, keyCol: String, lo: Double,
       hi: Double): Long = {
@@ -528,9 +613,10 @@ object TxTable {
           java.io.IOException(s"txtable $root has no version to delete from"))
       val classified = parent.files.map { f =>
         parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
-          case Some((_, mn, mx)) if mx < lo || mn > hi => (f, 0) // keep
-          case Some((_, mn, mx)) if mn >= lo && mx <= hi => (f, 1) // drop
-          case _ => (f, 2) // straddles or statless: rewrite
+          case Some((_, mn, mx, _)) if mx < lo || mn > hi => (f, 0) // keep
+          case Some((_, mn, mx, nn)) // drop: whole file provably deleted
+              if mn >= lo && mx <= hi && nn == 0L => (f, 1)
+          case _ => (f, 2) // straddles, holds/may hold nulls, or statless
         }
       }
       val keep = classified.collect { case (f, 0) => f }
@@ -548,8 +634,9 @@ object TxTable {
       if (files.isEmpty) throw new java.io.IOException(
         s"deleteRange would empty txtable $root — use an explicit " +
           "overwrite commit to express truncation")
-      val stats = parent.stats.view.filterKeys(keep.contains).toMap ++
-        footerStats(s, root, written, Seq(keyCol))
+      val keepSet = keep.toSet
+      val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
+        footerStats(s, root, written, statCols(Some(parent), keyCol))
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
         committed = parent.version + 1
     }
@@ -579,7 +666,7 @@ object TxTable {
       }
       val newFiles = writeData(s, root, clustered)
       val newStats =
-        if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double)]]
+        if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double, Long)]]
         else footerStats(s, root, newFiles, clusterBy)
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns, newStats))
         committed = parent.version + 1
@@ -621,8 +708,15 @@ object TxTable {
 
   /** Drop versions older than the newest `keepVersions` and every data
     * file no retained manifest references (including crashed or
-    * claim-defeated writers' orphan dirs). Readers pinned to a dropped
-    * version lose it — the standard retention caveat.
+    * claim-defeated writers' orphan dirs).
+    *
+    * Retention contract (Delta's VACUUM caveat, spec'd in TxTableSpec):
+    * a reader holds an EXPLICIT file list resolved at [[read]] time, so
+    * it must finish before vacuum drops the version it pinned. Past the
+    * horizon the read fails LOUDLY at scan time with a missing-file
+    * error (Spark's default `ignoreMissingFiles=false`) — never a
+    * silent partial result. Operationally: size `keepVersions` (or a
+    * time-based policy built on it) to exceed the longest reader.
     */
   def vacuum(root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must retain at least the current version")

@@ -397,6 +397,144 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange: a contained-range file that ALSO holds null-key rows " +
+      "is demoted to rewrite — null rows survive; null-free contained " +
+      "files still drop metadata-only") {
+    import spark.implicits._
+    withRoot { root =>
+      // 400 non-null values 10..4000 plus 3 null-key rows; cluster into 4
+      // files — range partitioning sorts nulls into the LOWEST file, so
+      // the null rows SHARE a file with in-range values (exactly the
+      // layout where min/max-only classification silently deletes them)
+      val df = ((1 to 400).map(i => (i.toLong, Option(i * 10.0))) ++
+        Seq((9001L, Option.empty[Double]), (9002L, Option.empty[Double]),
+          (9003L, Option.empty[Double]))).toDF("id", "v")
+      TxTable.commit(spark, root, df)
+      TxTable.optimize(spark, root, targetFiles = 4, clusterBy = Seq("v"))
+      val v0 = TxTable.currentSnapshot(root).get
+      assert(v0.files.size == 4)
+      // the null-bearing file's stat line must record its null count
+      assert(v0.stats.values.flatten.exists { case (_, _, _, nn) => nn > 0L },
+        "footer null count not recorded — the demotion has nothing to act on")
+      TxTable.deleteRange(spark, root, "v", 0.0, 3500.0)
+      val v1 = TxTable.currentSnapshot(root).get
+      val written = v1.files.toSet.diff(v0.files.toSet)
+      val vanished = v0.files.toSet.diff(v1.files.toSet)
+      // interior null-free contained files keep the metadata-only fast
+      // path: dropped from the manifest with no replacement write
+      assert(vanished.size > written.size,
+        "no metadata-only drop happened — the fast path regressed")
+      val got = TxTable.read(spark, root).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      val expect = df.filter(col("v").isNull || col("v") > 3500.0)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(Set(9001L, 9002L, 9003L).subsetOf(got.map(_._1)),
+        "null-key rows were deleted — the contained-file drop ignored nulls")
+      assert(got == expect)
+    }
+  }
+
+  test("mergeByKeyPruned past the exact-key limit: envelope fallback is " +
+      "sound — result still equals full mergeByKey") {
+    import spark.implicits._
+    withRoot { root =>
+      val base = (1 to 800).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      TxTable.commit(spark, root, base, TxTable.Overwrite,
+        clusterBy = Some("id"))
+      // 3 distinct keys > limit 2 forces the [uLo, uHi] envelope; the
+      // outlier insert key 9001 widens it across the whole table — the
+      // envelope may over-touch but must never change the answer
+      val upd = Seq((100L, "U100"), (400L, "U400"), (9001L, "NEW"))
+        .toDF("id", "s")
+      TxTable.mergeByKeyPruned(spark, root, upd, "id", exactKeyLimit = 2L)
+      val expect = Upsert.mergeByKey(base, upd, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows(root) == expect)
+    }
+  }
+
+  test("mergeAdditive fails fast on a batch narrower than the table " +
+      "instead of silently discarding the missing columns") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.mergeAdditive(spark, root,
+        Seq((1L, 10L, 5L)).toDF("id", "n", "extra"), "id")
+      val ex = intercept[IllegalArgumentException] {
+        TxTable.mergeAdditive(spark, root, Seq((1L, 7L)).toDF("id", "n"), "id")
+      }
+      assert(ex.getMessage.contains("extra"))
+      // the table is untouched by the failed merge
+      assert(TxTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == Set((1L, 10L, 5L)))
+    }
+  }
+
+  test("mergeAdditive combines null-key groups across batches — the " +
+      "null-bearing file is pulled into the rewrite via its null count") {
+    import spark.implicits._
+    withRoot { root =>
+      def b(rows: (Option[Long], Long)*) = rows.toDF("id", "n")
+      TxTable.mergeAdditive(spark, root,
+        b((Some(1L), 10L), (None, 5L)), "id", Some(("a", 0L)))
+      TxTable.mergeAdditive(spark, root,
+        b((Some(2L), 1L), (None, 3L)), "id", Some(("a", 1L)))
+      val got = TxTable.read(spark, root).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toSet
+      assert(got == Set((Some(1L), 10L), (Some(2L), 1L), (None, 8L)),
+        s"null group split or lost: $got")
+    }
+  }
+
+  test("maintenance rewrites keep the parent's full stat-column set: a " +
+      "z-ordered table stays 2-D skippable after a pruned merge") {
+    import spark.implicits._
+    withRoot { root =>
+      val grid = (for (x <- 0 until 64; y <- 0 until 64)
+        yield (x.toLong, y.toLong, (x * 64 + y).toLong)).toDF("x", "y", "id")
+      TxTable.commitZOrdered(spark, root, grid, "x", "y", targetFiles = 16)
+      val upd = Seq((3L, 3L, 99999L)).toDF("x", "y", "id")
+      TxTable.mergeByKeyPruned(spark, root, upd, "x")
+      val v1 = TxTable.currentSnapshot(root).get
+      assert(v1.stats.keySet == v1.files.toSet,
+        "a rewritten file lost its stats line entirely")
+      assert(v1.stats.values.forall(_.map(_._1).toSet == Set("x", "y")),
+        "rewritten files carry key-only stats — the y dimension degraded")
+      val all = v1.files.size
+      assert(TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 15.0))).size < all,
+        "y-pruning no longer works after the merge")
+    }
+  }
+
+  test("vacuum vs pinned reader: a snapshot DataFrame holding a dropped " +
+      "version's file list fails LOUDLY at scan time, never silently " +
+      "returns partial rows") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "v0")).toDF("id", "s"))
+      val pinned = TxTable.read(spark, root) // resolves v0's file list
+      TxTable.commit(spark, root, Seq((2L, "v1")).toDF("id", "s"))
+      TxTable.vacuum(root, keepVersions = 1) // drops v0 and its data
+      // the retention contract (scaladoc'd on vacuum): readers must
+      // complete within the retention horizon; past it the explicit file
+      // list turns into a missing-file error — Spark's default
+      // ignoreMissingFiles=false makes that loud, which is the contract
+      val ex = intercept[Exception](pinned.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(ex).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(c.getMessage).toLowerCase.contains("not exist") ||
+          String.valueOf(c.getMessage).toLowerCase.contains("missing")),
+        s"expected a missing-file failure, got: $ex")
+      // the retained head is unaffected
+      assert(rows(root) == Set((2L, "v1")))
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
