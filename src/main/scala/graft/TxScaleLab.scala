@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.TxTable
+
+/** Dev lab (like AnnLab): measures the TxTable commit path at realistic
+  * manifest sizes — the VERDICT r11 ask ("flat manifest and set-difference
+  * behavior untested past 16 files"). Builds a stat-bearing table up
+  * through 10^4 files by batched appends and records, at each decade:
+  *
+  *   - append-commit wall time (one directory listing + one manifest
+  *     write referencing all parent files — the O(F) floor of a flat
+  *     manifest);
+  *   - snapshot parse time (read side of the same O(F) list);
+  *   - prunedFiles evaluation (driver-side stat scan, O(F));
+  *   - a narrow mergeByKeyPruned (prune O(F) + rewrite O(touched));
+  *   - a contained-range deleteRange (metadata-only drops).
+  *
+  * Numbers land in SCALE.md's manifest-size → commit-cost curve; the
+  * documented Iceberg manifest-tree follow-up only matters if this curve
+  * bends worse than linear. Not part of the driver contract — run with
+  *   sbt -batch "runMain graft.TxScaleLab [maxFiles]"
+  */
+object TxScaleLab {
+  def main(args: Array[String]): Unit = {
+    val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_txscale_")
+    val root = s"$tmp/t"
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // each append commits `filesPerCommit` files with tight disjoint key
+    // ranges (10 keys per file) and footer stats, so the narrow merge and
+    // the contained delete below exercise the REAL prune: one touched
+    // file out of F, metadata-only drops out of F
+    val filesPerCommit = 100
+    var nextKey = 0L
+    def appendBatch(): Double = {
+      val lo = nextKey
+      val df = spark.range(lo, lo + filesPerCommit * 10L)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(filesPerCommit, col("k"))
+      nextKey += filesPerCommit * 10L
+      val (_, dt) = timed(TxTable.commit(spark, root, df, TxTable.Append,
+        statsCols = Seq("k")))
+      dt
+    }
+
+    println(f"${"files"}%8s ${"append_s"}%9s ${"parse_s"}%9s " +
+      f"${"prune_s"}%9s ${"merge_s"}%9s ${"delete_s"}%9s ${"touched"}%8s")
+    val decades = Seq(100, 1000, maxFiles).filter(_ <= maxFiles).distinct
+    decades.foreach { target =>
+      while (TxTable.currentSnapshot(root).map(_.files.size).getOrElse(0)
+          < target) appendBatch()
+      val appendS = appendBatch() // marginal commit cost at this head size
+      val snapBefore = TxTable.currentSnapshot(root).get
+      val (snap, parseS) = timed(TxTable.currentSnapshot(root).get)
+      val (pruned, pruneS) =
+        timed(TxTable.prunedFiles(root, "k", nextKey - 45.0, nextKey - 41.0))
+      // narrow merge: one existing key → the prune should touch ~1 file
+      val upd = Seq((nextKey - 5L, 99L)).toDF("k", "v")
+      val (_, mergeS) = timed(TxTable.mergeByKeyPruned(spark, root, upd, "k"))
+      val merged = TxTable.currentSnapshot(root).get
+      val touched = snapBefore.files.toSet.diff(merged.files.toSet).size
+      // contained delete: 3 whole files' ranges → metadata-only drops
+      val dLo = nextKey - 80.0
+      val (_, deleteS) = timed(
+        TxTable.deleteRange(spark, root, "k", dLo, dLo + 29.0))
+      println(f"${snap.files.size}%8d $appendS%9.3f $parseS%9.3f " +
+        f"$pruneS%9.3f $mergeS%9.3f $deleteS%9.3f $touched%8d " +
+        f"(pruned ${pruned.size})")
+    }
+    graft.streaming.Replay.deleteRecursively(tmp)
+    spark.stop()
+  }
+}

@@ -277,7 +277,8 @@ object TxTable {
     */
   def commit(s: SparkSession, root: String, df: DataFrame,
       mode: Mode = Overwrite, txn: Option[(String, Long)] = None,
-      clusterBy: Option[String] = None): Long = {
+      clusterBy: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Long = {
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
@@ -288,10 +289,14 @@ object TxTable {
       case None => df
     }
     val dataFiles = writeData(s, root, clustered)
-    val newStats = clusterBy match {
-      case Some(c) => footerStats(s, root, dataFiles, Seq(c))
-      case None => Map.empty[String, Seq[(String, Double, Double, Long)]]
-    }
+    // stats recorded for the clustering column plus any caller-named
+    // columns (`statsCols` records footer ranges on the layout AS GIVEN —
+    // for pre-partitioned input whose files are already range-tight)
+    val recordCols = (clusterBy.toSeq ++ statsCols).distinct
+    val newStats =
+      if (recordCols.isEmpty)
+        Map.empty[String, Seq[(String, Double, Double, Long)]]
+      else footerStats(s, root, dataFiles, recordCols)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
