@@ -49,21 +49,23 @@ import org.apache.spark.sql.types._
   * (IncrementalSetSimSpec certifies convergence against both
   * [[SetSimJoin.selfJoin]] and brute force, across batch splits).
   *
-  * State lives in three batch-id-keyed parquet dirs under `stateDir`
-  * (`prefix/`, `toks/`, `pairs/` — [[graft.streaming.StateDir]]'s layout)
-  * — the CDC-sink shape: at cluster scale these are tables partitioned by
-  * the group key so the per-batch history scan prunes to the groups the
-  * batch touches; the Bloom gate then prunes within them. Every write is
-  * a deterministic per-batch subdirectory with overwrite semantics and
-  * every history read pins itself to strictly-earlier batches, so an
-  * at-least-once `foreachBatch` replay of any batch leaves state and
-  * emitted pairs EXACTLY as a failure-free run would (the r10 "exactly
-  * once under failure-free replay" caveat is gone; ReplayIdempotenceSpec
-  * re-runs folds mid-drain and asserts bytes-equal convergence).
+  * State lives in three transactional tables under `stateDir`
+  * (`prefix/`, `toks/`, `pairs/` — [[graft.streaming.TxState]] on
+  * [[TxTable]] manifests since r12) — the CDC-sink shape: at cluster
+  * scale these are tables partitioned by the group key so the per-batch
+  * history scan prunes to the groups the batch touches; the Bloom gate
+  * then prunes within them. Every write commits under the (state,
+  * batchId) txn (a replay whose first attempt landed no-ops at the
+  * manifest) and every history read time-travels to the newest snapshot
+  * strictly below the batch, so an at-least-once `foreachBatch` replay
+  * of any batch leaves state and emitted pairs EXACTLY as a failure-free
+  * run would (the r10 "exactly once under failure-free replay" caveat is
+  * gone; ReplayIdempotenceSpec re-runs folds mid-drain — including a
+  * crash between sibling-table commits — and asserts convergence).
   */
 object IncrementalSetSim {
 
-  import graft.streaming.StateDir
+  import graft.streaming.TxState
 
   private val prefixSchema = StructType(Seq(
     StructField("__h", LongType), StructField("__grp", StringType),
@@ -99,7 +101,7 @@ object IncrementalSetSim {
     */
   private[graft] def historyRows(s: SparkSession, stateDir: String,
       beforeBatch: Long = Long.MaxValue): Long =
-    StateDir.historyRows(s, s"$stateDir/prefix", beforeBatch)
+    TxState.historyRows(s, s"$stateDir/prefix", beforeBatch)
 
   /** Process one arriving micro-batch (`__id` long, `__grp` string,
     * `__toks` distinct token array) against the accumulated state.
@@ -127,12 +129,14 @@ object IncrementalSetSim {
       // history = state of strictly-earlier batches, by explicit
       // file-list snapshot (correctness-bearing twice over: this batch's
       // candidate/verify plans must never see rows its own concurrent
-      // appends write, and a REPLAYED batch must never read its first
-      // attempt's leftovers as history — StateDir's `< batchId` rule
-      // covers both)
+      // appends write, and a REPLAYED batch must never read what its
+      // first attempt committed as history — TxState's time-traveled
+      // `< batchId` snapshot covers both)
       val histCount = historyRows(s, stateDir, batchId)
-      val hist = StateDir.read(s, s"$stateDir/prefix", prefixSchema, batchId)
-      val histToks = StateDir.read(s, s"$stateDir/toks", toksSchema, batchId)
+      val hist = TxState.readBefore(s, s"$stateDir/prefix", prefixSchema,
+        batchId)
+      val histToks = TxState.readBefore(s, s"$stateDir/toks", toksSchema,
+        batchId)
       // the two state writes depend only on this batch's rows — never
       // on the gating decision — so they launch FIRST, run concurrently
       // with each other, and the toks write further overlaps the verify
@@ -140,7 +144,7 @@ object IncrementalSetSim {
       // the ARRIVAL RATE, not the cluster (single file per batch dir):
       // shuffle-width small files per batch would multiply every later
       // history scan's task count by the batch count (the CDC sink's
-      // compaction policy — StateDir.compact — bounds the dir count
+      // compaction policy — TxState.compact — bounds the file count
       // too). The prefix write also materializes newPfx's cache blocks
       // for the candidate join below.
       import scala.concurrent.{Await, Future}
@@ -148,8 +152,8 @@ object IncrementalSetSim {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
       val prefixAppend = Future(
-        StateDir.writeBatch(newPfx, s"$stateDir/prefix", batchId))
-      val toksAppend = Future(StateDir.writeBatch(
+        TxState.writeBatch(newPfx, s"$stateDir/prefix", batchId))
+      val toksAppend = Future(TxState.writeBatch(
         b.select(col("__id"), col("__toks")), s"$stateDir/toks", batchId))
       // the new-prefix-row count (gate decision + Bloom sizing) is read
       // from the parquet FOOTERS of the file the write just produced —
@@ -159,8 +163,8 @@ object IncrementalSetSim {
       // listener bus — measured +5 s over the replay). An empty batch
       // writes no part files (0 input partitions), so the sum is 0.
       Await.result(prefixAppend, Duration.Inf)
-      val nNewPfx = StateDir.footerRows(s,
-        StateDir.filesOf(s"$stateDir/prefix", batchId))
+      val nNewPfx = TxState.footerRows(s,
+        TxState.filesOf(s"$stateDir/prefix", batchId))
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
       // footer count above is load-bearing (stat.bloomFilter NPEs on an
@@ -235,7 +239,7 @@ object IncrementalSetSim {
       // no coalesce: it would propagate up the narrow verify stage
       // and serialize the token-store scan to one task; the pairs
       // sink is read once at the end, so file count is irrelevant
-      StateDir.writeBatch(verifyWrite, s"$stateDir/pairs", batchId,
+      TxState.writeBatch(verifyWrite, s"$stateDir/pairs", batchId,
         singleFile = false)
       Await.result(toksAppend, Duration.Inf)
     } finally newPfx.unpersist(false)
@@ -243,7 +247,7 @@ object IncrementalSetSim {
 
   /** The accumulated pair set (the converged result after a drain). */
   def pairs(s: SparkSession, stateDir: String): DataFrame =
-    StateDir.read(s, s"$stateDir/pairs", StructType(Seq(
+    TxState.readBefore(s, s"$stateDir/pairs", StructType(Seq(
       StructField("ia", LongType), StructField("ib", LongType),
       StructField("jaccard", DoubleType))))
 }

@@ -157,6 +157,23 @@ object TxTable {
   def readVersion(s: SparkSession, root: String, v: Long): DataFrame =
     readSnapshot(s, root, snapshotAt(root, v))
 
+  /** Newest snapshot whose recorded (appId) high-water batch is STRICTLY
+    * below `batchId` — MVCC time travel as a streaming read rule: an
+    * at-least-once `foreachBatch` replay of batch n reads the table
+    * exactly as it stood before n's first attempt committed, even when
+    * that attempt's commit landed (the [[graft.streaming.TxState]]
+    * `< batchId` rule, StateDir's read discipline restated on manifests).
+    * Versions that never recorded `appId` qualify (no high-water = no
+    * batch at or past n). The walk is newest-first and stops at the first
+    * qualifying version — O(replay window), which is 0-1 steps outside a
+    * replay. None when no committed version qualifies (or none is
+    * retained — see [[vacuum]]'s retention contract).
+    */
+  def snapshotBefore(root: String, appId: String,
+      batchId: Long): Option[Snapshot] =
+    versions(root).reverseIterator.map(snapshotAt(root, _))
+      .find(_.txns.get(appId).forall(_ < batchId))
+
   /** Write `df` as a new immutable data dir; returns root-relative file
     * paths. Invisible until a manifest references them.
     */

@@ -221,17 +221,20 @@ object LshAnn {
     * is associative and the ordering (rounded cosine desc, vec_id) is
     * total, so the final state equals the batch answer for any split.
     *
-    * State is ≤ |Q|·k rows, rewritten whole per batch as a batch-keyed
-    * VERSION ([[graft.streaming.StateDir.writeVersion]]): batch n reads
-    * version n−1 and writes version n, so an at-least-once replay
-    * recomputes from exactly the pre-batch state and overwrites its own
-    * first attempt — idempotent by construction, and no localCheckpoint
-    * job to shield an in-place overwrite (a production sink
-    * compare-and-swaps the same versioned value in a serving store).
+    * State is ≤ |Q|·k rows, rewritten whole per batch as a TRANSACTIONAL
+    * Overwrite commit under the (state, batchId) txn
+    * ([[graft.streaming.TxState.writeVersion]], since r12 the same
+    * manifest substrate as every other incremental index): batch n
+    * time-travels to the snapshot strictly below n and publishes version
+    * n, so an at-least-once replay recomputes from exactly the pre-batch
+    * state and its commit no-ops when the first attempt landed —
+    * idempotent by construction, and no localCheckpoint job to shield an
+    * in-place overwrite (a production sink compare-and-swaps the same
+    * versioned value in a serving store).
     */
   def processBatch(s: SparkSession, batch: DataFrame, qbRows: Seq[Row],
       stateDir: String, batchId: Long): Unit = {
-    import graft.streaming.StateDir
+    import graft.streaming.TxState
     val qb = s.createDataFrame(
       s.sparkContext.parallelize(qbRows, 1),
       StructType(Seq(StructField("qid", LongType),
@@ -245,13 +248,13 @@ object LshAnn {
       .withColumn("cos_sim", cosQ)
       .select("qid", "vec_id", "cos_sim")
     val topkDir = s"$stateDir/topk"
-    val prevTopk = StateDir.readNewestVersion(s, topkDir, topkSchema, batchId)
+    val prevTopk = TxState.readBefore(s, topkDir, topkSchema, batchId)
     val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
     val merged = prevTopk.unionByName(scored)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select("qid", "vec_id", "cos_sim")
-    StateDir.writeVersion(merged, topkDir, batchId)
+    TxState.writeVersion(merged, topkDir, batchId)
   }
 
   /** Streaming ANN index maintenance: the corpus replayed as micro-batches
@@ -260,7 +263,7 @@ object LshAnn {
     * DedupKnnSpec).
     */
   def q158StreamAnn(s: SparkSession, d: String): DataFrame = {
-    import graft.streaming.{Replay, StateDir}
+    import graft.streaming.{Replay, TxState}
     Replay.run(s, Replay.Drain(
       tag = "q158",
       srcSchema = StructType(Seq(StructField("vec_id", LongType),
@@ -279,8 +282,7 @@ object LshAnn {
       readResult = (ss, stateDir) => {
         val w = Window.partitionBy("qid")
           .orderBy(desc("cos_sim"), col("vec_id"))
-        StateDir.readNewestVersion(ss, s"$stateDir/topk", topkSchema,
-            Long.MaxValue)
+        TxState.readBefore(ss, s"$stateDir/topk", topkSchema)
           .withColumn("rn", row_number().over(w).cast("long"))
           .select("qid", "vec_id", "cos_sim", "rn")
           .orderBy("qid", "rn")

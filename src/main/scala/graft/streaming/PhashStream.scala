@@ -46,15 +46,19 @@ import org.apache.spark.sql.types._
   * oracle claim, checked three ways: the DuckDB all-pairs definition
   * (driver gate), the q155 == q152 cross-path compare (gate_sf01), and
   * MultimodalStreamingSpec's in-suite check. Unlike r10, the claim now
-  * survives at-least-once replay: state writes are batch-keyed
-  * ([[StateDir]]), history reads pin to strictly-earlier batches, so a
-  * crashed-and-replayed batch overwrites its own first attempt
-  * (ReplayIdempotenceSpec).
+  * survives at-least-once replay — and since r12 the mechanism is the
+  * transactional manifest itself ([[TxState]] on
+  * [[graft.operators.TxTable]]): each batch commits under a (state,
+  * batchId) txn so a replay whose first attempt landed no-ops, and
+  * history reads time-travel to the newest snapshot strictly below the
+  * batch (ReplayIdempotenceSpec, including the crash-between-commits
+  * case).
   *
   * Scale notes: state is a constant 8 bytes/doc × 4 band rows —
   * append-only parquet, partition-prunable by band at cluster scale,
-  * compactable between drains ([[StateDir.compact]]); per-batch work is
-  * arrival-rate × touched-cell occupancy, never all-pairs.
+  * compactable between drains ([[TxState.compact]] = committed OPTIMIZE
+  * + retention vacuum); per-batch work is arrival-rate × touched-cell
+  * occupancy, never all-pairs.
   */
 object PhashStream {
 
@@ -83,11 +87,12 @@ object PhashStream {
     // whole job per batch
     val newBanded = graft.multimodal.Multimodal.phashBands(fp)
     val bandedDir = s"$stateDir/banded"
-    // history pinned to strictly-earlier batches (idempotence: a replay
-    // never sees its first attempt's rows), then the batch's own band
-    // rows land under their batch-keyed dir — overwritten on replay
-    val hist = StateDir.read(s, bandedDir, bandedSchema, batchId)
-    StateDir.writeBatch(newBanded, bandedDir, batchId)
+    // history pinned to strictly-earlier batches via manifest time travel
+    // (idempotence: a replay reads exactly what its first attempt saw,
+    // even when that attempt's commit landed), then the batch's own band
+    // rows commit under the (state, batchId) txn — a replay no-ops
+    val hist = TxState.readBefore(s, bandedDir, bandedSchema, batchId)
+    TxState.writeBatch(newBanded, bandedDir, batchId)
     // within-batch pairs: the battle-tested q152 machinery on the batch
     // alone (id_a < id_b normalized inside)
     val newNew = graft.dedup.Dedup
@@ -112,7 +117,7 @@ object PhashStream {
       // kept is the right one)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
-    StateDir.writeBatch(pairs, s"$stateDir/pairs", batchId)
+    TxState.writeBatch(pairs, s"$stateDir/pairs", batchId)
   }
 
   def q155StreamPhash(s: SparkSession, d: String): DataFrame =
@@ -126,7 +131,7 @@ object PhashStream {
       mkFold = (_, stateDir) => (batch, batchId) =>
         processBatch(batch.sparkSession, batch, stateDir, batchId),
       readResult = (ss, stateDir) =>
-        StateDir.read(ss, s"$stateDir/pairs", pairsSchema)
+        TxState.readBefore(ss, s"$stateDir/pairs", pairsSchema)
           .orderBy("id_a", "id_b")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

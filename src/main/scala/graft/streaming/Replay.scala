@@ -3,187 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Batch-id-keyed parquet state directories for the incremental indexes
-  * (q153 prefix/toks/pairs, q155 banded/pairs, q158 top-k versions).
-  *
-  * `foreachBatch` is AT-LEAST-ONCE: a crash after a state write but
-  * before the stream checkpoint commits replays the whole batch, and a
-  * plain `mode("append")` sink then holds every replayed row twice —
-  * duplicate state, duplicate emitted pairs (VERDICT r10 flag 1). The
-  * standard idempotence pattern fixes this structurally: each batch
-  * writes its delta under a DETERMINISTIC batch-keyed subdirectory with
-  * overwrite semantics, and every read pins itself to the subdirectories
-  * of STRICTLY EARLIER batches. A replay of batch n then (a) sees exactly
-  * the history the first attempt saw — `b(n)`'s own leftover files are
-  * excluded by the `< n` read rule even if the crash happened mid-write —
-  * and (b) overwrites `b(n)` in place, so state after the retry is
-  * byte-for-byte what a failure-free run produces (ReplayIdempotenceSpec
-  * re-runs every fold and asserts exactly that).
-  *
-  * Directory layout under a state dir:
-  * {{{
-  *   b000000/part-*.parquet     batch 0's delta (overwritten on replay)
-  *   b000003/part-*.parquet     batch 3's delta
-  *   c000002/part-*.parquet     compaction of ALL batches < 2 (optional)
-  * }}}
-  *
-  * History-size metadata (the Bloom-gate arming decision) is derived from
-  * the parquet FOOTERS of the files actually present — no running
-  * `meta.count` sidecar to double-count on replay (the r10 `writeMeta`
-  * hazard). Footer reads are driver-side metadata I/O, zero Spark jobs;
-  * a cluster-scale CDC sink amortizes them in its table manifest.
-  *
-  * Compaction ([[compact]]) bounds the one-file-per-batch growth: it
-  * rewrites every delta below a batch id into one `c`-dir and removes the
-  * absorbed subdirectories. Readers resolve the NEWEST eligible `c`-dir
-  * and ignore `b`-dirs below it, so a crash between the `c`-write and the
-  * `b`-deletes double-counts nothing — the protocol is write-new-first,
-  * self-healing. Only compact batches the stream has COMMITTED (i.e. run
-  * it between drains, or below the oldest batch id that can still
-  * replay): compacting an uncommitted batch would fold rows into a
-  * `c`-dir that a subsequent replay re-writes under `b`.
-  */
-object StateDir {
-
-  private def subDir(dir: String, prefix: String, id: Long): java.io.File =
-    new java.io.File(dir, f"$prefix$id%06d")
-
-  private def parquetIn(d: java.io.File): Seq[String] =
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getPath).toSeq.sorted
-
-  /** (prefix, id) of every state subdirectory. */
-  private def entries(dir: String): Seq[(String, Long, java.io.File)] =
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory)
-      .flatMap { f =>
-        val n = f.getName
-        if ((n.startsWith("b") || n.startsWith("c")) &&
-            n.length > 1 && n.drop(1).forall(_.isDigit))
-          Some((n.take(1), n.drop(1).toLong, f))
-        else None
-      }.toSeq
-
-  /** Every state file visible to batch `beforeBatch`: the newest
-    * compaction at or below it, plus the per-batch deltas from there up
-    * to (excluding) `beforeBatch`. This `< beforeBatch` rule is the
-    * idempotence half: a replayed batch never reads its own first
-    * attempt's leftovers as history.
-    */
-  def listFiles(dir: String, beforeBatch: Long = Long.MaxValue): Seq[String] = {
-    val es = entries(dir)
-    val cBase = es.collect { case ("c", id, _) if id <= beforeBatch => id }
-      .sorted.lastOption.getOrElse(0L)
-    es.collect {
-      case ("c", id, f) if id == cBase => parquetIn(f)
-      case ("b", id, f) if id >= cBase && id < beforeBatch => parquetIn(f)
-    }.flatten.sorted
-  }
-
-  /** The current batch's own delta files (for footer row counts). */
-  def filesOf(dir: String, batchId: Long): Seq[String] =
-    parquetIn(subDir(dir, "b", batchId))
-
-  /** Idempotently write one batch's delta: deterministic subdir,
-    * overwrite-on-replay. `singleFile` sizes the delta to the arrival
-    * rate (one file per batch — the compaction-friendly CDC shape);
-    * leave it false when an upstream narrow stage must not be serialized
-    * through a coalesce(1).
-    */
-  def writeBatch(df: DataFrame, dir: String, batchId: Long,
-      singleFile: Boolean = true): Unit =
-    (if (singleFile) df.coalesce(1) else df)
-      .write.mode("overwrite").parquet(subDir(dir, "b", batchId).getPath)
-
-  /** Explicit-path read of the state visible to `beforeBatch` — immune to
-    * re-listing, so a plan built on this snapshot can never see rows a
-    * concurrent same-batch append writes (the q153 pinning rule).
-    */
-  def read(s: SparkSession, dir: String, schema: StructType,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
-    val files = listFiles(dir, beforeBatch)
-    if (files.nonEmpty) s.read.schema(schema).parquet(files: _*)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-  }
-
-  /** Row count of parquet files from their FOOTERS — driver-side metadata
-    * reads, zero Spark jobs (an Observation metric stalled every batch on
-    * the async listener bus, measured +5 s over a replay; a dedicated
-    * count() is a whole job of scheduling floor).
-    */
-  def footerRows(s: SparkSession, paths: Iterable[String]): Long = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    paths.toSeq.map { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), hconf))
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
-
-  /** Rows of history visible to `beforeBatch` (Bloom-gate arming input). */
-  def historyRows(s: SparkSession, dir: String,
-      beforeBatch: Long = Long.MaxValue): Long =
-    footerRows(s, listFiles(dir, beforeBatch))
-
-  /** Compact every state file below `upToBatch` into one `c`-dir of
-    * `targetFiles` parquet files, then drop the absorbed subdirectories.
-    * Write-new-first: readers already prefer the newest `c`-dir and skip
-    * `b`-dirs below it, so a crash mid-cleanup leaves a readable,
-    * duplicate-free directory. Caller contract: `upToBatch` must only
-    * cover stream-COMMITTED batches (see class doc).
-    */
-  def compact(s: SparkSession, dir: String, upToBatch: Long,
-      targetFiles: Int = 1): Unit = {
-    val files = listFiles(dir, upToBatch)
-    if (files.isEmpty) return
-    s.read.parquet(files: _*).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(subDir(dir, "c", upToBatch).getPath)
-    entries(dir).foreach {
-      case ("b", id, f) if id < upToBatch => Replay.deleteRecursively(f.toPath)
-      case ("c", id, f) if id < upToBatch => Replay.deleteRecursively(f.toPath)
-      case _ => ()
-    }
-  }
-
-  /** Read the newest WHOLE-STATE version strictly below `beforeBatch` —
-    * the read half of the versioned-rewrite pattern (q158's top-k, whose
-    * per-batch state is rewritten whole, not appended): batch n reads
-    * version n-1 and writes version n, so a replay recomputes from
-    * exactly the pre-batch state and [[writeVersion]] overwrites its own
-    * first attempt.
-    */
-  def readNewestVersion(s: SparkSession, dir: String, schema: StructType,
-      beforeBatch: Long): DataFrame = {
-    val newest = entries(dir)
-      .collect { case ("b", id, f) if id < beforeBatch => (id, f) }
-      .sortBy(_._1).lastOption
-    newest match {
-      case Some((_, f)) if parquetIn(f).nonEmpty =>
-        s.read.schema(schema).parquet(parquetIn(f): _*)
-      case _ => s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    }
-  }
-
-  /** Write-then-prune half of the versioned-rewrite pattern. Versions
-    * below `batchId - 1` are dropped AFTER the write succeeds; the
-    * immediately preceding version survives so a replay of the NEXT batch
-    * (which reads `< batchId + 1`, falling back to `batchId`) and of THIS
-    * batch (reads `< batchId`, i.e. `batchId - 1`) both still resolve.
-    */
-  def writeVersion(df: DataFrame, dir: String, batchId: Long): Unit = {
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(subDir(dir, "b", batchId).getPath)
-    entries(dir).foreach {
-      case ("b", id, f) if id < batchId - 1 =>
-        Replay.deleteRecursively(f.toPath)
-      case _ => ()
-    }
-  }
-}
-
 /** The shared bounded-replay drain: a corpus written once as N hash files,
   * streamed back `maxFilesPerTrigger=1` through a `foreachBatch` fold,
   * result materialized off the temp state, working set deleted (VERDICT

@@ -153,7 +153,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
         spark, base.toDF("doc_id", "ph"), state, batchId = 0)
       graft.streaming.PhashStream.processBatch(
         spark, planted.toDF("doc_id", "ph"), state, batchId = 1)
-      val got = graft.streaming.StateDir.read(spark, s"$state/pairs",
+      val got = graft.streaming.TxState.readBefore(spark, s"$state/pairs",
         new org.apache.spark.sql.types.StructType()
           .add("id_a", "long").add("id_b", "long").add("hamming", "int"))
         .collect()

@@ -3,17 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.IncrementalSetSim
-import graft.streaming.{PhashStream, Replay, StateDir}
+import graft.operators.TxTable
+import graft.streaming.{PhashStream, Replay, TxState}
 import graft.similarity.LshAnn
 
 /** `foreachBatch` is AT-LEAST-ONCE: a crash between a state write and the
   * stream checkpoint commit replays the whole batch. These are the
   * kill-and-restart proofs (VERDICT r10 task 1) for all three incremental
   * indexes: re-running a fold with the same batchId — after a complete
-  * first attempt (worst case: every write landed) or a partial one (crash
-  * mid-batch) — leaves the converged state and emitted pair/top-k set
-  * IDENTICAL to a failure-free run. Plus the compaction proofs (task 4):
-  * [[StateDir.compact]] between batches changes no converged result.
+  * first attempt (worst case: every commit landed) or a partial one
+  * (crash between sibling-table commits) — leaves the converged state and
+  * emitted pair/top-k set IDENTICAL to a failure-free run. Since r12 the
+  * substrate under test is [[TxState]] on [[TxTable]] manifests (VERDICT
+  * r11 stretch item 8): idempotence is the (state, batchId) txn no-op +
+  * time-traveled `< batchId` reads, and the crash simulation drops a
+  * table's newest MANIFEST (atomic publish leaves no torn middle). Plus
+  * the compaction proofs (task 4): [[TxState.compact]] — a committed
+  * OPTIMIZE + retention vacuum — between batches changes no converged
+  * result.
   */
 class ReplayIdempotenceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -72,12 +79,12 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
     schedule.foreach { k =>
       IncrementalSetSim.processBatch(spark,
         df.filter(col("__id") % 4 === k), dir, 19, 20, batchId = k)
-      // simulate a crash AFTER the prefix/toks writes but BEFORE the
-      // pairs write: drop this attempt's pairs delta, forcing the
-      // replayed attempt to be the one that produces it
+      // simulate a crash AFTER the prefix/toks commits but BEFORE the
+      // pairs commit: drop the pairs table's newest manifest (what a real
+      // crash leaves — the data dir orphans, the commit never existed),
+      // forcing the replayed attempt to be the one that publishes it
       if (partial.contains(k))
-        Replay.deleteRecursively(
-          new java.io.File(s"$dir/pairs", f"b$k%06d").toPath)
+        TxState.dropLastCommit(s"$dir/pairs")
     }
   }
 
@@ -133,15 +140,18 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
       def run(k: Long): Unit = PhashStream.processBatch(spark,
         df.filter(col("doc_id") % 3 === k), dir.toString, batchId = k)
       Seq(0L, 0L, 1L, 2L, 2L).foreach(run) // 0 and 2 replayed
-      val pairs = StateDir.read(spark, s"$dir/pairs",
+      val pairs = TxState.readBefore(spark, s"$dir/pairs",
         new org.apache.spark.sql.types.StructType()
           .add("id_a", "long").add("id_b", "long").add("hamming", "int"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       assert(pairs.toSet == brutePh)
       assert(pairs.length == pairs.toSet.size, "replay duplicated pairs")
-      // the banded index holds each doc exactly once per band
-      val nBandRows = StateDir.historyRows(spark, s"$dir/banded")
+      // the banded index holds each doc exactly once per band, and the
+      // replayed batches minted no extra versions (txn no-op)
+      val nBandRows = TxState.historyRows(spark, s"$dir/banded")
       assert(nBandRows == phCorpus.size * 4L, "replay duplicated band rows")
+      assert(TxTable.versions(s"$dir/banded").size == 3,
+        "a replayed batch minted an extra banded-index version")
     } finally Replay.deleteRecursively(dir)
   }
 
@@ -161,10 +171,9 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
         LshAnn.processBatch(spark,
           df.filter(col("vec_id") % 4 === k), qb, dir, batchId = k)
       }
-      StateDir.readNewestVersion(spark, s"$dir/topk",
+      TxState.readBefore(spark, s"$dir/topk",
         new org.apache.spark.sql.types.StructType()
-          .add("qid", "long").add("vec_id", "long").add("cos_sim", "double"),
-        Long.MaxValue)
+          .add("qid", "long").add("vec_id", "long").add("cos_sim", "double"))
         .orderBy(col("qid"), desc("cos_sim"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     }
@@ -184,17 +193,17 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_idem_")
     val ph = java.nio.file.Files.createTempDirectory("graft_idem_")
     try {
-      // q153: two batches, compact everything below batch 2, two more
+      // q153: two batches, compact between drains, two more
       docDrain(dir.toString, Seq(0L, 1L))
       Seq("prefix", "toks", "pairs").foreach(sub =>
-        StateDir.compact(spark, s"$dir/$sub", upToBatch = 2))
+        TxState.compact(spark, s"$dir/$sub"))
       docDrain(dir.toString, Seq(2L, 3L))
       val (got, n) = docPairs(dir.toString)
       assert(got == bruteDocs && n == got.size)
-      // compaction actually compacted: one c-dir, no absorbed b-dirs
-      val prefixSubs = new java.io.File(s"$dir/prefix").listFiles()
-        .map(_.getName).sorted.toSeq
-      assert(prefixSubs == Seq("b000002", "b000003", "c000002"), prefixSubs)
+      // compaction actually compacted (1 compacted file + the two
+      // post-compaction deltas) and vacuum bounded the version history
+      val pfxSnap = TxTable.currentSnapshot(s"$dir/prefix").get
+      assert(pfxSnap.files.size == 3, s"prefix files: ${pfxSnap.files}")
 
       // q155: same shape on the phash index
       val df = phCorpus.toDF("doc_id", "ph")
@@ -202,9 +211,9 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
         df.filter(col("doc_id") % 3 === k), ph.toString, batchId = k)
       Seq(0L, 1L).foreach(run)
       Seq("banded", "pairs").foreach(sub =>
-        StateDir.compact(spark, s"$ph/$sub", upToBatch = 2))
+        TxState.compact(spark, s"$ph/$sub"))
       run(2L)
-      val pairs = StateDir.read(spark, s"$ph/pairs",
+      val pairs = TxState.readBefore(spark, s"$ph/pairs",
         new org.apache.spark.sql.types.StructType()
           .add("id_a", "long").add("id_b", "long").add("hamming", "int"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -212,25 +221,36 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
     } finally { Replay.deleteRecursively(dir); Replay.deleteRecursively(ph) }
   }
 
-  test("StateDir: reader prefers newest compaction and skips absorbed deltas") {
+  test("TxState: compaction + retention keep reads exact; replay below " +
+      "the vacuum horizon fails to resolve (the documented contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idem_")
     try {
       val d = s"$dir/state"
-      StateDir.writeBatch(Seq(1L).toDF("v"), d, 0)
-      StateDir.writeBatch(Seq(2L).toDF("v"), d, 1)
-      StateDir.compact(spark, d, upToBatch = 2)
-      // a crash between the c-write and b-deletes leaves both present —
-      // re-create an absorbed delta and assert it is NOT double-read
-      StateDir.writeBatch(Seq(1L).toDF("v"), d, 0)
-      StateDir.writeBatch(Seq(3L).toDF("v"), d, 2)
+      TxState.writeBatch(Seq(1L).toDF("v"), d, 0)
+      TxState.writeBatch(Seq(2L).toDF("v"), d, 1)
+      TxState.compact(spark, d)
+      TxState.writeBatch(Seq(3L).toDF("v"), d, 2)
       val schema = new org.apache.spark.sql.types.StructType().add("v", "long")
-      val vs = StateDir.read(spark, d, schema).collect().map(_.getLong(0)).sorted
+      val vs = TxState.readBefore(spark, d, schema)
+        .collect().map(_.getLong(0)).sorted
       assert(vs.toSeq == Seq(1L, 2L, 3L), vs.toSeq)
-      // the `< batchId` history rule: batch 2's replay does not see its
-      // own delta
-      val before2 = StateDir.read(spark, d, schema, beforeBatch = 2)
+      // the `< batchId` rule across the compaction: batch 2 replay sees
+      // the compacted snapshot of batches 0-1 only
+      val before2 = TxState.readBefore(spark, d, schema, beforeBatch = 2)
         .collect().map(_.getLong(0)).sorted
       assert(before2.toSeq == Seq(1L, 2L))
+      // compacted: the pre-batch-2 snapshot is a single file
+      assert(TxTable.snapshotBefore(d, "state", 2L).get.files.size == 1)
+      // a replay BELOW the vacuum horizon cannot resolve its pre-batch
+      // snapshot (vacuum dropped it) — LOUD failure, never a silently
+      // empty history a replayed fold would recompute wrong against
+      val ex = intercept[java.io.IOException](
+        TxState.readBefore(spark, d, schema, beforeBatch = 1))
+      assert(ex.getMessage.contains("retention"))
+      // while a FRESH table's first batch legitimately reads empty
+      val fresh = s"$dir/fresh"
+      assert(TxState.readBefore(spark, fresh, schema, beforeBatch = 0)
+        .collect().isEmpty)
     } finally Replay.deleteRecursively(dir)
   }
 }
