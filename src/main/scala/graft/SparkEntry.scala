@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Advanced6.queries ++
       graft.queries.Advanced7.queries ++
       graft.queries.Advanced8.queries ++
+      graft.queries.Advanced9.queries ++
       graft.queries.Sketches.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       graft.queries.Advanced6.oracles ++
       graft.queries.Advanced7.oracles ++
       graft.queries.Advanced8.oracles ++
+      graft.queries.Advanced9.oracles ++
       graft.queries.Sketches.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++

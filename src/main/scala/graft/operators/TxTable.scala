@@ -359,6 +359,28 @@ object TxTable {
       hi: Double): Seq[String] =
     prunedFilesMulti(root, Seq((colName, lo, hi)))
 
+  /** The head's files that can intersect AT LEAST ONE of `ranges` on
+    * `colName` — the DISJUNCTION form of data skipping (an IN-list or
+    * multi-range predicate: `col IN (...)` prunes as the union of point
+    * ranges). A file without stats on the column always survives; the
+    * caller's exact predicate (or equi-join) re-applies on the survivors,
+    * so pruning only removes provably-dead I/O. Driver cost is
+    * O(F · |ranges|) comparisons against a sorted range list — collapse
+    * adjacent ranges before calling when |ranges| is large.
+    */
+  def prunedFilesAny(root: String, colName: String,
+      ranges: Seq[(Double, Double)]): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    snap.files.filter { f =>
+      snap.stats.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+        case Some((_, mn, mx, _)) =>
+          ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+        case None => true
+      }
+    }
+  }
+
   /** Range read with manifest-level data skipping; the exact predicates
     * are re-applied, so the result is identical to `read(...).filter(...)`
     * whatever the stats say — skipping only removes provably-dead I/O.

@@ -199,6 +199,79 @@ object LshAnn {
        |SELECT qid, vec_id, cos_sim, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------- manifest-pruned point lookup
+
+  /** Serving-path ANN point lookup THROUGH the transactional index
+    * (q171): the banded corpus is published ONCE as a [[TxTable]]
+    * range-clustered tight on the composite cell id
+    * `band · 2^BBits + bucket`, with per-file footer (min, max) cell
+    * ranges in the manifest; a single query's ≤ [[NBands]] cells then
+    * prune the manifest by DISJUNCTION ([[TxTable.prunedFilesAny]] — the
+    * IN-list skipping form) and the lookup reads ONLY the files whose
+    * recorded cell range can hold one of them. At the spec layout (64
+    * range-tight files over 2048 cells) a point query reads ≤ 8 of 64
+    * files — the at-scale story: an ANN serving lookup against a 100 TB
+    * index is a few band-local file reads resolved from manifest stats,
+    * no scan, no shuffle (TxAnnLookupSpec pins the skipping ratio AND
+    * result equality with the full-scan q157 path; the DuckDB oracle is
+    * the same mix64-restated banding, filtered to the query).
+    *
+    * The ≤ NBands cell ids collect driver-side by construction (one row
+    * per band of ONE query) — bounded by the banding geometry, not the
+    * corpus.
+    */
+  def q171TxAnnLookup(s: SparkSession, d: String): DataFrame =
+    txAnnLookup(s, d)._1
+
+  /** q171 plus its (files read, files total) skipping evidence —
+    * TxAnnLookupSpec pins the ratio.
+    */
+  private[graft] def txAnnLookup(s: SparkSession,
+      d: String): (DataFrame, Int, Int) = {
+    import graft.operators.TxTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txann_")
+    val root = s"$tmp/ann_cells"
+    def cellOf = (col("band").cast("long") * (1L << BBits)) + col("bucket")
+    val cb = bandRows(corpusWithTwins(s, d), "vec_id", "embedding")
+      .withColumn("cell", cellOf)
+      // range-tight layout: ~32 cells per file; any cell assignment is
+      // correct (stats are read back from the actual footers — the
+      // repartitionByRange rule), tightness only improves skipping
+      .repartitionByRange(64, col("cell"))
+    TxTable.commit(s, root, cb, TxTable.Overwrite, statsCols = Seq("cell"))
+    val qb = bandRows(queriesOf(s, d).filter(col("qid") === 0L), "qid", "qv")
+      .withColumn("cell", cellOf)
+    val cells = qb.select("cell").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val files = TxTable.prunedFilesAny(root, "cell",
+      cells.map(c => (c.toDouble, c.toDouble)))
+    val nAll = TxTable.currentSnapshot(root).get.files.size
+    val idx = s.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$root/$f"): _*)
+    // the exact cell equi-join IS the re-applied predicate; from here the
+    // ranking is expression-identical to annLshOn's (same rounding, same
+    // total order), so the result must equal q157's qid-0 rows
+    val w = Window.partitionBy("qid").orderBy(desc("cos_sim"), col("vec_id"))
+    val out = idx.join(broadcast(qb.select("qid", "qv", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(first(col("qv")).as("qv"), first(col("embedding")).as("embedding"))
+      .withColumn("cos_sim", cosQ)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("qid", "vec_id", "cos_sim", "rn")
+      .orderBy("qid", "rn")
+      .localCheckpoint(true)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    (out, files.size, nAll)
+  }
+
+  val q171Sql: String =
+    s"""WITH $lshSqlPrologue
+       |SELECT qid, vec_id, cos_sim, rn FROM ranked
+       |WHERE rn <= $TopK AND qid = 0
+       |ORDER BY qid, rn""".stripMargin
+
   // ------------------------------------------------------------ streaming
 
   private val topkSchema = StructType(Seq(
@@ -291,9 +364,11 @@ object LshAnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_ann_lsh" -> (q157AnnLsh _),
-    "q158_stream_ann" -> (q158StreamAnn _))
+    "q158_stream_ann" -> (q158StreamAnn _),
+    "q171_tx_ann_lookup" -> (q171TxAnnLookup _))
 
   val oracles: Map[String, String] = Map(
     "q157_ann_lsh" -> q157Sql,
-    "q158_stream_ann" -> q157Sql)
+    "q158_stream_ann" -> q157Sql,
+    "q171_tx_ann_lookup" -> q171Sql)
 }
