@@ -278,13 +278,82 @@ object TxMaint {
       |    AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- q172 / q173
+  // CDC consumption + audit of a transactional table. The publish uses
+  // DETERMINISTIC batch composition — bucket k = o_orderkey % 8, one
+  // Append commit per bucket under txn ("cdc", k) — so a version-window
+  // read restates EXACTLY in DuckDB (a hash-partitioned replay's batch
+  // membership is Murmur3-internal and unoracle-able; the q161/q169
+  // drains prove replay mechanics, these two prove the READ side).
+  private def cdcPublish(s: SparkSession, d: String): (String, JPath) = {
+    val tmp = Files.createTempDirectory("graft_txcdcread_")
+    val root = s"$tmp/orders_cdc"
+    (0L until 8L).foreach { k =>
+      TxTable.commit(s, root,
+        graft.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .filter(col("o_orderkey") % 8 === k),
+        TxTable.Append, txn = Some(("cdc", k)))
+    }
+    (root, tmp)
+  }
+
+  /** Incremental downstream consumption (q172): a consumer that last saw
+    * version 2 catches up to version 5 by reading ONLY the delta —
+    * [[TxTable.readChanges]] resolves the files versions (2, 5] added
+    * (buckets 3-5), never rescanning history. At 100 TB this is the
+    * difference between "process the day's arrivals" and "rescan the
+    * table": the delta read is O(new data) by construction.
+    */
+  def q172TxChangesRead(s: SparkSession, d: String): DataFrame = {
+    val (root, tmp) = cdcPublish(s, d)
+    val out = TxTable.readChanges(s, root, fromV = 2L, toV = 5L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q172Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders WHERE o_orderkey % 8 IN (3, 4, 5)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Table audit (q173): [[TxTable.history]] — version, footer-derived
+    * row count, txn high-water marks — restated row-for-row in SQL as
+    * the cumulative bucket counts (file counts stay in the API but out
+    * of the oracle: they depend on the session's partitioning, not the
+    * data). DESCRIBE HISTORY as a hash-oracled query: the manifest
+    * metadata IS derivable from the data because every commit's
+    * membership is.
+    */
+  def q173TxHistory(s: SparkSession, d: String): DataFrame = {
+    val (root, tmp) = cdcPublish(s, d)
+    val out = TxTable.history(s, root)
+      .select(col("version"), col("n_rows"), col("txns"))
+      .orderBy("version")
+    offTemp(out, tmp)
+  }
+
+  val q173Sql: String =
+    """SELECT t.v AS version,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 8 <= t.v)
+      |    AS n_rows,
+      |  'cdc=' || t.v AS txns
+      |FROM range(0, 8) t(v) ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
     "q167_tx_zorder_skip" -> (q167TxZorderSkip _),
     "q168_tx_delete" -> (q168TxDelete _),
-    "q169_stream_tx_merge" -> (q169StreamTxMergeAdditive _))
+    "q169_stream_tx_merge" -> (q169StreamTxMergeAdditive _),
+    "q172_tx_changes_read" -> (q172TxChangesRead _),
+    "q173_tx_history" -> (q173TxHistory _))
 
   val oracles: Map[String, String] = Map(
     "q163_tx_merge_pruned" -> q163Sql,
@@ -292,5 +361,7 @@ object TxMaint {
     "q166_tx_schema_evolution" -> q166Sql,
     "q167_tx_zorder_skip" -> q167Sql,
     "q168_tx_delete" -> q168Sql,
-    "q169_stream_tx_merge" -> q169Sql)
+    "q169_stream_tx_merge" -> q169Sql,
+    "q172_tx_changes_read" -> q172Sql,
+    "q173_tx_history" -> q173Sql)
 }

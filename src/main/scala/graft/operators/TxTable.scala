@@ -58,6 +58,7 @@ object TxTable {
   private val Footer = "COMMIT"
   private val TxnPrefix = "txn "
   private val StatPrefix = "stat "
+  private val SchemaPrefix = "schema "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -83,10 +84,20 @@ object TxTable {
     * additionally require `numNulls == 0` — [[deleteRange]]'s metadata-
     * only drop does exactly that, and [[mergeAdditive]] uses it to pull
     * null-key groups into the rewrite.
+    *
+    * `schema` is the table schema the commit RECORDED (one manifest
+    * line, Spark's schema json) — the commit-time enforcement seam:
+    * [[commit]] in Append mode validates the incoming frame against it
+    * BEFORE publishing (additive columns allowed, type conflicts
+    * rejected), so a bad writer fails its own commit instead of
+    * publishing a file that breaks every future `mergeSchema` read.
+    * None on manifests that predate schema recording — enforcement
+    * simply skips (never blocks) without it.
     */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty)
+      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -105,9 +116,14 @@ object TxTable {
         val Array(path, c, mn, mx, nn) = l.stripPrefix(StatPrefix).split(' ')
         (path, (c, mn.toDouble, mx.toDouble, nn.toLong))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val schema = body.find(_.startsWith(SchemaPrefix))
+        .map(l => org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix(SchemaPrefix))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
       val files = body.filterNot(l =>
-        l.startsWith(TxnPrefix) || l.startsWith(StatPrefix))
-      Snapshot(v, files, txns, stats)
+        l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
+          l.startsWith(SchemaPrefix))
+      Snapshot(v, files, txns, stats, schema)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -173,6 +189,53 @@ object TxTable {
       batchId: Long): Option[Snapshot] =
     versions(root).reverseIterator.map(snapshotAt(root, _))
       .find(_.txns.get(appId).forall(_ < batchId))
+
+  /** CDC read: the rows ADDED in versions `(fromV, toV]` — the files
+    * those manifests reference that `fromV`'s does not. For append-style
+    * tables (CDC sinks, [[streamAppend]]) this is exactly the row delta,
+    * which is what lets a DOWNSTREAM pipeline consume a transactional
+    * table incrementally — read the head version number, process
+    * `readChanges(lastSeen, head)`, remember `head` — without ever
+    * rescanning history (the Delta CDF consumption pattern; at 100 TB
+    * the delta is the day's arrivals, not the table). For copy-on-write
+    * maintenance commits the same call returns the REWRITTEN files'
+    * rows (file-granular change capture: a superset of the logical
+    * change — the caller keys/dedupes downstream, the documented CDF-
+    * without-change-columns posture). Empty (schema-preserving) when
+    * nothing was added. Both versions must still be retained.
+    */
+  def readChanges(s: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
+    val base = snapshotAt(root, fromV).files.toSet
+    val added = snapshotAt(root, toV).files.filterNot(base.contains)
+    if (added.isEmpty) read(s, root).limit(0)
+    else s.read.option("mergeSchema", "true")
+      .parquet(added.map(f => s"$root/$f"): _*)
+  }
+
+  /** Table history (DESCRIBE HISTORY): one row per retained version with
+    * its file count, footer-derived row count, and the txn high-water
+    * marks it recorded — driver-side manifest + footer metadata, zero
+    * Spark jobs until the tiny result materializes.
+    */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    def rowsOf(files: Seq[String]): Long = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$f"), hconf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val rows = versions(root).map { v =>
+      val snap = snapshotAt(root, v)
+      val txns = snap.txns.toSeq.sorted
+        .map { case (a, b) => s"$a=$b" }.mkString(",")
+      (v, snap.files.size.toLong, rowsOf(snap.files), txns)
+    }
+    import s.implicits._
+    rows.toDF("version", "n_files", "n_rows", "txns")
+  }
 
   /** Write `df` as a new immutable data dir; returns root-relative file
     * paths. Invisible until a manifest references them.
@@ -244,13 +307,40 @@ object TxTable {
     }.toMap
   }
 
+  /** Additive schema merge with commit-time enforcement: columns shared
+    * with the parent must keep their type (nullability-insensitive);
+    * new columns append. A conflict throws BEFORE publish — the frame
+    * never becomes a manifest entry, so the table stays readable (a
+    * type-conflicting parquet file would otherwise fail every future
+    * `mergeSchema` read — enforcement at write time is what makes
+    * evolution ADDITIVE by contract, not by luck).
+    */
+  private def mergeSchemas(parent: org.apache.spark.sql.types.StructType,
+      child: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.DataType
+    val conflicts = child.fields.filter(f =>
+      parent.fields.find(_.name == f.name).exists(p =>
+        !DataType.equalsStructurally(p.dataType, f.dataType,
+          ignoreNullability = true)))
+    if (conflicts.nonEmpty) throw new IllegalArgumentException(
+      "txtable append schema conflict on " + conflicts.map(f =>
+        s"${f.name} (table ${parent(f.name).dataType.simpleString} vs " +
+          s"commit ${f.dataType.simpleString})").mkString(", ") +
+        " — schema evolution is additive: new columns may append, " +
+        "existing columns cannot change type")
+    org.apache.spark.sql.types.StructType(parent.fields ++
+      child.fields.filterNot(f => parent.fieldNames.contains(f.name)))
+  }
+
   /** Atomic put-if-absent of version `v`'s manifest: full content to a
     * hidden sibling, then hard-link to the version name — false means
     * another committer claimed `v` first (retry at the new head).
     */
   private def tryPublish(root: String, v: Long, files: Seq[String],
       txns: Map[String, Long],
-      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty): Boolean = {
+      stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
@@ -262,8 +352,9 @@ object TxTable {
         ranges.map { case (c, mn, mx, nn) => s"$StatPrefix$path $c $mn $mx $nn" }
       case _ => Seq.empty
     }
+    val schemaLines = schema.toSeq.map(st => s"$SchemaPrefix${st.json}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (txnLines ++ statLines ++ files) :+ Footer)).asJava,
+      (Header +: (schemaLines ++ txnLines ++ statLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -329,7 +420,16 @@ object TxTable {
         case Append => parent.map(_.stats)
           .getOrElse(Map.empty[String, Seq[(String, Double, Double, Long)]])
       }) ++ newStats
-      if (tryPublish(root, v, files, txns, stats)) committed = v
+      // commit-time schema enforcement (Append only — Overwrite replaces
+      // the table, schema included): a type conflict throws here, before
+      // any manifest references the new files (they orphan for vacuum)
+      val schema = mode match {
+        case Overwrite => df.schema
+        case Append => parent.flatMap(_.schema)
+          .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
+      }
+      if (tryPublish(root, v, files, txns, stats, Some(schema)))
+        committed = v
     }
     committed
   }
@@ -416,7 +516,8 @@ object TxTable {
       val merged = Upsert.mergeByKey(readSnapshot(s, root, parent),
         updates, keys)
       val dataFiles = writeData(s, root, merged)
-      if (tryPublish(root, parent.version + 1, dataFiles, parent.txns))
+      if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
+          schema = parent.schema))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -530,7 +631,8 @@ object TxTable {
       val files = untouched ++ newFiles
       val stats = parent.stats.view.filterKeys(untouchedSet.contains).toMap ++
         newStats
-      if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
+      if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
+          schema = parent.schema))
         committed = parent.version + 1
     }
     committed
@@ -617,7 +719,9 @@ object TxTable {
         .view.filterKeys(untouchedSet.contains).toMap ++ newStats
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       val v = parent.map(_.version + 1).getOrElse(0L)
-      if (tryPublish(root, v, files, txns, stats)) committed = v
+      val schema = parent.flatMap(_.schema).getOrElse(updates.schema)
+      if (tryPublish(root, v, files, txns, stats, Some(schema)))
+        committed = v
     }
     committed
   }
@@ -681,7 +785,8 @@ object TxTable {
       val keepSet = keep.toSet
       val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
         footerStats(s, root, written, statCols(Some(parent), keyCol))
-      if (tryPublish(root, parent.version + 1, files, parent.txns, stats))
+      if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
+          schema = parent.schema))
         committed = parent.version + 1
     }
     committed
@@ -712,7 +817,8 @@ object TxTable {
       val newStats =
         if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double, Long)]]
         else footerStats(s, root, newFiles, clusterBy)
-      if (tryPublish(root, parent.version + 1, newFiles, parent.txns, newStats))
+      if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
+          newStats, schema = parent.schema))
         committed = parent.version + 1
     }
     committed
@@ -744,7 +850,7 @@ object TxTable {
       val parent = currentSnapshot(root)
       val v = parent.map(_.version + 1).getOrElse(0L)
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
-          .getOrElse(Map.empty), newStats))
+          .getOrElse(Map.empty), newStats, Some(df.schema)))
         committed = v
     }
     committed

@@ -535,6 +535,59 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("commit-time schema enforcement: additive append OK, type " +
+      "conflict fails BEFORE publish, table stays readable") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      // additive evolution still works — and the merged schema is
+      // RECORDED in the manifest
+      TxTable.commit(spark, root,
+        Seq((2L, "b", 20L)).toDF("id", "s", "extra"), TxTable.Append)
+      val rec = TxTable.currentSnapshot(root).get.schema.get
+      assert(rec.fieldNames.toSeq == Seq("id", "s", "extra"))
+      // a type conflict on an existing column is rejected at COMMIT time
+      val ex = intercept[IllegalArgumentException] {
+        TxTable.commit(spark, root,
+          Seq(("3", "c")).toDF("id", "s"), TxTable.Append)
+      }
+      assert(ex.getMessage.contains("schema conflict") &&
+        ex.getMessage.contains("id"))
+      // nothing was published: head unchanged, table readable
+      assert(TxTable.versions(root) == Seq(0L, 1L))
+      assert(TxTable.read(spark, root).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+      // the failed writer's data dir is an orphan; vacuum reclaims it
+      TxTable.vacuum(root, keepVersions = 2)
+      assert(TxTable.read(spark, root).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+    }
+  }
+
+  test("readChanges: version-window delta = exactly the appended rows; " +
+      "history counts per version from footers") {
+    import spark.implicits._
+    withRoot { root =>
+      (0L until 4L).foreach { k =>
+        TxTable.commit(spark, root,
+          Seq((k * 10L, s"b$k"), (k * 10L + 1L, s"b$k")).toDF("id", "s"),
+          TxTable.Append, txn = Some(("app", k)))
+      }
+      val delta = TxTable.readChanges(spark, root, 1L, 3L).collect()
+        .map(_.getLong(0)).toSet
+      assert(delta == Set(20L, 21L, 30L, 31L),
+        s"changes (1,3] should be batches 2 and 3, got $delta")
+      // empty window → schema-preserving empty
+      assert(TxTable.readChanges(spark, root, 2L, 2L).collect().isEmpty)
+      val h = TxTable.history(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(h.map(_._2).toSeq == Seq(2L, 4L, 6L, 8L),
+        "footer-derived row counts should accumulate 2 per version")
+      assert(h.last._3 == "app=3")
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
