@@ -345,6 +345,54 @@ object TxMaint {
       |  'cdc=' || t.v AS txns
       |FROM range(0, 8) t(v) ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q174
+  // Multi-hop incremental pipeline (the medallion bronze→silver hop):
+  // bronze = the q172 CDC publish; silver = a per-priority additive
+  // aggregate MAINTAINED by an incremental consumer that, on each poll,
+  // reads ONLY bronze's new versions ([[TxTable.readChanges]] from its
+  // cursor to the head) and merges the delta ([[TxTable.mergeAdditive]])
+  // under txn ("hop", headVersion). The consumer's CURSOR is the txn
+  // high-water in silver's own manifest — cursor advance and data merge
+  // commit ATOMICALLY, so there is no crash window where the data landed
+  // but the cursor didn't (or vice versa): a replayed poll no-ops at the
+  // manifest. Polls are irregular (catch-up windows of 3, 3, then 2
+  // versions, plus a replayed poll) and the converged silver equals one
+  // plain GROUP BY over all of orders — at 100 TB each hop processes the
+  // day's arrivals, never rescanning bronze.
+  def q174TxIncrementalHop(s: SparkSession, d: String): DataFrame = {
+    val (bronze, tmp) = cdcPublish(s, d)
+    val silver = s"$tmp/silver_prio"
+    def cursor(): Long = TxTable.currentSnapshot(silver)
+      .flatMap(_.txns.get("hop")).getOrElse(-1L)
+    def poll(head: Long): Unit = {
+      val delta = TxTable.readChanges(s, bronze, cursor(), head)
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("prio_no"), col("o_totalprice"))
+        .groupBy("prio_no")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("total_price"))
+      TxTable.mergeAdditive(s, silver, delta, "prio_no",
+        txn = Some(("hop", head)))
+      ()
+    }
+    poll(2L); poll(5L)
+    poll(5L) // replayed poll: cursor == head — the txn no-ops, no re-add
+    poll(7L)
+    val out = TxTable.read(s, silver)
+      .select(col("prio_no"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+      .orderBy("prio_no")
+    offTemp(out, tmp)
+  }
+
+  val q174Sql: String =
+    """SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_no,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
@@ -353,7 +401,8 @@ object TxMaint {
     "q168_tx_delete" -> (q168TxDelete _),
     "q169_stream_tx_merge" -> (q169StreamTxMergeAdditive _),
     "q172_tx_changes_read" -> (q172TxChangesRead _),
-    "q173_tx_history" -> (q173TxHistory _))
+    "q173_tx_history" -> (q173TxHistory _),
+    "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
     "q163_tx_merge_pruned" -> q163Sql,
@@ -363,5 +412,6 @@ object TxMaint {
     "q168_tx_delete" -> q168Sql,
     "q169_stream_tx_merge" -> q169Sql,
     "q172_tx_changes_read" -> q172Sql,
-    "q173_tx_history" -> q173Sql)
+    "q173_tx_history" -> q173Sql,
+    "q174_tx_incremental_hop" -> q174Sql)
 }

@@ -207,7 +207,11 @@ object TxTable {
   def readChanges(s: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
-    val base = snapshotAt(root, fromV).files.toSet
+    require(fromV >= -1L, s"readChanges: fromV $fromV < -1")
+    // fromV = -1 reads from the beginning (a consumer with no cursor yet)
+    val base =
+      if (fromV < 0) Set.empty[String]
+      else snapshotAt(root, fromV).files.toSet
     val added = snapshotAt(root, toV).files.filterNot(base.contains)
     if (added.isEmpty) read(s, root).limit(0)
     else s.read.option("mergeSchema", "true")

@@ -588,6 +588,40 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental hop: the consumer cursor IS the txn high-water — " +
+      "data merge and cursor advance commit atomically, replays no-op") {
+    import spark.implicits._
+    withRoot { root =>
+      val bronze = s"$root/bronze"
+      val silver = s"$root/silver"
+      (0L until 4L).foreach { k =>
+        TxTable.commit(spark, bronze,
+          Seq((k, 1L)).toDF("k", "n"), TxTable.Append)
+      }
+      def cursor(): Long = TxTable.currentSnapshot(silver)
+        .flatMap(_.txns.get("hop")).getOrElse(-1L)
+      def poll(head: Long): Unit = {
+        val delta = TxTable.readChanges(spark, bronze, cursor(), head)
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+        TxTable.mergeAdditive(spark, silver, delta, "k",
+          Some(("hop", head)))
+        ()
+      }
+      poll(1L) // catch-up window (-1, 1]: versions 0 and 1
+      assert(cursor() == 1L)
+      poll(1L) // replayed poll: cursor == head → manifest no-op
+      val vAfterReplay = TxTable.currentVersion(silver).get
+      poll(3L)
+      assert(cursor() == 3L)
+      // the replay minted no silver version; the two real polls did
+      assert(TxTable.versions(silver).size == 2)
+      assert(TxTable.currentVersion(silver).get == vAfterReplay + 1)
+      val got = TxTable.read(spark, silver).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    }
+  }
+
   test("concurrent serializable merges: both key updates survive") {
     import spark.implicits._
     withRoot { root =>
