@@ -90,9 +90,118 @@ object Advanced9 {
       |  CAST(SUM(top2_e9) AS DOUBLE) / COUNT(*) AS avg_top2_e9
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  // Triangle counting by DEGREE-ORDERED ORIENTATION (Suri &
+  // Vassilvitskii '11) — the at-scale upgrade of q105's id-ordered
+  // 3-way join: q105 enumerates each triangle once at its lowest-ID
+  // vertex, which still explodes on a hub whose neighbors mostly have
+  // HIGHER ids (C(d, 2) wedges at one reducer). Here each undirected
+  // edge is directed from its lower-(degree, id) endpoint, so wedges
+  // are enumerated only among higher-RANKED neighbors — every vertex's
+  // out-degree is O(sqrt(m)) regardless of its degree, which is what
+  // keeps the wedge shuffle bounded on power-law graphs at 10^9 edges.
+  // The graph is the q105 ring densified with a hash chord so the
+  // census is non-trivial (508 triangles at sf0.01); the oracle counts
+  // the SAME triangles with the id-ordered join (any total order counts
+  // each exactly once — their equality is itself the cross-check).
+  // Graph pieces are rebuilt from independent reads per consumer (the
+  // ambiguous-self-join rule; at production scale the oriented edge
+  // list would materialize once — Lineage.cut — but at the bench corpus
+  // the rebuild is cheaper than the checkpoint job).
+  def q175TriangleCount(s: SparkSession, d: String): DataFrame = {
+    def edges(): DataFrame = {
+      val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .crossJoin(broadcast(nDf))
+        .select(col("doc_id").as("s"), explode_outer(array(
+          (col("doc_id") + 1) % col("n"),
+          (col("doc_id") + 2) % col("n"),
+          (col("doc_id") * 7 + 13) % col("n"))).as("t"))
+        .filter(col("s") =!= col("t"))
+        .select(least(col("s"), col("t")).as("a"),
+          greatest(col("s"), col("t")).as("b"))
+        .distinct()
+    }
+    def degrees(alias: String): DataFrame = edges()
+      .select(col("a").as("v")).unionAll(edges().select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as(s"deg_$alias"))
+      .withColumnRenamed("v", alias)
+    // orient a→b edges from the lower (deg, id) rank to the higher; the
+    // rank rides as a struct so the wedge condition compares it directly
+    def oriented(): DataFrame = edges()
+      .join(degrees("a"), "a").join(degrees("b"), "b")
+      .select(
+        struct(col("deg_a").as("d"), col("a").as("i")).as("ra"),
+        struct(col("deg_b").as("d"), col("b").as("i")).as("rb"),
+        col("a"), col("b"))
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+    val w1 = oriented().select(col("u").as("wu"), col("v").as("v1"),
+      col("rv").as("r1"))
+    val w2 = oriented().select(col("u").as("wu"), col("v").as("v2"),
+      col("rv").as("r2"))
+    val closing = oriented().select(col("u").as("v1"), col("v").as("v2"))
+    val triDf = w1.join(w2, Seq("wu")).filter(col("r1") < col("r2"))
+      .join(closing, Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    Tables.documents(s, d).agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(edges().agg(count(lit(1)).as("n_edges")))
+      .crossJoin(triDf)
+  }
+
+  val q175Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS s, (doc_id + 1) % n.n AS t FROM documents, n
+      |  UNION ALL SELECT doc_id, (doc_id + 2) % n.n FROM documents, n
+      |  UNION ALL SELECT doc_id, (doc_id * 7 + 13) % n.n FROM documents, n),
+      |e AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+      |      FROM e0 WHERE s <> t)
+      |SELECT (SELECT COUNT(*) FROM documents) AS n_vertices,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT COUNT(*) FROM e e1
+      |     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  // Explicit GROUPING SETS with GROUPING() markers — the general form of
+  // which q39's ROLLUP and q40's CUBE are special cases: two 1-D margins
+  // plus the grand total in ONE pass (Spark's Expand, one shuffle), with
+  // grouping() disambiguating a NULL key from a rolled-up one. Ordering
+  // pins NULLS FIRST on the nullable key columns (Spark/DuckDB default
+  // divergence rule).
+  def q176GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderpriority, o_orderstatus,
+        COUNT(*) AS n_orders,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_prio, g_status,
+        o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+  }
+
+  val q176Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_prio, g_status,
+      |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q170_repetition_profile" -> (q170RepetitionProfile _))
+    "q170_repetition_profile" -> (q170RepetitionProfile _),
+    "q175_triangle_count" -> (q175TriangleCount _),
+    "q176_grouping_sets" -> (q176GroupingSets _))
 
   val oracles: Map[String, String] = Map(
-    "q170_repetition_profile" -> q170Sql)
+    "q170_repetition_profile" -> q170Sql,
+    "q175_triangle_count" -> q175Sql,
+    "q176_grouping_sets" -> q176Sql)
 }

@@ -197,6 +197,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // bounds, |documents| modulus) — the documented scalar fan-out shape
       "q94_domain_div", "q96_gapfill", "q98_link_authority",
       "q104_recursive_cte", "q105_triangles",
+      // q175: three 1-row count attaches (n_vertices/n_edges/n_triangles
+      // assembled into one row) + the |documents| modulus broadcast
+      "q175_triangle_count",
       // q124/q126/q128/q130: 1-row bounds/total attaches — the same
       // scalar fan-out
       "q124_histogram", "q126_mutual_info", "q128_pmi_collocations",
