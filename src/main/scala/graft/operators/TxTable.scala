@@ -59,6 +59,7 @@ object TxTable {
   private val TxnPrefix = "txn "
   private val StatPrefix = "stat "
   private val SchemaPrefix = "schema "
+  private val RowsPrefix = "rows "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -97,7 +98,8 @@ object TxTable {
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      rowCounts: Map[String, Long] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -120,10 +122,14 @@ object TxTable {
         .map(l => org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix(SchemaPrefix))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val rowCounts = body.filter(_.startsWith(RowsPrefix)).map { l =>
+        val Array(path, n) = l.stripPrefix(RowsPrefix).split(' ')
+        path -> n.toLong
+      }.toMap
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
-          l.startsWith(SchemaPrefix))
-      Snapshot(v, files, txns, stats, schema)
+          l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix))
+      Snapshot(v, files, txns, stats, schema, rowCounts)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -224,18 +230,18 @@ object TxTable {
     * Spark jobs until the tiny result materializes.
     */
   def history(s: SparkSession, root: String): DataFrame = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    def rowsOf(files: Seq[String]): Long = files.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$root/$f"), hconf))
-      try r.getRecordCount finally r.close()
-    }.sum
+    // counts come from the manifests' per-file `rows` lines (recorded at
+    // commit time, O(delta) footer reads there); only files a manifest
+    // predating row recording lacks fall back to a footer read — so the
+    // audit is manifest-resident at any file count
     val rows = versions(root).map { v =>
       val snap = snapshotAt(root, v)
+      val (known, unknown) = snap.files.partition(snap.rowCounts.contains)
+      val n = known.map(snap.rowCounts).sum +
+        fileRows(s, root, unknown).values.sum
       val txns = snap.txns.toSeq.sorted
         .map { case (a, b) => s"$a=$b" }.mkString(",")
-      (v, snap.files.size.toLong, rowsOf(snap.files), txns)
+      (v, snap.files.size.toLong, n, txns)
     }
     import s.implicits._
     rows.toDF("version", "n_files", "n_rows", "txns")
@@ -337,6 +343,23 @@ object TxTable {
       child.fields.filterNot(f => parent.fieldNames.contains(f.name)))
   }
 
+  /** Footer record counts of root-relative files — driver-side metadata
+    * reads, O(files), run once per commit on the NEW files only so every
+    * manifest carries per-file `rows` lines (Delta's numRecords):
+    * [[history]] and any audit read then resolve row counts from the
+    * manifest instead of re-opening F·V footers.
+    */
+  private def fileRows(s: SparkSession, root: String,
+      relFiles: Seq[String]): Map[String, Long] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    relFiles.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$f"), hconf))
+      try f -> r.getRecordCount finally r.close()
+    }.toMap
+  }
+
   /** Atomic put-if-absent of version `v`'s manifest: full content to a
     * hidden sibling, then hard-link to the version name — false means
     * another committer claimed `v` first (retry at the new head).
@@ -344,7 +367,8 @@ object TxTable {
   private def tryPublish(root: String, v: Long, files: Seq[String],
       txns: Map[String, Long],
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      rowCounts: Map[String, Long] = Map.empty): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
@@ -357,8 +381,12 @@ object TxTable {
       case _ => Seq.empty
     }
     val schemaLines = schema.toSeq.map(st => s"$SchemaPrefix${st.json}")
+    val rowLines = rowCounts.toSeq.sorted.collect {
+      case (path, n) if fileSet.contains(path) => s"$RowsPrefix$path $n"
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (schemaLines ++ txnLines ++ statLines ++ files) :+ Footer)).asJava,
+      (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
+        files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -409,6 +437,7 @@ object TxTable {
       if (recordCols.isEmpty)
         Map.empty[String, Seq[(String, Double, Double, Long)]]
       else footerStats(s, root, dataFiles, recordCols)
+    val newRows = fileRows(s, root, dataFiles)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
@@ -432,7 +461,11 @@ object TxTable {
         case Append => parent.flatMap(_.schema)
           .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
       }
-      if (tryPublish(root, v, files, txns, stats, Some(schema)))
+      val rows = (mode match {
+        case Overwrite => Map.empty[String, Long]
+        case Append => parent.map(_.rowCounts).getOrElse(Map.empty)
+      }) ++ newRows
+      if (tryPublish(root, v, files, txns, stats, Some(schema), rows))
         committed = v
     }
     committed
@@ -521,7 +554,8 @@ object TxTable {
         updates, keys)
       val dataFiles = writeData(s, root, merged)
       if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
-          schema = parent.schema))
+          schema = parent.schema,
+          rowCounts = fileRows(s, root, dataFiles)))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -635,8 +669,10 @@ object TxTable {
       val files = untouched ++ newFiles
       val stats = parent.stats.view.filterKeys(untouchedSet.contains).toMap ++
         newStats
+      val rows = parent.rowCounts.view.filterKeys(untouchedSet.contains)
+        .toMap ++ fileRows(s, root, newFiles)
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
-          schema = parent.schema))
+          schema = parent.schema, rowCounts = rows))
         committed = parent.version + 1
     }
     committed
@@ -724,7 +760,10 @@ object TxTable {
       val txns = parent.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       val v = parent.map(_.version + 1).getOrElse(0L)
       val schema = parent.flatMap(_.schema).getOrElse(updates.schema)
-      if (tryPublish(root, v, files, txns, stats, Some(schema)))
+      val rows = parent.map(_.rowCounts).getOrElse(Map.empty)
+        .view.filterKeys(untouchedSet.contains).toMap ++
+        fileRows(s, root, newFiles)
+      if (tryPublish(root, v, files, txns, stats, Some(schema), rows))
         committed = v
     }
     committed
@@ -789,8 +828,10 @@ object TxTable {
       val keepSet = keep.toSet
       val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
         footerStats(s, root, written, statCols(Some(parent), keyCol))
+      val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
+        .toMap ++ fileRows(s, root, written)
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
-          schema = parent.schema))
+          schema = parent.schema, rowCounts = rows))
         committed = parent.version + 1
     }
     committed
@@ -822,7 +863,8 @@ object TxTable {
         if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double, Long)]]
         else footerStats(s, root, newFiles, clusterBy)
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
-          newStats, schema = parent.schema))
+          newStats, schema = parent.schema,
+          rowCounts = fileRows(s, root, newFiles)))
         committed = parent.version + 1
     }
     committed
@@ -854,7 +896,8 @@ object TxTable {
       val parent = currentSnapshot(root)
       val v = parent.map(_.version + 1).getOrElse(0L)
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
-          .getOrElse(Map.empty), newStats, Some(df.schema)))
+          .getOrElse(Map.empty), newStats, Some(df.schema),
+          fileRows(s, root, dataFiles)))
         committed = v
     }
     committed
