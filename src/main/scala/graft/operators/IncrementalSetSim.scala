@@ -163,8 +163,7 @@ object IncrementalSetSim {
       // listener bus — measured +5 s over the replay). An empty batch
       // writes no part files (0 input partitions), so the sum is 0.
       Await.result(prefixAppend, Duration.Inf)
-      val nNewPfx = TxState.footerRows(s,
-        TxState.filesOf(s"$stateDir/prefix", batchId))
+      val nNewPfx = TxState.batchRows(s, s"$stateDir/prefix", batchId)
       // Bloom over the SMALL new side's prefix hashes, probing the big
       // history scan (q88's gate, direction flipped to fit CDC). The
       // footer count above is load-bearing (stat.bloomFilter NPEs on an

@@ -108,17 +108,39 @@ object TxState {
       case _ => s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     }
 
-  /** Rows of history visible to `beforeBatch`, from parquet footers —
-    * driver-side metadata, zero Spark jobs — on the time-traveled
-    * snapshot's file list.
+  /** Rows of history visible to `beforeBatch` — summed from the
+    * manifest's per-file `rows` lines (recorded at commit time), with a
+    * footer read only for files a pre-recording manifest lacks. Zero
+    * I/O per call in the steady state, where the old per-call footer
+    * sweep re-opened every history file EVERY batch — O(batches ×
+    * files) metadata reads over a drain.
     */
   def historyRows(s: SparkSession, root: String,
       beforeBatch: Long = Long.MaxValue): Long =
     resolveBefore(root, beforeBatch) match {
       case Some(snap) =>
-        footerRows(s, snap.files.map(f => s"$root/$f"))
+        val (known, unknown) = snap.files.partition(snap.rowCounts.contains)
+        known.map(snap.rowCounts).sum +
+          footerRows(s, unknown.map(f => s"$root/$f"))
       case None => 0L
     }
+
+  /** Row count of batch `batchId`'s own committed delta, from the head
+    * manifest's `rows` lines — the Bloom-sizing input, no footer I/O.
+    */
+  def batchRows(s: SparkSession, root: String, batchId: Long): Long = {
+    val after = TxTable.snapshotBefore(root, App, batchId + 1)
+    val before = TxTable.snapshotBefore(root, App, batchId)
+      .map(_.files.toSet).getOrElse(Set.empty)
+    after match {
+      case Some(snap) =>
+        val added = snap.files.filterNot(before.contains)
+        val (known, unknown) = added.partition(snap.rowCounts.contains)
+        known.map(snap.rowCounts).sum +
+          footerRows(s, unknown.map(f => s"$root/$f"))
+      case None => 0L
+    }
+  }
 
   /** Row count of parquet files from their FOOTERS — driver-side metadata
     * reads, zero Spark jobs (an Observation metric stalled every batch on
