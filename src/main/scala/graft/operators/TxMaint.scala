@@ -393,7 +393,45 @@ object TxMaint {
       |    AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q177
+  // Merge-on-read DELETE (deletion vectors): orders published clustered
+  // on o_totalprice, then TWO predicate deletes that rewrite NO data file
+  // — each writes only a deletion-vector parquet of matched row positions
+  // and a manifest with `dv` lines (TxDvSpec pins the file-list identity;
+  // at 100 TB a delete commit is kilobytes). The second delete overlaps
+  // the first, exercising the already-deleted-position exclusion. The
+  // head read applies the DVs by broadcast anti-join on (file, position),
+  // and must equal the plain-SQL complement filter — the MoR counterpart
+  // of q168's copy-on-write deleteRange.
+  def q177TxDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmor_")
+    val root = s"$tmp/orders_mor"
+    TxTable.commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"))
+    TxTable.deleteWhere(s, root, col("o_orderstatus") === "O")
+    // overlaps: some o_totalprice < 50000 rows were already status-O
+    TxTable.deleteWhere(s, root, col("o_totalprice") < 50000.0,
+      prune = Seq(("o_totalprice", Double.MinValue, 50000.0)))
+    val out = TxTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"))
+        .as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q177Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'O') AND NOT (o_totalprice < 50000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_tx_delete_mor" -> (q177TxDeleteMor _),
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
@@ -405,6 +443,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q177_tx_delete_mor" -> q177Sql,
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,

@@ -60,6 +60,7 @@ object TxTable {
   private val StatPrefix = "stat "
   private val SchemaPrefix = "schema "
   private val RowsPrefix = "rows "
+  private val DvPrefix = "dv "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -95,11 +96,23 @@ object TxTable {
     * None on manifests that predate schema recording — enforcement
     * simply skips (never blocks) without it.
     */
+  /** `dvs` maps a data file to its DELETION VECTORS — merge-on-read
+    * deletes (Delta/Iceberg's DV shape): each entry is a (dvFile,
+    * nDeleted) pair where dvFile is a root-relative parquet of
+    * `(file string, pos long)` row positions deleted from data files.
+    * A data file with DV entries is still listed in `files` (its bytes
+    * are immutable and pinned readers of older versions still need
+    * them); every read path anti-joins the positions out. [[deleteWhere]]
+    * appends DVs (a delete commit writes KILOBYTES, rewrites nothing);
+    * [[purgeDeletes]]/any copy-on-write rewrite materializes them and
+    * drops the lines.
+    */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -126,10 +139,15 @@ object TxTable {
         val Array(path, n) = l.stripPrefix(RowsPrefix).split(' ')
         path -> n.toLong
       }.toMap
+      val dvs = body.filter(_.startsWith(DvPrefix)).map { l =>
+        val Array(path, dvf, n) = l.stripPrefix(DvPrefix).split(' ')
+        (path, (dvf, n.toLong))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
-          l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix))
-      Snapshot(v, files, txns, stats, schema, rowCounts)
+          l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
+          l.startsWith(DvPrefix))
+      Snapshot(v, files, txns, stats, schema, rowCounts, dvs)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -167,8 +185,42 @@ object TxTable {
       snap: Snapshot): DataFrame =
     if (snap.files.isEmpty)
       throw new java.io.IOException(s"txtable $root v${snap.version} is empty")
-    else s.read.option("mergeSchema", "true")
-      .parquet(snap.files.map(f => s"$root/$f"): _*)
+    else readFilesWithDvs(s, root, snap, snap.files)
+
+  /** Read a subset of a snapshot's data files with its deletion vectors
+    * applied — THE read seam every path (snapshot read, pruned read,
+    * maintenance rewrite input) goes through, so a merge-on-read delete
+    * can never resurrect: the scan attaches the parquet `_metadata`
+    * pseudo-column, derives the root-relative path (everything after the
+    * last `/data/` — data files are always directly under `root/data/`),
+    * and LEFT ANTI joins the DV positions on (file, row position). The
+    * DV side is broadcast: at 100 TB the deleted-position set of a table
+    * between purges is megabytes, the classic DV sizing. Tables (or
+    * subsets) without DVs take the plain scan — zero overhead.
+    */
+  private def readFilesWithDvs(s: SparkSession, root: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
+    val base = s.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$root/$f"): _*)
+    val dvFiles = files.flatMap(f =>
+      snap.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
+    if (dvFiles.isEmpty) base
+    else {
+      // dv blobs may carry entries for files outside this subset — those
+      // reference paths not being scanned, so the anti-join ignores them
+      val dv = s.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      val withMeta = base
+        .withColumn("__rel", concat(lit("data/"),
+          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("__pos", col("_metadata.row_index"))
+      withMeta.join(broadcast(dv),
+          withMeta("__rel") === dv("__dv_file") &&
+            withMeta("__pos") === dv("__dv_pos"), "left_anti")
+        .drop("__rel", "__pos")
+    }
+  }
 
   /** Newest committed snapshot as an explicit-path DataFrame. */
   def read(s: SparkSession, root: String): DataFrame =
@@ -237,8 +289,13 @@ object TxTable {
     val rows = versions(root).map { v =>
       val snap = snapshotAt(root, v)
       val (known, unknown) = snap.files.partition(snap.rowCounts.contains)
+      // live rows = footer counts minus merge-on-read deleted positions
+      // (dv line counts are disjoint per file by construction, so the
+      // subtraction is exact without reading any DV blob)
+      val deleted = snap.files
+        .flatMap(f => snap.dvs.getOrElse(f, Seq.empty).map(_._2)).sum
       val n = known.map(snap.rowCounts).sum +
-        fileRows(s, root, unknown).values.sum
+        fileRows(s, root, unknown).values.sum - deleted
       val txns = snap.txns.toSeq.sorted
         .map { case (a, b) => s"$a=$b" }.mkString(",")
       (v, snap.files.size.toLong, n, txns)
@@ -368,7 +425,8 @@ object TxTable {
       txns: Map[String, Long],
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      rowCounts: Map[String, Long] = Map.empty): Boolean = {
+      rowCounts: Map[String, Long] = Map.empty,
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty): Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
@@ -384,9 +442,14 @@ object TxTable {
     val rowLines = rowCounts.toSeq.sorted.collect {
       case (path, n) if fileSet.contains(path) => s"$RowsPrefix$path $n"
     }
+    val dvLines = dvs.toSeq.sortBy(_._1).flatMap {
+      case (path, entries) if fileSet.contains(path) =>
+        entries.map { case (dvf, n) => s"$DvPrefix$path $dvf $n" }
+      case _ => Seq.empty
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
-        files) :+ Footer)).asJava,
+        dvLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -465,7 +528,13 @@ object TxTable {
         case Overwrite => Map.empty[String, Long]
         case Append => parent.map(_.rowCounts).getOrElse(Map.empty)
       }) ++ newRows
-      if (tryPublish(root, v, files, txns, stats, Some(schema), rows))
+      // Append carries the parent's deletion vectors (its files stay);
+      // Overwrite replaces the table, DVs included
+      val dvs = mode match {
+        case Overwrite => Map.empty[String, Seq[(String, Long)]]
+        case Append => parent.map(_.dvs).getOrElse(Map.empty)
+      }
+      if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs))
         committed = v
     }
     committed
@@ -524,12 +593,23 @@ object TxTable {
     */
   def readPrunedMulti(s: SparkSession, root: String,
       preds: Seq[(String, Double, Double)]): DataFrame = {
-    val files = prunedFilesMulti(root, preds)
+    // one snapshot resolution for both the pruning and the read — a
+    // concurrent commit between the two would otherwise mix versions
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val files = snap.files.filter { f =>
+      val ranges = snap.stats.getOrElse(f, Seq.empty)
+      preds.forall { case (colName, lo, hi) =>
+        ranges.find(_._1 == colName) match {
+          case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
     val df =
       if (files.isEmpty)
-        read(s, root).limit(0) // schema-preserving empty
-      else s.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$root/$f"): _*)
+        readSnapshot(s, root, snap).limit(0) // schema-preserving empty
+      else readFilesWithDvs(s, root, snap, files)
     preds.foldLeft(df) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -660,8 +740,7 @@ object TxTable {
       val merged =
         if (touched.isEmpty) updates
         else Upsert.mergeByKey(
-          s.read.option("mergeSchema", "true")
-            .parquet(touched.map(f => s"$root/$f"): _*),
+          readFilesWithDvs(s, root, parent, touched),
           updates, Seq(keyCol))
       val newFiles = writeData(s, root,
         merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
@@ -671,8 +750,10 @@ object TxTable {
         newStats
       val rows = parent.rowCounts.view.filterKeys(untouchedSet.contains)
         .toMap ++ fileRows(s, root, newFiles)
+      // rewritten files materialized their DVs; untouched keep theirs
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
-          schema = parent.schema, rowCounts = rows))
+          schema = parent.schema, rowCounts = rows,
+          dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap))
         committed = parent.version + 1
     }
     committed
@@ -732,8 +813,7 @@ object TxTable {
       val combinedSrc =
         if (touched.isEmpty) aligned
         else {
-          val base = s.read.option("mergeSchema", "true")
-            .parquet(touched.map(f => s"$root/$f"): _*)
+          val base = readFilesWithDvs(s, root, parent.get, touched)
           // the combine projects to the batch's columns — a batch
           // narrower than the table would silently zero out the missing
           // columns on every rewritten file, so fail fast instead
@@ -763,7 +843,9 @@ object TxTable {
       val rows = parent.map(_.rowCounts).getOrElse(Map.empty)
         .view.filterKeys(untouchedSet.contains).toMap ++
         fileRows(s, root, newFiles)
-      if (tryPublish(root, v, files, txns, stats, Some(schema), rows))
+      if (tryPublish(root, v, files, txns, stats, Some(schema), rows,
+          dvs = parent.map(_.dvs).getOrElse(Map.empty)
+            .view.filterKeys(untouchedSet.contains).toMap))
         committed = v
     }
     committed
@@ -815,8 +897,7 @@ object TxTable {
       val written =
         if (rewrite.isEmpty) Seq.empty[String]
         else writeData(s, root,
-          s.read.option("mergeSchema", "true")
-            .parquet(rewrite.map(f => s"$root/$f"): _*)
+          readFilesWithDvs(s, root, parent, rewrite)
             // null keys don't match the range — keep them (a bare
             // NOT(between) would null out and silently drop those rows)
             .filter(col(keyCol).isNull ||
@@ -831,7 +912,125 @@ object TxTable {
       val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
         .toMap ++ fileRows(s, root, written)
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
-          schema = parent.schema, rowCounts = rows))
+          schema = parent.schema, rowCounts = rows,
+          dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** Predicate DELETE as MERGE-ON-READ (Delta/Iceberg deletion vectors):
+    * instead of rewriting every file holding a matched row (copy-on-write,
+    * [[deleteRange]]'s posture), the matched ROW POSITIONS are written as
+    * a tiny deletion-vector parquet and the commit just adds `dv` lines —
+    * data files untouched, so a delete over a 100 TB table writes
+    * kilobytes and the read side anti-joins the positions out
+    * ([[readFilesWithDvs]]). The trade is the classic MoR one: O(1)-ish
+    * delete commits, a broadcast anti-join tax on every read until
+    * [[purgeDeletes]] (or any copy-on-write rewrite of the file)
+    * materializes the deletes.
+    *
+    * `prune` narrows the scan to files whose recorded stats can intersect
+    * every (col, lo, hi) conjunct — a delete keyed near the clustering
+    * column scans a few files, not the table. Positions already deleted
+    * by earlier DVs are excluded before writing, so per-file dv counts
+    * stay disjoint and [[history]]'s live-row subtraction stays exact.
+    * A delete matching nothing publishes nothing and returns the head
+    * version. Serializable via the claim-retry loop.
+    */
+  def deleteWhere(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      prune: Seq[(String, Double, Double)] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to delete from"))
+      val cand = parent.files.filter { f =>
+        val ranges = parent.stats.getOrElse(f, Seq.empty)
+        prune.forall { case (c, lo, hi) =>
+          ranges.find(_._1 == c) match {
+            case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }
+      if (cand.isEmpty) return parent.version
+      val scan = s.read.option("mergeSchema", "true")
+        .parquet(cand.map(f => s"$root/$f"): _*)
+        .withColumn("file", concat(lit("data/"),
+          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("pos", col("_metadata.row_index"))
+      val matched = scan.filter(cond).select("file", "pos")
+      val priorDvFiles = cand.flatMap(f =>
+        parent.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
+      val fresh =
+        if (priorDvFiles.isEmpty) matched
+        else matched.join(
+          broadcast(s.read.parquet(priorDvFiles.map(f => s"$root/$f"): _*)),
+          Seq("file", "pos"), "left_anti")
+      // one part file per delete commit: the dv line references it by name
+      val written = writeData(s, root, fresh.repartition(1))
+      val dvFile = written match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"dv write produced ${other.size} parts, expected 1")
+      }
+      val counts = s.read.parquet(s"$root/$dvFile")
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return parent.version // matched nothing: no-op
+      val dvs = counts.foldLeft(parent.dvs) { case (m, (f, n)) =>
+        m.updated(f, m.getOrElse(f, Seq.empty) :+ (dvFile, n))
+      }
+      if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
+          parent.stats, schema = parent.schema,
+          rowCounts = parent.rowCounts, dvs = dvs))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** Materialize every deletion vector: files carrying DVs are rewritten
+    * with their deleted positions dropped, DV lines disappear from the
+    * child manifest, and reads go back to the plain scan path. Files
+    * without DVs are carried forward untouched — at 100 TB a purge
+    * rewrites the files deletes actually hit, not the table. Rewritten
+    * data re-clusters on the parent's first stat column when one exists
+    * (so a skippable layout survives the purge); stats are re-recorded
+    * from the new footers. No-op at the head version when nothing has
+    * DVs. Serializable via the claim-retry loop.
+    */
+  def purgeDeletes(s: SparkSession, root: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to purge"))
+      val withDv = parent.files.filter(parent.dvs.contains)
+      if (withDv.isEmpty) return parent.version
+      val survivors = readFilesWithDvs(s, root, parent, withDv)
+      val cols = statCols(Some(parent), "").filter(_.nonEmpty)
+      val clustered = cols.headOption match {
+        case Some(c) => survivors.repartitionByRange(
+          math.max(1, withDv.size), col(c))
+        case None => survivors.repartition(math.max(1, withDv.size))
+      }
+      val writtenAll = writeData(s, root, clustered)
+      val writtenRows = fileRows(s, root, writtenAll)
+      // range partitions can come out empty — an empty part has no
+      // footer stats and no rows; keep it out of the manifest entirely
+      val written = writtenAll.filter(f => writtenRows(f) > 0L)
+      val keep = parent.files.filterNot(parent.dvs.contains)
+      if (keep.isEmpty && written.isEmpty) throw new java.io.IOException(
+        s"purgeDeletes would empty txtable $root — use an explicit " +
+          "overwrite commit to express truncation")
+      val keepSet = keep.toSet
+      val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
+        (if (cols.isEmpty) Map.empty else footerStats(s, root, written, cols))
+      val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
+        .toMap ++ writtenRows.view.filterKeys(written.contains).toMap
+      if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
+          stats, schema = parent.schema, rowCounts = rows))
         committed = parent.version + 1
     }
     committed
@@ -919,7 +1118,12 @@ object TxTable {
     require(keepVersions >= 1, "must retain at least the current version")
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = keep.flatMap(v => snapshotAt(root, v).files).toSet
+    val referenced = keep.flatMap { v =>
+      val snap = snapshotAt(root, v)
+      // deletion-vector blobs are as load-bearing as the data files
+      // their lines reference — a vacuumed DV would resurrect rows
+      snap.files ++ snap.dvs.values.flatten.map(_._1)
+    }.toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {

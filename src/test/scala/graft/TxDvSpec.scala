@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TxTable
+
+/** Merge-on-read DELETE via deletion vectors ([[TxTable.deleteWhere]] /
+  * [[TxTable.purgeDeletes]]): position-level deletes that rewrite no data
+  * file, applied on the read side by an anti-join on (file, row position).
+  * Pins the contracts result-identity alone can't see: file lists
+  * untouched by a delete, DV accumulation across deletes, materialization
+  * on purge AND on every copy-on-write path (merge/deleteRange/optimize),
+  * time-travel isolation, vacuum keeping DV blobs alive, and live-row
+  * history accounting.
+  */
+class TxDvSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_txdv_")
+    try f(s"$tmp/t") finally graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
+  private def ids(root: String): Set[Long] =
+    TxTable.read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+
+  private def seed(root: String, n: Int = 40): Long = {
+    import spark.implicits._
+    TxTable.commit(spark, root,
+      (1 to n).map(i => (i.toLong, s"s$i", i % 4)).toDF("id", "s", "grp"),
+      clusterBy = Some("id"))
+  }
+
+  test("deleteWhere removes matched rows without touching any data file") {
+    withRoot { root =>
+      seed(root)
+      val before = TxTable.currentSnapshot(root).get
+      val v = TxTable.deleteWhere(spark, root, col("grp") === 1)
+      assert(v == 1L)
+      val after = TxTable.currentSnapshot(root).get
+      // merge-on-read: identical data-file list, only dv lines added
+      assert(after.files == before.files)
+      assert(after.dvs.nonEmpty)
+      assert(ids(root) == (1L to 40L).filterNot(_ % 4 == 1).toSet)
+      // pinned time travel: v0 still reads the full table
+      assert(TxTable.readVersion(spark, root, 0L).count() == 40L)
+    }
+  }
+
+  test("deletes accumulate across commits; already-deleted positions are " +
+      "not re-recorded (history live-row counts stay exact)") {
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("grp") === 1) // 10 rows
+      // overlaps the first delete: grp=1 rows are already gone
+      TxTable.deleteWhere(spark, root, col("id") <= 20) // 15 fresh
+      assert(ids(root) ==
+        (21L to 40L).filterNot(_ % 4 == 1).toSet)
+      val h = TxTable.history(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(h(0L) == 40L && h(1L) == 30L && h(2L) == 15L)
+      // disjointness: total dv-recorded positions equal rows removed
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.dvs.values.flatten.map(_._2).sum == 25L)
+    }
+  }
+
+  test("deleteWhere matching nothing is a no-op (no new version)") {
+    withRoot { root =>
+      seed(root)
+      assert(TxTable.deleteWhere(spark, root, col("id") > 999) == 0L)
+      assert(TxTable.versions(root) == Seq(0L))
+    }
+  }
+
+  test("prune conjuncts narrow the delete scan to stat-intersecting files") {
+    withRoot { root =>
+      seed(root)
+      val snap = TxTable.currentSnapshot(root).get
+      // clusterBy id wrote 8 range-tight files; a delete pruned to a
+      // narrow id range must only record DVs against files in range
+      TxTable.deleteWhere(spark, root, col("id").between(1, 5),
+        prune = Seq(("id", 1.0, 5.0)))
+      val after = TxTable.currentSnapshot(root).get
+      val touched = after.dvs.keySet
+      val inRange = snap.files.filter { f =>
+        snap.stats(f).find(_._1 == "id").exists { case (_, mn, mx, _) =>
+          mx >= 1.0 && mn <= 5.0 }
+      }.toSet
+      assert(touched.subsetOf(inRange) && touched.nonEmpty)
+      assert(ids(root) == (6L to 40L).toSet)
+    }
+  }
+
+  test("purgeDeletes materializes DVs: dv lines gone, untouched files " +
+      "carried, content identical, table re-skippable") {
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("id").between(1, 5),
+        prune = Seq(("id", 1.0, 5.0)))
+      val withDv = TxTable.currentSnapshot(root).get
+      val expected = ids(root)
+      TxTable.purgeDeletes(spark, root)
+      val purged = TxTable.currentSnapshot(root).get
+      assert(purged.dvs.isEmpty)
+      assert(ids(root) == expected)
+      // files the delete never touched are carried forward byte-identical
+      val untouched = withDv.files.filterNot(withDv.dvs.contains).toSet
+      assert(untouched.subsetOf(purged.files.toSet))
+      // stats re-recorded on the rewritten files: pruning still works
+      assert(purged.files.forall(f => purged.stats.contains(f)))
+      // purge on a DV-free table is a no-op
+      assert(TxTable.purgeDeletes(spark, root) == purged.version)
+    }
+  }
+
+  test("copy-on-write paths materialize DVs instead of resurrecting: " +
+      "mergeByKeyPruned, deleteRange, optimize") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("id") === 7)
+      // a merge touching id=7's file must NOT bring the row back
+      TxTable.mergeByKeyPruned(spark, root,
+        Seq((8L, "updated", 0)).toDF("id", "s", "grp"), "id")
+      assert(!ids(root).contains(7L))
+      assert(TxTable.read(spark, root).filter(col("id") === 8)
+        .select("s").head().getString(0) == "updated")
+      // deleteRange over a straddling file with a DV keeps both contracts
+      TxTable.deleteWhere(spark, root, col("id") === 22)
+      TxTable.deleteRange(spark, root, "id", 20.0, 21.0)
+      assert(!ids(root).contains(22L) && !ids(root).contains(20L))
+      // optimize is a full rewrite: all DV lines disappear, content kept
+      val expected = ids(root)
+      TxTable.optimize(spark, root, 4, clusterBy = Seq("id"))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.dvs.isEmpty && ids(root) == expected)
+    }
+  }
+
+  test("vacuum keeps DV blobs referenced by retained manifests readable") {
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("grp") === 2)
+      val expected = ids(root)
+      TxTable.vacuum(root, keepVersions = 1)
+      assert(ids(root) == expected) // dv blob survived the orphan sweep
+    }
+  }
+
+  test("readPruned applies DVs on the pruned subset") {
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("id") === 3)
+      val got = TxTable.readPruned(spark, root, "id", 1.0, 10.0)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == (1L to 10L).toSet - 3L)
+    }
+  }
+
+  test("append after a MoR delete carries the parent's DVs forward") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("id") === 1)
+      TxTable.commit(spark, root,
+        Seq((41L, "s41", 1)).toDF("id", "s", "grp"), TxTable.Append)
+      assert(ids(root) == ((2L to 41L).toSet))
+    }
+  }
+}
