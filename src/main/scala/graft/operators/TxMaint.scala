@@ -430,8 +430,50 @@ object TxMaint {
       |WHERE NOT (o_orderstatus = 'O') AND NOT (o_totalprice < 50000)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  // Bloom-filter point lookup: orders published clustered on o_totalprice
+  // — so per-file min/max serves PRICE ranges and is useless for an
+  // o_orderkey point lookup (keys scatter across every file) — with
+  // per-file bloom filters on o_orderkey in the manifest. The lookup set
+  // is 7 data-derived keys (bounded driver collect); readPrunedIn probes
+  // each file's bloom with the same xxhash64 family the commit built and
+  // scans only possible-containing files (TxBloomSpec pins the skipping
+  // ratio and the no-false-negative contract; at 100 TB this is Delta's
+  // bloom index: a needle lookup reads a handful of files, not the
+  // table). The exact IN filter re-applies, so the result equals the
+  // plain-SQL semi-join.
+  def q178TxBloomLookup(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txbloom_")
+    val root = s"$tmp/orders_bloom"
+    val keys = graft.Tables.orders(s, d)
+      .select("o_orderkey").filter(col("o_orderkey") % 13 === 0)
+      .distinct().orderBy("o_orderkey").limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    TxTable.commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"),
+      bloomCols = Seq("o_orderkey"))
+    val out = TxTable.readPrunedIn(s, root, "o_orderkey", keys)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"))
+        .as("total_price"))
+      .orderBy("o_orderkey")
+    offTemp(out, tmp)
+  }
+
+  val q178Sql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_orderkey % 13 = 0 ORDER BY 1 LIMIT 7)
+      |SELECT o.o_orderkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
+    "q178_tx_bloom_lookup" -> (q178TxBloomLookup _),
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
@@ -444,6 +486,7 @@ object TxMaint {
 
   val oracles: Map[String, String] = Map(
     "q177_tx_delete_mor" -> q177Sql,
+    "q178_tx_bloom_lookup" -> q178Sql,
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,

@@ -61,6 +61,7 @@ object TxTable {
   private val SchemaPrefix = "schema "
   private val RowsPrefix = "rows "
   private val DvPrefix = "dv "
+  private val BloomPrefix = "bloom "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -107,12 +108,23 @@ object TxTable {
     * [[purgeDeletes]]/any copy-on-write rewrite materializes them and
     * drops the lines.
     */
+  /** `blooms` maps a data file to per-column BLOOM FILTERS (Delta's
+    * bloom filter index): (column, mBits, k, base64 bitset) built at
+    * commit time over the file's non-null values. Where min/max stats
+    * only serve the clustered dimension, a bloom answers point lookups
+    * on a SCATTERED column — [[prunedFilesIn]] drops every file whose
+    * filter provably misses all probed values. False positives only cost
+    * extra scan; false negatives are impossible (same hash family at
+    * build and probe), and [[readPrunedIn]] re-applies the exact IN
+    * filter regardless.
+    */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rowCounts: Map[String, Long] = Map.empty,
-      dvs: Map[String, Seq[(String, Long)]] = Map.empty)
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty,
+      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -143,11 +155,15 @@ object TxTable {
         val Array(path, dvf, n) = l.stripPrefix(DvPrefix).split(' ')
         (path, (dvf, n.toLong))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val blooms = body.filter(_.startsWith(BloomPrefix)).map { l =>
+        val Array(path, c, m, k, bits) = l.stripPrefix(BloomPrefix).split(' ')
+        (path, (c, m.toInt, k.toInt, bits))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
-          l.startsWith(DvPrefix))
-      Snapshot(v, files, txns, stats, schema, rowCounts, dvs)
+          l.startsWith(DvPrefix) || l.startsWith(BloomPrefix))
+      Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -374,6 +390,124 @@ object TxTable {
     }.toMap
   }
 
+  /** Second xxhash64 seed for the bloom hash family (Kirsch-Mitzenmacher
+    * double hashing: position_i = (h1 + i·h2) & (m-1), h2 forced odd so
+    * the probe sequence never degenerates on a power-of-two m).
+    */
+  private val BloomSeed2 = 0x9E3779B97F4A7C15L
+  private val BloomK = 3
+
+  private def bloomM(maxRows: Long): Int = {
+    // ~16 bits per row (≈0.5% fp at k=3), power of two, 1 KiB..4 MiB
+    val want = math.min(1L << 22, math.max(1L << 13, 16L * maxRows))
+    Integer.highestOneBit(want.toInt)
+  }
+
+  /** Build per-file bloom filters over integral `cols` for newly written
+    * files — ONE Spark pass per column over the new files producing
+    * DISTINCT (file, bit position) pairs, so the driver collect is
+    * O(files · m) set bits, never O(rows); the hash family is Spark's
+    * codegen'd xxhash64 on the value cast to long, replicated bit-exactly
+    * at probe time by evaluating the same catalyst expression driver-side
+    * ([[prunedFilesIn]]). One m for the whole batch, sized from its
+    * largest file.
+    */
+  private def buildBlooms(s: SparkSession, root: String,
+      relFiles: Seq[String], cols: Seq[String],
+      rowsPerFile: Map[String, Long])
+      : Map[String, Seq[(String, Int, Int, String)]] = {
+    import org.apache.spark.sql.functions.{concat, explode, lit,
+      substring_index, xxhash64, array}
+    if (cols.isEmpty || relFiles.isEmpty) return Map.empty
+    val m = bloomM(rowsPerFile.values.foldLeft(1L)(math.max))
+    val base = s.read.option("mergeSchema", "true")
+      .parquet(relFiles.map(f => s"$root/$f"): _*)
+      .withColumn("__file", concat(lit("data/"),
+        substring_index(col("_metadata.file_path"), "/data/", -1)))
+    cols.flatMap { c =>
+      // only the low log2(m) bits survive the mask, so mask BEFORE the
+      // multiply: (h1 + i·h2) mod 2^b == ((h1 mod 2^b) + i·(h2 mod 2^b))
+      // mod 2^b, and the masked product can't overflow ANSI long math
+      val mask = lit((m - 1).toLong)
+      val h1 = xxhash64(col(c).cast("long")).bitwiseAND(mask)
+      val h2 = xxhash64(col(c).cast("long"), lit(BloomSeed2))
+        .bitwiseOR(lit(1L)).bitwiseAND(mask)
+      val positions = array((0 until BloomK).map(i =>
+        (h1 + lit(i.toLong) * h2).bitwiseAND(mask)): _*)
+      val setBits = base.filter(col(c).isNotNull)
+        .select(col("__file"), explode(positions).as("pos"))
+        .distinct().collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1).toInt)).toMap
+      relFiles.flatMap { f =>
+        setBits.get(f).map { ps =>
+          val bs = new java.util.BitSet(m)
+          ps.foreach(bs.set)
+          f -> (c, m, BloomK,
+            java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
+        }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  /** The head's files whose bloom filter on `colName` might contain AT
+    * LEAST ONE of `values` (or that carry no bloom for the column —
+    * skipping only ever removes provably-dead I/O). The probe evaluates
+    * the SAME catalyst xxhash64 expressions the build ran, driver-side
+    * on literals, so build and probe can never disagree — no false
+    * negatives by construction, spec-pinned in TxBloomSpec.
+    */
+  def prunedFilesIn(root: String, colName: String,
+      values: Seq[Long]): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    bloomPrunedFiles(snap, colName, values)
+  }
+
+  private def bloomProbes(values: Seq[Long]): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    values.map { v =>
+      val h1 = XxHash64(Seq(Literal(v)), 42L).eval(null).asInstanceOf[Long]
+      val h2 = XxHash64(Seq(Literal(v), Literal(BloomSeed2)), 42L)
+        .eval(null).asInstanceOf[Long] | 1L
+      (h1, h2)
+    }
+  }
+
+  private def bloomPrunedFiles(snap: Snapshot, colName: String,
+      values: Seq[Long]): Seq[String] = {
+    val probes = bloomProbes(values)
+    snap.files.filter { f =>
+      snap.blooms.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+        case Some((_, m, k, b64)) =>
+          val bits = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(b64))
+          val mask = (m - 1).toLong
+          probes.exists { case (h1, h2) =>
+            val (l1, l2) = (h1 & mask, h2 & mask)
+            (0 until k).forall(i => bits.get(((l1 + i * l2) & mask).toInt))
+          }
+        case None => true
+      }
+    }
+  }
+
+  /** Point-lookup read (`colName IN values`) with bloom file skipping;
+    * the exact IN filter re-applies on the survivors (and deletion
+    * vectors apply as everywhere), so the result is identical to
+    * `read(...).filter(isin)` whatever the filters say.
+    */
+  def readPrunedIn(s: SparkSession, root: String, colName: String,
+      values: Seq[Long]): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val files = bloomPrunedFiles(snap, colName, values)
+    val df =
+      if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
+      else readFilesWithDvs(s, root, snap, files)
+    df.filter(col(colName).isin(values: _*))
+  }
+
   /** Additive schema merge with commit-time enforcement: columns shared
     * with the parent must keep their type (nullability-insensitive);
     * new columns append. A conflict throws BEFORE publish — the frame
@@ -426,7 +560,9 @@ object TxTable {
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rowCounts: Map[String, Long] = Map.empty,
-      dvs: Map[String, Seq[(String, Long)]] = Map.empty): Boolean = {
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty,
+      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty)
+      : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
@@ -447,9 +583,15 @@ object TxTable {
         entries.map { case (dvf, n) => s"$DvPrefix$path $dvf $n" }
       case _ => Seq.empty
     }
+    val bloomLines = blooms.toSeq.sortBy(_._1).flatMap {
+      case (path, entries) if fileSet.contains(path) =>
+        entries.map { case (c, m, k, bits) =>
+          s"$BloomPrefix$path $c $m $k $bits" }
+      case _ => Seq.empty
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
-        dvLines ++ files) :+ Footer)).asJava,
+        dvLines ++ bloomLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -481,7 +623,8 @@ object TxTable {
   def commit(s: SparkSession, root: String, df: DataFrame,
       mode: Mode = Overwrite, txn: Option[(String, Long)] = None,
       clusterBy: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
@@ -501,6 +644,7 @@ object TxTable {
         Map.empty[String, Seq[(String, Double, Double, Long)]]
       else footerStats(s, root, dataFiles, recordCols)
     val newRows = fileRows(s, root, dataFiles)
+    val newBlooms = buildBlooms(s, root, dataFiles, bloomCols, newRows)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
@@ -528,13 +672,18 @@ object TxTable {
         case Overwrite => Map.empty[String, Long]
         case Append => parent.map(_.rowCounts).getOrElse(Map.empty)
       }) ++ newRows
-      // Append carries the parent's deletion vectors (its files stay);
-      // Overwrite replaces the table, DVs included
+      // Append carries the parent's deletion vectors and blooms (its
+      // files stay); Overwrite replaces the table, both included
       val dvs = mode match {
         case Overwrite => Map.empty[String, Seq[(String, Long)]]
         case Append => parent.map(_.dvs).getOrElse(Map.empty)
       }
-      if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs))
+      val blooms = (mode match {
+        case Overwrite => Map.empty[String, Seq[(String, Int, Int, String)]]
+        case Append => parent.map(_.blooms).getOrElse(Map.empty)
+      }) ++ newBlooms
+      if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
+          blooms))
         committed = v
     }
     committed
@@ -753,7 +902,9 @@ object TxTable {
       // rewritten files materialized their DVs; untouched keep theirs
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
           schema = parent.schema, rowCounts = rows,
-          dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap))
+          dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
+          blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
+            .toMap))
         committed = parent.version + 1
     }
     committed
@@ -845,6 +996,8 @@ object TxTable {
         fileRows(s, root, newFiles)
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows,
           dvs = parent.map(_.dvs).getOrElse(Map.empty)
+            .view.filterKeys(untouchedSet.contains).toMap,
+          blooms = parent.map(_.blooms).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap))
         committed = v
     }
@@ -913,7 +1066,8 @@ object TxTable {
         .toMap ++ fileRows(s, root, written)
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
           schema = parent.schema, rowCounts = rows,
-          dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap))
+          dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
+          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap))
         committed = parent.version + 1
     }
     committed
@@ -985,7 +1139,7 @@ object TxTable {
       }
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
           parent.stats, schema = parent.schema,
-          rowCounts = parent.rowCounts, dvs = dvs))
+          rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms))
         committed = parent.version + 1
     }
     committed
@@ -1030,7 +1184,8 @@ object TxTable {
       val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
         .toMap ++ writtenRows.view.filterKeys(written.contains).toMap
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
-          stats, schema = parent.schema, rowCounts = rows))
+          stats, schema = parent.schema, rowCounts = rows,
+          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap))
         committed = parent.version + 1
     }
     committed

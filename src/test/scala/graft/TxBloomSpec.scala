@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TxTable
+
+/** Per-file bloom-filter skipping ([[TxTable.commit]]'s `bloomCols` →
+  * [[TxTable.prunedFilesIn]] / [[TxTable.readPrunedIn]]): point lookups
+  * on a column the clustering does NOT serve. Pins the two contracts
+  * that matter — NO FALSE NEGATIVES (every present value's file
+  * survives pruning: the probe evaluates the same catalyst xxhash64
+  * family the build ran) and real skipping (a value in one file prunes
+  * most of the rest) — plus DV interaction, append accumulation, and
+  * CoW carry/drop behavior.
+  */
+class TxBloomSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_txbloom_")
+    try f(s"$tmp/t") finally graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
+  /** id unique per row; grp is the scattered lookup column (same grp
+    * values land in every id-clustered file).
+    */
+  private def seed(root: String, n: Int = 4000): Unit = {
+    import spark.implicits._
+    TxTable.commit(spark, root,
+      (1 to n).map(i => (i.toLong, (i % 997).toLong, s"s$i"))
+        .toDF("id", "probe", "s"),
+      clusterBy = Some("id"), bloomCols = Seq("probe"))
+    ()
+  }
+
+  test("no false negatives: every probed present value reads complete") {
+    withRoot { root =>
+      seed(root)
+      val values = Seq(1L, 500L, 996L, 0L)
+      val got = TxTable.readPrunedIn(spark, root, "probe", values)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = (1 to 4000).filter(i => values.contains((i % 997).toLong))
+        .map(_.toLong).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("bloom on a unique column skips most files for a point lookup") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1 to 4000).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+        clusterBy = Some("s"), // clustering serves s, NOT id
+        bloomCols = Seq("id"))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.size >= 4, "need several files for skipping to show")
+      val surviving = TxTable.prunedFilesIn(root, "id", Seq(17L))
+      // id=17 truly lives in exactly one file; fp rate ~0.5% at 16
+      // bits/row — a majority of the files must prune
+      assert(surviving.size <= math.max(2, snap.files.size / 2),
+        s"bloom pruned nothing: ${surviving.size} of ${snap.files.size}")
+      assert(TxTable.readPrunedIn(spark, root, "id", Seq(17L))
+        .count() == 1L)
+    }
+  }
+
+  test("a column without blooms never prunes; absent values read empty") {
+    withRoot { root =>
+      seed(root)
+      assert(TxTable.prunedFilesIn(root, "id", Seq(1L)).size ==
+        TxTable.currentSnapshot(root).get.files.size)
+      assert(TxTable.readPrunedIn(spark, root, "probe", Seq(5000L))
+        .count() == 0L)
+    }
+  }
+
+  test("append accumulates blooms; lookups cross file generations") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root, n = 1000)
+      TxTable.commit(spark, root,
+        Seq((9001L, 998L, "x")).toDF("id", "probe", "s"),
+        TxTable.Append, bloomCols = Seq("probe"))
+      val got = TxTable.readPrunedIn(spark, root, "probe", Seq(998L, 1L))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got.contains(9001L) && got.contains(1L))
+      // the appended single-row file must prune away for an old value
+      // present only in generation-0 files (tiny m floor keeps fp low)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.blooms.size == snap.files.size)
+    }
+  }
+
+  test("deletion vectors apply inside a bloom-pruned read") {
+    withRoot { root =>
+      seed(root)
+      TxTable.deleteWhere(spark, root, col("id") === 997L) // probe 0
+      val got = TxTable.readPrunedIn(spark, root, "probe", Seq(0L))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(!got.contains(997L) && got.contains(1994L))
+    }
+  }
+
+  test("CoW rewrite drops rewritten files' blooms, keeps untouched; " +
+      "lookups stay correct either way") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root)
+      TxTable.mergeByKeyPruned(spark, root,
+        Seq((1L, 500L, "updated")).toDF("id", "probe", "s"), "id")
+      val snap = TxTable.currentSnapshot(root).get
+      // rewritten file(s) have no bloom -> never pruned -> still read
+      assert(snap.blooms.size < snap.files.size)
+      val got = TxTable.readPrunedIn(spark, root, "probe", Seq(500L))
+        .select("id", "probe").collect().map(_.getLong(0)).toSet
+      assert(got.contains(1L) && got.contains(500L + 997L))
+    }
+  }
+}
