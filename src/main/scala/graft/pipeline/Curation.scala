@@ -429,7 +429,70 @@ object Curation {
       |WHERE levenshtein(a.title, b.title) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  // Model-based quality scoring, fasttext-shaped: a LINEAR classifier
+  // over HASHED bag-of-words features — token → md5 bucket (mod 512),
+  // bucket → integer weight in [-16, 15] derived from a second md5 of
+  // the bucket id (a stand-in for a trained weight table with the same
+  // compute shape), document score = Σ per-occurrence weights, keep =
+  // score > 0. This is the production filtering pattern (fasttext
+  // quality classifiers over hashed n-grams) with the ENTIRE feature
+  // pipeline in exact integer arithmetic, so the per-language keep
+  // accounting hash-oracles bit-for-bit: md5_lower64 is DuckDB's
+  // md5_number_lower (the q23/q27 kernel pattern — use md5 when you
+  // need a cross-engine oracle, FNV when you need throughput).
+  // Shape: one tokenize pass, map-side-combined (doc, lang) partial
+  // sums, then a tiny per-language rollup — two shuffles, the first on
+  // the natural doc grain.
+  def q179LinearQuality(s: SparkSession, d: String): DataFrame = {
+    val B = 512
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(toks).as("token"))
+      .filter(col("token").isNotNull)
+    import graft.functions.matching.md5_lower64
+    // POWER-OF-TWO moduli only: DuckDB's md5_number_lower is unsigned,
+    // Spark's long is signed — pmod(signed, 2^k) == unsigned % 2^k (the
+    // q127 congruence); any other modulus diverges (cost a red gate run)
+    val bucket = pmod(md5_lower64(col("token")), lit(B.toLong))
+    val weight = pmod(md5_lower64(concat(lit("w:"),
+      bucket.cast("string"))), lit(32L)) - 16L
+    val perDoc = tok
+      .select(col("doc_id"), col("lang"), weight.as("w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_tok"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum("score").as("total_score"),
+        sum("n_tok").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  val q179Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_extract_all(text, '\S+')) AS token
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, lang,
+      |    CAST(md5_number_lower('w:' ||
+      |      CAST(md5_number_lower(token) % 512 AS VARCHAR)) % 32
+      |      AS BIGINT) - 16 AS w
+      |  FROM t),
+      |ds AS (
+      |  SELECT doc_id, lang, CAST(SUM(w) AS BIGINT) AS score,
+      |    COUNT(*) AS n_tok
+      |  FROM w GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keep,
+      |  CAST(SUM(score) AS BIGINT) AS total_score,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_linear_quality"  -> (q179LinearQuality _),
     "q90_pack"            -> (q90Pack _),
     "q91_contamination"   -> (q91Contamination _),
     "q92_stratified"      -> (q92StratifiedSample _),
@@ -439,6 +502,7 @@ object Curation {
     "q100_fuzzy_match"    -> (q100FuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
+    "q179_linear_quality"  -> q179Sql,
     "q90_pack"            -> q90Sql,
     "q91_contamination"   -> q91Sql,
     "q92_stratified"      -> q92Sql,
