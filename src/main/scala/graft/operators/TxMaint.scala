@@ -471,9 +471,52 @@ object TxMaint {
       |FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  // CHECK-constrained publish: v0 holds two thirds of orders, addCheck
+  // pins `o_totalprice > 0` (validated against existing content), a
+  // POISONED append of the remaining third (prices negated) is REJECTED
+  // at commit time — nothing published, the head still reads v1 — and
+  // the clean append then completes the table. The head equals plain SQL
+  // over ALL of orders precisely BECAUSE enforcement let the bad batch
+  // change nothing: a silent partial publish of the poisoned batch would
+  // hash-mismatch the oracle (TxCheckSpec pins the abort mechanics; at
+  // 100 TB validation costs one scan of the incoming delta, never the
+  // table).
+  def q180TxConstraints(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txcheck_")
+    val root = s"$tmp/orders_checked"
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = graft.Tables.orders(s, d).select(proj.map(col): _*)
+    TxTable.commit(s, root, base.filter(col("o_orderkey") % 3 =!= 0),
+      TxTable.Overwrite, clusterBy = Some("o_orderkey"))
+    TxTable.addCheck(s, root, "price_pos", "o_totalprice > 0")
+    val rest = base.filter(col("o_orderkey") % 3 === 0)
+    try {
+      TxTable.commit(s, root,
+        rest.withColumn("o_totalprice", -col("o_totalprice")),
+        TxTable.Append)
+      throw new IllegalStateException(
+        "q180: poisoned append was NOT rejected — enforcement broken")
+    } catch { case _: IllegalArgumentException => () }
+    TxTable.commit(s, root, rest, TxTable.Append)
+    val out = TxTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"))
+        .as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q180Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
     "q178_tx_bloom_lookup" -> (q178TxBloomLookup _),
+    "q180_tx_constraints" -> (q180TxConstraints _),
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
@@ -487,6 +530,7 @@ object TxMaint {
   val oracles: Map[String, String] = Map(
     "q177_tx_delete_mor" -> q177Sql,
     "q178_tx_bloom_lookup" -> q178Sql,
+    "q180_tx_constraints" -> q180Sql,
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,

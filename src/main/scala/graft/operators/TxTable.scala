@@ -62,6 +62,7 @@ object TxTable {
   private val RowsPrefix = "rows "
   private val DvPrefix = "dv "
   private val BloomPrefix = "bloom "
+  private val CheckPrefix = "check "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -118,13 +119,21 @@ object TxTable {
     * build and probe), and [[readPrunedIn]] re-applies the exact IN
     * filter regardless.
     */
+  /** `checks` are table-level CHECK constraints (name, boolean SQL
+    * expression): commit-time enforced — a write whose rows violate any
+    * check fails BEFORE its manifest publishes (the files orphan for
+    * [[vacuum]]), so a constraint that held at [[addCheck]] time holds
+    * at every subsequent version by induction. SQL-standard semantics:
+    * a NULL check value passes; only FALSE violates.
+    */
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rowCounts: Map[String, Long] = Map.empty,
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
-      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty)
+      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
+      checks: Seq[(String, String)] = Seq.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -159,11 +168,18 @@ object TxTable {
         val Array(path, c, m, k, bits) = l.stripPrefix(BloomPrefix).split(' ')
         (path, (c, m.toInt, k.toInt, bits))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val checks = body.filter(_.startsWith(CheckPrefix)).map { l =>
+        val Array(name, b64) = l.stripPrefix(CheckPrefix).split(' ')
+        name -> new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
-          l.startsWith(DvPrefix) || l.startsWith(BloomPrefix))
-      Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms)
+          l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
+          l.startsWith(CheckPrefix))
+      Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
+        checks)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -508,6 +524,57 @@ object TxTable {
     df.filter(col(colName).isin(values: _*))
   }
 
+  /** One-pass violation count of every CHECK over `df`; throws on any
+    * violated constraint. SQL-standard CHECK semantics: NULL passes,
+    * only FALSE violates. One aggregate job for ALL checks together —
+    * enforcement costs a single scan of the delta being written, never
+    * of the table.
+    */
+  private def validateChecks(df: DataFrame,
+      checks: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    if (checks.isEmpty) return
+    val aggs = checks.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(not(coalesce(expr(sql).cast("boolean"), lit(true))), 1L)
+        .otherwise(0L)).as(s"c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((name, sql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalArgumentException(
+        s"txtable CHECK constraint '$name' ($sql) violated by $bad " +
+          "row(s) — commit aborted, nothing published")
+    }
+  }
+
+  /** Add a CHECK constraint (name, boolean SQL over the table's columns)
+    * as a committed metadata version: the CURRENT content (deletion
+    * vectors applied) must already satisfy it, and every subsequent
+    * write is validated against it before publishing — so "the
+    * constraint holds at every version from here" is inductive, not
+    * aspirational. Duplicate names rejected.
+    */
+  def addCheck(s: SparkSession, root: String, name: String,
+      exprSql: String): Long = {
+    require(!name.contains(' ') && name.nonEmpty,
+      "check name must be non-empty and space-free (manifest line format)")
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to constrain"))
+      require(!parent.checks.exists(_._1 == name),
+        s"txtable check '$name' already exists")
+      validateChecks(readSnapshot(s, root, parent), Seq(name -> exprSql))
+      if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
+          parent.stats, schema = parent.schema,
+          rowCounts = parent.rowCounts, dvs = parent.dvs,
+          blooms = parent.blooms,
+          checks = parent.checks :+ (name -> exprSql)))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** Additive schema merge with commit-time enforcement: columns shared
     * with the parent must keep their type (nullability-insensitive);
     * new columns append. A conflict throws BEFORE publish — the frame
@@ -561,7 +628,8 @@ object TxTable {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rowCounts: Map[String, Long] = Map.empty,
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
-      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty)
+      blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
+      checks: Seq[(String, String)] = Seq.empty)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -589,9 +657,13 @@ object TxTable {
           s"$BloomPrefix$path $c $m $k $bits" }
       case _ => Seq.empty
     }
+    val checkLines = checks.map { case (name, sql) =>
+      s"$CheckPrefix$name ${java.util.Base64.getEncoder.encodeToString(
+        sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
-        dvLines ++ bloomLines ++ files) :+ Footer)).asJava,
+        dvLines ++ bloomLines ++ checkLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -682,8 +754,14 @@ object TxTable {
         case Overwrite => Map.empty[String, Seq[(String, Int, Int, String)]]
         case Append => parent.map(_.blooms).getOrElse(Map.empty)
       }) ++ newBlooms
+      // CHECK constraints are table-level metadata: they survive a data
+      // Overwrite, and the NEW files must satisfy them before publish
+      val checks = parent.map(_.checks).getOrElse(Seq.empty)
+      if (checks.nonEmpty)
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
-          blooms))
+          blooms, checks))
         committed = v
     }
     committed
@@ -782,9 +860,13 @@ object TxTable {
       val merged = Upsert.mergeByKey(readSnapshot(s, root, parent),
         updates, keys)
       val dataFiles = writeData(s, root, merged)
+      if (parent.checks.nonEmpty)
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(dataFiles.map(f => s"$root/$f"): _*), parent.checks)
       if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
           schema = parent.schema,
-          rowCounts = fileRows(s, root, dataFiles)))
+          rowCounts = fileRows(s, root, dataFiles),
+          checks = parent.checks))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -899,12 +981,15 @@ object TxTable {
         newStats
       val rows = parent.rowCounts.view.filterKeys(untouchedSet.contains)
         .toMap ++ fileRows(s, root, newFiles)
+      if (parent.checks.nonEmpty)
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(newFiles.map(f => s"$root/$f"): _*), parent.checks)
       // rewritten files materialized their DVs; untouched keep theirs
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
-            .toMap))
+            .toMap, checks = parent.checks))
         committed = parent.version + 1
     }
     committed
@@ -994,11 +1079,16 @@ object TxTable {
       val rows = parent.map(_.rowCounts).getOrElse(Map.empty)
         .view.filterKeys(untouchedSet.contains).toMap ++
         fileRows(s, root, newFiles)
+      val checks = parent.map(_.checks).getOrElse(Seq.empty)
+      if (checks.nonEmpty) // additive sums are NEW values — validate them
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(newFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows,
           dvs = parent.map(_.dvs).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.map(_.blooms).getOrElse(Map.empty)
-            .view.filterKeys(untouchedSet.contains).toMap))
+            .view.filterKeys(untouchedSet.contains).toMap,
+          checks = checks))
         committed = v
     }
     committed
@@ -1064,10 +1154,12 @@ object TxTable {
         footerStats(s, root, written, statCols(Some(parent), keyCol))
       val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
         .toMap ++ fileRows(s, root, written)
+      // deletes only remove already-valid rows — carry checks, no re-scan
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
-          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap))
+          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
+          checks = parent.checks))
         committed = parent.version + 1
     }
     committed
@@ -1139,7 +1231,8 @@ object TxTable {
       }
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
           parent.stats, schema = parent.schema,
-          rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms))
+          rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms,
+          checks = parent.checks))
         committed = parent.version + 1
     }
     committed
@@ -1185,7 +1278,8 @@ object TxTable {
         .toMap ++ writtenRows.view.filterKeys(written.contains).toMap
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
           stats, schema = parent.schema, rowCounts = rows,
-          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap))
+          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
+          checks = parent.checks))
         committed = parent.version + 1
     }
     committed
@@ -1218,7 +1312,8 @@ object TxTable {
         else footerStats(s, root, newFiles, clusterBy)
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
           newStats, schema = parent.schema,
-          rowCounts = fileRows(s, root, newFiles)))
+          rowCounts = fileRows(s, root, newFiles),
+          checks = parent.checks))
         committed = parent.version + 1
     }
     committed
@@ -1249,9 +1344,13 @@ object TxTable {
     while (committed < 0) {
       val parent = currentSnapshot(root)
       val v = parent.map(_.version + 1).getOrElse(0L)
+      val checks = parent.map(_.checks).getOrElse(Seq.empty)
+      if (checks.nonEmpty) // z-order ingests caller data: validate it
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
           .getOrElse(Map.empty), newStats, Some(df.schema),
-          fileRows(s, root, dataFiles)))
+          fileRows(s, root, dataFiles), checks = checks))
         committed = v
     }
     committed
