@@ -37,6 +37,7 @@ object SparkEntry {
       graft.pipeline.Curation.queries ++
       graft.operators.TxTable.queries ++
       graft.operators.TxMaint.queries ++
+      graft.operators.TxChangeFeed.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       graft.pipeline.Curation.oracles ++
       graft.operators.TxTable.oracles ++
       graft.operators.TxMaint.oracles ++
+      graft.operators.TxChangeFeed.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++

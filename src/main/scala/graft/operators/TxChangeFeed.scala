@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.nio.file.{Files, Path => JPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Row-level CHANGE DATA FEED reconstructed from [[TxTable]] manifests —
+  * the public Iceberg changelog-scan technique (`create_changelog_view`):
+  * no change files are written at commit time; instead each version's
+  * delta is derived from what its manifest says happened, so the feed
+  * costs nothing until somebody asks for it and then only scans each
+  * version's CHANGED scope, never the table.
+  *
+  * Per-version derivation, keyed by the manifest's recorded `op`:
+  *   - `append`            → added files' rows are `insert`s (raw read —
+  *                           O(delta), the common CDC-sink case);
+  *   - `delete_mor`        → the version's NEW deletion-vector positions
+  *                           name the deleted rows exactly — a semi-join
+  *                           of the affected files against the new DV
+  *                           blobs yields precise `delete` rows (this is
+  *                           where MoR deletes beat copy-on-write for
+  *                           CDC: the delete is self-describing);
+  *   - `optimize`/`purge`/`add_check` → no data change, empty (Delta's
+  *                           dataChange=false commits);
+  *   - everything else (overwrite, merge, merge_additive, delete_range,
+  *     zorder, pre-`op` manifests) → NET-CHANGE DIFF of removed vs added
+  *     files: carryover rows (rewritten byte-identical — the bulk of any
+  *     copy-on-write file) cancel via `exceptAll` in both directions,
+  *     then one window over `keyCol` classifies survivors as
+  *     `update_preimage`/`update_postimage` (key on both sides),
+  *     `delete` (old side only) or `insert` (new side only) — Iceberg's
+  *     carry-over-row elimination, shaped as one shuffle on the key with
+  *     NO self-join (the repo's AMBIGUOUS_SELF_JOIN rule).
+  *
+  * Contract: `keyCol` must be a row-unique key for update pairing (the
+  * same contract every MERGE holds); both end versions must be retained.
+  * Output = table columns + `_change_type` + `_commit_version`, union'd
+  * by name across versions (schema evolution safe).
+  */
+object TxChangeFeed {
+
+  private val Pre = "update_preimage"
+  private val Post = "update_postimage"
+
+  private def withMeta(df: DataFrame, ct: org.apache.spark.sql.Column,
+      v: Long): DataFrame =
+    df.withColumn("_change_type", ct)
+      .withColumn("_commit_version", lit(v))
+
+  /** Changes in versions `(fromV, toV]`, oldest first; `fromV = -1`
+    * reads from the beginning.
+    */
+  def readChangeFeed(s: SparkSession, root: String, fromV: Long, toV: Long,
+      keyCol: String): DataFrame = {
+    require(fromV <= toV, s"readChangeFeed: fromV $fromV > toV $toV")
+    require(fromV >= -1L, s"readChangeFeed: fromV $fromV < -1")
+    val frames = (math.max(0L, fromV + 1) to toV)
+      .flatMap(v => changesAt(s, root, v, keyCol))
+    if (frames.isEmpty)
+      withMeta(TxTable.read(s, root).limit(0), lit(""), 0L).limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def changesAt(s: SparkSession, root: String, v: Long,
+      keyCol: String): Option[DataFrame] = {
+    val snap = TxTable.snapshotAt(root, v)
+    val parent = if (v == 0) None else Some(TxTable.snapshotAt(root, v - 1))
+    snap.op match {
+      case Some("optimize") | Some("purge") | Some("add_check") => None
+      case Some("append") =>
+        val base = parent.map(_.files.toSet).getOrElse(Set.empty)
+        val added = snap.files.filterNot(base.contains)
+        if (added.isEmpty) None
+        else Some(withMeta(s.read.option("mergeSchema", "true")
+          .parquet(added.map(f => s"$root/$f"): _*), lit("insert"), v))
+      case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
+      case _ => keyedDiff(s, root, v, snap, parent, keyCol)
+    }
+  }
+
+  /** The rows a MoR delete removed: exactly the positions in this
+    * version's NEW deletion-vector blobs (alive at the parent by
+    * [[TxTable.deleteWhere]]'s already-deleted exclusion).
+    */
+  private def morDeletes(s: SparkSession, root: String, v: Long,
+      snap: TxTable.Snapshot,
+      parent: Option[TxTable.Snapshot]): Option[DataFrame] = {
+    val parentDvFiles = parent.map(_.dvs.values.flatten.map(_._1).toSet)
+      .getOrElse(Set.empty)
+    val touched = snap.dvs.toSeq.flatMap { case (f, es) =>
+      val fresh = es.map(_._1).filterNot(parentDvFiles.contains)
+      if (fresh.isEmpty) None else Some(f -> fresh)
+    }
+    if (touched.isEmpty) return None
+    val dvFiles = touched.flatMap(_._2).distinct
+    val dv = s.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val base = s.read.option("mergeSchema", "true")
+      .parquet(touched.map(t => s"$root/${t._1}"): _*)
+      .withColumn("__rel", concat(lit("data/"),
+        substring_index(col("_metadata.file_path"), "/data/", -1)))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val deleted = base.join(broadcast(dv),
+        base("__rel") === dv("__dv_file") &&
+          base("__pos") === dv("__dv_pos"), "left_semi")
+      .drop("__rel", "__pos")
+    Some(withMeta(deleted, lit("delete"), v))
+  }
+
+  /** Net-change diff of a rewrite commit: carryovers cancel, then one
+    * key-window classifies. No self-join: both sides union with a tag
+    * and the window sees pre/post together.
+    */
+  private def keyedDiff(s: SparkSession, root: String, v: Long,
+      snap: TxTable.Snapshot, parent: Option[TxTable.Snapshot],
+      keyCol: String): Option[DataFrame] = {
+    val snapSet = snap.files.toSet
+    val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+    val parentSet = parentFiles.toSet
+    val removed = parentFiles.filterNot(snapSet.contains)
+    val added = snap.files.filterNot(parentSet.contains)
+    if (removed.isEmpty && added.isEmpty) return None
+    def readSide(files: Seq[String],
+        owner: Option[TxTable.Snapshot]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(TxTable.readFilesWithDvs(s, root, owner.get, files))
+    val oldDf = readSide(removed, parent)
+    val newDf = readSide(added, Some(snap))
+    // shared columns in a canonical order: exceptAll needs equal schemas
+    val cols = (oldDf, newDf) match {
+      case (Some(o), Some(n)) => n.columns.filter(o.columns.contains).toSeq
+      case (o, n) => o.orElse(n).get.columns.toSeq
+    }
+    val proj = cols.map(col)
+    val (pre, post) = (oldDf, newDf) match {
+      case (Some(o), Some(n)) =>
+        val (os, ns) = (o.select(proj: _*), n.select(proj: _*))
+        (os.exceptAll(ns), ns.exceptAll(os))
+      case (Some(o), None) => (o.select(proj: _*),
+        o.select(proj: _*).limit(0))
+      case (None, Some(n)) => (n.select(proj: _*).limit(0),
+        n.select(proj: _*))
+      case _ => return None
+    }
+    val tagged = pre.withColumn("__side", lit("pre"))
+      .unionByName(post.withColumn("__side", lit("post")))
+    val w = Window.partitionBy(keyCol)
+    val hasPre = max(when(col("__side") === "pre", 1).otherwise(0)).over(w)
+    val hasPost = max(when(col("__side") === "post", 1).otherwise(0)).over(w)
+    val ct = when(col("__side") === "pre",
+        when(hasPost === 1, Pre).otherwise("delete"))
+      .otherwise(when(hasPre === 1, Post).otherwise("insert"))
+    Some(withMeta(tagged, ct, v).drop("__side"))
+  }
+
+  // ------------------------------------------------------- driver query
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private def offTemp(df: DataFrame, tmp: JPath): DataFrame = {
+    val out = df.localCheckpoint(true)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  // --------------------------------------------------------------- q181
+  // The feed over a five-op lifecycle on orders: v0 overwrite (2/4 of
+  // keys), v1 append (another 1/4), v2 MoR delete (cheap orders), v3
+  // pruned CoW merge (inserts the last 1/4, updates keys ≡ 1 mod 1000
+  // that SURVIVED the delete — deleted keys in the update batch come
+  // back as inserts), v4 optimize (must contribute NOTHING). The
+  // grouped (version, change_type) accounting restates in plain SQL
+  // because every op's membership is deterministic — including the
+  // carryover cancellation: rows a rewrite carried byte-identical never
+  // appear, so v3's counts are the NET update/insert sets only.
+  def q181TxChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txcdf_")
+    val root = s"$tmp/orders_cdf"
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = graft.Tables.orders(s, d).select(proj.map(col): _*)
+    TxTable.commit(s, root, base.filter(col("o_orderkey") % 4 < 2),
+      TxTable.Overwrite, clusterBy = Some("o_orderkey"))
+    TxTable.commit(s, root, base.filter(col("o_orderkey") % 4 === 2),
+      TxTable.Append, clusterBy = Some("o_orderkey"))
+    TxTable.deleteWhere(s, root, col("o_totalprice") < 20000.0)
+    val updates = base.filter(col("o_orderkey") % 4 === 3)
+      .unionByName(base
+        .filter(col("o_orderkey") % 1000 === 1 && col("o_orderkey") % 4 < 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    TxTable.mergeByKeyPruned(s, root, updates, "o_orderkey")
+    TxTable.optimize(s, root, 8, clusterBy = Seq("o_orderkey"))
+    val out = readChangeFeed(s, root, 0L,
+        TxTable.currentVersion(root).get, "o_orderkey")
+      .groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"))
+        .as("total_price"))
+      .orderBy("_commit_version", "_change_type")
+      .select(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("n_rows"), col("total_price"))
+    offTemp(out, tmp)
+  }
+
+  /** Membership restated op by op. v1: keys ≡ 2 (mod 4). v2: keys ≡ 0,1,2
+    * with price < 20000. v3 updates touch keys ≡ 1 (mod 1000) among keys
+    * ≡ 0,1,2 (mod 4): survivors (price ≥ 20000) pre+post at ±0/+1,
+    * deleted ones re-insert at price+1; the merge also inserts all keys
+    * ≡ 3 (mod 4). v4 contributes no rows.
+    */
+  val q181Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority, o_totalprice AS p
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT 1 AS v, 'insert' AS ct, p FROM o WHERE k % 4 = 2),
+      |v2 AS (
+      |  SELECT 2 AS v, 'delete' AS ct, p FROM o
+      |  WHERE k % 4 < 3 AND p < 20000),
+      |upd AS (SELECT * FROM o WHERE k % 1000 = 1 AND k % 4 < 3),
+      |v3 AS (
+      |  SELECT 3 AS v, 'insert' AS ct, p FROM o WHERE k % 4 = 3
+      |  UNION ALL
+      |  SELECT 3, 'insert', p + 1 FROM upd WHERE p < 20000
+      |  UNION ALL
+      |  SELECT 3, 'update_preimage', p FROM upd WHERE p >= 20000
+      |  UNION ALL
+      |  SELECT 3, 'update_postimage', p + 1 FROM upd WHERE p >= 20000),
+      |feed AS (
+      |  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |  UNION ALL SELECT * FROM v3)
+      |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_tx_change_feed" -> (q181TxChangeFeed _))
+
+  val oracles: Map[String, String] = Map(
+    "q181_tx_change_feed" -> q181Sql)
+}

@@ -63,6 +63,7 @@ object TxTable {
   private val DvPrefix = "dv "
   private val BloomPrefix = "bloom "
   private val CheckPrefix = "check "
+  private val OpPrefix = "op "
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -133,7 +134,8 @@ object TxTable {
       rowCounts: Map[String, Long] = Map.empty,
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
-      checks: Seq[(String, String)] = Seq.empty)
+      checks: Seq[(String, String)] = Seq.empty,
+      op: Option[String] = None)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -173,13 +175,14 @@ object TxTable {
         name -> new String(java.util.Base64.getDecoder.decode(b64),
           java.nio.charset.StandardCharsets.UTF_8)
       }
+      val op = body.find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix))
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
           l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
-          l.startsWith(CheckPrefix))
+          l.startsWith(CheckPrefix) || l.startsWith(OpPrefix))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
-        checks)
+        checks, op)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -230,7 +233,7 @@ object TxTable {
     * between purges is megabytes, the classic DV sizing. Tables (or
     * subsets) without DVs take the plain scan — zero overhead.
     */
-  private def readFilesWithDvs(s: SparkSession, root: String,
+  private[operators] def readFilesWithDvs(s: SparkSession, root: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
     val base = s.read.option("mergeSchema", "true")
@@ -330,10 +333,10 @@ object TxTable {
         fileRows(s, root, unknown).values.sum - deleted
       val txns = snap.txns.toSeq.sorted
         .map { case (a, b) => s"$a=$b" }.mkString(",")
-      (v, snap.files.size.toLong, n, txns)
+      (v, snap.files.size.toLong, n, txns, snap.op.getOrElse(""))
     }
     import s.implicits._
-    rows.toDF("version", "n_files", "n_rows", "txns")
+    rows.toDF("version", "n_files", "n_rows", "txns", "op")
   }
 
   /** Write `df` as a new immutable data dir; returns root-relative file
@@ -569,7 +572,7 @@ object TxTable {
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = parent.dvs,
           blooms = parent.blooms,
-          checks = parent.checks :+ (name -> exprSql)))
+          checks = parent.checks :+ (name -> exprSql), op = "add_check"))
         committed = parent.version + 1
     }
     committed
@@ -629,7 +632,8 @@ object TxTable {
       rowCounts: Map[String, Long] = Map.empty,
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
-      checks: Seq[(String, String)] = Seq.empty)
+      checks: Seq[(String, String)] = Seq.empty,
+      op: String = "commit")
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -661,9 +665,11 @@ object TxTable {
       s"$CheckPrefix$name ${java.util.Base64.getEncoder.encodeToString(
         sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
     }
+    val opLine = Seq(s"$OpPrefix$op")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
-        dvLines ++ bloomLines ++ checkLines ++ files) :+ Footer)).asJava,
+        dvLines ++ bloomLines ++ checkLines ++ opLine ++
+        files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -761,7 +767,9 @@ object TxTable {
         validateChecks(s.read.option("mergeSchema", "true")
           .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
-          blooms, checks))
+          blooms, checks,
+          op = mode match { case Overwrite => "overwrite"
+                            case Append => "append" }))
         committed = v
     }
     committed
@@ -866,7 +874,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
           schema = parent.schema,
           rowCounts = fileRows(s, root, dataFiles),
-          checks = parent.checks))
+          checks = parent.checks, op = "merge"))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -989,7 +997,7 @@ object TxTable {
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
-            .toMap, checks = parent.checks))
+            .toMap, checks = parent.checks, op = "merge"))
         committed = parent.version + 1
     }
     committed
@@ -1088,7 +1096,7 @@ object TxTable {
             .view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.map(_.blooms).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap,
-          checks = checks))
+          checks = checks, op = "merge_additive"))
         committed = v
     }
     committed
@@ -1159,7 +1167,7 @@ object TxTable {
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks))
+          checks = parent.checks, op = "delete_range"))
         committed = parent.version + 1
     }
     committed
@@ -1232,7 +1240,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms,
-          checks = parent.checks))
+          checks = parent.checks, op = "delete_mor"))
         committed = parent.version + 1
     }
     committed
@@ -1279,7 +1287,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
           stats, schema = parent.schema, rowCounts = rows,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks))
+          checks = parent.checks, op = "purge"))
         committed = parent.version + 1
     }
     committed
@@ -1313,7 +1321,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
           newStats, schema = parent.schema,
           rowCounts = fileRows(s, root, newFiles),
-          checks = parent.checks))
+          checks = parent.checks, op = "optimize"))
         committed = parent.version + 1
     }
     committed
@@ -1350,7 +1358,7 @@ object TxTable {
           .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
           .getOrElse(Map.empty), newStats, Some(df.schema),
-          fileRows(s, root, dataFiles), checks = checks))
+          fileRows(s, root, dataFiles), checks = checks, op = "zorder"))
         committed = v
     }
     committed
