@@ -220,7 +220,10 @@ object Bench {
       // round-8: the int64-domain 5-gram similarity join (top bench cost,
       // 2x cut by hashing shingles) and the payload perceptual-hash
       // near-dup on the q27 banding machinery
-      "q149_ngram_jaccard", "q152_phash_neardup")
+      "q149_ngram_jaccard", "q152_phash_neardup",
+      // round-12: merge-on-read delete (deletion vectors) and the
+      // manifest-reconstructed row-level change feed
+      "q177_tx_delete_mor", "q181_tx_change_feed")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

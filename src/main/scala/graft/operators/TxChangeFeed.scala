@@ -236,9 +236,95 @@ object TxChangeFeed {
       |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  // Incremental view maintenance over the feed: a silver per-priority
+  // aggregate maintained ONLY from bronze's row-level changes — each
+  // poll reads the feed window since its cursor, folds it to a SIGNED
+  // delta (+1/+price for insert & update_postimage, -1/-price for
+  // delete & update_preimage — update pairs net to the price bump), and
+  // merges additively under txn ("ivm", headVersion), so cursor advance
+  // and data merge commit atomically and a replayed poll no-ops. This is
+  // what the CDF buys over q174's append-only hop: the view stays EXACT
+  // under updates and deletes, never rescanning bronze — the classic
+  // incremental-view-maintenance delta rule (ΔV = V(ΔB)) on the
+  // transactional substrate. Bronze runs the q181 lifecycle (overwrite,
+  // append, MoR delete, CoW merge with updates+inserts+reinserts,
+  // optimize); polls are irregular windows plus a replay; the converged
+  // silver equals plain SQL over bronze's FINAL state.
+  def q182TxIvm(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txivm_")
+    val bronze = s"$tmp/orders_bronze"
+    val silver = s"$tmp/prio_silver"
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = graft.Tables.orders(s, d).select(proj.map(col): _*)
+    // bronze lifecycle (v0..v4), identical membership math to q181
+    TxTable.commit(s, bronze, base.filter(col("o_orderkey") % 4 < 2),
+      TxTable.Overwrite, clusterBy = Some("o_orderkey"))
+    TxTable.commit(s, bronze, base.filter(col("o_orderkey") % 4 === 2),
+      TxTable.Append, clusterBy = Some("o_orderkey"))
+    TxTable.deleteWhere(s, bronze, col("o_totalprice") < 20000.0)
+    val updates = base.filter(col("o_orderkey") % 4 === 3)
+      .unionByName(base
+        .filter(col("o_orderkey") % 1000 === 1 && col("o_orderkey") % 4 < 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    TxTable.mergeByKeyPruned(s, bronze, updates, "o_orderkey")
+    TxTable.optimize(s, bronze, 8, clusterBy = Seq("o_orderkey"))
+    // incremental consumer: cursor = silver's own txn high-water
+    def cursor(): Long = TxTable.currentSnapshot(silver)
+      .flatMap(_.txns.get("ivm")).getOrElse(-1L)
+    def poll(head: Long): Unit = {
+      val sign = when(col("_change_type").isin("insert", Post), 1L)
+        .otherwise(-1L)
+      // numeric merge key (mergeAdditive's file pruning is range-based):
+      // the priority's leading digit, the q174 convention
+      val delta = readChangeFeed(s, bronze, cursor(), head, "o_orderkey")
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("prio_no"), sign.as("sg"), col("o_totalprice"))
+        .groupBy("prio_no")
+        .agg(sum(col("sg")).as("n_orders"),
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) *
+            col("sg")).cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("total_price"))
+      TxTable.mergeAdditive(s, silver, delta, "prio_no",
+        txn = Some(("ivm", head)))
+      ()
+    }
+    poll(1L); poll(3L)
+    poll(3L) // replayed poll: the txn no-ops, nothing double-applied
+    poll(4L)
+    val out = TxTable.read(s, silver)
+      .select(col("prio_no"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+      .orderBy("prio_no")
+    offTemp(out, tmp)
+  }
+
+  /** Bronze's final state restated directly: keys ≡ 3 (mod 4) at p; keys
+    * ≡ 1 (mod 1000) among ≡ 0,1,2 (mod 4) at p+1 (survivors bumped,
+    * deleted ones reinserted); everything else survives only if
+    * p ≥ 20000.
+    */
+  val q182Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderpriority AS prio, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey % 4 = 3
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice + 1 FROM orders
+      |  WHERE o_orderkey % 4 < 3 AND o_orderkey % 1000 = 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 < 3 AND o_orderkey % 1000 <> 1
+      |    AND o_totalprice >= 20000)
+      |SELECT CAST(substring(prio, 1, 1) AS BIGINT) AS prio_no,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q181_tx_change_feed" -> (q181TxChangeFeed _))
+    "q181_tx_change_feed" -> (q181TxChangeFeed _),
+    "q182_tx_ivm" -> (q182TxIvm _))
 
   val oracles: Map[String, String] = Map(
-    "q181_tx_change_feed" -> q181Sql)
+    "q181_tx_change_feed" -> q181Sql,
+    "q182_tx_ivm" -> q182Sql)
 }
