@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TxTable
 
 /** Model-based fuzz of the transactional table: random operation
-  * sequences (overwrite / append / clustered append / keyed merge both
-  * paths / range delete / optimize / vacuum) applied simultaneously to a
-  * TxTable and to an in-memory reference model, asserting after EVERY op
-  * that the visible table equals the model — and that every RETAINED
-  * version still time-travels to the model state it published. The
+  * sequences (overwrite / append / clustered+bloomed append / keyed
+  * merge both paths / range delete / MoR deleteWhere / purgeDeletes /
+  * optimize / vacuum) applied simultaneously to a TxTable and to an
+  * in-memory reference model, asserting after EVERY op that the visible
+  * table equals the model — and that every RETAINED version still
+  * time-travels to the model state it published. The
   * targeted TxTableSpec cases pin each mechanism; this pins their
   * COMPOSITION under interleavings nobody thought to write, which is
   * where manifest/stat/null-handling bugs actually live (the r11
@@ -50,8 +51,8 @@ class TxTableFuzzSpec extends AnyFunSuite {
         // version -> expected model state, pruned as vacuum drops them
         var history = Map(TxTable.currentVersion(root).get -> model)
         val opsLog = new scala.collection.mutable.ArrayBuffer[String]
-        (1 to 14).foreach { _ =>
-          val op = rnd.nextInt(8)
+        (1 to 16).foreach { _ =>
+          val op = rnd.nextInt(10)
           op match {
             case 0 => // overwrite
               model = genRows(rnd, 3 + rnd.nextInt(8))
@@ -62,12 +63,13 @@ class TxTableFuzzSpec extends AnyFunSuite {
               model = model ++ rows
               TxTable.commit(spark, root, toDf(rows), TxTable.Append)
               opsLog += "append"
-            case 2 => // clustered append: same rows, stats recorded
+            case 2 => // clustered append: stats (and sometimes blooms)
               val rows = genRows(rnd, 1 + rnd.nextInt(6))
               model = model ++ rows
               TxTable.commit(spark, root,
                 toDf(rows).repartitionByRange(2, col("k")),
-                TxTable.Append, statsCols = Seq("k"))
+                TxTable.Append, statsCols = Seq("k"),
+                bloomCols = if (rnd.nextBoolean()) Seq("v") else Seq.empty)
               opsLog += "appendStats"
             case 3 | 4 => // keyed merge — both code paths, same semantics
               val upd = genRows(rnd, 1 + rnd.nextInt(4))
@@ -106,9 +108,25 @@ class TxTableFuzzSpec extends AnyFunSuite {
               val keep = 1 + rnd.nextInt(3)
               TxTable.vacuum(root, keepVersions = keep)
               opsLog += s"vacuum($keep)"
+            case 8 => // MoR deleteWhere on the VALUE column (nulls in k
+              // are irrelevant to a v predicate; deleting every row is
+              // legal for MoR — the files stay, all positions DV out)
+              val lo = rnd.nextInt(900).toLong
+              val hi = lo + rnd.nextInt(300).toLong
+              model = model.filterNot(r => r._2 >= lo && r._2 <= hi)
+              TxTable.deleteWhere(spark, root,
+                col("v") >= lo && col("v") <= hi)
+              opsLog += s"deleteWhere[$lo,$hi]"
+            case 9 => // purge: materializes DVs, content unchanged
+              if (model.nonEmpty) { // purge refuses to empty a table
+                TxTable.purgeDeletes(spark, root)
+                opsLog += "purge"
+              }
           }
-          if (op != 7) // every non-vacuum op published a version
-            history += (TxTable.currentVersion(root).get -> model)
+          // record whatever version is now current against the model —
+          // ops that no-op'd (empty delete match, DV-free purge) left
+          // both unchanged, so the entry is idempotent
+          history += (TxTable.currentVersion(root).get -> model)
           val ctx = s"trial $trial after ${opsLog.mkString(" → ")}"
           assert(readSorted(root) == model.sorted, ctx)
           // retained versions still read as the state they published
