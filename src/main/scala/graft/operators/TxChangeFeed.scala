@@ -68,7 +68,8 @@ object TxChangeFeed {
     val snap = TxTable.snapshotAt(root, v)
     val parent = if (v == 0) None else Some(TxTable.snapshotAt(root, v - 1))
     snap.op match {
-      case Some("optimize") | Some("purge") | Some("add_check") => None
+      case Some("optimize") | Some("purge") | Some("add_check") |
+           Some("compact") => None
       case Some("append") =>
         val base = parent.map(_.files.toSet).getOrElse(Set.empty)
         val added = snap.files.filterNot(base.contains)

@@ -513,10 +513,53 @@ object TxMaint {
       |    AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  // Targeted small-file compaction: the q172 CDC publish leaves 8
+  // one-file-per-batch appends plus one PRE-COMPACTED large generation
+  // (an Overwrite-sized file committed first and carried through every
+  // append). compactSmall re-bins ONLY the small CDC tail — the large
+  // file is carried into the child manifest untouched (TxCompactSpec
+  // counts it; Delta's OPTIMIZE policy, where q164's whole-table rewrite
+  // is the blunt form) — and the head equals plain SQL over orders. At
+  // 100 TB this is "compact the day's small-file tail in O(tail)",
+  // never touching compacted history.
+  def q183TxCompactSmall(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txcompact_")
+    val root = s"$tmp/orders_tail"
+    val base = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    // one large generation: 3/4 of orders in a single file
+    TxTable.commit(s, root,
+      base.filter(col("o_orderkey") % 4 =!= 0).repartition(1),
+      TxTable.Overwrite)
+    // small CDC tail: the remaining 1/4 in 8 per-batch files
+    (0L until 8L).foreach { k =>
+      TxTable.commit(s, root,
+        base.filter(col("o_orderkey") % 4 === 0 &&
+          col("o_orderkey") % 8000 >= k * 1000 &&
+          col("o_orderkey") % 8000 < (k + 1) * 1000),
+        TxTable.Append, txn = Some(("tail", k)))
+    }
+    TxTable.compactSmall(s, root, minBytes = 256 << 10)
+    val out = TxTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"))
+        .as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q183Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
     "q178_tx_bloom_lookup" -> (q178TxBloomLookup _),
     "q180_tx_constraints" -> (q180TxConstraints _),
+    "q183_tx_compact_small" -> (q183TxCompactSmall _),
     "q163_tx_merge_pruned" -> (q163TxMergePruned _),
     "q164_tx_optimize" -> (q164TxOptimize _),
     "q166_tx_schema_evolution" -> (q166TxSchemaEvolution _),
@@ -531,6 +574,7 @@ object TxMaint {
     "q177_tx_delete_mor" -> q177Sql,
     "q178_tx_bloom_lookup" -> q178Sql,
     "q180_tx_constraints" -> q180Sql,
+    "q183_tx_compact_small" -> q183Sql,
     "q163_tx_merge_pruned" -> q163Sql,
     "q164_tx_optimize" -> q164Sql,
     "q166_tx_schema_evolution" -> q166Sql,

@@ -1327,6 +1327,66 @@ object TxTable {
     committed
   }
 
+  /** Targeted small-file compaction — Delta's OPTIMIZE semantics, which
+    * [[optimize]]'s whole-table rewrite is not: only files BELOW
+    * `minBytes` are read and re-binned into ~`targetBytes` files; every
+    * file already at a healthy size is carried forward untouched (stats,
+    * blooms, rows lines preserved). This is the policy that matters for
+    * a CDC-append table at 100 TB: the daily small-file tail compacts in
+    * O(tail), the petabytes of already-compacted history are never
+    * touched. Files with deletion vectors are included regardless of
+    * size (compaction doubles as purge for them); content is identical
+    * by construction. No-op at the head version when nothing qualifies.
+    */
+  def compactSmall(s: SparkSession, root: String,
+      minBytes: Long, targetBytes: Long = 128L << 20): Long = {
+    require(minBytes > 0 && targetBytes > 0, "positive byte thresholds")
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to compact"))
+      val sized = parent.files.map(f =>
+        f -> Files.size(Paths.get(root, f)))
+      val small = sized.collect {
+        case (f, sz) if sz < minBytes || parent.dvs.contains(f) => f
+      }
+      if (small.size < 2 && !small.exists(parent.dvs.contains))
+        return parent.version // nothing worth rewriting
+      val smallSet = small.toSet
+      val smallBytes = sized.collect {
+        case (f, sz) if smallSet.contains(f) => sz }.sum
+      val bins = math.max(1, math.ceil(
+        smallBytes.toDouble / targetBytes).toInt)
+      val compacted = readFilesWithDvs(s, root, parent, small)
+      // keep the skippable layout: re-cluster on the parent's first stat
+      // column when one exists (same policy as purgeDeletes)
+      val cols = statCols(Some(parent), "").filter(_.nonEmpty)
+      val clustered = cols.headOption match {
+        case Some(c) => compacted.repartitionByRange(bins, col(c))
+        case None => compacted.repartition(bins)
+      }
+      val writtenAll = writeData(s, root, clustered)
+      val writtenRows = fileRows(s, root, writtenAll)
+      val written = writtenAll.filter(f => writtenRows(f) > 0L)
+      val keep = parent.files.filterNot(smallSet.contains)
+      if (keep.isEmpty && written.isEmpty) throw new java.io.IOException(
+        s"compactSmall would empty txtable $root — use an explicit " +
+          "overwrite commit to express truncation")
+      val keepSet = keep.toSet
+      val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
+        (if (cols.isEmpty) Map.empty else footerStats(s, root, written, cols))
+      val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
+        .toMap ++ writtenRows.view.filterKeys(written.contains).toMap
+      if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
+          stats, schema = parent.schema, rowCounts = rows,
+          dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
+          blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
+          checks = parent.checks, op = "compact"))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** Z-order clustered commit: range-cluster on the 2-D Morton interleave
     * of `(xCol, yCol)` (the [[graft.functions.matching.zorder16]] codegen
     * expression — q110's layout lever, here driving the TRANSACTIONAL
