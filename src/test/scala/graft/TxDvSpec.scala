@@ -160,6 +160,49 @@ class TxDvSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteWhere racing concurrent appends: claim-retry serializes, " +
+      "no lost append, no resurrected row, versions dense") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root)
+      val threads = (1 to 3).map { i =>
+        new Thread(() => {
+          TxTable.commit(spark, root,
+            Seq((100L + i, s"a$i", 9)).toDF("id", "s", "grp"),
+            TxTable.Append)
+        })
+      } :+ new Thread(() => {
+        TxTable.deleteWhere(spark, root, col("id") <= 10L)
+        ()
+      })
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(TxTable.versions(root) == (0L to 4L))
+      // appended ids don't match the predicate, so every serialization
+      // yields the same final content
+      assert(ids(root) == ((11L to 40L).toSet ++ Set(101L, 102L, 103L)))
+    }
+  }
+
+  test("two racing overlapping deleteWhere commits keep dv counts " +
+      "disjoint (history live-rows stay exact)") {
+    withRoot { root =>
+      seed(root)
+      val ts = Seq(
+        new Thread(() => { TxTable.deleteWhere(spark, root,
+          col("id") <= 20L); () }),
+        new Thread(() => { TxTable.deleteWhere(spark, root,
+          col("id").between(11L, 30L)); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(ids(root) == (31L to 40L).toSet)
+      val snap = TxTable.currentSnapshot(root).get
+      // 30 rows deleted once each, never double-recorded
+      assert(snap.dvs.values.flatten.map(_._2).sum == 30L)
+      val h = TxTable.history(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(h(2L) == 10L)
+    }
+  }
+
   test("append after a MoR delete carries the parent's DVs forward") {
     import spark.implicits._
     withRoot { root =>
