@@ -16,7 +16,14 @@ import graft.operators.TxTable
   *   - snapshot parse time (read side of the same O(F) list);
   *   - prunedFiles evaluation (driver-side stat scan, O(F));
   *   - a narrow mergeByKeyPruned (prune O(F) + rewrite O(touched));
-  *   - a contained-range deleteRange (metadata-only drops).
+  *   - a contained-range deleteRange (metadata-only drops);
+  *   - a range-pruned MoR deleteWhere (position scan of ~1 file + a
+  *     kilobyte DV write + manifest, at any F);
+  *   - a bloom-bearing append (build cost: one pass over the NEW files
+  *     only) and a point-lookup probe across all F files (driver-side
+  *     O(F) bitset tests);
+  *   - change-feed planning+read for the head version (O(delta) by
+  *     construction — the manifest names the added files).
   *
   * Numbers land in SCALE.md's manifest-size → commit-cost curve; the
   * documented Iceberg manifest-tree follow-up only matters if this curve
@@ -75,9 +82,30 @@ object TxScaleLab {
       val dLo = nextKey - 80.0
       val (_, deleteS) = timed(
         TxTable.deleteRange(spark, root, "k", dLo, dLo + 29.0))
+      // r12 surfaces at this head size:
+      // MoR delete pruned to one file's key range
+      val (_, morS) = timed(TxTable.deleteWhere(spark, root,
+        col("k") === (nextKey - 100L),
+        prune = Seq(("k", nextKey - 100.0, nextKey - 100.0))))
+      // bloom-bearing append (build over the NEW files only), then a
+      // point probe across every file in the manifest
+      val bdf = spark.range(nextKey, nextKey + 100L)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(10, col("k"))
+      nextKey += 100L
+      val (_, bloomS) = timed(TxTable.commit(spark, root, bdf,
+        TxTable.Append, statsCols = Seq("k"), bloomCols = Seq("v")))
+      val (survivors, probeS) = timed(
+        TxTable.prunedFilesIn(root, "v", Seq(3L)))
+      val head = TxTable.currentVersion(root).get
+      val (nFeed, feedS) = timed(graft.operators.TxChangeFeed
+        .readChangeFeed(spark, root, head - 1, head, "k").count())
       println(f"${snap.files.size}%8d $appendS%9.3f $parseS%9.3f " +
         f"$pruneS%9.3f $mergeS%9.3f $deleteS%9.3f $touched%8d " +
         f"(pruned ${pruned.size})")
+      println(f"${"  +r12:"}%8s mor=$morS%.3f bloom_append=$bloomS%.3f " +
+        f"probe=$probeS%.3f (survive ${survivors.size}) " +
+        f"feed=$feedS%.3f (rows $nFeed)")
     }
     graft.streaming.Replay.deleteRecursively(tmp)
     spark.stop()
