@@ -64,6 +64,20 @@ object TxTable {
   private val BloomPrefix = "bloom "
   private val CheckPrefix = "check "
   private val OpPrefix = "op "
+  private val FormatPrefix = "format "
+
+  /** Highest manifest format this reader understands. Format 1 = files +
+    * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines.
+    * A manifest declaring a HIGHER format fails loudly — without the
+    * check, a newer writer's unknown line types would fall through to
+    * the file list and a v1-era reader would try to open them as parquet
+    * paths (the silent-garbage failure protocol versioning exists to
+    * prevent; Delta's minReaderVersion). Strict line validation backs it
+    * up: every non-prefixed line must be a `data/` path, so even a
+    * same-format manifest with an unrecognized line type is rejected as
+    * corrupt rather than misread.
+    */
+  private val SupportedFormat = 2
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -176,11 +190,23 @@ object TxTable {
           java.nio.charset.StandardCharsets.UTF_8)
       }
       val op = body.find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix))
+      val format = body.find(_.startsWith(FormatPrefix))
+        .map(_.stripPrefix(FormatPrefix).toInt).getOrElse(1)
+      if (format > SupportedFormat) throw new java.io.IOException(
+        s"txtable manifest $p declares format $format but this reader " +
+          s"supports <= $SupportedFormat — refusing to misread a newer " +
+          "writer's table (upgrade the reader)")
       val files = body.filterNot(l =>
         l.startsWith(TxnPrefix) || l.startsWith(StatPrefix) ||
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
           l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
-          l.startsWith(CheckPrefix) || l.startsWith(OpPrefix))
+          l.startsWith(CheckPrefix) || l.startsWith(OpPrefix) ||
+          l.startsWith(FormatPrefix))
+      files.find(f => !f.startsWith("data/")).foreach(bad =>
+        throw new java.io.IOException(
+          s"txtable manifest $p holds an unrecognized line '$bad' — " +
+            "not a known metadata type and not a data/ path; refusing " +
+            "to misread it as a file"))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
         checks, op)
     } else throw new java.io.IOException(
@@ -666,9 +692,12 @@ object TxTable {
         sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
     }
     val opLine = Seq(s"$OpPrefix$op")
+    // every current manifest carries format-2 line types (op at minimum),
+    // so declare 2; pre-format manifests parse as 1 on the read side
+    val fmtLine = Seq(s"$FormatPrefix$SupportedFormat")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (schemaLines ++ txnLines ++ statLines ++ rowLines ++
-        dvLines ++ bloomLines ++ checkLines ++ opLine ++
+      (Header +: (fmtLine ++ schemaLines ++ txnLines ++ statLines ++
+        rowLines ++ dvLines ++ bloomLines ++ checkLines ++ opLine ++
         files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {

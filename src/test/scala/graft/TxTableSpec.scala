@@ -115,6 +115,33 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("protocol versioning: a newer-format manifest is refused, an " +
+      "unrecognized line type is never misread as a file path, and " +
+      "pre-format manifests still parse") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      val rel = TxTable.currentSnapshot(root).get.files.head
+      // a hypothetical format-3 writer's manifest: reader must refuse
+      Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
+        java.util.Arrays.asList("graft-txtable-v1", "format 3",
+          "futurefeature xyz", rel, "COMMIT"))
+      val ex = intercept[java.io.IOException](TxTable.read(spark, root))
+      assert(ex.getMessage.contains("format 3"))
+      // same unknown line WITHOUT the format bump: rejected as corrupt,
+      // not opened as a parquet path
+      Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
+        java.util.Arrays.asList("graft-txtable-v1", "format 2",
+          "futurefeature xyz", rel, "COMMIT"))
+      val ex2 = intercept[java.io.IOException](TxTable.read(spark, root))
+      assert(ex2.getMessage.contains("unrecognized line"))
+      // a pre-format (round-11-era) manifest: no format line, parses as 1
+      Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
+        java.util.Arrays.asList("graft-txtable-v1", rel, "COMMIT"))
+      assert(TxTable.read(spark, root).count() == 1L)
+    }
+  }
+
   test("concurrent append committers all land; no lost update") {
     import spark.implicits._
     withRoot { root =>
