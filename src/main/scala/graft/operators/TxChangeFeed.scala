@@ -135,18 +135,32 @@ object TxChangeFeed {
       case (o, n) => o.orElse(n).get.columns.toSeq
     }
     val proj = cols.map(col)
-    val (pre, post) = (oldDf, newDf) match {
+    // carryover elimination in ONE aggregate: per identical full row,
+    // count pre/post occurrences; the net difference survives on the
+    // majority side, replicated back to rows (exactly what two
+    // exceptAll calls compute, at half the shuffled volume — each
+    // exceptAll is itself a count-aggregate + replicate underneath)
+    val tagged = (oldDf, newDf) match {
       case (Some(o), Some(n)) =>
-        val (os, ns) = (o.select(proj: _*), n.select(proj: _*))
-        (os.exceptAll(ns), ns.exceptAll(os))
-      case (Some(o), None) => (o.select(proj: _*),
-        o.select(proj: _*).limit(0))
-      case (None, Some(n)) => (n.select(proj: _*).limit(0),
-        n.select(proj: _*))
+        val u = o.select(proj: _*).withColumn("__side", lit("pre"))
+          .unionByName(n.select(proj: _*).withColumn("__side", lit("post")))
+        val counted = u.groupBy(proj: _*).agg(
+          sum(when(col("__side") === "pre", 1L).otherwise(0L)).as("__npre"),
+          sum(when(col("__side") === "post", 1L).otherwise(0L)).as("__npost"))
+        val net = counted
+          .withColumn("__n", abs(col("__npre") - col("__npost")))
+          .filter(col("__n") > 0)
+          .withColumn("__side",
+            when(col("__npre") > col("__npost"), "pre").otherwise("post"))
+        net.withColumn("__rep",
+            explode_outer(sequence(lit(1L), col("__n"))))
+          .select(proj :+ col("__side"): _*)
+      case (Some(o), None) =>
+        o.select(proj: _*).withColumn("__side", lit("pre"))
+      case (None, Some(n)) =>
+        n.select(proj: _*).withColumn("__side", lit("post"))
       case _ => return None
     }
-    val tagged = pre.withColumn("__side", lit("pre"))
-      .unionByName(post.withColumn("__side", lit("post")))
     val w = Window.partitionBy(keyCol)
     val hasPre = max(when(col("__side") === "pre", 1).otherwise(0)).over(w)
     val hasPost = max(when(col("__side") === "post", 1).otherwise(0)).over(w)
