@@ -790,11 +790,21 @@ object TxTable {
         case Append => parent.map(_.blooms).getOrElse(Map.empty)
       }) ++ newBlooms
       // CHECK constraints are table-level metadata: they survive a data
-      // Overwrite, and the NEW files must satisfy them before publish
+      // Overwrite, and the NEW files must satisfy them before publish.
+      // Validate against the MERGED schema: an additive-evolution append
+      // missing a checked column reads as NULL everywhere, and NULL
+      // passes — aligning here keeps enforcement consistent with what
+      // readers will see (instead of an unresolved-column crash)
       val checks = parent.map(_.checks).getOrElse(Seq.empty)
-      if (checks.nonEmpty)
-        validateChecks(s.read.option("mergeSchema", "true")
-          .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
+      if (checks.nonEmpty) {
+        val raw = s.read.option("mergeSchema", "true")
+          .parquet(dataFiles.map(f => s"$root/$f"): _*)
+        val aligned = schema.fields.foldLeft(raw)((d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+        validateChecks(aligned, checks)
+      }
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
           blooms, checks,
           op = mode match { case Overwrite => "overwrite"

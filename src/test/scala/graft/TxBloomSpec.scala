@@ -66,6 +66,25 @@ class TxBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("null values in the bloom column: nulls never block pruning, " +
+      "an all-null file gets no bloom and always survives, lookups " +
+      "stay complete") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        ((1 to 100).map(i => (i.toLong, Some(i.toLong % 10), s"s$i")) ++
+          (101 to 120).map(i => (i.toLong, None: Option[Long], s"n$i")))
+          .toDF("id", "probe", "s"),
+        clusterBy = Some("id"), bloomCols = Seq("probe"))
+      val snap = TxTable.currentSnapshot(root).get
+      // the id-clustered tail file holds only null probes -> no bloom
+      assert(snap.blooms.size < snap.files.size)
+      val got = TxTable.readPrunedIn(spark, root, "probe", Seq(7L))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == (1 to 100).filter(_ % 10 == 7).map(_.toLong).toSet)
+    }
+  }
+
   test("a column without blooms never prunes; absent values read empty") {
     withRoot { root =>
       seed(root)

@@ -84,6 +84,23 @@ class TxCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("an additive-evolution append missing the checked column passes " +
+      "(reads as NULL everywhere) instead of crashing unresolved; one " +
+      "carrying a violating value still aborts") {
+    import spark.implicits._
+    withRoot { root =>
+      seed(root)
+      TxTable.addCheck(spark, root, "amount_pos", "amount > 0")
+      // narrower batch: no amount column at all -> NULL under mergeSchema
+      TxTable.commit(spark, root, Seq((99L, "note")).toDF("id", "tag"),
+        TxTable.Append)
+      assert(TxTable.read(spark, root).filter(col("id") === 99L)
+        .select("amount").head().isNullAt(0))
+      intercept[IllegalArgumentException](TxTable.commit(spark, root,
+        Seq((100L, -3L, "x")).toDF("id", "amount", "tag"), TxTable.Append))
+    }
+  }
+
   test("NULL check values pass (SQL standard); maintenance carries " +
       "constraints through delete/optimize/purge") {
     import spark.implicits._
