@@ -195,13 +195,76 @@ object Advanced9 {
       |ORDER BY g_prio, g_status,
       |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  // Benchmark decontamination — the standard pre-training hygiene step
+  // (GPT-3 appendix C / PaLM §7 style): flag corpus documents sharing
+  // any word n-gram with an evaluation ("benchmark") set, here the
+  // deterministic doc_id % 50 == 0 slice. Output: one row per
+  // contaminated corpus doc with its distinct shared-gram count.
+  // Production pipelines use 13-grams; this corpus' small vocabulary
+  // makes 3 the equivalent selectivity (5-grams flag 1 doc at sf0.01,
+  // 3-grams 257 of 490 — measured in DuckDB before picking, per the
+  // shingle-rarity rule).
+  //
+  // Scale posture: an eval suite is thousands of documents against a
+  // corpus of billions, so the benchmark gram set is DISTINCT'd and
+  // BROADCAST — the corpus side never shuffles its grams: tokenize +
+  // explode stay map-local, the broadcast hash semi-probe drops
+  // non-matching grams in place, and the only exchange is the final
+  // partial-agg on doc_id over the (rare) surviving rows. No
+  // corpus-vs-corpus or corpus-gram shuffle at any width.
+  def q184Decontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.text
+    // two independent reads (self-join ambiguity rule)
+    val bench = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      // explode_outer: a plain explode of a computed array clones the
+      // whole ngram expression into an inferred size() pre-filter
+      .select(explode_outer(text.word_ngrams(col("text"), 3)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .distinct()
+    val corpus = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        explode_outer(text.word_ngrams(col("text"), 3)).as("gram"))
+      .filter(col("gram").isNotNull)
+    // word_ngrams is distinct per doc and bench is distinct, so the
+    // inner-join row count per doc IS the distinct shared-gram count
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val q184Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+      |           toks[i + 2])) AS grams
+      |  FROM tok WHERE len(toks) >= 3),
+      |bench AS (
+      |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+      |corpus AS (
+      |  SELECT doc_id, source, unnest(grams) AS gram
+      |  FROM g WHERE doc_id % 50 <> 0)
+      |SELECT c.doc_id, c.source, COUNT(*) AS n_shared_grams
+      |FROM corpus c JOIN bench b USING (gram)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_repetition_profile" -> (q170RepetitionProfile _),
     "q175_triangle_count" -> (q175TriangleCount _),
-    "q176_grouping_sets" -> (q176GroupingSets _))
+    "q176_grouping_sets" -> (q176GroupingSets _),
+    "q184_decontaminate" -> (q184Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q170_repetition_profile" -> q170Sql,
     "q175_triangle_count" -> q175Sql,
-    "q176_grouping_sets" -> q176Sql)
+    "q176_grouping_sets" -> q176Sql,
+    "q184_decontaminate" -> q184Sql)
 }
