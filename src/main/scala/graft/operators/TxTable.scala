@@ -64,10 +64,15 @@ object TxTable {
   private val BloomPrefix = "bloom "
   private val CheckPrefix = "check "
   private val OpPrefix = "op "
+  private val PartPrefix = "part "
   private val FormatPrefix = "format "
 
   /** Highest manifest format this reader understands. Format 1 = files +
-    * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines.
+    * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
+    * format 3 adds part lines (per-file partition values). A manifest
+    * declares the LOWEST format that expresses its features (Delta's
+    * protocol-version ratchet): partition-free tables stay format 2 and
+    * remain readable by a format-2-era reader.
     * A manifest declaring a HIGHER format fails loudly — without the
     * check, a newer writer's unknown line types would fall through to
     * the file list and a v1-era reader would try to open them as parquet
@@ -77,7 +82,7 @@ object TxTable {
     * same-format manifest with an unrecognized line type is rejected as
     * corrupt rather than misread.
     */
-  private val SupportedFormat = 2
+  private val SupportedFormat = 3
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -134,6 +139,19 @@ object TxTable {
     * build and probe), and [[readPrunedIn]] re-applies the exact IN
     * filter regardless.
     */
+  /** `parts` maps a data file to its PARTITION VALUES ((column, value)
+    * pairs; None = the hive null sentinel) — Iceberg-style partitioning:
+    * the values live in the MANIFEST, not in reader-visible paths, and
+    * the partition column stays present in the data files, so every
+    * read seam (DV anti-join, maintenance rewrite inputs, time travel)
+    * works unchanged and pruning is a pure metadata filter
+    * ([[partPrunedFiles]]). Files without a part line for a column are
+    * never pruned on it; [[readPartitionPruned]] re-applies the exact
+    * predicate, so like stats, parts only ever remove provably-dead
+    * I/O. Maintenance rewrites DROP part lines for files they rewrite
+    * (a rewritten file may mix partitions) — pruning degrades, never
+    * lies.
+    */
   /** `checks` are table-level CHECK constraints (name, boolean SQL
     * expression): commit-time enforced — a write whose rows violate any
     * check fails BEFORE its manifest publishes (the files orphan for
@@ -149,11 +167,31 @@ object TxTable {
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
       checks: Seq[(String, String)] = Seq.empty,
-      op: Option[String] = None)
+      op: Option[String] = None,
+      parts: Map[String, Seq[(String, Option[String])]] = Map.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
     manifestDir(root).resolve(f"v$v%09d.txt")
+
+  /** Split a per-file metadata line into (path, trailing fields): the
+    * path leads and may contain SPACES (hive partition segments do not
+    * escape them), so the `n` space-free fields are peeled from the
+    * RIGHT and the remainder — whatever it holds — is the path.
+    */
+  private def splitPathLine(l: String, n: Int): (String, Array[String]) = {
+    var rest = l
+    val fields = new Array[String](n)
+    var i = n - 1
+    while (i >= 0) {
+      val cut = rest.lastIndexOf(' ')
+      require(cut > 0, s"malformed manifest line '$l'")
+      fields(i) = rest.substring(cut + 1)
+      rest = rest.substring(0, cut)
+      i -= 1
+    }
+    (rest, fields)
+  }
 
   private def parseManifest(p: JPath, v: Long): Snapshot = {
     val lines = scala.jdk.CollectionConverters
@@ -165,7 +203,8 @@ object TxTable {
         app -> bid.toLong
       }.toMap
       val stats = body.filter(_.startsWith(StatPrefix)).map { l =>
-        val Array(path, c, mn, mx, nn) = l.stripPrefix(StatPrefix).split(' ')
+        val (path, Array(c, mn, mx, nn)) =
+          splitPathLine(l.stripPrefix(StatPrefix), 4)
         (path, (c, mn.toDouble, mx.toDouble, nn.toLong))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val schema = body.find(_.startsWith(SchemaPrefix))
@@ -173,15 +212,16 @@ object TxTable {
           .fromJson(l.stripPrefix(SchemaPrefix))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       val rowCounts = body.filter(_.startsWith(RowsPrefix)).map { l =>
-        val Array(path, n) = l.stripPrefix(RowsPrefix).split(' ')
+        val (path, Array(n)) = splitPathLine(l.stripPrefix(RowsPrefix), 1)
         path -> n.toLong
       }.toMap
       val dvs = body.filter(_.startsWith(DvPrefix)).map { l =>
-        val Array(path, dvf, n) = l.stripPrefix(DvPrefix).split(' ')
+        val (path, Array(dvf, n)) = splitPathLine(l.stripPrefix(DvPrefix), 2)
         (path, (dvf, n.toLong))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val blooms = body.filter(_.startsWith(BloomPrefix)).map { l =>
-        val Array(path, c, m, k, bits) = l.stripPrefix(BloomPrefix).split(' ')
+        val (path, Array(c, m, k, bits)) =
+          splitPathLine(l.stripPrefix(BloomPrefix), 4)
         (path, (c, m.toInt, k.toInt, bits))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val checks = body.filter(_.startsWith(CheckPrefix)).map { l =>
@@ -190,6 +230,12 @@ object TxTable {
           java.nio.charset.StandardCharsets.UTF_8)
       }
       val op = body.find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix))
+      val parts = body.filter(_.startsWith(PartPrefix)).map { l =>
+        val (path, Array(c, v64)) = splitPathLine(l.stripPrefix(PartPrefix), 2)
+        (path, (c, if (v64 == "-") None
+          else Some(new String(java.util.Base64.getDecoder.decode(v64),
+            java.nio.charset.StandardCharsets.UTF_8))))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val format = body.find(_.startsWith(FormatPrefix))
         .map(_.stripPrefix(FormatPrefix).toInt).getOrElse(1)
       if (format > SupportedFormat) throw new java.io.IOException(
@@ -201,14 +247,14 @@ object TxTable {
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
           l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
           l.startsWith(CheckPrefix) || l.startsWith(OpPrefix) ||
-          l.startsWith(FormatPrefix))
+          l.startsWith(PartPrefix) || l.startsWith(FormatPrefix))
       files.find(f => !f.startsWith("data/")).foreach(bad =>
         throw new java.io.IOException(
           s"txtable manifest $p holds an unrecognized line '$bad' — " +
             "not a known metadata type and not a data/ path; refusing " +
             "to misread it as a file"))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
-        checks, op)
+        checks, op, parts)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -380,6 +426,62 @@ object TxTable {
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     finally st.close()
+  }
+
+  /** Inverse of Spark's hive path-segment escaping: %XX byte sequences
+    * decode as UTF-8. Values without escapes pass through unchanged.
+    */
+  private def unescapePathName(esc: String): String = {
+    if (!esc.contains('%')) esc
+    else {
+      val bytes = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < esc.length) {
+        val ch = esc.charAt(i)
+        if (ch == '%' && i + 2 < esc.length) {
+          bytes.write(Integer.parseInt(esc.substring(i + 1, i + 3), 16))
+          i += 3
+        } else { // non-escape chars: write their UTF-8 bytes
+          bytes.write(ch.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+      }
+      new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Write `df` hive-partitioned on `partCol` through a DUPLICATE tag
+    * column (Spark's dynamic-partition writer removes the partitioning
+    * column from the data files — tagging a copy keeps the original
+    * column reader-visible, so partitioned and unpartitioned files have
+    * identical schemas and every read seam works unchanged). One write
+    * job regardless of partition count; returns each leaf file with its
+    * decoded partition value (None = hive null sentinel). Invisible
+    * until a manifest references them.
+    */
+  private def writeDataPartitioned(s: SparkSession, root: String,
+      df: DataFrame, partCol: String): Seq[(String, Option[String])] = {
+    val tag = "__graft_part"
+    val rel = s"data/w-${java.util.UUID.randomUUID()}"
+    df.withColumn(tag, col(partCol))
+      .write.partitionBy(tag).parquet(s"$root/$rel")
+    val walk = Files.walk(Paths.get(root, rel))
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+      .asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val seg = p.getParent.getFileName.toString
+        require(seg.startsWith(s"$tag="),
+          s"partitioned write produced unexpected layout: $p")
+        val raw = seg.stripPrefix(s"$tag=")
+        val value =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(unescapePathName(raw))
+        (s"$rel/$seg/${p.getFileName}", value)
+      }.toSeq.sortBy(_._1)
+    finally walk.close()
   }
 
   /** Per-file (min, max, numNulls) of numeric columns from the parquet
@@ -598,7 +700,8 @@ object TxTable {
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = parent.dvs,
           blooms = parent.blooms,
-          checks = parent.checks :+ (name -> exprSql), op = "add_check"))
+          checks = parent.checks :+ (name -> exprSql), op = "add_check",
+          parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -659,7 +762,8 @@ object TxTable {
       dvs: Map[String, Seq[(String, Long)]] = Map.empty,
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
       checks: Seq[(String, String)] = Seq.empty,
-      op: String = "commit")
+      op: String = "commit",
+      parts: Map[String, Seq[(String, Option[String])]] = Map.empty)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -692,13 +796,25 @@ object TxTable {
         sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
     }
     val opLine = Seq(s"$OpPrefix$op")
-    // every current manifest carries format-2 line types (op at minimum),
-    // so declare 2; pre-format manifests parse as 1 on the read side
-    val fmtLine = Seq(s"$FormatPrefix$SupportedFormat")
+    val partLines = parts.toSeq.sortBy(_._1).flatMap {
+      case (path, entries) if fileSet.contains(path) =>
+        entries.map { case (c, v) =>
+          val enc = v.map(x => java.util.Base64.getEncoder.encodeToString(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            .getOrElse("-")
+          s"$PartPrefix$path $c $enc" }
+      case _ => Seq.empty
+    }
+    // lowest format expressing this manifest's features (protocol
+    // ratchet): part lines demand 3, everything current carries
+    // format-2 line types (op at minimum); pre-format manifests parse
+    // as 1 on the read side
+    val fmt = if (partLines.nonEmpty) 3 else 2
+    val fmtLine = Seq(s"$FormatPrefix$fmt")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (fmtLine ++ schemaLines ++ txnLines ++ statLines ++
         rowLines ++ dvLines ++ bloomLines ++ checkLines ++ opLine ++
-        files) :+ Footer)).asJava,
+        partLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -731,7 +847,10 @@ object TxTable {
       mode: Mode = Overwrite, txn: Option[(String, Long)] = None,
       clusterBy: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionBy: Option[String] = None): Long = {
+    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      "clusterBy and partitionBy are alternative layouts — pick one")
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
@@ -741,7 +860,15 @@ object TxTable {
       case Some(c) => df.repartitionByRange(8, col(c))
       case None => df
     }
-    val dataFiles = writeData(s, root, clustered)
+    val (dataFiles, newParts) = partitionBy match {
+      case Some(pc) =>
+        val fp = writeDataPartitioned(s, root, df, pc)
+        (fp.map(_._1),
+          fp.map { case (f, v) => f -> Seq((pc, v)) }.toMap)
+      case None =>
+        (writeData(s, root, clustered),
+          Map.empty[String, Seq[(String, Option[String])]])
+    }
     // stats recorded for the clustering column plus any caller-named
     // columns (`statsCols` records footer ranges on the layout AS GIVEN —
     // for pre-partitioned input whose files are already range-tight)
@@ -789,6 +916,10 @@ object TxTable {
         case Overwrite => Map.empty[String, Seq[(String, Int, Int, String)]]
         case Append => parent.map(_.blooms).getOrElse(Map.empty)
       }) ++ newBlooms
+      val parts = (mode match {
+        case Overwrite => Map.empty[String, Seq[(String, Option[String])]]
+        case Append => parent.map(_.parts).getOrElse(Map.empty)
+      }) ++ newParts
       // CHECK constraints are table-level metadata: they survive a data
       // Overwrite, and the NEW files must satisfy them before publish.
       // Validate against the MERGED schema: an additive-evolution append
@@ -808,7 +939,8 @@ object TxTable {
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
           blooms, checks,
           op = mode match { case Overwrite => "overwrite"
-                            case Append => "append" }))
+                            case Append => "append" },
+          parts = parts))
         committed = v
     }
     committed
@@ -892,6 +1024,47 @@ object TxTable {
   def readPruned(s: SparkSession, root: String, colName: String, lo: Double,
       hi: Double): DataFrame =
     readPrunedMulti(s, root, Seq((colName, lo, hi)))
+
+  /** The head's files whose recorded partition value on `colName` is one
+    * of `values` — pure manifest metadata (no footer I/O; skipped files
+    * never reach Spark's scan planning). A file WITHOUT a part line on
+    * the column is kept (a rewritten or unpartitioned file may hold any
+    * values — pruning degrades, never lies); a null partition value
+    * matches only when `includeNull`.
+    */
+  def partPrunedFiles(root: String, colName: String,
+      values: Set[String], includeNull: Boolean = false): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    partPrunedOf(snap, colName, values, includeNull)
+  }
+
+  private def partPrunedOf(snap: Snapshot, colName: String,
+      values: Set[String], includeNull: Boolean): Seq[String] =
+    snap.files.filter { f =>
+      snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+        case Some((_, Some(v))) => values.contains(v)
+        case Some((_, None)) => includeNull
+        case None => true
+      }
+    }
+
+  /** Partition-pruned read: manifest-level file selection on the
+    * recorded partition values, then the exact predicate re-applied —
+    * identical to `read(...).filter(col isin values)` whatever the
+    * part lines say. The hive-partitioning read path, with the values
+    * resolved from ONE snapshot (no prune/read version skew).
+    */
+  def readPartitionPruned(s: SparkSession, root: String, colName: String,
+      values: Seq[String]): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val files = partPrunedOf(snap, colName, values.toSet, includeNull = false)
+    val df =
+      if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
+      else readFilesWithDvs(s, root, snap, files)
+    df.filter(col(colName).isInCollection(values))
+  }
 
   /** Serializable MERGE (update matched by `keys`, insert new): recomputes
     * from the head snapshot and retries whenever another commit wins the
@@ -1036,7 +1209,8 @@ object TxTable {
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
-            .toMap, checks = parent.checks, op = "merge"))
+            .toMap, checks = parent.checks, op = "merge",
+          parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -1135,7 +1309,8 @@ object TxTable {
             .view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.map(_.blooms).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap,
-          checks = checks, op = "merge_additive"))
+          checks = checks, op = "merge_additive",
+          parts = parent.map(_.parts).getOrElse(Map.empty)))
         committed = v
     }
     committed
@@ -1206,7 +1381,8 @@ object TxTable {
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "delete_range"))
+          checks = parent.checks, op = "delete_range",
+          parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -1279,7 +1455,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms,
-          checks = parent.checks, op = "delete_mor"))
+          checks = parent.checks, op = "delete_mor", parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -1326,7 +1502,7 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
           stats, schema = parent.schema, rowCounts = rows,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "purge"))
+          checks = parent.checks, op = "purge", parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -1420,7 +1596,7 @@ object TxTable {
           stats, schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "compact"))
+          checks = parent.checks, op = "compact", parts = parent.parts))
         committed = parent.version + 1
     }
     committed
@@ -1475,6 +1651,39 @@ object TxTable {
     * silent partial result. Operationally: size `keepVersions` (or a
     * time-based policy built on it) to exceed the longest reader.
     */
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION`): republish version
+    * `v`'s content as a NEW head commit — metadata-only, the new
+    * manifest references v's files and carries its stats/dv/bloom/part
+    * lines verbatim; no data moves. The rolled-back versions stay in
+    * history (time-travelable until [[vacuum]]; the restored files are
+    * referenced by the new head, so vacuum retains them even when it
+    * drops the manifest they came from). The table-level metadata that
+    * OUTLIVES data versions is kept from the head, not from v: CHECK
+    * constraints (and they are re-validated against v's rows before
+    * publish — a restore cannot silently break the commit-time-
+    * enforcement induction; one scan, the price of the guarantee) and
+    * the txn high-water map (a restore must not reset streaming
+    * idempotence — a replayed batch would double-apply).
+    */
+  def restore(s: SparkSession, root: String, v: Long): Long = {
+    val target = snapshotAt(root, v)
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(s"txtable $root has no head to restore"))
+      if (parent.checks.nonEmpty)
+        validateChecks(readFilesWithDvs(s, root, target, target.files),
+          parent.checks)
+      if (tryPublish(root, parent.version + 1, target.files, parent.txns,
+          target.stats, schema = target.schema,
+          rowCounts = target.rowCounts, dvs = target.dvs,
+          blooms = target.blooms, checks = parent.checks,
+          op = s"restore:$v", parts = target.parts))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   def vacuum(root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must retain at least the current version")
     val vs = versions(root)
@@ -1493,19 +1702,25 @@ object TxTable {
         try scala.jdk.CollectionConverters.IteratorHasAsScala(dirs.iterator())
           .asScala.filter(Files.isDirectory(_)).toSeq
         finally dirs.close()
+      // liveness by write-dir segment: partitioned writes nest leaves
+      // one hive level down (data/w-*/__gp=v/f.parquet), so a direct-
+      // child check would misclassify a live partitioned dir as dead
+      val liveTop = referenced.map(_.split('/')(1))
       wDirs.foreach { d =>
-        val files = Files.list(d)
-        val names =
-          try scala.jdk.CollectionConverters
-            .IteratorHasAsScala(files.iterator()).asScala
-            .map(_.getFileName.toString).toSeq
-          finally files.close()
-        val rel = s"data/${d.getFileName}"
-        val live = names.exists(n => referenced.contains(s"$rel/$n"))
-        if (!live) graft.streaming.Replay.deleteRecursively(d)
-        else names.filter(n => n.endsWith(".parquet") &&
-            !referenced.contains(s"$rel/$n"))
-          .foreach(n => Files.deleteIfExists(d.resolve(n)))
+        if (!liveTop.contains(d.getFileName.toString))
+          graft.streaming.Replay.deleteRecursively(d)
+        else {
+          val walk = Files.walk(d)
+          val leaves =
+            try scala.jdk.CollectionConverters
+              .IteratorHasAsScala(walk.iterator()).asScala
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .toSeq
+            finally walk.close()
+          leaves.filter(p =>
+              !referenced.contains(s"data/${dataRoot.relativize(p)}"))
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
   }
@@ -1677,15 +1892,85 @@ object TxTable {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hive-partitioned table: documents published partitioned by `lang`
+    * (the language-sharded corpus layout every training pipeline uses),
+    * a second batch APPENDED partitioned the same way (part lines
+    * merge), then a two-language aggregate over
+    * [[readPartitionPruned]] — manifest-level file selection with the
+    * exact predicate re-applied (TxTableSpec proves the pruning; the
+    * oracle proves the answer is exactly the plain filter's).
+    */
+  def q185TxPartition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txpart_")
+    val root = s"$tmp/docs_by_lang"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    commit(s, root,
+      graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(cols.map(col): _*),
+      Overwrite, partitionBy = Some("lang"))
+    commit(s, root,
+      graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(cols.map(col): _*),
+      Append, partitionBy = Some("lang"))
+    val out = readPartitionPruned(s, root, "lang", Seq("en", "fr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+    offTemp(out, tmp)
+  }
+
+  val q185Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RESTORE demo: a good publish, a bad pipeline run that OVERWRITES
+    * the table with a sliver, [[restore]] back to the good version
+    * (metadata-only — no data copied), then the pipeline continues with
+    * an append on top of the restored head. The final table is exactly
+    * good-batch + appended-batch: the bad version left history but
+    * never leaked into the lineage.
+    */
+  def q186TxRestore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txrestore_")
+    val root = s"$tmp/orders_restore"
+    val cols = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    def orders = graft.Tables.orders(s, d).select(cols.map(col): _*)
+    commit(s, root, orders.filter(col("o_orderkey") % 4 =!= 0), Overwrite)
+    // bad run: replaces the table with a sliver
+    commit(s, root, orders.filter(col("o_orderkey") % 16 === 1), Overwrite)
+    restore(s, root, 0L)
+    commit(s, root, orders.filter(col("o_orderkey") % 4 === 0), Append)
+    val out = read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q186Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_tx_publish" -> (q159TxPublish _),
     "q160_tx_timetravel" -> (q160TxTimetravel _),
     "q161_stream_tx" -> (q161StreamTxPublish _),
-    "q162_tx_dataskip" -> (q162TxDataskip _))
+    "q162_tx_dataskip" -> (q162TxDataskip _),
+    "q185_tx_partition" -> (q185TxPartition _),
+    "q186_tx_restore" -> (q186TxRestore _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
     "q160_tx_timetravel" -> q160Sql,
     "q161_stream_tx" -> q161Sql,
-    "q162_tx_dataskip" -> q162Sql)
+    "q162_tx_dataskip" -> q162Sql,
+    "q185_tx_partition" -> q185Sql,
+    "q186_tx_restore" -> q186Sql)
 }

@@ -122,12 +122,12 @@ class TxTableSpec extends AnyFunSuite {
     withRoot { root =>
       TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
       val rel = TxTable.currentSnapshot(root).get.files.head
-      // a hypothetical format-3 writer's manifest: reader must refuse
+      // a hypothetical format-4 writer's manifest: reader must refuse
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
-        java.util.Arrays.asList("graft-txtable-v1", "format 3",
+        java.util.Arrays.asList("graft-txtable-v1", "format 4",
           "futurefeature xyz", rel, "COMMIT"))
       val ex = intercept[java.io.IOException](TxTable.read(spark, root))
-      assert(ex.getMessage.contains("format 3"))
+      assert(ex.getMessage.contains("format 4"))
       // same unknown line WITHOUT the format bump: rejected as corrupt,
       // not opened as a parquet path
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
@@ -665,6 +665,130 @@ class TxTableSpec extends AnyFunSuite {
       // serializable: the loser recomputed on the winner's output, so
       // BOTH updates are in the final head regardless of commit order
       assert(rows(root) == Set((1L, "A"), (2L, "B")))
+    }
+  }
+
+  // ------------------------------------------------ partitioned tables
+
+  private def manifestText(root: String, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(root, "_manifests", f"v$v%09d.txt")))
+
+  test("partitioned commit+append: per-file part lines, prune selects " +
+      "exactly the matching files, read equals plain filter") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "de", 30L))
+          .toDF("id", "lang", "n"),
+        partitionBy = Some("lang"))
+      TxTable.commit(spark, root,
+        Seq((4L, "en", 40L), (5L, "zh", 50L)).toDF("id", "lang", "n"),
+        TxTable.Append, partitionBy = Some("lang"))
+      val snap = TxTable.currentSnapshot(root).get
+      // every file carries exactly one recorded lang value
+      assert(snap.files.nonEmpty)
+      assert(snap.files.forall(f =>
+        snap.parts.get(f).exists(_.count(_._1 == "lang") == 1)))
+      val en = TxTable.partPrunedFiles(root, "lang", Set("en"))
+      assert(en.nonEmpty && en.size < snap.files.size)
+      assert(en.forall(f =>
+        snap.parts(f).exists(p => p._1 == "lang" && p._2.contains("en"))))
+      // the partition column is still IN the data (reader-visible)
+      assert(TxTable.read(spark, root).columns.toSeq ==
+        Seq("id", "lang", "n"))
+      val got = TxTable.readPartitionPruned(spark, root, "lang",
+        Seq("en", "fr")).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L))
+    }
+  }
+
+  test("null partition values: hive sentinel round-trips, matched only " +
+      "via includeNull; escaped values round-trip") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "web data", 1L), (2L, null, 2L), (3L, "a=b/c", 3L))
+          .toDF("id", "src", "n"),
+        partitionBy = Some("src"))
+      val snap = TxTable.currentSnapshot(root).get
+      val vals = snap.parts.values.flatten
+        .collect { case ("src", v) => v }.toSet
+      // space, '=', '/' survive the hive path escape round-trip
+      assert(vals == Set(Some("web data"), Some("a=b/c"), None))
+      assert(TxTable.partPrunedFiles(root, "src", Set("web data"))
+        .size == 1)
+      val withNull = TxTable.partPrunedFiles(root, "src",
+        Set("web data"), includeNull = true)
+      assert(withNull.size == 2)
+      // exact read re-applies the predicate (null never matches IN)
+      assert(TxTable.readPartitionPruned(spark, root, "src",
+        Seq("a=b/c")).collect().map(_.getLong(0)).toSet == Set(3L))
+    }
+  }
+
+  test("format ratchet: partitioned manifests declare 3, plain stay 2; " +
+      "maintenance keeps part lines for untouched files") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "en", 1L)).toDF("id", "lang", "n"))
+      assert(manifestText(root, 0L).contains("format 2"))
+      TxTable.commit(spark, root,
+        Seq((2L, "fr", 2L)).toDF("id", "lang", "n"),
+        TxTable.Append, partitionBy = Some("lang"))
+      assert(manifestText(root, 1L).contains("format 3"))
+      // a DV delete (no rewrite) keeps every part line
+      val before = TxTable.currentSnapshot(root).get.parts
+      TxTable.deleteWhere(spark, root, col("id") === 2L)
+      assert(TxTable.currentSnapshot(root).get.parts == before)
+      assert(TxTable.read(spark, root).collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+    }
+  }
+
+  test("vacuum preserves live nested partitioned files and removes " +
+      "orphaned partitioned write dirs") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "en", 1L), (2L, "fr", 2L)).toDF("id", "lang", "n"),
+        partitionBy = Some("lang"))
+      // overwrite orphans v0's (nested) data dir
+      TxTable.commit(spark, root,
+        Seq((3L, "de", 3L)).toDF("id", "lang", "n"),
+        partitionBy = Some("lang"))
+      val v0Files = TxTable.snapshotAt(root, 0L).files
+      TxTable.vacuum(root, keepVersions = 1)
+      // live head still reads; orphaned v0 leaves are gone
+      assert(TxTable.read(spark, root).collect()
+        .map(_.getLong(0)).toSet == Set(3L))
+      assert(v0Files.forall(f => !Files.exists(Paths.get(root, f))))
+    }
+  }
+
+  test("restore is metadata-only, keeps txn high-water, and vacuum " +
+      "retains head-referenced restored files") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+        TxTable.Append, txn = Some(("app", 5L)))
+      TxTable.commit(spark, root, Seq((9L, "bad")).toDF("id", "s"))
+      val v3 = TxTable.restore(spark, root, 1L)
+      assert(v3 == 3L)
+      assert(rows(root) == Set((1L, "a"), (2L, "b")))
+      // metadata-only: the restored head references v1's files verbatim
+      assert(TxTable.currentSnapshot(root).get.files ==
+        TxTable.snapshotAt(root, 1L).files)
+      // idempotence not reset: a replay of batch 5 still no-ops
+      val vr = TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+        TxTable.Append, txn = Some(("app", 5L)))
+      assert(vr == 3L)
+      // vacuum to the head only: restored files survive (referenced by
+      // the head manifest even though their minting version is dropped)
+      TxTable.vacuum(root, keepVersions = 1)
+      assert(rows(root) == Set((1L, "a"), (2L, "b")))
+      assert(TxTable.versions(root) == Seq(3L))
     }
   }
 }
