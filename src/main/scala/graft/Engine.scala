@@ -158,5 +158,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Jaro-Winkler predicates (provably result-preserving; see
     // plans/JaroWinklerPruning scaladoc for the 5t-4 bound)
     e.injectOptimizerRule(_ => graft.plans.JaroWinklerPruning)
+    // materialized-view query routing (inert until a view registers;
+    // idempotent — a routed plan no longer matches any base scan)
+    e.injectOptimizerRule(_ => graft.plans.MatViewRouting)
   }
 }

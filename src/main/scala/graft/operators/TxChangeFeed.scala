@@ -335,11 +335,70 @@ object TxChangeFeed {
       |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  // Materialized-view query ROUTING — the consumption half of q182's
+  // maintenance loop: a summary table at FINER grain than the query
+  // (per (priority, bucket)), registered against the base snapshot's
+  // exact scan file set, and a plain aggregate over the BASE table that
+  // the [[graft.plans.MatViewRouting]] optimizer rule rewrites into a
+  // re-aggregation of the summary. The query text never mentions the
+  // summary; the route is proven in-query (the optimized plan must scan
+  // the summary and NOT the base — a silent routing failure fails the
+  // gate loudly instead of passing on the base scan), and the oracle
+  // proves the routed answer equals the plain aggregate's. At 100 TB
+  // this replaces a fact-table scan with a kilobyte summary read.
+  def q187MatviewRoute(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmv_")
+    val bronze = s"$tmp/orders_bronze"
+    val silver = s"$tmp/prio_bucket_mv"
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    TxTable.commit(s, bronze,
+      graft.Tables.orders(s, d).select(proj.map(col): _*))
+    // summary grain (priority, orderkey bucket) — strictly finer than
+    // the query's (priority), so routing must RE-aggregate
+    TxTable.commit(s, silver, TxTable.read(s, bronze)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(8)))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("sum_price")))
+    graft.plans.MatViewRouting.enable(s)
+    val base = TxTable.read(s, bronze)
+    graft.plans.MatViewRouting.register(base, TxTable.read(s, silver),
+      "o_orderpriority", "cnt", Map("o_totalprice" -> "sum_price"))
+    val routed = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tp"))
+    val scanned = routed.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    require(scanned.nonEmpty && scanned.forall(_.contains("prio_bucket_mv")),
+      s"matview routing did not fire — scans: ${scanned.take(3)}")
+    val out = routed
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("tp").cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q187Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_tx_change_feed" -> (q181TxChangeFeed _),
-    "q182_tx_ivm" -> (q182TxIvm _))
+    "q182_tx_ivm" -> (q182TxIvm _),
+    "q187_matview_route" -> (q187MatviewRoute _))
 
   val oracles: Map[String, String] = Map(
     "q181_tx_change_feed" -> q181Sql,
-    "q182_tx_ivm" -> q182Sql)
+    "q182_tx_ivm" -> q182Sql,
+    "q187_matview_route" -> q187Sql)
 }
