@@ -1066,6 +1066,42 @@ object TxTable {
     df.filter(col(colName).isInCollection(values))
   }
 
+  /** Metadata-only partition statistics (ANALYZE from the manifest):
+    * exact live row counts per partition value of `colName`, computed
+    * ENTIRELY from manifest lines — per-file `rows` counts minus
+    * per-file deletion-vector counts, grouped by the file's recorded
+    * `part` value. Zero Spark jobs, zero data I/O: at 100 TB this
+    * answers `SELECT part, count(*) GROUP BY part` from kilobytes of
+    * metadata (the Delta/Iceberg metadata-table trick). Exactness
+    * holds because every file carries ONE partition value, its footer
+    * row count, and its (disjoint-by-construction) DV positions — so
+    * the subtraction attributes deletes to the right value. Fails
+    * LOUDLY if any file lacks a part line for `colName` or a rows
+    * line (a silent fallback would undercount — callers who want
+    * approximate stats can scan instead).
+    */
+  def partitionRowCounts(s: SparkSession, root: String,
+      colName: String): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val rows = snap.files.map { f =>
+      val value = snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName)
+        .getOrElse(throw new java.io.IOException(
+          s"partitionRowCounts($colName): file $f has no recorded " +
+            "partition value — metadata-only counting would be wrong"))
+        ._2
+      val n = snap.rowCounts.getOrElse(f,
+        throw new java.io.IOException(
+          s"partitionRowCounts: file $f has no rows line"))
+      val deleted = snap.dvs.getOrElse(f, Seq.empty).map(_._2).sum
+      (value, n - deleted)
+    }
+    import s.implicits._
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case (v, n) => (v.orNull, n) }
+      .toDF(colName, "n_rows")
+  }
+
   /** Serializable MERGE (update matched by `keys`, insert new): recomputes
     * from the head snapshot and retries whenever another commit wins the
     * claim, so the published merge always reflects the version directly
@@ -1958,13 +1994,45 @@ object TxTable {
       |    AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Metadata-only ANALYZE demo: documents published partitioned by
+    * `lang` (overwrite + append), short documents MoR-deleted (a DV
+    * commit, no rewrite), then [[partitionRowCounts]] answers the
+    * per-language live count from manifest lines alone — rows minus
+    * per-file DV counts, zero data I/O. The oracle is the full scan's
+    * answer; the spec pins that the metadata path runs no Spark job.
+    */
+  def q188TxPartitionStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txpstats_")
+    val root = s"$tmp/docs_by_lang"
+    val cols = Seq("doc_id", "lang", "n_chars")
+    commit(s, root,
+      graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(cols.map(col): _*),
+      Overwrite, partitionBy = Some("lang"))
+    commit(s, root,
+      graft.Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(cols.map(col): _*),
+      Append, partitionBy = Some("lang"))
+    deleteWhere(s, root, col("n_chars") < 150.0)
+    val out = partitionRowCounts(s, root, "lang")
+      .filter(col("n_rows") > 0).orderBy("lang")
+    offTemp(out, tmp)
+  }
+
+  val q188Sql: String =
+    """SELECT lang, COUNT(*) AS n_rows FROM documents
+      |WHERE n_chars >= 150 GROUP BY 1 HAVING COUNT(*) > 0
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_tx_publish" -> (q159TxPublish _),
     "q160_tx_timetravel" -> (q160TxTimetravel _),
     "q161_stream_tx" -> (q161StreamTxPublish _),
     "q162_tx_dataskip" -> (q162TxDataskip _),
     "q185_tx_partition" -> (q185TxPartition _),
-    "q186_tx_restore" -> (q186TxRestore _))
+    "q186_tx_restore" -> (q186TxRestore _),
+    "q188_tx_partition_stats" -> (q188TxPartitionStats _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -1972,5 +2040,6 @@ object TxTable {
     "q161_stream_tx" -> q161Sql,
     "q162_tx_dataskip" -> q162Sql,
     "q185_tx_partition" -> q185Sql,
-    "q186_tx_restore" -> q186Sql)
+    "q186_tx_restore" -> q186Sql,
+    "q188_tx_partition_stats" -> q188Sql)
 }

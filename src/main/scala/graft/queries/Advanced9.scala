@@ -204,7 +204,10 @@ object Advanced9 {
   // Production pipelines use 13-grams; this corpus' small vocabulary
   // makes 3 the equivalent selectivity (5-grams flag 1 doc at sf0.01,
   // 3-grams 257 of 490 — measured in DuckDB before picking, per the
-  // shingle-rarity rule).
+  // shingle-rarity rule). The q91 contamination PROFILE measures
+  // overlap fractions with benchmark docs still in-corpus; this is the
+  // FILTER-stage twin — the eval slice is excluded from the corpus
+  // side and any single shared gram flags the document for removal.
   //
   // Scale posture: an eval suite is thousands of documents against a
   // corpus of billions, so the benchmark gram set is DISTINCT'd and

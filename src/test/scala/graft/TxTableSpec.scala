@@ -766,6 +766,35 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("partitionRowCounts: exact under MoR deletes, zero data scan, " +
+      "loud on missing metadata") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1L to 40L).map(i => (i, s"g${i % 3}", i * 10L))
+          .toDF("id", "grp", "n"),
+        partitionBy = Some("grp"))
+      TxTable.deleteWhere(spark, root, col("n") <= 100L)
+      val stats = TxTable.partitionRowCounts(spark, root, "grp")
+      // metadata-only: the plan holds NO file scan at all
+      assert(stats.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr
+      }.isEmpty, "partitionRowCounts scanned data")
+      val got = stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = TxTable.read(spark, root).groupBy("grp").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // an unpartitioned append makes metadata counting impossible —
+      // it must refuse, not undercount
+      TxTable.commit(spark, root,
+        Seq((99L, "g0", 990L)).toDF("id", "grp", "n"), TxTable.Append)
+      val ex = intercept[java.io.IOException](
+        TxTable.partitionRowCounts(spark, root, "grp"))
+      assert(ex.getMessage.contains("no recorded partition value"))
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
