@@ -1066,6 +1066,67 @@ object TxTable {
     df.filter(col(colName).isInCollection(values))
   }
 
+  /** Dynamic partition overwrite (Delta's `partitionOverwriteMode =
+    * dynamic` / `replaceWhere`): replace ONLY the partitions present in
+    * `df` — the incoming batch is written hive-partitioned, the
+    * parent's files carrying those partition values are dropped from
+    * the child manifest (METADATA-only: their bytes stay for pinned
+    * readers and time travel), and every other partition carries
+    * through untouched with its stats/DV/bloom/part lines. The daily
+    * re-materialization pattern: recompute one day/language/source and
+    * swap it in atomically without touching the other 10⁴ partitions.
+    * Refuses a parent file with no recorded value for `partCol` (its
+    * rows might belong to a replaced partition — dropping it would be
+    * wrong, keeping it would double rows; the layout contract is
+    * "every file carries a part line", enforced loudly).
+    */
+  def overwritePartitions(s: SparkSession, root: String, df: DataFrame,
+      partCol: String, txn: Option[(String, Long)] = None): Long = {
+    def alreadyApplied(parent: Option[Snapshot]): Boolean =
+      txn.exists { case (app, bid) =>
+        parent.exists(_.txns.get(app).exists(_ >= bid)) }
+    if (alreadyApplied(currentSnapshot(root)))
+      return currentVersion(root).get
+    val filesParts = writeDataPartitioned(s, root, df, partCol)
+    val newFiles = filesParts.map(_._1)
+    val replaced = filesParts.map(_._2).toSet
+    val newParts = filesParts
+      .map { case (f, v) => f -> Seq((partCol, v)) }.toMap
+    val newStats = Map.empty[String, Seq[(String, Double, Double, Long)]]
+    val newRows = fileRows(s, root, newFiles)
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(
+          s"txtable $root has no head — use commit(partitionBy) first"))
+      if (alreadyApplied(Some(parent))) return parent.version
+      val keep = parent.files.filter { f =>
+        parent.parts.getOrElse(f, Seq.empty).find(_._1 == partCol) match {
+          case Some((_, v)) => !replaced.contains(v)
+          case None => throw new java.io.IOException(
+            s"overwritePartitions($partCol): parent file $f has no " +
+              "recorded partition value — cannot classify it as " +
+              "replaced or kept")
+        }
+      }
+      val files = keep ++ newFiles
+      val schema = parent.schema
+        .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
+      if (parent.checks.nonEmpty)
+        validateChecks(s.read.option("mergeSchema", "true")
+          .parquet(newFiles.map(f => s"$root/$f"): _*), parent.checks)
+      if (tryPublish(root, parent.version + 1, files,
+          parent.txns ++ txn.toMap, parent.stats ++ newStats,
+          schema = Some(schema),
+          rowCounts = parent.rowCounts ++ newRows,
+          dvs = parent.dvs, blooms = parent.blooms,
+          checks = parent.checks, op = "overwrite_partitions",
+          parts = parent.parts ++ newParts))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** Metadata-only partition statistics (ANALYZE from the manifest):
     * exact live row counts per partition value of `colName`, computed
     * ENTIRELY from manifest lines — per-file `rows` counts minus
@@ -2025,6 +2086,41 @@ object TxTable {
       |WHERE n_chars >= 150 GROUP BY 1 HAVING COUNT(*) > 0
       |ORDER BY 1""".stripMargin
 
+  /** Dynamic partition overwrite demo: full corpus published by
+    * language, then en+fr RECOMPUTED (short docs dropped) and swapped
+    * in via [[overwritePartitions]] — the other languages' files carry
+    * through untouched (metadata-only), proven by the final per-lang
+    * aggregate matching the recompute-only-two-languages SQL.
+    */
+  def q189TxOverwritePartitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txdpo_")
+    val root = s"$tmp/docs_by_lang"
+    val cols = Seq("doc_id", "lang", "n_chars")
+    commit(s, root,
+      graft.Tables.documents(s, d).select(cols.map(col): _*),
+      Overwrite, partitionBy = Some("lang"))
+    overwritePartitions(s, root,
+      graft.Tables.documents(s, d)
+        .filter(col("lang").isin("en", "fr") && col("n_chars") >= 250)
+        .select(cols.map(col): _*),
+      "lang")
+    val out = read(s, root).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+    offTemp(out, tmp)
+  }
+
+  val q189Sql: String =
+    """WITH fin AS (
+      |  SELECT lang, n_chars FROM documents WHERE lang NOT IN ('en','fr')
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE lang IN ('en','fr') AND n_chars >= 250)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_tx_publish" -> (q159TxPublish _),
     "q160_tx_timetravel" -> (q160TxTimetravel _),
@@ -2032,7 +2128,8 @@ object TxTable {
     "q162_tx_dataskip" -> (q162TxDataskip _),
     "q185_tx_partition" -> (q185TxPartition _),
     "q186_tx_restore" -> (q186TxRestore _),
-    "q188_tx_partition_stats" -> (q188TxPartitionStats _))
+    "q188_tx_partition_stats" -> (q188TxPartitionStats _),
+    "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -2041,5 +2138,6 @@ object TxTable {
     "q162_tx_dataskip" -> q162Sql,
     "q185_tx_partition" -> q185Sql,
     "q186_tx_restore" -> q186Sql,
-    "q188_tx_partition_stats" -> q188Sql)
+    "q188_tx_partition_stats" -> q188Sql,
+    "q189_tx_overwrite_partitions" -> q189Sql)
 }

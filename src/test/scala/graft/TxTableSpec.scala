@@ -795,6 +795,46 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("overwritePartitions swaps only incoming partitions, keeps " +
+      "other files verbatim, time-travels, and refuses unclassifiable " +
+      "parent files") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "en", 1L), (2L, "fr", 2L), (3L, "de", 3L))
+          .toDF("id", "lang", "n"),
+        partitionBy = Some("lang"))
+      val parent = TxTable.currentSnapshot(root).get
+      val deFiles = TxTable.partPrunedFiles(root, "lang", Set("de")).toSet
+      TxTable.overwritePartitions(spark, root,
+        Seq((10L, "en", 10L), (20L, "fr", 20L)).toDF("id", "lang", "n"),
+        "lang", txn = Some(("dpo", 1L)))
+      val head = TxTable.currentSnapshot(root).get
+      // de carried through with the exact same file paths
+      assert(deFiles.subsetOf(head.files.toSet))
+      // en/fr replaced: none of their old files referenced
+      val oldEnFr = parent.files.toSet -- deFiles
+      assert(oldEnFr.intersect(head.files.toSet).isEmpty)
+      assert(TxTable.read(spark, root).collect()
+        .map(_.getLong(0)).toSet == Set(3L, 10L, 20L))
+      // old version still time-travels (metadata-only removal)
+      assert(TxTable.readVersion(spark, root, 0L).collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // idempotent replay no-ops
+      val vr = TxTable.overwritePartitions(spark, root,
+        Seq((10L, "en", 10L)).toDF("id", "lang", "n"), "lang",
+        txn = Some(("dpo", 1L)))
+      assert(vr == head.version)
+      // an unpartitioned append poisons classification: loud refusal
+      TxTable.commit(spark, root, Seq((99L, "en", 99L))
+        .toDF("id", "lang", "n"), TxTable.Append)
+      val ex = intercept[java.io.IOException](
+        TxTable.overwritePartitions(spark, root,
+          Seq((11L, "en", 11L)).toDF("id", "lang", "n"), "lang"))
+      assert(ex.getMessage.contains("no recorded partition value"))
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
