@@ -259,15 +259,96 @@ object Advanced9 {
       |FROM corpus c JOIN bench b USING (gram)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  // BPE tokenizer TRAINING step (Sennrich et al. '16): three merge
+  // rounds of byte-pair encoding learned from the corpus. Words are
+  // held as separator-joined symbol strings ("t|h|e"); a merge (a, b)
+  // is `replace(rep, "a|b", "ab")` — leftmost non-overlapping in both
+  // engines, which IS the BPE application order — so Spark and DuckDB
+  // run the identical algorithm and the oracle is exact.
+  //
+  // Scale posture: pair counting runs over the DISTINCT-WORD table
+  // weighted by word frequency (vocab-sized, not corpus-sized — the
+  // one corpus-wide pass is the initial word count, map-side
+  // combinable). The vocab is materialized ONCE (localCheckpoint, the
+  // iterative-loop rule) and each round's argmax is collected and
+  // frozen as plan literals (the sketch-freeze rule: a re-evaluated
+  // subplan could diverge, a literal cannot). Per round: one
+  // vocab-sized aggregate + a driver-side 1-row collect — at 100 TB
+  // the corpus pass happens once and the loop runs on megabytes.
+  def q190BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode_outer(
+        expr("regexp_extract_all(text, '\\\\S+', 0)")).as("wd"))
+      .filter(col("wd").isNotNull)
+      .groupBy("wd").agg(count(lit(1)).as("f"))
+      .select(concat_ws("|", split(col("wd"), "")).as("rep"), col("f"))
+      .localCheckpoint(true)
+    var cur = vocab
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (i <- 1 to 3) {
+      val top = cur
+        .select(split(col("rep"), "\\|").as("sym"), col("f"))
+        .filter(size(col("sym")) >= 2)
+        .select(explode_outer(expr(
+          "transform(sequence(0, size(sym) - 2), " +
+            "j -> concat(element_at(sym, j + 1), ' ', " +
+            "element_at(sym, j + 2)))")).as("pair"), col("f"))
+        .filter(col("pair").isNotNull)
+        .groupBy("pair").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      val pair = top.getString(0)
+      merges += ((i, pair, top.getLong(1)))
+      cur = cur.select(replace(col("rep"),
+        lit(pair.replace(" ", "|")), lit(pair.replace(" ", ""))).as("rep"),
+        col("f"))
+    }
+    import s.implicits._
+    merges.result().toDF("merge_no", "pair", "freq").orderBy("merge_no")
+  }
+
+  val q190Sql: String = {
+    def pairsOf(src: String, p: String) =
+      s"""$p AS (SELECT pair, SUM(f) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(sym)),
+         |      i -> sym[i] || ' ' || sym[i + 1])) AS pair, f
+         |    FROM (SELECT string_split(rep, '|') AS sym, f FROM $src))
+         |  GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def mergeOf(src: String, p: String, out: String) =
+      s"""$out AS (SELECT replace(rep,
+         |    replace((SELECT pair FROM $p), ' ', '|'),
+         |    replace((SELECT pair FROM $p), ' ', '')) AS rep, f
+         |  FROM $src)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT wd, COUNT(*) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS wd
+       |    FROM documents) GROUP BY 1),
+       |s0 AS (SELECT array_to_string(string_split(wd, ''), '|') AS rep,
+       |  f FROM w),
+       |${pairsOf("s0", "p1")},
+       |${mergeOf("s0", "p1", "s1")},
+       |${pairsOf("s1", "p2")},
+       |${mergeOf("s1", "p2", "s2")},
+       |${pairsOf("s2", "p3")}
+       |SELECT merge_no, pair, CAST(cnt AS BIGINT) AS freq FROM (
+       |  SELECT 1 AS merge_no, pair, cnt FROM p1
+       |  UNION ALL SELECT 2, pair, cnt FROM p2
+       |  UNION ALL SELECT 3, pair, cnt FROM p3)
+       |ORDER BY merge_no""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_repetition_profile" -> (q170RepetitionProfile _),
     "q175_triangle_count" -> (q175TriangleCount _),
     "q176_grouping_sets" -> (q176GroupingSets _),
-    "q184_decontaminate" -> (q184Decontaminate _))
+    "q184_decontaminate" -> (q184Decontaminate _),
+    "q190_bpe_train" -> (q190BpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "q170_repetition_profile" -> q170Sql,
     "q175_triangle_count" -> q175Sql,
     "q176_grouping_sets" -> q176Sql,
-    "q184_decontaminate" -> q184Sql)
+    "q184_decontaminate" -> q184Sql,
+    "q190_bpe_train" -> q190Sql)
 }
