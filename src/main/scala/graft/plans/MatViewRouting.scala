@@ -56,6 +56,11 @@ object MatViewRouting extends Rule[LogicalPlan] {
     * from its analyzed plan and pins the registration to that snapshot).
     * `sumCols` maps a base column to the summary column holding its
     * per-group partial sum; `cntCol` holds the per-group row count.
+    *
+    * A base read carrying deletion vectors never routes: its plan is an
+    * anti-join, not a pure scan, so [[apply]]'s `baseScan` match fails —
+    * the rule degrades to no-op rather than risking deleted rows
+    * resurfacing through a summary built before the delete.
     */
   def register(base: DataFrame, summary: DataFrame, groupCol: String,
       cntCol: String, sumCols: Map[String, String]): Unit = {
