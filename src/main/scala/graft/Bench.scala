@@ -223,7 +223,10 @@ object Bench {
       "q149_ngram_jaccard", "q152_phash_neardup",
       // round-12: merge-on-read delete (deletion vectors) and the
       // manifest-reconstructed row-level change feed
-      "q177_tx_delete_mor", "q181_tx_change_feed")
+      "q177_tx_delete_mor", "q181_tx_change_feed",
+      // round-12 second half: broadcast decontamination and the
+      // materialized-view-routed aggregate (scan-cost decoupling)
+      "q184_decontaminate", "q187_matview_route")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

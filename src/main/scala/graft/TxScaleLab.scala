@@ -62,6 +62,19 @@ object TxScaleLab {
       dt
     }
 
+    val rootP = s"$tmp/tp"
+    var nextPKey = 0L
+    def appendPartitioned(): Double = {
+      val df = spark.range(nextPKey, nextPKey + 1000L)
+        .select(col("id").as("k"), (col("id") % 20).cast("string").as("p"))
+        .coalesce(1)
+      nextPKey += 1000L
+      val (_, dt) = timed(TxTable.commit(spark, rootP, df,
+        if (nextPKey == 1000L) TxTable.Overwrite else TxTable.Append,
+        partitionBy = Some("p")))
+      dt
+    }
+
     println(f"${"files"}%8s ${"append_s"}%9s ${"parse_s"}%9s " +
       f"${"prune_s"}%9s ${"merge_s"}%9s ${"delete_s"}%9s ${"touched"}%8s")
     val decades = Seq(100, 1000, maxFiles).filter(_ <= maxFiles).distinct
@@ -106,6 +119,26 @@ object TxScaleLab {
       println(f"${"  +r12:"}%8s mor=$morS%.3f bloom_append=$bloomS%.3f " +
         f"probe=$probeS%.3f (survive ${survivors.size}) " +
         f"feed=$feedS%.3f (rows $nFeed)")
+      // partitioned-table surfaces at the same file count: a separate
+      // 20-partition table grown to ~target files (each append writes
+      // one file per partition value), then the metadata paths the r12
+      // partition layer added — all driver-side O(F) or better
+      while (TxTable.currentSnapshot(rootP).map(_.files.size).getOrElse(0)
+          < target) appendPartitioned()
+      val (_, pAppendS) = timed(appendPartitioned())
+      val (_, pParseS) = timed(TxTable.currentSnapshot(rootP).get)
+      val (pPruned, pPruneS) =
+        timed(TxTable.partPrunedFiles(rootP, "p", Set("7")))
+      val (_, pStatsS) = timed(
+        TxTable.partitionRowCounts(spark, rootP, "p").collect())
+      val swap = spark.range(0L, 500L)
+        .select(col("id").as("k"), lit("7").as("p"))
+      val (_, dpoS) = timed(
+        TxTable.overwritePartitions(spark, rootP, swap, "p"))
+      val pf = TxTable.currentSnapshot(rootP).get.files.size
+      println(f"${"  +part:"}%8s files=$pf append=$pAppendS%.3f " +
+        f"parse=$pParseS%.3f prune=$pPruneS%.3f (match ${pPruned.size}) " +
+        f"stats=$pStatsS%.3f dpo=$dpoS%.3f")
     }
     graft.streaming.Replay.deleteRecursively(tmp)
     spark.stop()
