@@ -1836,6 +1836,20 @@ object TxTable {
     ()
   }
 
+  /** [[streamAppend]] into a hive-partitioned layout: each micro-batch
+    * writes one file per partition value it carries, with part lines in
+    * the manifest — the standard streaming-ingest-into-partitioned-
+    * lakehouse shape (events by date, documents by language). Same
+    * (appId, batchId) idempotence; downstream partition-pruned readers
+    * and [[partitionRowCounts]] see every batch's files classified.
+    */
+  def streamAppendPartitioned(root: String, appId: String,
+      partCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    commit(batch.sparkSession, root, batch, Append, Some((appId, batchId)),
+      partitionBy = Some(partCol))
+    ()
+  }
+
   // ------------------------------------------------------- driver queries
 
   /** Publishes per-customer order stats through the transactional table:
@@ -2023,6 +2037,58 @@ object TxTable {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming partitioned ingest: documents drained through an
+    * at-least-once `foreachBatch` replay into a lang-partitioned
+    * TxTable ([[streamAppendPartitioned]] — idempotent per (appId,
+    * batchId), one file per language per batch), then consumed
+    * partition-pruned. The metadata row counts
+    * ([[partitionRowCounts]]) are cross-checked in-query against the
+    * scanned counts — a part/rows line lost anywhere in the batch
+    * accumulation would fail loudly here, not pass silently.
+    */
+  def q191StreamTxPartitioned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Replay
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val tmp = Files.createTempDirectory("graft_txspart_")
+    val root = s"$tmp/docs_part"
+    val out = Replay.run(s, Replay.Drain(
+      tag = "q191",
+      srcSchema = graft.Tables.documents(s, d).select(cols.map(col): _*)
+        .schema,
+      writeSource = (ss, srcDir) =>
+        graft.Tables.documents(ss, d).select(cols.map(col): _*)
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(srcDir),
+      mkFold = (_, _) => (batch, batchId) =>
+        streamAppendPartitioned(root, "q191", "lang")(batch, batchId),
+      readResult = (ss, _) => {
+        val scanned = readPartitionPruned(ss, root, "lang",
+          Seq("en", "zh"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+        val meta = partitionRowCounts(ss, root, "lang").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = scanned.collect()
+        got.foreach { r =>
+          require(meta(r.getString(0)) == r.getLong(1),
+            s"metadata count diverged for ${r.getString(0)}: " +
+              s"${meta(r.getString(0))} vs ${r.getLong(1)}")
+        }
+        scanned
+      }))
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  val q191Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang IN ('en', 'zh')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** RESTORE demo: a good publish, a bad pipeline run that OVERWRITES
     * the table with a sliver, [[restore]] back to the good version
     * (metadata-only — no data copied), then the pipeline continues with
@@ -2129,7 +2195,8 @@ object TxTable {
     "q185_tx_partition" -> (q185TxPartition _),
     "q186_tx_restore" -> (q186TxRestore _),
     "q188_tx_partition_stats" -> (q188TxPartitionStats _),
-    "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _))
+    "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _),
+    "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -2139,5 +2206,6 @@ object TxTable {
     "q185_tx_partition" -> q185Sql,
     "q186_tx_restore" -> q186Sql,
     "q188_tx_partition_stats" -> q188Sql,
-    "q189_tx_overwrite_partitions" -> q189Sql)
+    "q189_tx_overwrite_partitions" -> q189Sql,
+    "q191_stream_tx_partitioned" -> q191Sql)
 }
