@@ -464,6 +464,8 @@ object TxTable {
   private def writeDataPartitioned(s: SparkSession, root: String,
       df: DataFrame, partCol: String): Seq[(String, Option[String])] = {
     val tag = "__graft_part"
+    require(!df.columns.contains(tag),
+      s"column name $tag is reserved by the partitioned writer")
     val rel = s"data/w-${java.util.UUID.randomUUID()}"
     df.withColumn(tag, col(partCol))
       .write.partitionBy(tag).parquet(s"$root/$rel")
@@ -927,7 +929,10 @@ object TxTable {
       // passes — aligning here keeps enforcement consistent with what
       // readers will see (instead of an unresolved-column crash)
       val checks = parent.map(_.checks).getOrElse(Seq.empty)
-      if (checks.nonEmpty) {
+      // dataFiles can be empty only on the partitioned path (the plain
+      // writer emits one file even for an empty frame) — nothing to
+      // validate there, and a zero-path read cannot infer a schema
+      if (checks.nonEmpty && dataFiles.nonEmpty) {
         val raw = s.read.option("mergeSchema", "true")
           .parquet(dataFiles.map(f => s"$root/$f"): _*)
         val aligned = schema.fields.foldLeft(raw)((d, f) =>
@@ -1112,7 +1117,9 @@ object TxTable {
       val files = keep ++ newFiles
       val schema = parent.schema
         .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
-      if (parent.checks.nonEmpty)
+      // an empty batch writes no files — nothing to validate (and a
+      // zero-path read cannot infer a schema)
+      if (parent.checks.nonEmpty && newFiles.nonEmpty)
         validateChecks(s.read.option("mergeSchema", "true")
           .parquet(newFiles.map(f => s"$root/$f"): _*), parent.checks)
       if (tryPublish(root, parent.version + 1, files,
