@@ -1170,6 +1170,39 @@ object TxTable {
       .toDF(colName, "n_rows")
   }
 
+  /** Combined partition + stat pruning: manifest-level file selection
+    * on BOTH the recorded partition value (`partCol ∈ values`) and the
+    * footer stat ranges (`lo <= col <= hi` conjuncts), exact predicates
+    * re-applied. The two dimensions MULTIPLY: a lang-partitioned,
+    * within-partition range-clustered layout (repartitionByRange on
+    * (partCol, statCol) before a `commit(partitionBy, statsCols)`)
+    * prunes to (matching partitions) × (matching ranges) — the standard
+    * partition-plus-Z-order lakehouse read path. One snapshot
+    * resolution for prune and read (no version skew).
+    */
+  def readPartitionRangePruned(s: SparkSession, root: String,
+      partCol: String, values: Seq[String],
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val files = partPrunedOf(snap, partCol, values.toSet,
+      includeNull = false).filter { f =>
+      val ranges = snap.stats.getOrElse(f, Seq.empty)
+      preds.forall { case (colName, lo, hi) =>
+        ranges.find(_._1 == colName) match {
+          case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    val df =
+      if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
+      else readFilesWithDvs(s, root, snap, files)
+    preds.foldLeft(df.filter(col(partCol).isInCollection(values))) {
+      case (d, (c, lo, hi)) => d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
   /** Serializable MERGE (update matched by `keys`, insert new): recomputes
     * from the head snapshot and retries whenever another commit wins the
     * claim, so the published merge always reflects the version directly
@@ -2096,6 +2129,37 @@ object TxTable {
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Partition × range layout demo: documents range-arranged on
+    * (lang, n_chars) BEFORE a partitioned commit with n_chars stats —
+    * the writer shuffles nothing, so each file lands with one lang and
+    * a tight n_chars range — then a two-dimensional pruned read
+    * (lang ∈ {en, fr}, n_chars ∈ [200, 400]) through
+    * [[readPartitionRangePruned]]. TxTableSpec proves the prune
+    * multiplies (fewer files than either dimension alone); the oracle
+    * proves the answer is exactly the plain filter's.
+    */
+  def q192TxPartitionRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txpr_")
+    val root = s"$tmp/docs_lang_chars"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    commit(s, root,
+      graft.Tables.documents(s, d).select(cols.map(col): _*)
+        .repartitionByRange(8, col("lang"), col("n_chars")),
+      Overwrite, partitionBy = Some("lang"), statsCols = Seq("n_chars"))
+    val out = readPartitionRangePruned(s, root, "lang", Seq("en", "fr"),
+      Seq(("n_chars", 200.0, 400.0)))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "source")
+    offTemp(out, tmp)
+  }
+
+  val q192Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs FROM documents
+      |WHERE lang IN ('en', 'fr') AND n_chars >= 200 AND n_chars <= 400
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** RESTORE demo: a good publish, a bad pipeline run that OVERWRITES
     * the table with a sliver, [[restore]] back to the good version
     * (metadata-only — no data copied), then the pipeline continues with
@@ -2203,7 +2267,8 @@ object TxTable {
     "q186_tx_restore" -> (q186TxRestore _),
     "q188_tx_partition_stats" -> (q188TxPartitionStats _),
     "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _),
-    "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _))
+    "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _),
+    "q192_tx_partition_range" -> (q192TxPartitionRange _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -2214,5 +2279,6 @@ object TxTable {
     "q186_tx_restore" -> q186Sql,
     "q188_tx_partition_stats" -> q188Sql,
     "q189_tx_overwrite_partitions" -> q189Sql,
-    "q191_stream_tx_partitioned" -> q191Sql)
+    "q191_stream_tx_partitioned" -> q191Sql,
+    "q192_tx_partition_range" -> q192Sql)
 }
