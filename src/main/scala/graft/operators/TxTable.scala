@@ -383,6 +383,36 @@ object TxTable {
       .parquet(added.map(f => s"$root/$f"): _*)
   }
 
+  /** [[readChanges]] restricted to partition values: the (fromV, toV]
+    * file delta intersected with the files whose recorded `partCol`
+    * value is in `values` — a per-partition downstream consumer (one
+    * pipeline per language/day) reads ONLY its partition's arrivals,
+    * paying for neither the table nor the other partitions' deltas.
+    * Files without a part line are kept (prune never lies); the exact
+    * predicate is re-applied.
+    */
+  def readChangesPartitioned(s: SparkSession, root: String, fromV: Long,
+      toV: Long, partCol: String, values: Seq[String]): DataFrame = {
+    require(fromV <= toV, s"readChangesPartitioned: fromV $fromV > toV $toV")
+    val base =
+      if (fromV < 0) Set.empty[String]
+      else snapshotAt(root, fromV).files.toSet
+    val to = snapshotAt(root, toV)
+    val vset = values.toSet
+    val added = to.files.filterNot(base.contains).filter { f =>
+      to.parts.getOrElse(f, Seq.empty).find(_._1 == partCol) match {
+        case Some((_, Some(v))) => vset.contains(v)
+        case Some((_, None)) => false
+        case None => true
+      }
+    }
+    val df =
+      if (added.isEmpty) read(s, root).limit(0)
+      else s.read.option("mergeSchema", "true")
+        .parquet(added.map(f => s"$root/$f"): _*)
+    df.filter(col(partCol).isInCollection(values))
+  }
+
   /** Table history (DESCRIBE HISTORY): one row per retained version with
     * its file count, footer-derived row count, and the txn high-water
     * marks it recorded — driver-side manifest + footer metadata, zero
@@ -1821,6 +1851,34 @@ object TxTable {
     committed
   }
 
+  /** Integrity audit (Delta FSCK): for the head snapshot, report every
+    * file that is missing on disk, whose footer row count disagrees
+    * with the manifest's `rows` line, or whose DV lines reference a
+    * missing DV blob. Returns the problem list (empty = healthy) so an
+    * operator can alert/repair instead of discovering the damage as a
+    * FAILED_READ mid-query. Driver-side metadata I/O only — O(files)
+    * footer opens, no Spark jobs.
+    */
+  def fsck(s: SparkSession, root: String): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val problems = Seq.newBuilder[String]
+    snap.files.foreach { f =>
+      if (!Files.exists(Paths.get(root, f)))
+        problems += s"missing data file: $f"
+      else snap.rowCounts.get(f).foreach { expect =>
+        val actual = fileRows(s, root, Seq(f))(f)
+        if (actual != expect)
+          problems += s"row drift: $f manifest=$expect footer=$actual"
+      }
+    }
+    snap.dvs.values.flatten.map(_._1).toSeq.distinct.foreach { dvf =>
+      if (!Files.exists(Paths.get(root, dvf)))
+        problems += s"missing dv blob: $dvf"
+    }
+    problems.result()
+  }
+
   def vacuum(root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must retain at least the current version")
     val vs = versions(root)
@@ -2160,6 +2218,36 @@ object TxTable {
       |WHERE lang IN ('en', 'fr') AND n_chars >= 200 AND n_chars <= 400
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-partition incremental consumption demo: three partitioned
+    * commits (the arrival timeline), then an 'en'-only downstream
+    * consumer with its cursor at v0 reads exactly the later versions'
+    * English arrivals via [[readChangesPartitioned]] — no table scan,
+    * no other-language files planned. The oracle restates the batch
+    * membership arithmetic.
+    */
+  def q193TxChangesPartitioned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txcp_")
+    val root = s"$tmp/docs_arrivals"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def slice(m: Int) = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    commit(s, root, slice(0), Overwrite, partitionBy = Some("lang"))
+    commit(s, root, slice(1), Append, partitionBy = Some("lang"))
+    commit(s, root, slice(2), Append, partitionBy = Some("lang"))
+    val out = readChangesPartitioned(s, root, 0L, 2L, "lang", Seq("en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+    offTemp(out, tmp)
+  }
+
+  val q193Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** RESTORE demo: a good publish, a bad pipeline run that OVERWRITES
     * the table with a sliver, [[restore]] back to the good version
     * (metadata-only — no data copied), then the pipeline continues with
@@ -2268,7 +2356,8 @@ object TxTable {
     "q188_tx_partition_stats" -> (q188TxPartitionStats _),
     "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _),
     "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _),
-    "q192_tx_partition_range" -> (q192TxPartitionRange _))
+    "q192_tx_partition_range" -> (q192TxPartitionRange _),
+    "q193_tx_changes_partitioned" -> (q193TxChangesPartitioned _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -2280,5 +2369,6 @@ object TxTable {
     "q188_tx_partition_stats" -> q188Sql,
     "q189_tx_overwrite_partitions" -> q189Sql,
     "q191_stream_tx_partitioned" -> q191Sql,
-    "q192_tx_partition_range" -> q192Sql)
+    "q192_tx_partition_range" -> q192Sql,
+    "q193_tx_changes_partitioned" -> q193Sql)
 }

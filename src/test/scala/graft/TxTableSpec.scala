@@ -869,6 +869,53 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangesPartitioned: only the cursor window's matching " +
+      "partition files are planned") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "en", 1L), (2L, "fr", 2L))
+        .toDF("id", "lang", "n"), partitionBy = Some("lang"))
+      TxTable.commit(spark, root, Seq((3L, "en", 3L), (4L, "de", 4L))
+        .toDF("id", "lang", "n"), TxTable.Append, partitionBy = Some("lang"))
+      val delta = TxTable.readChangesPartitioned(spark, root, 0L, 1L,
+        "lang", Seq("en"))
+      assert(delta.collect().map(_.getLong(0)).toSet == Set(3L))
+      // plan evidence: exactly one file (v1's en file), not v0's en or
+      // v1's de
+      val scans = delta.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.size
+            case _ => 0
+          }
+      }.sum
+      assert(scans == 1, s"planned $scans files, expected 1")
+    }
+  }
+
+  test("fsck reports missing files, row drift, and missing dv blobs; " +
+      "healthy table reports nothing") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1L to 30L).map(i => (i, s"s$i")).toDF("id", "s"))
+      TxTable.deleteWhere(spark, root, col("id") <= 3L)
+      assert(TxTable.fsck(spark, root).isEmpty)
+      // delete a data file out-of-band
+      val victim = TxTable.currentSnapshot(root).get.files.head
+      Files.delete(Paths.get(root, victim))
+      val problems = TxTable.fsck(spark, root)
+      assert(problems.exists(_.contains(s"missing data file: $victim")))
+      // delete a dv blob out-of-band
+      val dvf = TxTable.currentSnapshot(root).get.dvs.values
+        .flatten.map(_._1).head
+      Files.delete(Paths.get(root, dvf))
+      assert(TxTable.fsck(spark, root)
+        .exists(_.contains(s"missing dv blob: $dvf")))
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
