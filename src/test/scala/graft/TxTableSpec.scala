@@ -916,6 +916,59 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent overwritePartitions on disjoint partitions: both " +
+      "swaps land, no lost update") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "en", 1L), (2L, "fr", 2L), (3L, "de", 3L))
+          .toDF("id", "lang", "n"),
+        partitionBy = Some("lang"))
+      val t1 = new Thread(() => {
+        TxTable.overwritePartitions(spark, root,
+          Seq((10L, "en", 10L)).toDF("id", "lang", "n"), "lang")
+      })
+      val t2 = new Thread(() => {
+        TxTable.overwritePartitions(spark, root,
+          Seq((20L, "fr", 20L)).toDF("id", "lang", "n"), "lang")
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      // serializable: the loser recomputed its keep-list on the
+      // winner's manifest, so BOTH swaps and the untouched partition
+      // survive whatever the commit order
+      assert(TxTable.read(spark, root).collect()
+        .map(_.getLong(0)).toSet == Set(3L, 10L, 20L))
+      assert(TxTable.versions(root) == Seq(0L, 1L, 2L))
+    }
+  }
+
+  test("restore racing an append: both commit; the final head is one " +
+      "of the two serializable orders") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((9L, "bad")).toDF("id", "s"))
+      val t1 = new Thread(() => { TxTable.restore(spark, root, 0L); () })
+      val t2 = new Thread(() => {
+        TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+          TxTable.Append)
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(TxTable.versions(root).size == 4)
+      val head = rows(root)
+      // restore-then-append => {a, b}; append(-to-bad)-then-restore =>
+      // {a} (restore targets v0's content). Both are serializable; what
+      // is NOT allowed is a mix that loses one commit entirely from
+      // history.
+      assert(head == Set((1L, "a"), (2L, "b")) || head == Set((1L, "a")),
+        s"unexpected head $head")
+      val ops = TxTable.versions(root)
+        .map(v => TxTable.snapshotAt(root, v).op.getOrElse(""))
+      assert(ops.count(_.startsWith("restore")) == 1)
+      assert(ops.count(_ == "append") == 1)
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
