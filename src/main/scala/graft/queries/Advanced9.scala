@@ -338,7 +338,74 @@ object Advanced9 {
        |ORDER BY merge_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q194
+  // Bigram language-model scoring with add-1 smoothing — the perplexity-
+  // proxy quality filter one level up from q120's unigram: per document,
+  // the average ln P(w_i | w_{i-1}) where P(b|a) = (cnt(a,b)+1) /
+  // (cnt(a)+V). Low scores = token soup unlike the corpus; high =
+  // stereotyped boilerplate — both ends get filtered in a real pipeline.
+  //
+  // Scale posture: the model tables are vocabulary-sized (unigram counts,
+  // bigram counts — Heaps-law sublinear in the corpus) and BROADCAST;
+  // the corpus side is one pair-explode pass with a map-side-combinable
+  // per-doc aggregate. V rides a 1-row broadcast (the q120/q130 scalar
+  // fan-out shape — a window-over-everything would funnel the vocab
+  // through one task). Pair multiplicity matters, so pairs come from a
+  // positional transform, NOT the distinct word_ngrams kernel. Float
+  // discipline per q83/q120: per-doc double sum absorbed by round(4).
+  def q194BigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = expr("regexp_extract_all(text, '\\\\S+', 0)")
+    def docPairs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(0, size(t) - 2), j -> struct(" +
+          "element_at(t, j + 1) AS a, " +
+          "concat(element_at(t, j + 1), ' ', element_at(t, j + 2)) " +
+          "AS pair))")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.a").as("a"), col("p.pair").as("pair"))
+    // independent reads for each lineage (self-join ambiguity rule)
+    val uniC = Tables.documents(s, d)
+      .select(explode_outer(toks).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("cnt1"))
+    val bigC = docPairs(Tables.documents(s, d))
+      .groupBy("pair").agg(count(lit(1)).as("cnt2"))
+    docPairs(Tables.documents(s, d))
+      .join(broadcast(bigC), Seq("pair"))
+      .join(broadcast(uniC.withColumnRenamed("term", "a")), Seq("a"))
+      .crossJoin(broadcast(uniC.select(count(lit(1)).as("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((col("cnt2") + lit(1)) / (col("cnt1") + col("v")))) /
+          count(lit(1)), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val q194Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+      |  FROM documents),
+      |uni AS (
+      |  SELECT term, COUNT(*) AS cnt1 FROM (
+      |    SELECT unnest(t) AS term FROM tok) GROUP BY 1),
+      |vv AS (SELECT COUNT(*) AS v FROM uni),
+      |dpp AS (
+      |  SELECT doc_id, p['a'] AS a, p['pair'] AS pair FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |      i -> {'a': t[i], 'pair': t[i] || ' ' || t[i + 1]})) AS p
+      |    FROM tok WHERE len(t) >= 2)),
+      |big AS (SELECT pair, COUNT(*) AS cnt2 FROM dpp GROUP BY 1)
+      |SELECT d.doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(SUM(LN((b.cnt2 + 1) / (u.cnt1 + vv.v))) / COUNT(*), 4)
+      |    AS avg_logprob
+      |FROM dpp d JOIN big b USING (pair)
+      |  JOIN uni u ON u.term = d.a CROSS JOIN vv
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_bigram_logprob" -> (q194BigramLogprob _),
     "q170_repetition_profile" -> (q170RepetitionProfile _),
     "q175_triangle_count" -> (q175TriangleCount _),
     "q176_grouping_sets" -> (q176GroupingSets _),
@@ -350,5 +417,6 @@ object Advanced9 {
     "q175_triangle_count" -> q175Sql,
     "q176_grouping_sets" -> q176Sql,
     "q184_decontaminate" -> q184Sql,
-    "q190_bpe_train" -> q190Sql)
+    "q190_bpe_train" -> q190Sql,
+    "q194_bigram_logprob" -> q194Sql)
 }
