@@ -207,6 +207,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // q120: corpus-total T as a 1-row attach (replaced the
       // window-over-the-vocabulary form in round 6)
       "q120_unigram_logprob",
+      // q194: vocabulary size V as a 1-row attach (the q120 shape)
+      "q194_bigram_logprob",
       // q93/q113/q131/q135: operators.Scan's 1-row min/max bounds attach
       // — the deterministic bucket function behind the two-pass scan
       "q93_quality_bins", "q113_skyline", "q131_gini",
