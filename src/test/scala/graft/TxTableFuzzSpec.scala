@@ -7,7 +7,8 @@ import graft.operators.TxTable
 /** Model-based fuzz of the transactional table: random operation
   * sequences (overwrite / append / clustered+bloomed append / keyed
   * merge both paths / range delete / MoR deleteWhere / purgeDeletes /
-  * optimize / vacuum) applied simultaneously to a TxTable and to an
+  * optimize / vacuum / restore / partitioned overwrite / dynamic
+  * partition overwrite) applied simultaneously to a TxTable and to an
   * in-memory reference model, asserting after EVERY op that the visible
   * table equals the model — and that every RETAINED version still
   * time-travels to the model state it published. The
@@ -21,23 +22,27 @@ import graft.operators.TxTable
 class TxTableFuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private type Row_ = (Option[Long], Long) // nullable key, value
+  // nullable key, value, non-null partition tag
+  private type Row_ = (Option[Long], Long, String)
   private type Model = Vector[Row_]
 
   private def toDf(rows: Seq[Row_]) = {
     import spark.implicits._
-    rows.toDF("k", "v")
+    rows.toDF("k", "v", "p")
   }
 
+  private def rowOf(r: org.apache.spark.sql.Row): Row_ =
+    (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      r.getLong(1), r.getString(2))
+
   private def readSorted(root: String): Vector[Row_] =
-    TxTable.read(spark, root).collect()
-      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
-        r.getLong(1))).toVector.sorted
+    TxTable.read(spark, root).collect().map(rowOf).toVector.sorted
 
   private def genRows(rnd: scala.util.Random, n: Int): Vector[Row_] =
     Vector.fill(n)((
       if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(50).toLong),
-      rnd.nextInt(1000).toLong))
+      rnd.nextInt(1000).toLong,
+      s"p${rnd.nextInt(3)}"))
 
   test("random op sequences: table == model after every op; retained " +
       "versions time-travel to their recorded states") {
@@ -52,7 +57,7 @@ class TxTableFuzzSpec extends AnyFunSuite {
         var history = Map(TxTable.currentVersion(root).get -> model)
         val opsLog = new scala.collection.mutable.ArrayBuffer[String]
         (1 to 16).foreach { _ =>
-          val op = rnd.nextInt(10)
+          val op = rnd.nextInt(13)
           op match {
             case 0 => // overwrite
               model = genRows(rnd, 3 + rnd.nextInt(8))
@@ -122,6 +127,35 @@ class TxTableFuzzSpec extends AnyFunSuite {
                 TxTable.purgeDeletes(spark, root)
                 opsLog += "purge"
               }
+            case 10 => // restore to a random retained version
+              val retained = TxTable.versions(root)
+              val target = retained(rnd.nextInt(retained.size))
+              model = history(target)
+              TxTable.restore(spark, root, target)
+              opsLog += s"restore($target)"
+            case 11 => // partitioned overwrite: every file classified
+              model = genRows(rnd, 3 + rnd.nextInt(8))
+              TxTable.commit(spark, root, toDf(model),
+                partitionBy = Some("p"))
+              opsLog += "overwriteP"
+            case 12 => // dynamic partition overwrite — succeeds only
+              // while EVERY parent file carries a part line (i.e. since
+              // the last partitioned overwrite with no unpartitioned
+              // writer in between); otherwise the designed loud refusal,
+              // which the fuzz asserts INSTEAD of a silent wrong answer
+              val pv = s"p${rnd.nextInt(3)}"
+              val rows = genRows(rnd, 1 + rnd.nextInt(5))
+                .map(r => (r._1, r._2, pv))
+              try {
+                TxTable.overwritePartitions(spark, root, toDf(rows), "p")
+                model = model.filterNot(_._3 == pv) ++ rows
+                opsLog += s"dpo($pv)"
+              } catch {
+                case e: java.io.IOException =>
+                  assert(e.getMessage.contains(
+                    "no recorded partition value"), e.getMessage)
+                  opsLog += s"dpo($pv):refused"
+              }
           }
           // record whatever version is now current against the model —
           // ops that no-op'd (empty delete match, DV-free purge) left
@@ -134,8 +168,7 @@ class TxTableFuzzSpec extends AnyFunSuite {
           history = history.view.filterKeys(retained.contains).toMap
           history.foreach { case (v, m) =>
             val got = TxTable.readVersion(spark, root, v).collect()
-              .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
-                r.getLong(1))).toVector.sorted
+              .map(rowOf).toVector.sorted
             assert(got == m.sorted, s"$ctx: version $v diverged")
           }
         }
