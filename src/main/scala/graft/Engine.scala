@@ -81,6 +81,48 @@ object Engine {
         Cast(es.head, StringType), Cast(es(1), LongType),
         intArg(es(2)), intArg(es(3)))))
 
+  /** SQL table-valued functions — the transactional layer queryable
+    * from pure SQL (`SELECT * FROM tx_read('/path')`), the way Delta
+    * exposes `table_changes(...)`. Arguments must be literals (they
+    * are evaluated at resolution time to build the plan); the returned
+    * plan is the SAME analyzed plan the DataFrame API produces, so
+    * DV application, mergeSchema, and snapshot pinning are identical
+    * across both surfaces.
+    */
+  val tableFunctions: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def str(e: Expression): String = {
+      require(e.foldable, s"table-function argument must be a literal: $e")
+      String.valueOf(e.eval(null))
+    }
+    def lng(e: Expression): Long = {
+      require(e.foldable, s"table-function argument must be a literal: $e")
+      e.eval(null).asInstanceOf[Number].longValue()
+    }
+    Seq(
+      ("tx_read",
+        "tx_read(root[, version]) - snapshot (or time-travel) read of a TxTable",
+        es => {
+          val s = SparkSession.active
+          val df =
+            if (es.size > 1)
+              graft.operators.TxTable.readVersion(s, str(es.head), lng(es(1)))
+            else graft.operators.TxTable.read(s, str(es.head))
+          df.queryExecution.analyzed
+        }),
+      ("tx_history",
+        "tx_history(root) - one row per retained version (DESCRIBE HISTORY)",
+        es => graft.operators.TxTable
+          .history(SparkSession.active, str(es.head))
+          .queryExecution.analyzed),
+      ("tx_changes",
+        "tx_changes(root, fromV, toV) - rows added in versions (fromV, toV]",
+        es => graft.operators.TxTable
+          .readChanges(SparkSession.active, str(es.head), lng(es(1)),
+            lng(es(2)))
+          .queryExecution.analyzed))
+  }
+
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>
@@ -161,5 +203,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view query routing (inert until a view registers;
     // idempotent — a routed plan no longer matches any base scan)
     e.injectOptimizerRule(_ => graft.plans.MatViewRouting)
+    // SQL table functions over the transactional layer (tx_read /
+    // tx_history / tx_changes)
+    Engine.tableFunctions.foreach { case (name, usage, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.operators", name, usage), builder))
+    }
   }
 }

@@ -6,12 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Flatten, Normalize}
 
 object SparkTestSession {
+  // withExtensions: the same registration path library consumers get
+  // (functions, planner strategy, optimizer rules, table functions),
+  // so specs exercise the real wiring
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
 

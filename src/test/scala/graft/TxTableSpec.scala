@@ -969,6 +969,29 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL table functions: tx_read / tx_read-at-version / " +
+      "tx_history / tx_changes match the DataFrame API") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((3L, "c")).toDF("id", "s"),
+        TxTable.Append)
+      assert(spark.sql(s"SELECT * FROM tx_read('$root') ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      assert(spark.sql(s"SELECT * FROM tx_read('$root', 0) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(spark.sql(s"SELECT count(*) FROM tx_history('$root')")
+        .head().getLong(0) == 2L)
+      assert(spark.sql(
+          s"SELECT * FROM tx_changes('$root', 0, 1) ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // DV semantics identical across surfaces: delete, then both reads
+      TxTable.deleteWhere(spark, root, col("id") === 2L)
+      assert(spark.sql(s"SELECT * FROM tx_read('$root') ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
