@@ -120,6 +120,11 @@ object Engine {
         es => graft.operators.TxTable
           .readChanges(SparkSession.active, str(es.head), lng(es(1)),
             lng(es(2)))
+          .queryExecution.analyzed),
+      ("tx_partition_stats",
+        "tx_partition_stats(root, col) - zero-scan per-partition live row counts",
+        es => graft.operators.TxTable
+          .partitionRowCounts(SparkSession.active, str(es.head), str(es(1)))
           .queryExecution.analyzed))
   }
 

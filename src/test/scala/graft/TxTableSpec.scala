@@ -990,6 +990,16 @@ class TxTableSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT * FROM tx_read('$root') ORDER BY id")
         .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
     }
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("id", "lang"),
+        partitionBy = Some("lang"))
+      assert(spark.sql(
+          s"SELECT * FROM tx_partition_stats('$root', 'lang') ORDER BY lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("en", 2L), ("fr", 1L)))
+    }
   }
 
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
