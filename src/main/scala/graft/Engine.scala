@@ -128,6 +128,16 @@ object Engine {
           .queryExecution.analyzed))
   }
 
+  /** Register the table functions on an existing session (the
+    * [[registerFunctions]] twin for sessions built without
+    * extensions).
+    */
+  def registerTableFunctions(spark: SparkSession): Unit =
+    tableFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
   /** Register every custom function on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
     functions.foreach { case (name, _, builder) =>

@@ -2248,6 +2248,44 @@ object TxTable {
       |FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL-surface demo: the whole lakehouse consumption path in ONE SQL
+    * statement through the injected table functions — an incremental
+    * window (`tx_changes`) joined with a head count (`tx_read`, AFTER a
+    * merge-on-read delete, so deletion-vector semantics flow through
+    * the SQL surface too). The oracle restates it on raw documents;
+    * TxTableSpec pins the per-function parity.
+    */
+  def q195TxSqlSurface(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txsql_")
+    val root = s"$tmp/docs_sql"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def slice(m: Int) = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    commit(s, root, slice(0), Overwrite, partitionBy = Some("lang"))
+    commit(s, root, slice(1), Append, partitionBy = Some("lang"))
+    commit(s, root, slice(2), Append, partitionBy = Some("lang"))
+    deleteWhere(s, root, col("n_chars") < 100.0)
+    graft.Engine.registerTableFunctions(s)
+    val out = s.sql(
+      s"""SELECT c.lang, COUNT(*) AS n_new_docs,
+         |  CAST(SUM(c.n_chars) AS BIGINT) AS new_chars,
+         |  MAX(t.total_docs) AS total_docs
+         |FROM tx_changes('$root', 0, 2) c
+         |CROSS JOIN (SELECT COUNT(*) AS total_docs
+         |            FROM tx_read('$root')) t
+         |GROUP BY c.lang ORDER BY c.lang""".stripMargin)
+    offTemp(out, tmp)
+  }
+
+  val q195Sql: String =
+    """SELECT lang, COUNT(*) AS n_new_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS new_chars,
+      |  (SELECT COUNT(*) FROM documents WHERE n_chars >= 100)
+      |    AS total_docs
+      |FROM documents WHERE doc_id % 3 <> 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** RESTORE demo: a good publish, a bad pipeline run that OVERWRITES
     * the table with a sliver, [[restore]] back to the good version
     * (metadata-only — no data copied), then the pipeline continues with
@@ -2357,7 +2395,8 @@ object TxTable {
     "q189_tx_overwrite_partitions" -> (q189TxOverwritePartitions _),
     "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _),
     "q192_tx_partition_range" -> (q192TxPartitionRange _),
-    "q193_tx_changes_partitioned" -> (q193TxChangesPartitioned _))
+    "q193_tx_changes_partitioned" -> (q193TxChangesPartitioned _),
+    "q195_tx_sql_surface" -> (q195TxSqlSurface _))
 
   val oracles: Map[String, String] = Map(
     "q159_tx_publish" -> q159Sql,
@@ -2370,5 +2409,6 @@ object TxTable {
     "q189_tx_overwrite_partitions" -> q189Sql,
     "q191_stream_tx_partitioned" -> q191Sql,
     "q192_tx_partition_range" -> q192Sql,
-    "q193_tx_changes_partitioned" -> q193Sql)
+    "q193_tx_changes_partitioned" -> q193Sql,
+    "q195_tx_sql_surface" -> q195Sql)
 }

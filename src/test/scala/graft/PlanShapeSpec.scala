@@ -209,6 +209,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q120_unigram_logprob",
       // q194: vocabulary size V as a 1-row attach (the q120 shape)
       "q194_bigram_logprob",
+      // q195: the SQL-surface head-count 1-row attach (same shape)
+      "q195_tx_sql_surface",
       // q93/q113/q131/q135: operators.Scan's 1-row min/max bounds attach
       // — the deterministic bucket function behind the two-pass scan
       "q93_quality_bins", "q113_skyline", "q131_gini",
