@@ -125,7 +125,59 @@ object Engine {
         "tx_partition_stats(root, col) - zero-scan per-partition live row counts",
         es => graft.operators.TxTable
           .partitionRowCounts(SparkSession.active, str(es.head), str(es(1)))
-          .queryExecution.analyzed))
+          .queryExecution.analyzed),
+      // ---- procedure-style DML (r12 VERDICT task 5): the WRITE side of
+      // the lakehouse in pure SQL, Iceberg's `CALL system.x(...)` shape
+      // expressed as table functions. The operation executes ONCE, when
+      // the analyzer resolves the function (the same moment tx_read
+      // resolves its snapshot), through the IDENTICAL Scala entry point
+      // — commit protocol, serializable retry, CHECK validation and all
+      // — and the returned single-row RECEIPT carries the committed
+      // version, so `SELECT * FROM tx_delete_where(...)` both performs
+      // and reports the write.
+      ("tx_delete_where",
+        "tx_delete_where(root, predSql) - merge-on-read DELETE WHERE; returns (op, version)",
+        es => {
+          val s = SparkSession.active
+          receipt(s, "delete_where", graft.operators.TxTable.deleteWhere(
+            s, str(es.head),
+            org.apache.spark.sql.functions.expr(str(es(1)))))
+        }),
+      ("tx_optimize",
+        "tx_optimize(root, targetFiles) - committed compaction; returns (op, version)",
+        es => {
+          val s = SparkSession.active
+          receipt(s, "optimize", graft.operators.TxTable.optimize(
+            s, str(es.head), lng(es(1)).toInt))
+        }),
+      ("tx_vacuum",
+        "tx_vacuum(root, keepVersions[, retainMs]) - two-axis retention; returns (op, version)",
+        es => {
+          val root = str(es.head)
+          graft.operators.TxTable.vacuum(root, lng(es(1)).toInt,
+            if (es.size > 2) lng(es(2)) else 0L)
+          receipt(SparkSession.active, "vacuum",
+            graft.operators.TxTable.currentVersion(root).getOrElse(-1L))
+        }),
+      ("tx_restore",
+        "tx_restore(root, version) - metadata-only RESTORE; returns (op, version)",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"restore:${lng(es(1))}",
+            graft.operators.TxTable.restore(s, str(es.head), lng(es(1))))
+        }))
+  }
+
+  /** One-row (op, version) result of a procedure table function. */
+  private def receipt(s: SparkSession, op: String, version: Long)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    s.createDataFrame(
+      java.util.Collections.singletonList(Row(op, version)),
+      StructType(Seq(StructField("op", StringType, nullable = false),
+        StructField("version", LongType, nullable = false))))
+      .queryExecution.analyzed
   }
 
   /** Register the table functions on an existing session (the

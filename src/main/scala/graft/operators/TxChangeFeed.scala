@@ -170,6 +170,50 @@ object TxChangeFeed {
     Some(withMeta(tagged, ct, v).drop("__side"))
   }
 
+  /** Packaged incremental CDF consumer (r12 VERDICT task 2) — the
+    * Delta/Iceberg CDF-source shape, generalized from q182's hand-rolled
+    * poll loop so every derived table does NOT reimplement the
+    * cursor-advances-atomically-with-merge pattern:
+    *
+    *  - **cursor** = the silver's own txn high-water for `appId`
+    *    ([[TxTable.Snapshot.txns]]) — the bronze version this consumer
+    *    has folded through, stored IN the table it maintains, so there
+    *    is no side-channel offset file to drift from the data;
+    *  - **window** = the change feed over `(cursor, head]`
+    *    ([[readChangeFeed]] — row-level inserts/deletes/update pairs,
+    *    bounded by those versions' deltas, never a bronze rescan);
+    *  - **fold** maps the window to a SIGNED additive delta keyed by
+    *    `mergeKey` (the IVM delta rule ΔV = V(ΔB));
+    *  - **commit**: [[TxTable.mergeAdditive]] under `(appId, head)` —
+    *    data merge and cursor advance are ONE manifest publish, so a
+    *    crashed poll replays idempotently (the txn no-ops) and there is
+    *    no torn state between "merged" and "advanced" (CdfConsumeSpec's
+    *    replay cases).
+    *
+    * Returns the committed silver version, or None when the cursor is
+    * already at (or past) `upTo`/head — a no-op poll never commits, so
+    * idle polling is manifest-read-only. Multiple independent consumers
+    * (distinct `appId`s, any cadence) converge to identical silver
+    * content because each fold window partitions the same feed (q196).
+    *
+    * Scale: per poll, work is O(changed rows in the window) + one
+    * additive merge into a key-pruned silver — a consumer that falls
+    * behind pays one larger window, never a base-table scan.
+    */
+  def consume(s: SparkSession, bronze: String, silver: String,
+      appId: String, keyCol: String, mergeKey: String,
+      upTo: Option[Long] = None)(
+      fold: DataFrame => DataFrame): Option[Long] = {
+    val head = upTo.orElse(TxTable.currentVersion(bronze))
+      .getOrElse(return None)
+    val cursor = TxTable.currentSnapshot(silver)
+      .flatMap(_.txns.get(appId)).getOrElse(-1L)
+    if (head <= cursor) return None
+    val delta = fold(readChangeFeed(s, bronze, cursor, head, keyCol))
+    Some(TxTable.mergeAdditive(s, silver, delta, mergeKey,
+      txn = Some((appId, head))))
+  }
+
   // ------------------------------------------------------- driver query
 
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -266,6 +310,25 @@ object TxChangeFeed {
   // append, MoR delete, CoW merge with updates+inserts+reinserts,
   // optimize); polls are irregular windows plus a replay; the converged
   // silver equals plain SQL over bronze's FINAL state.
+  /** The per-priority signed additive fold q182/q196 maintain: +1/+price
+    * for insert & update_postimage, -1/-price for delete &
+    * update_preimage (update pairs net to the price bump). Numeric merge
+    * key (mergeAdditive's file pruning is range-based): the priority's
+    * leading digit, the q174 convention.
+    */
+  private def prioFold(feed: DataFrame): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", Post), 1L)
+      .otherwise(-1L)
+    feed
+      .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("prio_no"), sign.as("sg"), col("o_totalprice"))
+      .groupBy("prio_no")
+      .agg(sum(col("sg")).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) *
+          col("sg")).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("total_price"))
+  }
+
   def q182TxIvm(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_txivm_")
     val bronze = s"$tmp/orders_bronze"
@@ -284,28 +347,15 @@ object TxChangeFeed {
         .withColumn("o_totalprice", col("o_totalprice") + 1.0))
     TxTable.mergeByKeyPruned(s, bronze, updates, "o_orderkey")
     TxTable.optimize(s, bronze, 8, clusterBy = Seq("o_orderkey"))
-    // incremental consumer: cursor = silver's own txn high-water
-    def cursor(): Long = TxTable.currentSnapshot(silver)
-      .flatMap(_.txns.get("ivm")).getOrElse(-1L)
+    // incremental consumer, on the packaged loop (cursor = silver's own
+    // txn high-water; fold + cursor advance commit atomically)
     def poll(head: Long): Unit = {
-      val sign = when(col("_change_type").isin("insert", Post), 1L)
-        .otherwise(-1L)
-      // numeric merge key (mergeAdditive's file pruning is range-based):
-      // the priority's leading digit, the q174 convention
-      val delta = readChangeFeed(s, bronze, cursor(), head, "o_orderkey")
-        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
-          .as("prio_no"), sign.as("sg"), col("o_totalprice"))
-        .groupBy("prio_no")
-        .agg(sum(col("sg")).as("n_orders"),
-          sum((col("o_totalprice").cast(DecimalType(18, 2)) *
-            col("sg")).cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("total_price"))
-      TxTable.mergeAdditive(s, silver, delta, "prio_no",
-        txn = Some(("ivm", head)))
+      consume(s, bronze, silver, "ivm", "o_orderkey", "prio_no",
+        upTo = Some(head))(prioFold)
       ()
     }
     poll(1L); poll(3L)
-    poll(3L) // replayed poll: the txn no-ops, nothing double-applied
+    poll(3L) // replayed poll: the cursor is already there — no commit
     poll(4L)
     val out = TxTable.read(s, silver)
       .select(col("prio_no"), col("n_orders"),
@@ -330,6 +380,87 @@ object TxChangeFeed {
       |  SELECT o_orderpriority, o_totalprice FROM orders
       |  WHERE o_orderkey % 4 < 3 AND o_orderkey % 1000 <> 1
       |    AND o_totalprice >= 20000)
+      |SELECT CAST(substring(prio, 1, 1) AS BIGINT) AS prio_no,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q196
+  // Two INDEPENDENT [[consume]] consumers over one bronze lifecycle —
+  // "fast" polls after every bronze version (4 windows), "slow" polls
+  // once at the end (1 window covering the whole feed) — each
+  // maintaining its own silver with the same fold. Because each
+  // consumer's fold windows partition the same row-level feed and the
+  // fold is additive, BOTH silvers converge to identical content
+  // whatever the cadence; the query proves it in-plan (a symmetric
+  // anti-join must be empty — a silent divergence fails the gate
+  // loudly) and the oracle proves the converged content equals plain
+  // SQL over bronze's final state. A replayed fast poll (same upTo)
+  // must return None and leave the silver version unchanged — the
+  // packaged cursor contract, asserted here and in CdfConsumeSpec.
+  def q196TxCdfConsumers(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txcdfc_")
+    val bronze = s"$tmp/orders_bronze"
+    val fastSilver = s"$tmp/prio_fast"
+    val slowSilver = s"$tmp/prio_slow"
+    val proj = Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val base = graft.Tables.orders(s, d).select(proj.map(col): _*)
+    // bronze lifecycle (v0..v4): overwrite, append, MoR delete, CoW
+    // merge (inserts + updates + reinserts), optimize — the q181 shapes
+    // at different thresholds, so q196's oracle is its own membership
+    TxTable.commit(s, bronze, base.filter(col("o_orderkey") % 4 < 2),
+      TxTable.Overwrite, clusterBy = Some("o_orderkey"))
+    TxTable.commit(s, bronze, base.filter(col("o_orderkey") % 4 === 2),
+      TxTable.Append, clusterBy = Some("o_orderkey"))
+    TxTable.deleteWhere(s, bronze, col("o_totalprice") < 50000.0)
+    val updates = base.filter(col("o_orderkey") % 4 === 3)
+      .unionByName(base
+        .filter(col("o_orderkey") % 500 === 1 && col("o_orderkey") % 4 < 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    TxTable.mergeByKeyPruned(s, bronze, updates, "o_orderkey")
+    TxTable.optimize(s, bronze, 8, clusterBy = Seq("o_orderkey"))
+    val head = TxTable.currentVersion(bronze).get
+    // fast consumer: one poll per bronze version
+    (1L to head).foreach { h =>
+      consume(s, bronze, fastSilver, "fast", "o_orderkey", "prio_no",
+        upTo = Some(h))(prioFold)
+    }
+    // replayed poll: cursor already at head — must not commit
+    val fastV = TxTable.currentVersion(fastSilver).get
+    require(consume(s, bronze, fastSilver, "fast", "o_orderkey",
+        "prio_no", upTo = Some(head))(prioFold).isEmpty &&
+        TxTable.currentVersion(fastSilver).get == fastV,
+      "replayed poll committed — the cursor contract is broken")
+    // slow consumer: the whole feed in one window
+    consume(s, bronze, slowSilver, "slow", "o_orderkey", "prio_no",
+      upTo = Some(head))(prioFold)
+    def silverOf(root: String) = TxTable.read(s, root)
+      .select(col("prio_no"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+    val fast = silverOf(fastSilver)
+    val slow = silverOf(slowSilver)
+    val diverged = fast.exceptAll(slow).count() +
+      slow.exceptAll(fast).count()
+    require(diverged == 0L,
+      s"fast/slow consumers diverged on $diverged silver rows")
+    offTemp(fast.orderBy("prio_no"), tmp)
+  }
+
+  /** Bronze's final state restated: keys ≡ 3 (mod 4) at p; keys ≡ 1
+    * (mod 500) among ≡ 0,1,2 (mod 4) at p+2 (survivors bumped, deleted
+    * ones reinserted); everything else survives only if p ≥ 50000.
+    */
+  val q196Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderpriority AS prio, o_totalprice AS p FROM orders
+      |  WHERE o_orderkey % 4 = 3
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice + 2 FROM orders
+      |  WHERE o_orderkey % 4 < 3 AND o_orderkey % 500 = 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 < 3 AND o_orderkey % 500 <> 1
+      |    AND o_totalprice >= 50000)
       |SELECT CAST(substring(prio, 1, 1) AS BIGINT) AS prio_no,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -395,10 +526,12 @@ object TxChangeFeed {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_tx_change_feed" -> (q181TxChangeFeed _),
     "q182_tx_ivm" -> (q182TxIvm _),
-    "q187_matview_route" -> (q187MatviewRoute _))
+    "q187_matview_route" -> (q187MatviewRoute _),
+    "q196_tx_cdf_consumers" -> (q196TxCdfConsumers _))
 
   val oracles: Map[String, String] = Map(
     "q181_tx_change_feed" -> q181Sql,
     "q182_tx_ivm" -> q182Sql,
-    "q187_matview_route" -> q187Sql)
+    "q187_matview_route" -> q187Sql,
+    "q196_tx_cdf_consumers" -> q196Sql)
 }

@@ -492,26 +492,53 @@ object TxTable {
     * until a manifest references them.
     */
   private def writeDataPartitioned(s: SparkSession, root: String,
-      df: DataFrame, partCol: String): Seq[(String, Option[String])] = {
-    val tag = "__graft_part"
-    require(!df.columns.contains(tag),
-      s"column name $tag is reserved by the partitioned writer")
+      df: DataFrame, partCol: String): Seq[(String, Option[String])] =
+    writeDataPartitionedMulti(s, root, df, Seq(partCol))
+      .map { case (f, vs) => (f, vs.head._2) }
+
+  /** The N-column generalization (r12 VERDICT task 3 — a date × tenant
+    * layout): hive nesting `tag0=v0/tag1=v1/.../file.parquet` in
+    * `partCols` order, one duplicate tag column per partition column
+    * (same reader-visibility argument as the single-column writer; the
+    * first tag keeps the historical `__graft_part` name so a one-column
+    * call is byte-identical to the pre-multi layout). Returns each leaf
+    * file with its decoded (col, value) pairs in `partCols` order — the
+    * manifest part-line format already stores per-file pair LISTS, so
+    * this feeds [[tryPublish]] unchanged.
+    */
+  private def writeDataPartitionedMulti(s: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String])
+      : Seq[(String, Seq[(String, Option[String])])] = {
+    require(partCols.nonEmpty, "partitioned write needs >= 1 column")
+    require(partCols.distinct.size == partCols.size,
+      s"duplicate partition columns: ${partCols.mkString(", ")}")
+    val tags = partCols.indices
+      .map(i => if (i == 0) "__graft_part" else s"__graft_part$i")
+    tags.foreach(t => require(!df.columns.contains(t),
+      s"column name $t is reserved by the partitioned writer"))
     val rel = s"data/w-${java.util.UUID.randomUUID()}"
-    df.withColumn(tag, col(partCol))
-      .write.partitionBy(tag).parquet(s"$root/$rel")
+    partCols.zip(tags)
+      .foldLeft(df) { case (d, (c, t)) => d.withColumn(t, col(c)) }
+      .write.partitionBy(tags: _*).parquet(s"$root/$rel")
+    def decode(seg: String, tag: String): Option[String] = {
+      require(seg.startsWith(s"$tag="),
+        s"partitioned write produced unexpected layout segment: $seg")
+      val raw = seg.stripPrefix(s"$tag=")
+      if (raw == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(unescapePathName(raw))
+    }
     val walk = Files.walk(Paths.get(root, rel))
     try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
       .asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map { p =>
-        val seg = p.getParent.getFileName.toString
-        require(seg.startsWith(s"$tag="),
-          s"partitioned write produced unexpected layout: $p")
-        val raw = seg.stripPrefix(s"$tag=")
-        val value =
-          if (raw == "__HIVE_DEFAULT_PARTITION__") None
-          else Some(unescapePathName(raw))
-        (s"$rel/$seg/${p.getFileName}", value)
+        // nearest ancestor = LAST partition column; walk upward
+        val segs = Iterator.iterate(p.getParent)(_.getParent)
+          .take(partCols.size).map(_.getFileName.toString)
+          .toSeq.reverse
+        val pairs = partCols.lazyZip(tags).lazyZip(segs)
+          .map((c, t, seg) => (c, decode(seg, t)))
+        (s"$rel/${segs.mkString("/")}/${p.getFileName}", pairs)
       }.toSeq.sortBy(_._1)
     finally walk.close()
   }
@@ -880,8 +907,12 @@ object TxTable {
       clusterBy: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      partitionBy: Option[String] = None): Long = {
-    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      partitionBy: Option[String] = None,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    // partitionBy (one column) and partitionCols (N columns, the
+    // date × tenant layout) merge into one ordered spec
+    val partSpec = partitionBy.toSeq ++ partitionCols
+    require(clusterBy.isEmpty || partSpec.isEmpty,
       "clusterBy and partitionBy are alternative layouts — pick one")
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
@@ -892,15 +923,13 @@ object TxTable {
       case Some(c) => df.repartitionByRange(8, col(c))
       case None => df
     }
-    val (dataFiles, newParts) = partitionBy match {
-      case Some(pc) =>
-        val fp = writeDataPartitioned(s, root, df, pc)
-        (fp.map(_._1),
-          fp.map { case (f, v) => f -> Seq((pc, v)) }.toMap)
-      case None =>
+    val (dataFiles, newParts) =
+      if (partSpec.nonEmpty) {
+        val fp = writeDataPartitionedMulti(s, root, df, partSpec)
+        (fp.map(_._1), fp.toMap)
+      } else
         (writeData(s, root, clustered),
           Map.empty[String, Seq[(String, Option[String])]])
-    }
     // stats recorded for the clustering column plus any caller-named
     // columns (`statsCols` records footer ranges on the layout AS GIVEN —
     // for pre-partitioned input whose files are already range-tight)
@@ -1076,13 +1105,65 @@ object TxTable {
 
   private def partPrunedOf(snap: Snapshot, colName: String,
       values: Set[String], includeNull: Boolean): Seq[String] =
-    snap.files.filter { f =>
-      snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName) match {
-        case Some((_, Some(v))) => values.contains(v)
-        case Some((_, None)) => includeNull
-        case None => true
-      }
+    snap.files.filter(partFileMatches(snap, _, colName, values, includeNull))
+
+  private def partFileMatches(snap: Snapshot, f: String, colName: String,
+      values: Set[String], includeNull: Boolean): Boolean =
+    snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+      case Some((_, Some(v))) => values.contains(v)
+      case Some((_, None)) => includeNull
+      case None => true
     }
+
+  /** Conjunctive multi-column partition pruning (the date × tenant
+    * layout): a file survives only when EVERY (col, values) spec
+    * matches its recorded part line — with the same degrade-never-lie
+    * rule per column (no part line on a column ⇒ that column keeps the
+    * file). Pure manifest metadata; the dimensions multiply with each
+    * other and with stat-range pruning
+    * ([[readPartitionRangePrunedMulti]]).
+    */
+  def partPrunedFilesMulti(root: String,
+      specs: Seq[(String, Set[String])],
+      includeNull: Boolean = false): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    snap.files.filter(f => specs.forall { case (c, vs) =>
+      partFileMatches(snap, f, c, vs, includeNull) })
+  }
+
+  /** Multi-column partition × stat-range pruning in ONE snapshot
+    * resolution: files must match every partition spec AND every stat
+    * range conjunct, exact predicates re-applied — identical answers to
+    * the unpruned read, at (matching partitions across all columns) ×
+    * (matching ranges) scan cost.
+    */
+  def readPartitionRangePrunedMulti(s: SparkSession, root: String,
+      partSpecs: Seq[(String, Seq[String])],
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val files = snap.files
+      .filter(f => partSpecs.forall { case (c, vs) =>
+        partFileMatches(snap, f, c, vs.toSet, includeNull = false) })
+      .filter { f =>
+        val ranges = snap.stats.getOrElse(f, Seq.empty)
+        preds.forall { case (colName, lo, hi) =>
+          ranges.find(_._1 == colName) match {
+            case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }
+    val df =
+      if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
+      else readFilesWithDvs(s, root, snap, files)
+    val partFiltered = partSpecs.foldLeft(df) { case (d, (c, vs)) =>
+      d.filter(col(c).isInCollection(vs)) }
+    preds.foldLeft(partFiltered) {
+      case (d, (c, lo, hi)) => d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
 
   /** Partition-pruned read: manifest-level file selection on the
     * recorded partition values, then the exact predicate re-applied —
@@ -1116,17 +1197,30 @@ object TxTable {
     * "every file carries a part line", enforced loudly).
     */
   def overwritePartitions(s: SparkSession, root: String, df: DataFrame,
-      partCol: String, txn: Option[(String, Long)] = None): Long = {
+      partCol: String, txn: Option[(String, Long)] = None): Long =
+    overwritePartitionsMulti(s, root, df, Seq(partCol), txn)
+
+  /** N-column dynamic partition overwrite: replace exactly the
+    * (v₁, …, vₙ) combinations over `partCols` present in `df`. A
+    * PARTIAL spec — `partCols` a proper prefix of the table's layout,
+    * e.g. replacing a whole date across all tenants — classifies parent
+    * files by the prefix columns alone and replaces every tenant under
+    * a recomputed date; the new files then carry part lines for the
+    * prefix columns only, so deeper-column pruning degrades (never
+    * lies) on them until the next full-spec rewrite.
+    */
+  def overwritePartitionsMulti(s: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
     if (alreadyApplied(currentSnapshot(root)))
       return currentVersion(root).get
-    val filesParts = writeDataPartitioned(s, root, df, partCol)
+    val filesParts = writeDataPartitionedMulti(s, root, df, partCols)
     val newFiles = filesParts.map(_._1)
-    val replaced = filesParts.map(_._2).toSet
-    val newParts = filesParts
-      .map { case (f, v) => f -> Seq((partCol, v)) }.toMap
+    val replaced = filesParts.map(_._2.map(_._2)).toSet
+    val newParts = filesParts.toMap
     val newStats = Map.empty[String, Seq[(String, Double, Double, Long)]]
     val newRows = fileRows(s, root, newFiles)
     var committed = -1L
@@ -1136,13 +1230,14 @@ object TxTable {
           s"txtable $root has no head — use commit(partitionBy) first"))
       if (alreadyApplied(Some(parent))) return parent.version
       val keep = parent.files.filter { f =>
-        parent.parts.getOrElse(f, Seq.empty).find(_._1 == partCol) match {
-          case Some((_, v)) => !replaced.contains(v)
-          case None => throw new java.io.IOException(
-            s"overwritePartitions($partCol): parent file $f has no " +
-              "recorded partition value — cannot classify it as " +
-              "replaced or kept")
+        val lines = parent.parts.getOrElse(f, Seq.empty)
+        val combo = partCols.map { c =>
+          lines.find(_._1 == c).getOrElse(throw new java.io.IOException(
+            s"overwritePartitions(${partCols.mkString(",")}): parent " +
+              s"file $f has no recorded partition value for $c — cannot " +
+              "classify it as replaced or kept"))._2
         }
+        !replaced.contains(combo)
       }
       val files = keep ++ newFiles
       val schema = parent.schema
@@ -1833,6 +1928,16 @@ object TxTable {
     * idempotence — a replayed batch would double-apply).
     */
   def restore(s: SparkSession, root: String, v: Long): Long = {
+    // a vacuumed target must fail LOUDLY with the operative fact (what
+    // is still restorable), not a raw NoSuchFileException from the
+    // manifest parse
+    if (!Files.exists(manifestPath(root, v))) {
+      val vs = versions(root)
+      throw new java.io.IOException(
+        s"restore $root to version $v: that version was vacuumed — " +
+          s"retained versions are [${vs.headOption.getOrElse(-1L)}, " +
+          s"${vs.lastOption.getOrElse(-1L)}]")
+    }
     val target = snapshotAt(root, v)
     var committed = -1L
     while (committed < 0) {
@@ -1879,10 +1984,41 @@ object TxTable {
     problems.result()
   }
 
-  def vacuum(root: String, keepVersions: Int = 1): Unit = {
+  /** Commit timestamp of version `v`: the manifest file's mtime — set
+    * once at the atomic publish (hard-link creation) and never rewritten
+    * (manifests are immutable), so it is the commit wall-clock the same
+    * way Delta reads its log files' modification times. This is the
+    * time axis [[vacuum]]'s `retainMs` and operator replay-window
+    * reasoning run on.
+    */
+  def commitTimeMillis(root: String, v: Long): Long =
+    Files.getLastModifiedTime(manifestPath(root, v)).toMillis
+
+  def vacuum(root: String, keepVersions: Int = 1): Unit =
+    vacuum(root, keepVersions, 0L)
+
+  /** Two-axis retention (Delta's `RETAIN n HOURS` + version count): a
+    * version is dropped only when it is BOTH beyond the newest
+    * `keepVersions` AND its commit timestamp ([[commitTimeMillis]]) is
+    * older than `retainMs` before now — so `retainMs` can only widen
+    * what survives, which is how operators actually reason about
+    * reader/replay windows ("anything that started in the last 2 hours
+    * must still resolve its snapshot"). `retainMs = 0` is the pure
+    * version axis.
+    */
+  def vacuum(root: String, keepVersions: Int, retainMs: Long): Unit = {
     require(keepVersions >= 1, "must retain at least the current version")
+    require(retainMs >= 0L, s"retainMs $retainMs < 0")
     val vs = versions(root)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val horizon = System.currentTimeMillis() - retainMs
+    val (dropCandidates, keepTail) =
+      vs.splitAt(math.max(0, vs.size - keepVersions))
+    // time axis: versions still inside the retention window survive even
+    // past the version count (they split into the keep set)
+    val (youngKept, drop) =
+      if (retainMs == 0L) (Seq.empty[Long], dropCandidates)
+      else dropCandidates.partition(commitTimeMillis(root, _) >= horizon)
+    val keep = youngKept ++ keepTail
     val referenced = keep.flatMap { v =>
       val snap = snapshotAt(root, v)
       // deletion-vector blobs are as load-bearing as the data files
@@ -2218,6 +2354,75 @@ object TxTable {
       |WHERE lang IN ('en', 'fr') AND n_chars >= 200 AND n_chars <= 400
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Two-column partition layout demo (r12 VERDICT task 3): documents
+    * committed partitioned by (lang, source) — range-arranged on
+    * (lang, source, n_chars) first, so files land range-tight — then
+    * BOTH dynamic-partition-overwrite shapes: a FULL-spec dpo replacing
+    * exactly one (fr, src3) cell, and a PARTIAL-spec dpo (prefix column
+    * `lang` alone) swapping the whole recomputed 'en' slice across all
+    * sources. The read is three pruning dimensions multiplied — lang ∈
+    * {de,en,fr} × source ∈ {src1,src3,src5} × n_chars ∈ [250, 900] —
+    * through [[readPartitionRangePrunedMulti]] (TxTableSpec pins the
+    * pruned file set); the oracle restates the two dpo memberships in
+    * SQL, including the batch-empty guard full-spec dpo semantics
+    * demand (a cell absent from the batch is NOT replaced).
+    */
+  def q197TxPartition2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_txp2_")
+    val root = s"$tmp/docs_lang_source"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val docs = graft.Tables.documents(s, d).select(cols.map(col): _*)
+    commit(s, root,
+      docs.repartitionByRange(8, col("lang"), col("source"),
+        col("n_chars")),
+      Overwrite, partitionCols = Seq("lang", "source"),
+      statsCols = Seq("n_chars"))
+    // full-spec dpo: recompute ONE (lang, source) cell
+    overwritePartitionsMulti(s, root,
+      docs.filter(col("lang") === "fr" && col("source") === "src3" &&
+        col("n_chars") >= 150),
+      Seq("lang", "source"))
+    // partial-spec dpo: the whole 'en' date-slice analogue — prefix
+    // column only, every source under it replaced
+    overwritePartitionsMulti(s, root,
+      docs.filter(col("lang") === "en" && col("n_chars") >= 200),
+      Seq("lang"))
+    val out = readPartitionRangePrunedMulti(s, root,
+      Seq(("lang", Seq("de", "en", "fr")),
+        ("source", Seq("src1", "src3", "src5"))),
+      Seq(("n_chars", 250.0, 900.0)))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang", "source")
+    offTemp(out, tmp)
+  }
+
+  val q197Sql: String =
+    """WITH fin AS (
+      |  SELECT lang, source, n_chars FROM documents
+      |  WHERE lang = 'en' AND n_chars >= 200
+      |  UNION ALL
+      |  SELECT lang, source, n_chars FROM documents
+      |  WHERE lang = 'fr' AND source = 'src3' AND n_chars >= 150
+      |  UNION ALL
+      |  SELECT lang, source, n_chars FROM documents
+      |  WHERE lang = 'fr' AND source = 'src3' AND n_chars < 150
+      |    AND NOT EXISTS (SELECT 1 FROM documents
+      |                    WHERE lang = 'fr' AND source = 'src3'
+      |                      AND n_chars >= 150)
+      |  UNION ALL
+      |  SELECT lang, source, n_chars FROM documents
+      |  WHERE lang <> 'en' AND NOT (lang = 'fr' AND source = 'src3'))
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM fin
+      |WHERE lang IN ('de', 'en', 'fr')
+      |  AND source IN ('src1', 'src3', 'src5')
+      |  AND n_chars >= 250 AND n_chars <= 900
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-partition incremental consumption demo: three partitioned
     * commits (the arrival timeline), then an 'en'-only downstream
     * consumer with its cursor at v0 reads exactly the later versions'
@@ -2248,12 +2453,16 @@ object TxTable {
       |FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** SQL-surface demo: the whole lakehouse consumption path in ONE SQL
-    * statement through the injected table functions — an incremental
-    * window (`tx_changes`) joined with a head count (`tx_read`, AFTER a
-    * merge-on-read delete, so deletion-vector semantics flow through
-    * the SQL surface too). The oracle restates it on raw documents;
-    * TxTableSpec pins the per-function parity.
+  /** SQL-surface demo, both directions since r13: the WRITE side runs
+    * through the procedure table functions (`tx_delete_where` — a
+    * merge-on-read DELETE in pure SQL, receipt-checked in-query so a
+    * silently skipped delete fails the gate; then `tx_optimize`, a
+    * dataChange=false compaction the feed must ignore), and the READ
+    * side is ONE statement — an incremental window (`tx_changes`)
+    * joined with a head count (`tx_read`, AFTER the SQL delete, so
+    * deletion-vector semantics flow through the SQL surface too). The
+    * oracle restates it on raw documents; TxTableSpec pins the
+    * per-function parity.
     */
   def q195TxSqlSurface(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -2265,8 +2474,16 @@ object TxTable {
     commit(s, root, slice(0), Overwrite, partitionBy = Some("lang"))
     commit(s, root, slice(1), Append, partitionBy = Some("lang"))
     commit(s, root, slice(2), Append, partitionBy = Some("lang"))
-    deleteWhere(s, root, col("n_chars") < 100.0)
     graft.Engine.registerTableFunctions(s)
+    // pure-SQL DML: the MoR delete commits v3, the compaction v4; the
+    // receipts prove both writes landed where the demo expects them
+    val del = s.sql(
+      s"SELECT * FROM tx_delete_where('$root', 'n_chars < 100')").collect()
+    require(del.head.getLong(1) == 3L,
+      s"SQL delete receipt at unexpected version: ${del.head}")
+    val opt = s.sql(s"SELECT * FROM tx_optimize('$root', 4)").collect()
+    require(opt.head.getLong(1) == 4L,
+      s"SQL optimize receipt at unexpected version: ${opt.head}")
     val out = s.sql(
       s"""SELECT c.lang, COUNT(*) AS n_new_docs,
          |  CAST(SUM(c.n_chars) AS BIGINT) AS new_chars,
@@ -2396,6 +2613,7 @@ object TxTable {
     "q191_stream_tx_partitioned" -> (q191StreamTxPartitioned _),
     "q192_tx_partition_range" -> (q192TxPartitionRange _),
     "q193_tx_changes_partitioned" -> (q193TxChangesPartitioned _),
+    "q197_tx_partition2" -> (q197TxPartition2 _),
     "q195_tx_sql_surface" -> (q195TxSqlSurface _))
 
   val oracles: Map[String, String] = Map(
@@ -2410,5 +2628,6 @@ object TxTable {
     "q191_stream_tx_partitioned" -> q191Sql,
     "q192_tx_partition_range" -> q192Sql,
     "q193_tx_changes_partitioned" -> q193Sql,
+    "q197_tx_partition2" -> q197Sql,
     "q195_tx_sql_surface" -> q195Sql)
 }

@@ -52,13 +52,20 @@ object TxState {
   /** Idempotently append one batch's delta as a transactional commit —
     * a replayed batch finds its id at or below the head's high-water
     * mark and writes nothing. `singleFile` sizes the delta to the
-    * arrival rate (the compaction-friendly CDC shape).
+    * arrival rate (the compaction-friendly CDC shape). `statsCols`
+    * records per-file footer ranges on the named columns (the (band,
+    * bucket) stats of r12 VERDICT task 7) — pass it with
+    * `singleFile = false` and a range arrangement on those columns so
+    * the files land range-tight, then [[readBeforePruned]] serves a
+    * probe from only the state files whose recorded ranges intersect
+    * it.
     */
   def writeBatch(df: DataFrame, root: String, batchId: Long,
-      singleFile: Boolean = true): Unit = {
+      singleFile: Boolean = true,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     TxTable.commit(df.sparkSession, root,
       if (singleFile) df.coalesce(1) else df,
-      TxTable.Append, txn = Some((App, batchId)))
+      TxTable.Append, txn = Some((App, batchId)), statsCols = statsCols)
     ()
   }
 
@@ -106,6 +113,42 @@ object TxState {
       case Some(snap) if snap.files.nonEmpty =>
         s.read.schema(schema).parquet(snap.files.map(f => s"$root/$f"): _*)
       case _ => s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    }
+
+  /** [[readBefore]] with manifest-level stat pruning (the cluster-scale
+    * follow-up of TxState's class doc, landed r13): the snapshot is
+    * resolved exactly as [[readBefore]] does — same `< beforeBatch`
+    * time travel, same LOUD below-horizon failure — then state files
+    * whose recorded ranges (written via `writeBatch(statsCols = …)`)
+    * provably miss EVERY `lo <= col <= hi` conjunct are dropped before
+    * Spark plans the scan. A (file, column) without stats never prunes
+    * (degrade, never lie); callers re-apply their exact predicate, so
+    * the answer is identical to `readBefore(...).filter(...)` — at
+    * touched-cell scan cost instead of whole-state.
+    */
+  def readBeforePruned(s: SparkSession, root: String, schema: StructType,
+      beforeBatch: Long, preds: Seq[(String, Double, Double)]): DataFrame = {
+    val files = prunedStateFiles(root, beforeBatch, preds)
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** The file subset [[readBeforePruned]] would scan — also the spec
+    * seam that pins pruning decisions without reading any data.
+    */
+  private[graft] def prunedStateFiles(root: String, beforeBatch: Long,
+      preds: Seq[(String, Double, Double)]): Seq[String] =
+    resolveBefore(root, beforeBatch).toSeq.flatMap { snap =>
+      snap.files.filter { f =>
+        val ranges = snap.stats.getOrElse(f, Seq.empty)
+        preds.forall { case (c, lo, hi) =>
+          ranges.find(_._1 == c) match {
+            case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }
     }
 
   /** Rows of history visible to `beforeBatch` — summed from the
@@ -171,14 +214,21 @@ object TxState {
   }
 
   /** Bound the one-file-per-batch growth: committed compaction +
-    * retention vacuum. Caller contract: run only between drains (or
-    * below the oldest batch that can still replay) — a replay at or
-    * below the vacuum horizon cannot resolve its pre-batch snapshot.
+    * retention vacuum. Caller contract, stated on BOTH retention axes
+    * (the operational one is time): run only between drains (or below
+    * the oldest batch that can still replay), and pass `retainMs` ≥ the
+    * longest interval a crashed stream can sit before its driver
+    * restarts it — a replay at or below the vacuum horizon cannot
+    * resolve its pre-batch snapshot (it fails LOUDLY, [[resolveBefore]]).
+    * `retainMs` only widens what survives, so the ≥ 2-version floor
+    * that lets the NEXT batch's replay resolve its pre-batch snapshot
+    * holds regardless.
     */
-  def compact(s: SparkSession, root: String, targetFiles: Int = 1): Unit =
+  def compact(s: SparkSession, root: String, targetFiles: Int = 1,
+      retainMs: Long = 0L): Unit =
     if (TxTable.currentVersion(root).nonEmpty) {
       TxTable.optimize(s, root, targetFiles)
-      TxTable.vacuum(root, keepVersions = 2)
+      TxTable.vacuum(root, keepVersions = 2, retainMs = retainMs)
     }
 
   /** TEST SEAM: drop the newest commit — simulates a crash that died

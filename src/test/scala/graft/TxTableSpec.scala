@@ -1002,6 +1002,43 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML procedures: tx_delete_where / tx_optimize / tx_vacuum / " +
+      "tx_restore perform the write and report the committed version") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1 to 8).map(i => (i.toLong, i * 10L)).toDF("id", "x"))
+      TxTable.commit(spark, root,
+        (9 to 12).map(i => (i.toLong, i * 10L)).toDF("id", "x"),
+        TxTable.Append)
+      // SQL delete: a MoR commit, visible to the very next SQL read
+      val del = spark.sql(
+        s"SELECT * FROM tx_delete_where('$root', 'id % 3 = 0')").head()
+      assert(del.getString(0) == "delete_where" && del.getLong(1) == 2L)
+      assert(TxTable.snapshotAt(root, 2L).op.contains("delete_mor"))
+      assert(spark.sql(s"SELECT count(*) FROM tx_read('$root')")
+        .head().getLong(0) == 8L)
+      // SQL optimize: content unchanged, dataChange=false op recorded
+      val opt = spark.sql(
+        s"SELECT * FROM tx_optimize('$root', 1)").head()
+      assert(opt.getLong(1) == 3L)
+      assert(TxTable.snapshotAt(root, 3L).op.contains("optimize"))
+      assert(spark.sql(s"SELECT count(*) FROM tx_read('$root')")
+        .head().getLong(0) == 8L)
+      // SQL restore: back to the pre-delete content as a new version
+      val res = spark.sql(s"SELECT * FROM tx_restore('$root', 1)").head()
+      assert(res.getLong(1) == 4L)
+      assert(spark.sql(s"SELECT count(*) FROM tx_read('$root')")
+        .head().getLong(0) == 12L)
+      // SQL vacuum: the retention write; dropped versions are gone
+      val vac = spark.sql(s"SELECT * FROM tx_vacuum('$root', 2)").head()
+      assert(vac.getString(0) == "vacuum" && vac.getLong(1) == 4L)
+      assert(TxTable.versions(root) == Seq(3L, 4L))
+      assert(spark.sql(s"SELECT count(*) FROM tx_read('$root')")
+        .head().getLong(0) == 12L)
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
@@ -1025,6 +1062,131 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.vacuum(root, keepVersions = 1)
       assert(rows(root) == Set((1L, "a"), (2L, "b")))
       assert(TxTable.versions(root) == Seq(3L))
+    }
+  }
+
+  // ------------------------------------------ two-axis retention (r13)
+
+  test("vacuum retainMs: versions inside the time window survive past " +
+      "the version count; outside it the version axis decides; restore " +
+      "to a vacuumed version fails loudly") {
+    import spark.implicits._
+    withRoot { root =>
+      (0 to 3).foreach(i => TxTable.commit(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "s"), TxTable.Append))
+      // age v0/v1 artificially (manifest mtime IS the commit timestamp)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000)
+      Seq(0L, 1L).foreach(v => Files.setLastModifiedTime(
+        Paths.get(root, "_manifests", f"v$v%09d.txt"), old))
+      // version axis alone would keep only v3; the time window rescues
+      // the young v2
+      TxTable.vacuum(root, keepVersions = 1, retainMs = 3600L * 1000)
+      assert(TxTable.versions(root) == Seq(2L, 3L))
+      assert(TxTable.readVersion(spark, root, 2L).count() == 3L)
+      val e = intercept[java.io.IOException](TxTable.restore(spark, root, 0L))
+      assert(e.getMessage.contains("vacuumed"))
+      // both axes satisfied: beyond keepVersions AND beyond the window
+      Files.setLastModifiedTime(
+        Paths.get(root, "_manifests", "v000000002.txt"), old)
+      TxTable.vacuum(root, keepVersions = 1, retainMs = 3600L * 1000)
+      assert(TxTable.versions(root) == Seq(3L))
+      assert(rows(root).map(_._1) == Set(0L, 1L, 2L, 3L))
+    }
+  }
+
+  // ------------------------------------ multi-column partitioning (r13)
+
+  private def twoColDf(spark: SparkSession) = {
+    import spark.implicits._
+    (0 until 24).map { i =>
+      (i.toLong, s"g${i % 2}", s"h${i % 3}", i * 10L)
+    }.toDF("id", "g", "h", "x")
+  }
+
+  test("two-column partitioned commit: every file carries part lines " +
+      "for both columns; conjunctive pruning selects exactly the " +
+      "matching cell and composes with stat ranges") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        twoColDf(spark).repartitionByRange(4, col("g"), col("h"), col("x")),
+        partitionCols = Seq("g", "h"), statsCols = Seq("x"))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.nonEmpty)
+      snap.files.foreach { f =>
+        val cols = snap.parts.getOrElse(f, Seq.empty).map(_._1)
+        assert(cols == Seq("g", "h"), s"$f part lines: $cols")
+      }
+      // the pruned set IS the set whose recorded pairs match — pinned
+      // exactly, not just counted
+      val want = snap.files.filter { f =>
+        val m = snap.parts(f).toMap
+        m("g").contains("g1") && m("h").contains("h2")
+      }.toSet
+      val got = TxTable.partPrunedFilesMulti(root,
+        Seq(("g", Set("g1")), ("h", Set("h2")))).toSet
+      assert(got == want)
+      // conjunction is strictly tighter than either dimension alone
+      assert(got.size < TxTable.partPrunedFilesMulti(root,
+        Seq(("g", Set("g1")))).size)
+      assert(got.size < TxTable.partPrunedFilesMulti(root,
+        Seq(("h", Set("h2")))).size)
+      // three pruning dimensions, same answer as the plain filter
+      val pruned = TxTable.readPartitionRangePrunedMulti(spark, root,
+        Seq(("g", Seq("g1")), ("h", Seq("h0", "h2"))),
+        Seq(("x", 50.0, 180.0)))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val plain = TxTable.read(spark, root)
+        .filter(col("g") === "g1" && col("h").isin("h0", "h2") &&
+          col("x") >= 50 && col("x") <= 180)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(pruned == plain && plain.nonEmpty)
+    }
+  }
+
+  test("overwritePartitionsMulti: full spec replaces exactly the " +
+      "batch's (g,h) cells; a PARTIAL prefix spec replaces the whole " +
+      "prefix slice and deeper-column pruning degrades to keep") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, twoColDf(spark),
+        partitionCols = Seq("g", "h"))
+      // full spec: replace cell (g0, h1) with a single recomputed row
+      TxTable.overwritePartitionsMulti(spark, root,
+        Seq((100L, "g0", "h1", 999L)).toDF("id", "g", "h", "x"),
+        Seq("g", "h"))
+      val afterFull = TxTable.read(spark, root)
+        .select("id", "g", "h").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val untouched = (0 until 24)
+        .filterNot(i => i % 2 == 0 && i % 3 == 1)
+        .map(i => (i.toLong, s"g${i % 2}", s"h${i % 3}")).toSet
+      assert(afterFull == untouched + ((100L, "g0", "h1")))
+      // partial prefix spec: replace ALL of g1 (every h under it)
+      TxTable.overwritePartitionsMulti(spark, root,
+        Seq((200L, "g1", "h0", 111L), (201L, "g1", "h2", 222L))
+          .toDF("id", "g", "h", "x"), Seq("g"))
+      val afterPartial = TxTable.read(spark, root)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val keptG0 = (0 until 24)
+        .filter(i => i % 2 == 0 && !(i % 3 == 1)).map(_.toLong).toSet
+      assert(afterPartial == keptG0 + 100L + 200L + 201L)
+      // the partial-spec files carry a part line for g only, so an h
+      // prune KEEPS them (degrades, never lies) and the re-applied
+      // predicate still gives the exact answer
+      val snap = TxTable.currentSnapshot(root).get
+      val partialFiles = snap.files.filter { f =>
+        snap.parts.getOrElse(f, Seq.empty).map(_._1) == Seq("g")
+      }
+      assert(partialFiles.nonEmpty)
+      val hPruned = TxTable.partPrunedFilesMulti(root,
+        Seq(("h", Set("h2")))).toSet
+      assert(partialFiles.forall(hPruned.contains))
+      val viaPrune = TxTable.readPartitionPruned(spark, root, "h",
+        Seq("h2")).select("id").collect().map(_.getLong(0)).toSet
+      assert(viaPrune ==
+        TxTable.read(spark, root).filter(col("h") === "h2")
+          .select("id").collect().map(_.getLong(0)).toSet)
     }
   }
 }
