@@ -51,6 +51,7 @@ object TxScaleLab {
     // file out of F, metadata-only drops out of F
     val filesPerCommit = 100
     var nextKey = 0L
+    var commits = 0
     def appendBatch(): Double = {
       val lo = nextKey
       val df = spark.range(lo, lo + filesPerCommit * 10L)
@@ -59,11 +60,18 @@ object TxScaleLab {
       nextKey += filesPerCommit * 10L
       val (_, dt) = timed(TxTable.commit(spark, root, df, TxTable.Append,
         statsCols = Seq("k")))
+      // manifest disk bound for the 10^5 build: each version's manifest
+      // is O(F) lines, so 10^3 retained versions at 10^5 files would be
+      // ~15 GB of manifests — retention-vacuum the history every 50
+      // commits (the measurements below only ever read the head)
+      commits += 1
+      if (commits % 50 == 0) TxTable.vacuum(root, keepVersions = 2)
       dt
     }
 
     val rootP = s"$tmp/tp"
     var nextPKey = 0L
+    var pCommits = 0
     def appendPartitioned(): Double = {
       val df = spark.range(nextPKey, nextPKey + 1000L)
         .select(col("id").as("k"), (col("id") % 20).cast("string").as("p"))
@@ -72,12 +80,15 @@ object TxScaleLab {
       val (_, dt) = timed(TxTable.commit(spark, rootP, df,
         if (nextPKey == 1000L) TxTable.Overwrite else TxTable.Append,
         partitionBy = Some("p")))
+      pCommits += 1
+      if (pCommits % 50 == 0) TxTable.vacuum(rootP, keepVersions = 2)
       dt
     }
 
     println(f"${"files"}%8s ${"append_s"}%9s ${"parse_s"}%9s " +
       f"${"prune_s"}%9s ${"merge_s"}%9s ${"delete_s"}%9s ${"touched"}%8s")
-    val decades = Seq(100, 1000, maxFiles).filter(_ <= maxFiles).distinct
+    val decades =
+      Seq(100, 1000, 10000, maxFiles).filter(_ <= maxFiles).distinct
     decades.foreach { target =>
       while (TxTable.currentSnapshot(root).map(_.files.size).getOrElse(0)
           < target) appendBatch()
@@ -119,12 +130,15 @@ object TxScaleLab {
       println(f"${"  +r12:"}%8s mor=$morS%.3f bloom_append=$bloomS%.3f " +
         f"probe=$probeS%.3f (survive ${survivors.size}) " +
         f"feed=$feedS%.3f (rows $nFeed)")
-      // partitioned-table surfaces at the same file count: a separate
-      // 20-partition table grown to ~target files (each append writes
-      // one file per partition value), then the metadata paths the r12
-      // partition layer added — all driver-side O(F) or better
+      // partitioned-table surfaces at the same file count (capped at
+      // 10^4 — one file per partition value per commit makes the 10^5
+      // build 5000 commits for a curve the flat table already draws):
+      // a separate 20-partition table grown to ~target files, then the
+      // metadata paths the r12 partition layer added — all driver-side
+      // O(F) or better
+      val pTarget = math.min(target, 10000)
       while (TxTable.currentSnapshot(rootP).map(_.files.size).getOrElse(0)
-          < target) appendPartitioned()
+          < pTarget) appendPartitioned()
       val (_, pAppendS) = timed(appendPartitioned())
       val (_, pParseS) = timed(TxTable.currentSnapshot(rootP).get)
       val (pPruned, pPruneS) =
