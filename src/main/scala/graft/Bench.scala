@@ -226,7 +226,10 @@ object Bench {
       "q177_tx_delete_mor", "q181_tx_change_feed",
       // round-12 second half: broadcast decontamination and the
       // materialized-view-routed aggregate (scan-cost decoupling)
-      "q184_decontaminate", "q187_matview_route")
+      "q184_decontaminate", "q187_matview_route",
+      // round-13: the packaged CDF consumer (two cadences, one feed)
+      // and the multi-column partition x stat pruned read
+      "q196_tx_cdf_consumers", "q197_tx_partition2")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
