@@ -66,6 +66,7 @@ object TxTable {
   private val OpPrefix = "op "
   private val PartPrefix = "part "
   private val FormatPrefix = "format "
+  private val TsPrefix = "ts "
 
   /** Highest manifest format this reader understands. Format 1 = files +
     * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
@@ -82,7 +83,7 @@ object TxTable {
     * same-format manifest with an unrecognized line type is rejected as
     * corrupt rather than misread.
     */
-  private val SupportedFormat = 3
+  private val SupportedFormat = 4
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -168,7 +169,8 @@ object TxTable {
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
       checks: Seq[(String, String)] = Seq.empty,
       op: Option[String] = None,
-      parts: Map[String, Seq[(String, Option[String])]] = Map.empty)
+      parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
+      tsMillis: Option[Long] = None)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -236,6 +238,8 @@ object TxTable {
           else Some(new String(java.util.Base64.getDecoder.decode(v64),
             java.nio.charset.StandardCharsets.UTF_8))))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val tsMillis = body.find(_.startsWith(TsPrefix))
+        .map(_.stripPrefix(TsPrefix).toLong)
       val format = body.find(_.startsWith(FormatPrefix))
         .map(_.stripPrefix(FormatPrefix).toInt).getOrElse(1)
       if (format > SupportedFormat) throw new java.io.IOException(
@@ -247,14 +251,15 @@ object TxTable {
           l.startsWith(SchemaPrefix) || l.startsWith(RowsPrefix) ||
           l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
           l.startsWith(CheckPrefix) || l.startsWith(OpPrefix) ||
-          l.startsWith(PartPrefix) || l.startsWith(FormatPrefix))
+          l.startsWith(PartPrefix) || l.startsWith(FormatPrefix) ||
+          l.startsWith(TsPrefix))
       files.find(f => !f.startsWith("data/")).foreach(bad =>
         throw new java.io.IOException(
           s"txtable manifest $p holds an unrecognized line '$bad' — " +
             "not a known metadata type and not a data/ path; refusing " +
             "to misread it as a file"))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
-        checks, op, parts)
+        checks, op, parts, tsMillis)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -864,16 +869,19 @@ object TxTable {
           s"$PartPrefix$path $c $enc" }
       case _ => Seq.empty
     }
-    // lowest format expressing this manifest's features (protocol
-    // ratchet): part lines demand 3, everything current carries
-    // format-2 line types (op at minimum); pre-format manifests parse
-    // as 1 on the read side
-    val fmt = if (partLines.nonEmpty) 3 else 2
+    // protocol ratchet: every r13+ manifest carries the IN-MANIFEST
+    // commit timestamp (format 4 — Delta's in-commit-timestamps: the
+    // wall clock travels WITH the manifest content, so a copied/rsync'd
+    // table keeps its time axis where mtime would lie); part lines
+    // alone demanded 3, format-2 carried op at minimum, pre-format
+    // manifests parse as 1 on the read side
+    val fmt = 4
     val fmtLine = Seq(s"$FormatPrefix$fmt")
+    val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (fmtLine ++ schemaLines ++ txnLines ++ statLines ++
-        rowLines ++ dvLines ++ bloomLines ++ checkLines ++ opLine ++
-        partLines ++ files) :+ Footer)).asJava,
+      (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
+        statLines ++ rowLines ++ dvLines ++ bloomLines ++ checkLines ++
+        opLine ++ partLines ++ files) :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -1984,15 +1992,33 @@ object TxTable {
     problems.result()
   }
 
-  /** Commit timestamp of version `v`: the manifest file's mtime — set
-    * once at the atomic publish (hard-link creation) and never rewritten
-    * (manifests are immutable), so it is the commit wall-clock the same
-    * way Delta reads its log files' modification times. This is the
-    * time axis [[vacuum]]'s `retainMs` and operator replay-window
-    * reasoning run on.
+  /** Commit timestamp of version `v`: the manifest's `ts` line (format
+    * 4 — Delta's in-commit-timestamps: the wall clock travels WITH the
+    * manifest content, so a copied/rsync'd/backed-up table keeps its
+    * time axis), with the file mtime as the fallback for pre-format-4
+    * manifests (mtime is set once at the atomic hard-link publish and
+    * manifests are immutable, so it is only wrong when the FILE was
+    * copied). This is the time axis [[vacuum]]'s `retainMs` and
+    * operator replay-window reasoning run on.
     */
   def commitTimeMillis(root: String, v: Long): Long =
-    Files.getLastModifiedTime(manifestPath(root, v)).toMillis
+    snapshotAt(root, v).tsMillis.getOrElse(
+      Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+
+  /** TEST SEAM: rewrite version `v`'s recorded commit timestamp —
+    * retention tests age versions without sleeping. Only the ts line
+    * changes; the manifest stays otherwise byte-identical.
+    */
+  private[graft] def setCommitTimeForTest(root: String, v: Long,
+      millis: Long): Unit = {
+    val p = manifestPath(root, v)
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
+    val rewritten = lines.map(l =>
+      if (l.startsWith(TsPrefix)) s"$TsPrefix$millis" else l)
+    Files.write(p, scala.jdk.CollectionConverters
+      .SeqHasAsJava(rewritten).asJava)
+  }
 
   def vacuum(root: String, keepVersions: Int = 1): Unit =
     vacuum(root, keepVersions, 0L)

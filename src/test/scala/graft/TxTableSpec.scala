@@ -122,12 +122,12 @@ class TxTableSpec extends AnyFunSuite {
     withRoot { root =>
       TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
       val rel = TxTable.currentSnapshot(root).get.files.head
-      // a hypothetical format-4 writer's manifest: reader must refuse
+      // a hypothetical format-5 writer's manifest: reader must refuse
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
-        java.util.Arrays.asList("graft-txtable-v1", "format 4",
+        java.util.Arrays.asList("graft-txtable-v1", "format 5",
           "futurefeature xyz", rel, "COMMIT"))
       val ex = intercept[java.io.IOException](TxTable.read(spark, root))
-      assert(ex.getMessage.contains("format 4"))
+      assert(ex.getMessage.contains("format 5"))
       // same unknown line WITHOUT the format bump: rejected as corrupt,
       // not opened as a parquet path
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
@@ -727,16 +727,19 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
-  test("format ratchet: partitioned manifests declare 3, plain stay 2; " +
-      "maintenance keeps part lines for untouched files") {
+  test("format ratchet: every r13+ manifest declares 4 (in-manifest " +
+      "commit ts) and carries a ts line; maintenance keeps part lines " +
+      "for untouched files") {
     import spark.implicits._
     withRoot { root =>
       TxTable.commit(spark, root, Seq((1L, "en", 1L)).toDF("id", "lang", "n"))
-      assert(manifestText(root, 0L).contains("format 2"))
+      assert(manifestText(root, 0L).contains("format 4"))
+      assert(TxTable.currentSnapshot(root).get.tsMillis.exists(t =>
+        math.abs(t - System.currentTimeMillis()) < 60000L))
       TxTable.commit(spark, root,
         Seq((2L, "fr", 2L)).toDF("id", "lang", "n"),
         TxTable.Append, partitionBy = Some("lang"))
-      assert(manifestText(root, 1L).contains("format 3"))
+      assert(manifestText(root, 1L).contains("format 4"))
       // a DV delete (no rewrite) keeps every part line
       val before = TxTable.currentSnapshot(root).get.parts
       TxTable.deleteWhere(spark, root, col("id") === 2L)
@@ -1074,11 +1077,13 @@ class TxTableSpec extends AnyFunSuite {
     withRoot { root =>
       (0 to 3).foreach(i => TxTable.commit(spark, root,
         Seq((i.toLong, s"v$i")).toDF("id", "s"), TxTable.Append))
-      // age v0/v1 artificially (manifest mtime IS the commit timestamp)
-      val old = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 48L * 3600 * 1000)
-      Seq(0L, 1L).foreach(v => Files.setLastModifiedTime(
-        Paths.get(root, "_manifests", f"v$v%09d.txt"), old))
+      // age v0/v1 artificially via the IN-MANIFEST ts line — and prove
+      // the line (not the file mtime) is the time axis: mtimes stay
+      // fresh, the recorded ts alone decides
+      val oldMs = System.currentTimeMillis() - 48L * 3600 * 1000
+      Seq(0L, 1L).foreach(v =>
+        TxTable.setCommitTimeForTest(root, v, oldMs))
+      assert(TxTable.commitTimeMillis(root, 0L) == oldMs)
       // version axis alone would keep only v3; the time window rescues
       // the young v2
       TxTable.vacuum(root, keepVersions = 1, retainMs = 3600L * 1000)
@@ -1087,8 +1092,7 @@ class TxTableSpec extends AnyFunSuite {
       val e = intercept[java.io.IOException](TxTable.restore(spark, root, 0L))
       assert(e.getMessage.contains("vacuumed"))
       // both axes satisfied: beyond keepVersions AND beyond the window
-      Files.setLastModifiedTime(
-        Paths.get(root, "_manifests", "v000000002.txt"), old)
+      TxTable.setCommitTimeForTest(root, 2L, oldMs)
       TxTable.vacuum(root, keepVersions = 1, retainMs = 3600L * 1000)
       assert(TxTable.versions(root) == Seq(3L))
       assert(rows(root).map(_._1) == Set(0L, 1L, 2L, 3L))
