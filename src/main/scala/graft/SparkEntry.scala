@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Advanced7.queries ++
       graft.queries.Advanced8.queries ++
       graft.queries.Advanced9.queries ++
+      graft.queries.Advanced10.queries ++
       graft.queries.Sketches.queries ++
       graft.pipeline.TrainingData.queries ++
       graft.pipeline.Curation.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       graft.queries.Advanced7.oracles ++
       graft.queries.Advanced8.oracles ++
       graft.queries.Advanced9.oracles ++
+      graft.queries.Advanced10.oracles ++
       graft.queries.Sketches.oracles ++
       graft.pipeline.TrainingData.oracles ++
       graft.pipeline.Curation.oracles ++
