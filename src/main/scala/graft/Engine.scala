@@ -135,8 +135,22 @@ object Engine {
       // — and the returned single-row RECEIPT carries the committed
       // version, so `SELECT * FROM tx_delete_where(...)` both performs
       // and reports the write.
+      //
+      // HAZARD (documented, accepted): because the write runs at
+      // resolution, ANY analysis-only path over one of these functions
+      // performs it too — `EXPLAIN SELECT * FROM tx_delete_where(...)`
+      // executes the delete while printing the receipt's plan, and
+      // `CREATE VIEW v AS SELECT * FROM tx_optimize(...)` compacts at
+      // creation AND at every later re-resolution of the view. Spark's
+      // injectTableFunction surface gives the builder no way to see
+      // whether it is being resolved under EXPLAIN or a view definition
+      // (the builder receives only the argument expressions), so this
+      // cannot be detected and rejected here. These four are terminal
+      // statements: run them as a bare SELECT, never under EXPLAIN, a
+      // view, a CTE that may re-resolve, or a cached plan. The usage
+      // strings repeat the warning where `DESCRIBE FUNCTION` shows it.
       ("tx_delete_where",
-        "tx_delete_where(root, predSql) - merge-on-read DELETE WHERE; returns (op, version)",
+        "tx_delete_where(root, predSql) - merge-on-read DELETE WHERE; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {
           val s = SparkSession.active
           receipt(s, "delete_where", graft.operators.TxTable.deleteWhere(
@@ -144,14 +158,14 @@ object Engine {
             org.apache.spark.sql.functions.expr(str(es(1)))))
         }),
       ("tx_optimize",
-        "tx_optimize(root, targetFiles) - committed compaction; returns (op, version)",
+        "tx_optimize(root, targetFiles) - committed compaction; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {
           val s = SparkSession.active
           receipt(s, "optimize", graft.operators.TxTable.optimize(
             s, str(es.head), lng(es(1)).toInt))
         }),
       ("tx_vacuum",
-        "tx_vacuum(root, keepVersions[, retainMs]) - two-axis retention; returns (op, version)",
+        "tx_vacuum(root, keepVersions[, retainMs]) - two-axis retention; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {
           val root = str(es.head)
           graft.operators.TxTable.vacuum(root, lng(es(1)).toInt,
@@ -160,7 +174,7 @@ object Engine {
             graft.operators.TxTable.currentVersion(root).getOrElse(-1L))
         }),
       ("tx_restore",
-        "tx_restore(root, version) - metadata-only RESTORE; returns (op, version)",
+        "tx_restore(root, version) - metadata-only RESTORE; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {
           val s = SparkSession.active
           receipt(s, s"restore:${lng(es(1))}",

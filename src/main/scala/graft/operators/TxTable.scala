@@ -1216,6 +1216,18 @@ object TxTable {
     * a recomputed date; the new files then carry part lines for the
     * prefix columns only, so deeper-column pruning degrades (never
     * lies) on them until the next full-spec rewrite.
+    *
+    * A second, sharper consequence of a partial spec: because the new
+    * files record NO value for the deeper columns (their rows mix every
+    * tenant under the replaced date), a LATER dpo whose spec includes a
+    * deeper column cannot classify them and throws
+    * "no recorded partition value" on that slice — full-combo dpo is
+    * FORECLOSED on the touched slice until a full-spec rewrite restores
+    * per-combination files. That refusal is deliberate (dropping such a
+    * file could delete other tenants' rows; keeping it would double the
+    * replaced tenant's), but it means partial-spec overwrites trade
+    * away deeper-granularity replaceability, not just pruning, on what
+    * they touch.
     */
   def overwritePartitionsMulti(s: SparkSession, root: String,
       df: DataFrame, partCols: Seq[String],
@@ -1936,15 +1948,24 @@ object TxTable {
     * idempotence — a replayed batch would double-apply).
     */
   def restore(s: SparkSession, root: String, v: Long): Long = {
-    // a vacuumed target must fail LOUDLY with the operative fact (what
-    // is still restorable), not a raw NoSuchFileException from the
-    // manifest parse
+    // a missing target must fail LOUDLY with the operative fact, not a
+    // raw NoSuchFileException from the manifest parse — and the
+    // diagnosis must match the cause: a version BELOW the oldest
+    // retained one was vacuumed (data gone, unrecoverable), while a
+    // version ABOVE the head was simply never committed (almost always
+    // a typo'd number) and "vacuumed" would send the operator hunting a
+    // retention bug that does not exist
     if (!Files.exists(manifestPath(root, v))) {
       val vs = versions(root)
+      val (lo, hi) = (vs.headOption.getOrElse(-1L), vs.lastOption.getOrElse(-1L))
+      val why =
+        if (vs.isEmpty) "the table has no committed versions"
+        else if (v > hi) s"that version was never committed (head is $hi)"
+        else if (v < lo) "that version was vacuumed"
+        else "that version's manifest is missing (corrupt table?)"
       throw new java.io.IOException(
-        s"restore $root to version $v: that version was vacuumed — " +
-          s"retained versions are [${vs.headOption.getOrElse(-1L)}, " +
-          s"${vs.lastOption.getOrElse(-1L)}]")
+        s"restore $root to version $v: $why — " +
+          s"retained versions are [$lo, $hi]")
     }
     val target = snapshotAt(root, v)
     var committed = -1L

@@ -1091,6 +1091,11 @@ class TxTableSpec extends AnyFunSuite {
       assert(TxTable.readVersion(spark, root, 2L).count() == 3L)
       val e = intercept[java.io.IOException](TxTable.restore(spark, root, 0L))
       assert(e.getMessage.contains("vacuumed"))
+      // a version ABOVE the head was never committed — a typo'd number
+      // must not be misdiagnosed as a retention problem
+      val e2 = intercept[java.io.IOException](TxTable.restore(spark, root, 99L))
+      assert(e2.getMessage.contains("never committed"))
+      assert(!e2.getMessage.contains("vacuumed"))
       // both axes satisfied: beyond keepVersions AND beyond the window
       TxTable.setCommitTimeForTest(root, 2L, oldMs)
       TxTable.vacuum(root, keepVersions = 1, retainMs = 3600L * 1000)
