@@ -215,6 +215,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // — the deterministic bucket function behind the two-pass scan
       "q93_quality_bins", "q113_skyline", "q131_gini",
       "q135_lorenz_deciles", "q140_equidepth_bins", "q141_weighted_median",
+      // q200: the same Scan two-phase prefix-sum 1-row min/max attach
+      // (landed at the end of r13 after this suite's last full run)
+      "q200_seq_pack",
       // q136/q137/q145: 1-row corpus-stats / funnel-count attaches
       "q136_bm25", "q137_funnel", "q145_funnel_windowed",
       // q148: frozen-literal IVF assignment since r8 (no centroid join
