@@ -229,7 +229,10 @@ object Bench {
       "q184_decontaminate", "q187_matview_route",
       // round-13: the packaged CDF consumer (two cadences, one feed)
       // and the multi-column partition x stat pruned read
-      "q196_tx_cdf_consumers", "q197_tx_partition2")
+      "q196_tx_cdf_consumers", "q197_tx_partition2",
+      // round-14: the format("tx") connector — Catalyst-planned manifest
+      // pruning and the structured-streaming table tail
+      "q201_tx_relation", "q202_tx_stream_source")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -39,6 +39,7 @@ object SparkEntry {
       graft.operators.TxTable.queries ++
       graft.operators.TxMaint.queries ++
       graft.operators.TxChangeFeed.queries ++
+      graft.sources.TxSourceQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       graft.operators.TxTable.oracles ++
       graft.operators.TxMaint.oracles ++
       graft.operators.TxChangeFeed.oracles ++
+      graft.sources.TxSourceQueries.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Clusters.oracles ++
       graft.similarity.Knn.oracles ++

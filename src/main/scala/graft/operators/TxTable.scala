@@ -675,7 +675,7 @@ object TxTable {
     bloomPrunedFiles(snap, colName, values)
   }
 
-  private def bloomProbes(values: Seq[Long]): Seq[(Long, Long)] = {
+  private[graft] def bloomProbes(values: Seq[Long]): Seq[(Long, Long)] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     values.map { v =>
       val h1 = XxHash64(Seq(Literal(v)), 42L).eval(null).asInstanceOf[Long]
@@ -688,20 +688,29 @@ object TxTable {
   private def bloomPrunedFiles(snap: Snapshot, colName: String,
       values: Seq[Long]): Seq[String] = {
     val probes = bloomProbes(values)
-    snap.files.filter { f =>
-      snap.blooms.getOrElse(f, Seq.empty).find(_._1 == colName) match {
-        case Some((_, m, k, b64)) =>
-          val bits = java.util.BitSet.valueOf(
-            java.util.Base64.getDecoder.decode(b64))
-          val mask = (m - 1).toLong
-          probes.exists { case (h1, h2) =>
-            val (l1, l2) = (h1 & mask, h2 & mask)
-            (0 until k).forall(i => bits.get(((l1 + i * l2) & mask).toInt))
-          }
-        case None => true
-      }
-    }
+    snap.files.filter(bloomMayContainAny(snap, _, colName, probes))
   }
+
+  /** One file's bloom verdict for pre-computed probes ([[bloomProbes]]):
+    * true when the file might contain at least one probed value, or
+    * carries no bloom on the column (skipping never lies). Exposed
+    * within graft so [[graft.sources.TxFileIndex]] can apply the SAME
+    * probe the dedicated read path uses when Catalyst pushes an
+    * equality/IN filter into a `format("tx")` scan.
+    */
+  private[graft] def bloomMayContainAny(snap: Snapshot, f: String,
+      colName: String, probes: Seq[(Long, Long)]): Boolean =
+    snap.blooms.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+      case Some((_, m, k, b64)) =>
+        val bits = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        val mask = (m - 1).toLong
+        probes.exists { case (h1, h2) =>
+          val (l1, l2) = (h1 & mask, h2 & mask)
+          (0 until k).forall(i => bits.get(((l1 + i * l2) & mask).toInt))
+        }
+      case None => true
+    }
 
   /** Point-lookup read (`colName IN values`) with bloom file skipping;
     * the exact IN filter re-applies on the survivors (and deletion

@@ -1,0 +1,322 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{GraftStreamShim, Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TxTable
+
+/** `format("tx")` — the TxTable lakehouse as a first-class Spark data
+  * source, both surfaces:
+  *
+  *   - BATCH: `spark.read.format("tx").load(root)` (plus
+  *     `option("versionAsOf", v)` time travel) resolves ONE snapshot
+  *     and returns a parquet `HadoopFsRelation` over a [[TxFileIndex]],
+  *     so the manifest's stat/partition/bloom metadata prunes files at
+  *     Catalyst planning time from the query's own WHERE clause — no
+  *     bespoke read API needed, `CREATE TABLE ... USING tx` works, and
+  *     the scan itself is Spark's native vectorized parquet reader.
+  *   - STREAMING: `spark.readStream.format("tx").load(root)` tails the
+  *     table as a structured-streaming source ([[TxStreamSource]]):
+  *     offsets ARE committed versions, the first batch is the starting
+  *     snapshot, every later batch is the (prev, head] append window —
+  *     the packaged, checkpointed form of the cursor discipline
+  *     `TxChangeFeed.consume` implements for batch consumers.
+  *
+  * Batch reads REFUSE a snapshot carrying live deletion vectors (MoR
+  * deletes): this relation maps straight onto Spark's file scan, which
+  * is file-granular — it has no seam to anti-join row positions out,
+  * and silently resurrecting deleted rows is the one thing a read path
+  * must never do. The error names both escapes (`TxTable.read`, the
+  * DV-aware API path, or `purgeDeletes`). Streaming initial snapshots
+  * go through `TxTable.readVersion` and apply DVs exactly.
+  */
+final class TxDataSource extends RelationProvider
+    with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "tx"
+
+  /** `df.write.format("tx").mode(m).save(root)` — the batch writer,
+    * routed through `TxTable.commit` so every write carries the full
+    * commit protocol (atomic manifest publish, serializable retry,
+    * schema enforcement, CHECK validation). Options:
+    * `partitionBy=c1,c2` (hive layout as manifest part lines),
+    * `clusterBy=c` (range layout), `statsCols=c1,c2`, `bloomCols=c1,c2`
+    * (data-skipping metadata), and Delta's idempotent-writes pair
+    * `txnAppId`/`txnVersion` (a replayed (app, version) no-ops).
+    * SaveMode.Overwrite replaces the table, Append appends,
+    * ErrorIfExists/Ignore respect an existing committed version.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val opts = TxDataSource.normalize(parameters)
+    val root = TxDataSource.rootOf(opts)
+    val exists = TxTable.currentVersion(root).isDefined
+    def csv(k: String): Seq[String] =
+      opts.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val txn = opts.get("txnappid").map(app =>
+      (app, opts.getOrElse("txnversion", throw new IllegalArgumentException(
+        "txnAppId needs txnVersion")).toLong))
+    val spark = sqlContext.sparkSession
+    def write(m: TxTable.Mode): Unit =
+      TxTable.commit(spark, root, data, m, txn = txn,
+        clusterBy = opts.get("clusterby"),
+        statsCols = csv("statscols"),
+        bloomCols = csv("bloomcols"),
+        partitionCols = csv("partitionby"))
+    mode match {
+      case SaveMode.Overwrite => write(TxTable.Overwrite)
+      case SaveMode.Append => write(TxTable.Append)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new java.io.IOException(
+          s"txtable $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists => write(TxTable.Overwrite)
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Ignore => write(TxTable.Overwrite)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** `writeStream.format("tx")` — the exactly-once streaming sink:
+    * each micro-batch is ONE TxTable commit carrying an
+    * (appId, batchId) txn line, so a replayed batch (restart from the
+    * checkpoint, at-least-once delivery) no-ops at the manifest before
+    * any data writes. appId defaults to the query's checkpoint
+    * location — the same identity the offset log lives under — and can
+    * be pinned with `option("txnAppId", ...)`. `.partitionBy(...)`
+    * flows through as manifest part lines, so a downstream
+    * `format("tx")` reader prunes on what the stream wrote.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"format(\"tx\") sink is append-only (got $outputMode): a TxTable " +
+        "absorbs updates through mergeByKey/mergeAdditive consumers, " +
+        "not sink-side row replacement")
+    val opts = TxDataSource.normalize(parameters)
+    val root = TxDataSource.rootOf(opts)
+    val appId = opts.getOrElse("txnappid",
+      "txsink:" + opts.getOrElse("checkpointlocation", root))
+    def csv(k: String): Seq[String] =
+      opts.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new TxSink(root, appId, partitionColumns, csv("statscols"),
+      csv("bloomcols"))
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val opts = TxDataSource.normalize(parameters)
+    val root = TxDataSource.rootOf(opts)
+    val snap = opts.get("versionasof") match {
+      case Some(v) => TxTable.snapshotAt(root, v.toLong)
+      case None => TxTable.currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(
+          s"txtable $root has no committed version"))
+    }
+    if (snap.dvs.nonEmpty) throw new java.io.IOException(
+      s"txtable $root v${snap.version} carries merge-on-read deletion " +
+        "vectors; format(\"tx\") maps onto Spark's file-granular parquet " +
+        "scan and cannot apply row-level deletes — read through " +
+        "TxTable.read (the MoR-aware path) or run purgeDeletes first")
+    val spark = sqlContext.sparkSession
+    HadoopFsRelation(
+      location = new TxFileIndex(root, snap),
+      partitionSchema = StructType(Nil),
+      dataSchema = TxDataSource.schemaOf(spark, root, snap),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = opts)(spark)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = TxDataSource.normalize(parameters)
+    val root = TxDataSource.rootOf(opts)
+    val snap = TxTable.currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(
+        s"txtable $root has no committed version to stream from"))
+    (shortName(), schema.getOrElse(
+      TxDataSource.schemaOf(sqlContext.sparkSession, root, snap)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val opts = TxDataSource.normalize(parameters)
+    val root = TxDataSource.rootOf(opts)
+    val declared = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    new TxStreamSource(sqlContext.sparkSession, root, declared,
+      ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean))
+  }
+}
+
+object TxDataSource {
+
+  private[sources] def normalize(parameters: Map[String, String])
+      : Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private[sources] def rootOf(opts: Map[String, String]): String =
+    opts.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"tx\") needs a path: load(root) or option(\"path\", root)"))
+
+  /** Table schema: the manifest-recorded one when present (every
+    * commit since r12 records it), else the union of the snapshot
+    * files' footers — driver-side metadata either way, no Spark job.
+    */
+  private[sources] def schemaOf(spark: SparkSession, root: String,
+      snap: TxTable.Snapshot): StructType =
+    snap.schema.getOrElse {
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$root/$f"): _*).schema
+    }
+}
+
+/** The v1 streaming sink over TxTable: one committed version per
+  * micro-batch, idempotent under replay via the (appId, batchId) txn
+  * high-water — `TxTable.commit` returns without writing when the
+  * batch is already at or below it, which is the whole exactly-once
+  * contract (the same mechanism `streamAppend`/TxState ride). The
+  * micro-batch frame is re-rooted off its IncrementalExecution before
+  * the write (see [[GraftStreamShim.asBatchFrame]]).
+  */
+final class TxSink(root: String, appId: String, partitionCols: Seq[String],
+    statsCols: Seq[String], bloomCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftStreamShim.asBatchFrame(data)
+    TxTable.commit(batch.sparkSession, root, batch, TxTable.Append,
+      txn = Some((appId, batchId)),
+      statsCols = statsCols, bloomCols = bloomCols,
+      partitionCols = partitionCols)
+  }
+
+  override def toString: String = s"TxSink[$root]"
+}
+
+/** Structured-streaming tail of a TxTable: offsets are COMMITTED
+  * VERSIONS (a LongOffset of the manifest number — durable, dense,
+  * totally ordered, exactly what a resumable cursor needs), so the
+  * checkpoint's offset log gives end-to-end exactly-once with zero
+  * source-side state:
+  *
+  *   - first batch (no prior offset): the full snapshot AT the batch's
+  *     end version, deletion vectors applied — Delta's
+  *     initial-snapshot-then-tail shape;
+  *   - every later batch: the (prevVersion, endVersion] window, walked
+  *     version by version so each commit's `op` line classifies it —
+  *     `append` emits that version's added files, dataChange=false
+  *     maintenance (`optimize`/`compact`/`zorder`/`purge`/`add_check`)
+  *     emits nothing (their "added" files are rewrites of rows already
+  *     delivered), and anything that changes or removes delivered rows
+  *     (`overwrite`, `merge`, `delete_mor`, `restore`, dpo, ...) fails
+  *     LOUDLY unless `option("ignoreChanges", "true")` accepted
+  *     re-delivery of rewritten rows (Delta's option, same semantics,
+  *     keyed dedup downstream is the caller's contract).
+  *
+  * Replays are deterministic: a batch is re-read from its manifest
+  * window, so a crashed run resumes bit-identically — unless the
+  * window was vacuumed, which fails loudly naming the horizon (the
+  * TxState replay rule). Schema is pinned at stream start; batches
+  * project/cast to it (older files' missing columns read as null).
+  */
+final class TxStreamSource(spark: SparkSession, root: String,
+    declaredSchema: StructType, ignoreChanges: Boolean) extends Source {
+
+  // ops whose file additions are rewrites of already-delivered rows
+  private val DataChangeFalse =
+    Set("optimize", "compact", "zorder", "purge", "add_check")
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[Offset] =
+    TxTable.currentVersion(root).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toV = versionOf(end)
+    val batch = start match {
+      case None => TxTable.readVersion(spark, root, toV)
+      case Some(s0) =>
+        val fromV = versionOf(s0)
+        if (fromV >= toV) emptyBatch()
+        else incremental(fromV, toV)
+    }
+    GraftStreamShim.asStreamingFrame(align(batch))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  private def emptyBatch(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      declaredSchema)
+  }
+
+  /** The (fromV, toV] append window as one DataFrame, each version
+    * classified by its op line (see class doc).
+    */
+  private def incremental(fromV: Long, toV: Long): DataFrame = {
+    val retained = TxTable.versions(root)
+    if (!retained.contains(fromV)) throw new java.io.IOException(
+      s"tx stream on $root: resume cursor v$fromV is below the vacuum " +
+        s"horizon (oldest retained is v${retained.headOption.getOrElse(-1L)}) " +
+        "— the replay window is gone; size vacuum retention to exceed " +
+        "the slowest consumer")
+    var prev = TxTable.snapshotAt(root, fromV).files.toSet
+    val emit = Seq.newBuilder[String]
+    retained.filter(v => v > fromV && v <= toV).foreach { v =>
+      val snap = TxTable.snapshotAt(root, v)
+      val added = snap.files.filterNot(prev.contains)
+      val op = snap.op.getOrElse("append")
+      val baseOp = op.takeWhile(_ != ':') // restore:N → restore
+      if (op == "append") emit ++= added
+      else if (DataChangeFalse.contains(baseOp)) () // rewrites: skip
+      else if (ignoreChanges) emit ++= added
+      else throw new java.io.IOException(
+        s"tx stream on $root: version $v is a '$op' commit — it changes " +
+          "or removes rows already delivered downstream, which an " +
+          "append-only stream cannot represent. Set " +
+          "option(\"ignoreChanges\", \"true\") to accept re-delivery of " +
+          "rewritten rows (downstream must dedupe by key), or keep this " +
+          "table append-only")
+      prev = snap.files.toSet
+    }
+    val files = emit.result()
+    if (files.isEmpty) emptyBatch()
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Project/cast to the stream's declared schema: missing columns
+    * (files older than an additive evolution) become typed nulls;
+    * columns added to the table AFTER stream start are not emitted
+    * (the stream's schema is a contract with its sink — restart the
+    * stream to pick up new columns).
+    */
+  private def align(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(declaredSchema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  override def toString: String = s"TxStreamSource[$root]"
+}

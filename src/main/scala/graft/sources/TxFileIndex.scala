@@ -1,0 +1,232 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+import graft.operators.TxTable
+
+/** Catalyst-integrated manifest pruning: a Spark [[FileIndex]] pinned to
+  * ONE TxTable snapshot, whose `listFiles` evaluates the query's pushed
+  * data filters against the manifest's per-file metadata — footer stat
+  * ranges, recorded hive-partition values, and bloom filters — so files
+  * a `WHERE` clause provably cannot touch never reach scan planning.
+  *
+  * This is the Delta/Iceberg integration shape (a log-backed FileIndex
+  * under a parquet `HadoopFsRelation`): the skipping that previously
+  * required the bespoke `TxTable.readPruned*` calls now falls out of a
+  * plain `spark.read.format("tx").load(root).filter(...)` — Catalyst
+  * pushes the predicates, this index prunes on them at PLANNING time,
+  * and the surviving files take Spark's native vectorized parquet scan
+  * (whole-stage codegen, parquet row-group pushdown, column pruning all
+  * intact). At 100 TB the difference is structural: the driver consults
+  * kilobytes of manifest instead of listing and footer-probing 10⁵
+  * files, and a selective query plans only the files that can matter.
+  *
+  * Pruning contract (same as every TxTable prune path): DEGRADE, NEVER
+  * LIE. A file missing metadata on a predicate column survives; an
+  * expression shape the translator doesn't recognize keeps every file;
+  * the exact predicate always re-applies inside the scan, so skipping
+  * only ever removes provably-dead I/O. `partitionSchema` is empty by
+  * design — TxTable keeps partition columns IN the data files (the
+  * duplicate-tag layout, COVERAGE.md §hive-partitioned TxTable), so
+  * every predicate arrives here as a data filter and the recorded part
+  * values act as a per-file dictionary rather than directory structure.
+  */
+final class TxFileIndex(root: String, snap: TxTable.Snapshot)
+    extends FileIndex {
+
+  private val statuses: Map[String, FileStatus] = snap.files.map { f =>
+    val jf = new java.io.File(root, f)
+    f -> new FileStatus(jf.length(), false, 1, 128L * 1024 * 1024,
+      jf.lastModified(), new Path(jf.toURI))
+  }.toMap
+
+  override def rootPaths: Seq[Path] =
+    Seq(new Path(new java.io.File(root).toURI))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def sizeInBytes: Long = statuses.valuesIterator.map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    snap.files.map(statuses(_).getPath.toString).toArray
+
+  /** Root-relative paths the most recent [[listFiles]] kept — the test
+    * seam specs use to pin, from the REAL planned scan, exactly which
+    * files a pushed filter pruned (there is no public plan surface for
+    * the selected file set).
+    */
+  @volatile var lastPruned: Option[Seq[String]] = None
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val survivors = prunedFiles(dataFilters)
+    lastPruned = Some(survivors)
+    Seq(PartitionDirectory(InternalRow.empty,
+      survivors.map(statuses(_)).toArray))
+  }
+
+  /** The pruned file set for a predicate list — the spec seam (asserts
+    * pin exactly which files a filter keeps) and the testable core of
+    * [[listFiles]]. Root-relative paths, manifest order.
+    */
+  def prunedFiles(dataFilters: Seq[Expression]): Seq[String] =
+    snap.files.filter(f => dataFilters.forall(mayMatch(f, _)))
+
+  // ---- conservative three-mechanism translation ----------------------
+
+  /** May file `f` hold a row satisfying `e`? Unknown shapes → true. */
+  private def mayMatch(f: String, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
+    case EqualTo(a: AttributeReference, Lit(v, t)) => eqMay(f, a, v, t)
+    case EqualTo(Lit(v, t), a: AttributeReference) => eqMay(f, a, v, t)
+    case EqualNullSafe(a: AttributeReference, Lit(v, t)) =>
+      if (v == null) mayHaveNulls(f, a.name) else eqMay(f, a, v, t)
+    case EqualNullSafe(Lit(v, t), a: AttributeReference) =>
+      if (v == null) mayHaveNulls(f, a.name) else eqMay(f, a, v, t)
+    case GreaterThan(a: AttributeReference, Lit(v, t)) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d)
+    case GreaterThanOrEqual(a: AttributeReference, Lit(v, t)) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d)
+    case LessThan(a: AttributeReference, Lit(v, t)) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d)
+    case LessThanOrEqual(a: AttributeReference, Lit(v, t)) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d)
+    // literal-on-the-left comparisons arrive flipped
+    case GreaterThan(Lit(v, t), a: AttributeReference) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d)
+    case GreaterThanOrEqual(Lit(v, t), a: AttributeReference) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d)
+    case LessThan(Lit(v, t), a: AttributeReference) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d)
+    case LessThanOrEqual(Lit(v, t), a: AttributeReference) =>
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Lit(v, t) => eqMay(f, a, v, t); case _ => true }
+    case InSet(a: AttributeReference, vs) =>
+      vs.exists(v => eqMay(f, a, v, a.dataType))
+    case IsNull(a: AttributeReference) => mayHaveNulls(f, a.name)
+    case IsNotNull(a: AttributeReference) => mayHaveNonNulls(f, a.name)
+    case _ => true
+  }
+
+  /** Literal extractor tolerant of the no-op casts the pushdown path
+    * leaves around foldable values.
+    */
+  private object Lit {
+    def unapply(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, t) => Some((v, t))
+      case Cast(Literal(v, t), _, _, _) => Some((v, t))
+      case _ => None
+    }
+  }
+
+  /** Literal → the Double domain footer stats live in. Date/Timestamp
+    * literals are their underlying day/micros numerics — the same
+    * values parquet footers report for those physical types.
+    */
+  private def toD(v: Any, t: DataType): Option[Double] = (v, t) match {
+    case (null, _) => None
+    case (b: Byte, _) => Some(b.toDouble)
+    case (s: Short, _) => Some(s.toDouble)
+    case (i: Int, _) => Some(i.toDouble)
+    case (l: Long, _) => Some(l.toDouble)
+    case (f: Float, _) => Some(f.toDouble)
+    case (d: Double, _) => Some(d)
+    case (d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def toLong(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  private def statOf(f: String, colName: String)
+      : Option[(Double, Double, Long)] =
+    snap.stats.getOrElse(f, Seq.empty).find(_._1 == colName)
+      .map { case (_, mn, mx, nn) => (mn, mx, nn) }
+
+  private def partOf(f: String, colName: String): Option[Option[String]] =
+    snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName).map(_._2)
+
+  private def cmpMay(f: String, colName: String, v: Any, t: DataType)(
+      keep: (Double, Double, Double) => Boolean): Boolean =
+    (statOf(f, colName), toD(v, t)) match {
+      case (Some((mn, mx, _)), Some(d)) => keep(mn, mx, d)
+      case _ => true
+    }
+
+  /** Equality: every applicable mechanism must agree the file MAY hold
+    * the value — stat range (numeric), recorded partition value
+    * (string-rendered exactly for strings only; numeric renderings are
+    * not canonical across types, so numerics never consult part lines),
+    * and bloom membership (integral types — the build hashed
+    * `col.cast("long")`, so only integral probes reproduce it).
+    */
+  private def eqMay(f: String, a: AttributeReference, v: Any,
+      t: DataType): Boolean = {
+    if (v == null) return mayHaveNulls(f, a.name) // EqualTo(null) is
+    // UnknownType noise from odd plans: null equality matches no row,
+    // but conservatively route it like a null probe rather than pruning
+    val statOk = toD(v, t) match {
+      case Some(d) => statOf(f, a.name) match {
+        case Some((mn, mx, _)) => mn <= d && d <= mx
+        case None => true
+      }
+      case None => true
+    }
+    val partOk = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        partOf(f, a.name) match {
+          case Some(Some(recorded)) => recorded == s.toString
+          case Some(None) => false // recorded null partition value
+          case None => true
+        }
+      case _ => true
+    }
+    val bloomOk =
+      if (isIntegral(a.dataType)) toLong(v) match {
+        case Some(l) => TxTable.bloomMayContainAny(snap, f, a.name,
+          TxTable.bloomProbes(Seq(l)))
+        case None => true
+      } else true
+    statOk && partOk && bloomOk
+  }
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** IS NULL pruning: only a trustworthy zero null count (footerStats
+    * records -1 when any block withheld it) proves absence of nulls.
+    */
+  private def mayHaveNulls(f: String, colName: String): Boolean =
+    (statOf(f, colName), partOf(f, colName)) match {
+      case (Some((_, _, nn)), _) if nn == 0L => false
+      // a recorded NON-null partition value means every row carries it
+      case (_, Some(Some(_))) => false
+      case _ => true
+    }
+
+  /** IS NOT NULL pruning: a file is all-null on the column only when
+    * its trustworthy null count equals its manifest row count, or its
+    * recorded partition value is the null sentinel (every row null).
+    */
+  private def mayHaveNonNulls(f: String, colName: String): Boolean =
+    if (partOf(f, colName).contains(None)) false
+    else (statOf(f, colName), snap.rowCounts.get(f)) match {
+      case (Some((_, _, nn)), Some(rows)) => !(nn >= 0L && nn == rows)
+      case _ => true
+    }
+}

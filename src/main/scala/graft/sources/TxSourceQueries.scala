@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TxTable
+
+/** Driver queries for the `format("tx")` connector — the lakehouse
+  * consumed through Spark's OWN entry points (DataFrameReader /
+  * DataStreamReader) instead of the TxTable API, with the pruning and
+  * streaming semantics proven by hash oracle.
+  */
+object TxSourceQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+
+  private def offTemp(df: DataFrame, tmp: java.nio.file.Path): DataFrame = {
+    val out = df.localCheckpoint(true)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  /** The planned scan must run through the connector (a LogicalRelation
+    * over [[TxFileIndex]]) — an in-query guard that q201/q203 exercise
+    * the format("tx") path and not an accidental plain-parquet fallback.
+    */
+  private def requireTxScan(df: DataFrame): Unit = {
+    val viaTx = df.queryExecution.sparkPlan.collectLeaves().exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.isInstanceOf[TxFileIndex]
+      case _ => false
+    }
+    require(viaTx, "expected a FileSourceScan over TxFileIndex — " +
+      "the format(\"tx\") relation did not plan through the connector")
+  }
+
+  // --------------------------------------------------------------- q201
+  /** Automatic manifest pruning from a plain WHERE clause: documents
+    * land range-arranged on (lang, n_chars) in a lang-partitioned
+    * commit with n_chars footer stats, and the query is nothing but
+    * `spark.read.format("tx").load(root).filter(...)` — no bespoke
+    * read API. Catalyst pushes the predicates; [[TxFileIndex]] prunes
+    * on recorded part values (lang ∈ {de, zh}) × stat ranges (n_chars
+    * ∈ [150, 500]) at planning time (TxDataSourceSpec pins the exact
+    * surviving file set); the scan is Spark's native vectorized
+    * parquet reader. The oracle proves pruning changed nothing.
+    */
+  def q201TxRelation(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txrel_")
+    val root = s"$tmp/docs_tx"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    TxTable.commit(s, root,
+      graft.Tables.documents(s, d).select(cols.map(col): _*)
+        .repartitionByRange(8, col("lang"), col("n_chars")),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    val filtered = s.read.format("tx").load(root)
+      .filter(col("lang").isInCollection(Seq("de", "zh")) &&
+        col("n_chars") >= 150 && col("n_chars") <= 500)
+    requireTxScan(filtered)
+    val out = filtered.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang", "source")
+    offTemp(out, tmp)
+  }
+
+  val q201Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('de', 'zh') AND n_chars >= 150 AND n_chars <= 500
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q202
+  /** The table as a structured-streaming SOURCE: a TxTable tailed by
+    * `spark.readStream.format("tx")` through a real MicroBatchExecution
+    * into a memory sink. The timeline exercises every classification
+    * the source makes: v0's snapshot is the initial batch, v1's append
+    * arrives incrementally, v2 is an `optimize` whose rewritten files
+    * must NOT re-emit (re-delivery would double those rows and
+    * hash-fail the oracle), v3's append arrives after it. Offsets are
+    * committed versions in the checkpoint, so the drain is the
+    * packaged, exactly-once form of the CDF cursor discipline.
+    */
+  def q202TxStreamSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txstream_")
+    val root = s"$tmp/docs_tail"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    def slice(m: Int) = graft.Tables.documents(ss, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    TxTable.commit(ss, root, slice(0), TxTable.Overwrite)
+    val sink = s"q202_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = ss.readStream.format("tx").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: the v0 snapshot
+      TxTable.commit(ss, root, slice(1), TxTable.Append)
+      q.processAllAvailable() // (v0, v1]: the appended slice
+      TxTable.optimize(ss, root, targetFiles = 2)
+      TxTable.commit(ss, root, slice(2), TxTable.Append)
+      q.processAllAvailable() // (v1, v3]: optimize skipped, append emitted
+    } finally q.stop()
+    val out = ss.table(sink)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+      .localCheckpoint(true)
+    ss.catalog.dropTempView(sink)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  val q202Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q203
+  /** Bloom skipping from a plain IN predicate: orders committed
+    * clustered on o_totalprice (so every file's o_orderkey RANGE is
+    * wide — stats cannot prune a point lookup) with a bloom on
+    * o_orderkey, then queried through `format("tx")` with nothing but
+    * `.filter(o_orderkey IN (7 keys))`: [[TxFileIndex]] probes each
+    * file's manifest bloom with the same double-hash the build wrote
+    * (no false negatives by construction), and only possibly-matching
+    * files reach the scan. Keys are data-derived (`% 17 = 0`), so the
+    * oracle restates the lookup exactly.
+    */
+  def q203TxBloomIn(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txblin_")
+    val root = s"$tmp/orders_tx"
+    val keys = graft.Tables.orders(s, d)
+      .select("o_orderkey").filter(col("o_orderkey") % 17 === 0)
+      .distinct().orderBy("o_orderkey").limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    TxTable.commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"),
+      bloomCols = Seq("o_orderkey"))
+    val filtered = s.read.format("tx").load(root)
+      .filter(col("o_orderkey").isInCollection(keys))
+    requireTxScan(filtered)
+    val out = filtered.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderkey")
+    offTemp(out, tmp)
+  }
+
+  val q203Sql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_orderkey % 17 = 0 ORDER BY 1 LIMIT 7)
+      |SELECT o.o_orderkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q204
+  /** Full connector round trip, writers included: a third of documents
+    * lands via the BATCH writer (`df.write.format("tx")`, partitioned
+    * by lang with n_chars stats), the rest arrives through the
+    * STREAMING sink (`writeStream.format("tx")` — one committed
+    * version per micro-batch, (appId, batchId)-idempotent, partitionBy
+    * flowing to manifest part lines), and the readback is a pruned
+    * `spark.read.format("tx")` filter over what both writers recorded.
+    * The oracle is the plain documents aggregate — any duplicate batch
+    * commit, lost part line, or wrong stat range hash-fails it.
+    */
+  def q204TxRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txrt_")
+    val root = s"$tmp/docs_rt"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = graft.Tables.documents(ss, d).select(cols.map(col): _*)
+    // batch writer: the historical backfill
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .write.format("tx").mode("overwrite")
+      .option("partitionBy", "lang").option("statsCols", "n_chars")
+      .save(root)
+    // streaming sink: the live tail, replayed corpus as micro-batches
+    val srcDir = s"$tmp/src"
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val q = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      .writeStream.format("tx")
+      .option("path", root)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("statsCols", "n_chars")
+      .partitionBy("lang")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val filtered = ss.read.format("tx").load(root)
+      .filter(col("lang").isInCollection(Seq("en", "fr")) &&
+        col("n_chars") >= 100 && col("n_chars") <= 600)
+    requireTxScan(filtered)
+    val out = filtered.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang", "source")
+    offTemp(out, tmp)
+  }
+
+  val q204Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'fr') AND n_chars >= 100 AND n_chars <= 600
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_tx_relation" -> (q201TxRelation _),
+    "q202_tx_stream_source" -> (q202TxStreamSource _),
+    "q203_tx_bloom_in" -> (q203TxBloomIn _),
+    "q204_tx_roundtrip" -> (q204TxRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q201_tx_relation" -> q201Sql,
+    "q202_tx_stream_source" -> q202Sql,
+    "q203_tx_bloom_in" -> q203Sql,
+    "q204_tx_roundtrip" -> q204Sql)
+}

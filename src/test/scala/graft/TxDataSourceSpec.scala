@@ -1,0 +1,273 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxTable
+import graft.sources.TxFileIndex
+
+/** The `format("tx")` connector: planning-time manifest pruning (stat
+  * ranges × recorded partition values × blooms) driven by PUSHED
+  * Catalyst filters, exactness vs the TxTable API read, time travel,
+  * the MoR refusal, SQL `USING tx`, and the streaming source's offset/
+  * classification/replay semantics.
+  */
+class TxDataSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_txdsspec_")
+    try f(s"$tmp/t") finally graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
+  /** The TxFileIndex the planned scan actually used, plus its pruned
+    * file set after forcing one execution of `df`.
+    */
+  private def scanIndex(df: DataFrame): TxFileIndex = {
+    val idx = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec
+          if f.relation.location.isInstanceOf[TxFileIndex] =>
+        f.relation.location.asInstanceOf[TxFileIndex]
+    }
+    assert(idx.nonEmpty, "no FileSourceScan over TxFileIndex in the plan")
+    idx.get
+  }
+
+  private def docsDf(s: SparkSession) = {
+    import s.implicits._
+    // 12 docs, 3 langs; n_chars strictly increasing per lang so the
+    // range layout gives each file a tight range
+    (0 until 12).map { i =>
+      val lang = Seq("de", "en", "zh")(i % 3)
+      (i.toLong, lang, s"src${i % 2}", 100L + 50L * i)
+    }.toDF("doc_id", "lang", "source", "n_chars")
+  }
+
+  test("filter-driven pruning: partition values x stat ranges, exact answer") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        docsDf(spark).repartitionByRange(6, col("lang"), col("n_chars")),
+        TxTable.Overwrite, partitionBy = Some("lang"),
+        statsCols = Seq("n_chars"))
+      val snap = TxTable.currentSnapshot(root).get
+      val all = snap.files
+      assert(all.size > 2)
+
+      val df = spark.read.format("tx").load(root)
+        .filter(col("lang") === "en" && col("n_chars") <= 400)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // exactness: identical to the API read + filter
+      val want = TxTable.read(spark, root)
+        .filter(col("lang") === "en" && col("n_chars") <= 400)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.nonEmpty)
+
+      // the planned scan pruned to exactly the manifest's own answer:
+      // lang part lines ∩ n_chars stat ranges
+      val idx = scanIndex(df)
+      val pruned = idx.lastPruned.get
+      val expected = all.filter { f =>
+        val partOk = snap.parts.getOrElse(f, Seq.empty)
+          .find(_._1 == "lang").forall(_._2.contains("en"))
+        val statOk = snap.stats.getOrElse(f, Seq.empty)
+          .find(_._1 == "n_chars").forall { case (_, mn, _, _) => mn <= 400.0 }
+        partOk && statOk
+      }
+      assert(pruned == expected)
+      assert(pruned.size < all.size, "filter should have pruned files")
+    }
+  }
+
+  test("bloom pruning from an IN predicate; no false negatives") {
+    withRoot { root =>
+      // cluster on n_chars so doc_id ranges are wide in every file:
+      // only the bloom can prune a point lookup
+      TxTable.commit(spark, root, docsDf(spark),
+        TxTable.Overwrite, clusterBy = Some("n_chars"),
+        bloomCols = Seq("doc_id"))
+      val df = spark.read.format("tx").load(root)
+        .filter(col("doc_id").isInCollection(Seq(3L, 7L)))
+      val got = df.collect().map(_.getLong(0)).toSet
+      assert(got == Set(3L, 7L))
+      val idx = scanIndex(df)
+      // the planner's kept set must match the dedicated bloom path
+      assert(idx.lastPruned.get ==
+        TxTable.prunedFilesIn(root, "doc_id", Seq(3L, 7L)))
+    }
+  }
+
+  test("versionAsOf time travel; USING tx SQL surface") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+        TxTable.Append)
+      assert(spark.read.format("tx").load(root).count() == 2L)
+      assert(spark.read.format("tx").option("versionAsOf", "0")
+        .load(root).collect().map(_.getLong(0)).toSeq == Seq(1L))
+      spark.sql("DROP VIEW IF EXISTS tx_spec_v")
+      spark.sql(
+        s"CREATE TEMPORARY VIEW tx_spec_v USING tx OPTIONS (path '$root')")
+      assert(spark.sql("SELECT sum(id) AS s FROM tx_spec_v")
+        .collect()(0).getLong(0) == 3L)
+      spark.sql("DROP VIEW tx_spec_v")
+    }
+  }
+
+  test("MoR deletion vectors refuse the file-granular relation, loudly") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"))
+      TxTable.deleteWhere(spark, root, col("id") === 3L)
+      val e = intercept[java.io.IOException](
+        spark.read.format("tx").load(root).collect())
+      assert(e.getMessage.contains("deletion vectors"))
+      assert(e.getMessage.contains("purgeDeletes"))
+      // the escapes work: purge, then the relation reads the table
+      TxTable.purgeDeletes(spark, root)
+      assert(spark.read.format("tx").load(root).count() == 9L)
+    }
+  }
+
+  test("unknown predicate shapes degrade to keep-all, never lie") {
+    withRoot { root =>
+      TxTable.commit(spark, root, docsDf(spark),
+        TxTable.Overwrite, clusterBy = Some("n_chars"))
+      // a non-translatable predicate (expression over two columns)
+      val df = spark.read.format("tx").load(root)
+        .filter(col("n_chars") + col("doc_id") > 200L)
+      val got = df.count()
+      val want = TxTable.read(spark, root)
+        .filter(col("n_chars") + col("doc_id") > 200L).count()
+      assert(got == want)
+    }
+  }
+
+  test("streaming source: snapshot, tail, optimize skipped, restart replay") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      def batch(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(ss, root, batch(1, 4))
+      val tmp = Files.createTempDirectory("graft_txds_stream_")
+      // the memory sink cannot recover from a checkpoint, so the
+      // restart half of this test writes to a FILE sink
+      def start() = ss.readStream.format("tx").load(root)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      val q1 = start()
+      try {
+        q1.processAllAvailable() // initial snapshot v0
+        TxTable.commit(ss, root, batch(5, 6), TxTable.Append)
+        q1.processAllAvailable() // (v0, v1]
+      } finally q1.stop()
+      assert(ss.read.parquet(s"$tmp/out").collect()
+        .map(_.getLong(0)).toSet == (1L to 6L).toSet)
+
+      // while the stream is DOWN: an optimize (must not re-emit) and
+      // another append (must arrive on restart from the checkpoint)
+      TxTable.optimize(ss, root, targetFiles = 1)
+      TxTable.commit(ss, root, batch(7, 8), TxTable.Append)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val rows = ss.read.parquet(s"$tmp/out").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows.toSet == (1L to 8L).toSet)
+      assert(rows.size == 8, s"re-delivery detected: $rows")
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+
+  test("batch writer: SaveMode matrix, options flow to manifest metadata") {
+    withRoot { root =>
+      val d = docsDf(spark)
+      d.write.format("tx").mode("overwrite")
+        .option("partitionBy", "lang").option("statsCols", "n_chars")
+        .save(root)
+      val snap0 = TxTable.currentSnapshot(root).get
+      assert(snap0.files.forall(f => snap0.parts(f).exists(_._1 == "lang")))
+      assert(snap0.files.forall(f => snap0.stats.getOrElse(f, Seq.empty)
+        .exists(_._1 == "n_chars")))
+      // append via writer; idempotent txn options no-op on replay
+      val extra = docsDf(spark).withColumn("doc_id", col("doc_id") + 100L)
+      extra.write.format("tx").mode("append")
+        .option("txnAppId", "w1").option("txnVersion", "1").save(root)
+      val vAfter = TxTable.currentVersion(root).get
+      extra.write.format("tx").mode("append")
+        .option("txnAppId", "w1").option("txnVersion", "1").save(root)
+      assert(TxTable.currentVersion(root).get == vAfter,
+        "replayed (txnAppId, txnVersion) write committed a new version")
+      assert(spark.read.format("tx").load(root).count() == 24L)
+      // ErrorIfExists refuses, Ignore no-ops
+      intercept[java.io.IOException](
+        d.write.format("tx").mode("errorifexists").save(root))
+      d.write.format("tx").mode("ignore").save(root)
+      assert(TxTable.currentVersion(root).get == vAfter)
+    }
+  }
+
+  test("streaming sink: one version per batch, replayed batch no-ops, partitionBy recorded") {
+    withRoot { root =>
+      import spark.implicits._
+      val sink = new graft.sources.TxSink(root, appId = "sinkspec",
+        partitionCols = Seq("lang"), statsCols = Seq("n_chars"),
+        bloomCols = Nil)
+      def df(lo: Int, hi: Int) = (lo to hi)
+        .map(i => (i.toLong, Seq("de", "en")(i % 2), 100L + i))
+        .toDF("doc_id", "lang", "n_chars")
+      sink.addBatch(0L, df(0, 5))
+      sink.addBatch(1L, df(6, 9))
+      val v = TxTable.currentVersion(root).get
+      assert(v == 1L)
+      sink.addBatch(1L, df(6, 9)) // at-least-once replay
+      sink.addBatch(0L, df(0, 5)) // stale replay below high-water
+      assert(TxTable.currentVersion(root).get == v,
+        "replayed micro-batch committed — exactly-once contract broken")
+      assert(TxTable.read(spark, root).count() == 10L)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.forall(f => snap.parts(f).exists(_._1 == "lang")))
+      // the sink's layout serves the reader's pruning
+      val read = spark.read.format("tx").load(root)
+        .filter(col("lang") === "de")
+      assert(read.count() == 5L)
+      assert(scanIndex(read).lastPruned.get.size < snap.files.size)
+    }
+  }
+
+  test("streaming source: data-changing commits fail loudly without ignoreChanges") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      TxTable.commit(ss, root, (1L to 6L).map(i => (i, s"s$i")).toDF("id", "s"))
+      val tmp = Files.createTempDirectory("graft_txds_refuse_")
+      val sink = s"txds_refuse_${System.nanoTime()}"
+      val q = ss.readStream.format("tx").load(root)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        TxTable.deleteWhere(ss, root, col("id") === 2L)
+        TxTable.purgeDeletes(ss, root) // materialize: a rewrite commit
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          q.processAllAvailable())
+        assert(e.getMessage.contains("delete_mor") ||
+          e.getCause.getMessage.contains("delete_mor"))
+      } finally q.stop()
+      ss.catalog.dropTempView(sink)
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+}
