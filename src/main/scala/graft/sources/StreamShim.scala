@@ -31,7 +31,16 @@ object GraftStreamShim {
     */
   def asBatchFrame(df: DataFrame): DataFrame = {
     val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    c.sparkSession.internalCreateDataFrame(
-      c.queryExecution.toRdd, c.schema, isStreaming = false)
+    c.logicalPlan match {
+      // a frame [[asStreamingFrame]] produced: its RDD is already the
+      // executed batch — re-rooting through queryExecution would trip
+      // the batch-mode streaming-leaf check, so unwrap directly
+      case l: org.apache.spark.sql.execution.LogicalRDD if l.isStreaming =>
+        c.sparkSession.internalCreateDataFrame(l.rdd, c.schema,
+          isStreaming = false)
+      case _ =>
+        c.sparkSession.internalCreateDataFrame(
+          c.queryExecution.toRdd, c.schema, isStreaming = false)
+    }
   }
 }

@@ -115,6 +115,43 @@ final class TxDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val opts = TxDataSource.normalize(parameters)
     val root = TxDataSource.rootOf(opts)
+    // change-window read (Delta's readChangeFeed-without-change-columns):
+    // startingVersion[/endingVersion] select the files ADDED in
+    // (starting, ending] — the tx_changes TVF's window through the
+    // reader, still under TxFileIndex so pushed filters prune the delta
+    opts.get("startingversion") match {
+      case Some(sv) =>
+        val fromV = sv.toLong
+        val toV = opts.get("endingversion").map(_.toLong)
+          .orElse(TxTable.currentVersion(root)).getOrElse(
+            throw new java.io.IOException(
+              s"txtable $root has no committed version"))
+        require(opts.get("versionasof").isEmpty,
+          "startingVersion and versionAsOf are mutually exclusive")
+        val end = TxTable.snapshotAt(root, toV)
+        val base =
+          if (fromV < 0) Set.empty[String]
+          else TxTable.snapshotAt(root, fromV).files.toSet
+        val added = end.files.filterNot(base.contains)
+        val windowSnap = end.copy(files = added)
+        // appended files never carry DVs of their own version; a DV on
+        // an added file would mean a delete inside the window — refuse
+        // like the snapshot path rather than resurrect
+        if (added.exists(windowSnap.dvs.contains))
+          throw new java.io.IOException(
+            s"txtable $root: the ($fromV, $toV] window's files carry " +
+              "deletion vectors — read the window through " +
+              "TxChangeFeed.readChangeFeed (row-level CDF) instead")
+        return HadoopFsRelation(
+          location = new TxFileIndex(root, windowSnap),
+          partitionSchema = StructType(Nil),
+          dataSchema = TxDataSource.schemaOf(sqlContext.sparkSession, root,
+            if (added.nonEmpty) windowSnap else end),
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = opts)(sqlContext.sparkSession)
+      case None => ()
+    }
     val snap = opts.get("versionasof") match {
       case Some(v) => TxTable.snapshotAt(root, v.toLong)
       case None => TxTable.currentSnapshot(root).getOrElse(
@@ -156,7 +193,12 @@ final class TxDataSource extends RelationProvider
     val declared = sourceSchema(sqlContext, schema, providerName,
       parameters)._2
     new TxStreamSource(sqlContext.sparkSession, root, declared,
-      ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean))
+      ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = opts.get("maxversionspertrigger").map { v =>
+        val m = v.toLong
+        require(m >= 1, s"maxVersionsPerTrigger must be >= 1 (got $m)")
+        m
+      })
   }
 }
 
@@ -231,16 +273,34 @@ final class TxSink(root: String, appId: String, partitionCols: Seq[String],
   * project/cast to it (older files' missing columns read as null).
   */
 final class TxStreamSource(spark: SparkSession, root: String,
-    declaredSchema: StructType, ignoreChanges: Boolean) extends Source {
+    declaredSchema: StructType, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   // ops whose file additions are rewrites of already-delivered rows
   private val DataChangeFalse =
     Set("optimize", "compact", "zorder", "purge", "add_check")
 
+  // highest version already handed to a batch — the rate-limit base.
+  // Restart-safe: the first getBatch after recovery re-seeds it from
+  // the checkpoint's end offset before any getOffset can race ahead
+  // (MicroBatchExecution replays pending batches before planning new
+  // ones).
+  @volatile private var delivered: Long = -1L
+
   override def schema: StructType = declaredSchema
 
+  /** Head version, capped at `delivered + maxVersionsPerTrigger` once
+    * an initial batch exists (the initial snapshot is ONE batch however
+    * many versions precede it — rate limiting paces the TAIL).
+    */
   override def getOffset: Option[Offset] =
-    TxTable.currentVersion(root).map(LongOffset(_))
+    TxTable.currentVersion(root).map { head =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) if delivered >= 0 => math.min(head, delivered + m)
+        case _ => head
+      }
+      LongOffset(capped)
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
@@ -251,6 +311,7 @@ final class TxStreamSource(spark: SparkSession, root: String,
         if (fromV >= toV) emptyBatch()
         else incremental(fromV, toV)
     }
+    delivered = math.max(delivered, toV)
     GraftStreamShim.asStreamingFrame(align(batch))
   }
 

@@ -188,6 +188,79 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("startingVersion/endingVersion window read, pruned, refusing in-window DVs") {
+    withRoot { root =>
+      import spark.implicits._
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(spark, root, b(1, 4), TxTable.Overwrite,
+        clusterBy = Some("id"))
+      TxTable.commit(spark, root, b(5, 8), TxTable.Append,
+        clusterBy = Some("id"))
+      TxTable.commit(spark, root, b(9, 12), TxTable.Append,
+        clusterBy = Some("id"))
+      // the (0, 2] window = versions 1 and 2's arrivals only
+      val win = spark.read.format("tx")
+        .option("startingVersion", "0").load(root)
+      assert(win.collect().map(_.getLong(0)).toSet == (5L to 12L).toSet)
+      assert(spark.read.format("tx").option("startingVersion", "0")
+        .option("endingVersion", "1").load(root)
+        .collect().map(_.getLong(0)).toSet == (5L to 8L).toSet)
+      // stat pruning applies INSIDE the window (id ranges are tight)
+      val filtered = spark.read.format("tx")
+        .option("startingVersion", "0").load(root)
+        .filter(col("id") >= 9L)
+      assert(filtered.collect().map(_.getLong(0)).toSet == (9L to 12L).toSet)
+      val idx = scanIndex(filtered)
+      assert(idx.lastPruned.get.nonEmpty &&
+        idx.lastPruned.get.size < win.inputFiles.length)
+      // empty window: schema-preserving empty result
+      assert(spark.read.format("tx").option("startingVersion", "2")
+        .load(root).count() == 0L)
+      // a delete INSIDE the window puts DVs on a window file — refuse
+      TxTable.commit(spark, root, b(13, 16), TxTable.Append)
+      TxTable.deleteWhere(spark, root, col("id") === 14L)
+      val e = intercept[java.io.IOException](spark.read.format("tx")
+        .option("startingVersion", "2").load(root))
+      assert(e.getMessage.contains("deletion vectors"))
+    }
+  }
+
+  test("streaming source: maxVersionsPerTrigger paces the tail") {
+    withRoot { root =>
+      import spark.implicits._
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(spark, root, b(1, 2))
+      TxTable.commit(spark, root, b(3, 4), TxTable.Append)
+      TxTable.commit(spark, root, b(5, 6), TxTable.Append)
+      TxTable.commit(spark, root, b(7, 8), TxTable.Append)
+      val src = new graft.sources.TxStreamSource(spark, root,
+        TxTable.read(spark, root).schema, ignoreChanges = false,
+        maxVersionsPerTrigger = Some(1L))
+      import org.apache.spark.sql.execution.streaming.GraftStreamShim
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      // getBatch frames are isStreaming=true by contract — re-root to
+      // count them outside a streaming query
+      def n(df: org.apache.spark.sql.DataFrame): Long =
+        GraftStreamShim.asBatchFrame(df).count()
+      // initial batch: uncapped — the snapshot at the offered head
+      val o1 = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(o1.offset == 3L)
+      assert(n(src.getBatch(None, o1)) == 8L)
+      // tail: one version per trigger from the delivered base
+      TxTable.commit(spark, root, b(9, 10), TxTable.Append)
+      TxTable.commit(spark, root, b(11, 12), TxTable.Append)
+      val o2 = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(o2.offset == 4L, "tail not paced to delivered + 1")
+      assert(n(src.getBatch(Some(o1), o2)) == 2L)
+      val o3 = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(o3.offset == 5L)
+      assert(n(src.getBatch(Some(o2), o3)) == 2L)
+      assert(src.getOffset.get.asInstanceOf[LongOffset].offset == 5L)
+    }
+  }
+
   test("batch writer: SaveMode matrix, options flow to manifest metadata") {
     withRoot { root =>
       val d = docsDf(spark)
