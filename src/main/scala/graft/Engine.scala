@@ -121,6 +121,16 @@ object Engine {
           .readChanges(SparkSession.active, str(es.head), lng(es(1)),
             lng(es(2)))
           .queryExecution.analyzed),
+      ("tx_read_at",
+        "tx_read_at(root, epochMillis) - the table as it stood at wall-clock T (timestamp time travel)",
+        es => graft.operators.TxTable
+          .readAtTime(SparkSession.active, str(es.head), lng(es(1)))
+          .queryExecution.analyzed),
+      ("tx_detail",
+        "tx_detail(root) - one-row DESCRIBE DETAIL (version, commit time, files, bytes, live rows, partition columns, checks) from manifest metadata alone",
+        es => graft.operators.TxTable
+          .detail(SparkSession.active, str(es.head))
+          .queryExecution.analyzed),
       ("tx_partition_stats",
         "tx_partition_stats(root, col) - zero-scan per-partition live row counts",
         es => graft.operators.TxTable

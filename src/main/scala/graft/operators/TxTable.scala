@@ -2035,6 +2035,68 @@ object TxTable {
     snapshotAt(root, v).tsMillis.getOrElse(
       Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
 
+  /** Time travel by TIMESTAMP (Delta's `timestampAsOf`): the newest
+    * retained version whose commit time is <= `millis` — "the table as
+    * it stood at T". Commit times are monotone by construction (one
+    * writer wins each dense version; in-manifest ts is stamped at
+    * publish), so the scan is a simple last-at-or-before. Loud when T
+    * predates the oldest retained version — an older snapshot may have
+    * existed and been vacuumed, and silently serving the oldest
+    * retained one would misanswer "as of T".
+    */
+  def versionAtTime(root: String, millis: Long): Long = {
+    val vs = versions(root)
+    if (vs.isEmpty) throw new java.io.IOException(
+      s"txtable $root has no committed version")
+    val at = vs.filter(commitTimeMillis(root, _) <= millis)
+    at.lastOption.getOrElse(throw new java.io.IOException(
+      s"txtable $root: no retained version at or before t=$millis " +
+        s"(oldest retained v${vs.head} committed at " +
+        s"${commitTimeMillis(root, vs.head)}; an earlier snapshot, if " +
+        "any, was vacuumed)"))
+  }
+
+  /** The table exactly as it stood at wall-clock `millis`. */
+  def readAtTime(s: SparkSession, root: String, millis: Long): DataFrame =
+    readVersion(s, root, versionAtTime(root, millis))
+
+  /** DESCRIBE DETAIL: the head snapshot's one-row operational summary,
+    * from manifest metadata + file sizes alone (no Spark jobs, no
+    * parquet footers). `n_live_rows` is null when any file lacks a
+    * manifest row count (pre-r12 commits) — a null beats an undercount.
+    */
+  def detail(s: SparkSession, root: String): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val bytes = snap.files.map(f => new java.io.File(root, f).length()).sum
+    val liveRows: Option[Long] =
+      if (snap.files.forall(snap.rowCounts.contains)) {
+        val total = snap.files.map(snap.rowCounts).sum
+        val deleted = snap.files
+          .flatMap(f => snap.dvs.getOrElse(f, Seq.empty)).map(_._2).sum
+        Some(total - deleted)
+      } else None
+    val partCols = snap.parts.values.flatten.map(_._1).toSeq.distinct.sorted
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      java.util.Collections.singletonList(Row(
+        snap.version, commitTimeMillis(root, snap.version),
+        snap.files.size.toLong, bytes,
+        liveRows.map(java.lang.Long.valueOf).orNull,
+        partCols.mkString(","), snap.checks.size.toLong,
+        snap.op.getOrElse(""))),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("n_live_rows", LongType, nullable = true),
+        StructField("partition_columns", StringType, nullable = false),
+        StructField("n_checks", LongType, nullable = false),
+        StructField("last_op", StringType, nullable = false))))
+  }
+
   /** TEST SEAM: rewrite version `v`'s recorded commit timestamp —
     * retention tests age versions without sleeping. Only the ts line
     * changes; the manifest stays otherwise byte-identical.

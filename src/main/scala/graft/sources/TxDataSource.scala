@@ -152,11 +152,19 @@ final class TxDataSource extends RelationProvider
           options = opts)(sqlContext.sparkSession)
       case None => ()
     }
+    require(opts.get("versionasof").isEmpty ||
+      opts.get("timestampasof").isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val snap = opts.get("versionasof") match {
       case Some(v) => TxTable.snapshotAt(root, v.toLong)
-      case None => TxTable.currentSnapshot(root).getOrElse(
-        throw new java.io.IOException(
-          s"txtable $root has no committed version"))
+      case None => opts.get("timestampasof") match {
+        case Some(t) =>
+          TxTable.snapshotAt(root,
+            TxTable.versionAtTime(root, TxDataSource.parseMillis(t)))
+        case None => TxTable.currentSnapshot(root).getOrElse(
+          throw new java.io.IOException(
+            s"txtable $root has no committed version"))
+      }
     }
     if (snap.dvs.nonEmpty) throw new java.io.IOException(
       s"txtable $root v${snap.version} carries merge-on-read deletion " +
@@ -207,6 +215,10 @@ object TxDataSource {
   private[sources] def normalize(parameters: Map[String, String])
       : Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  /** timestampAsOf accepts epoch millis or an ISO-8601 instant. */
+  private[sources] def parseMillis(t: String): Long =
+    t.toLongOption.getOrElse(java.time.Instant.parse(t).toEpochMilli)
 
   private[sources] def rootOf(opts: Map[String, String]): String =
     opts.getOrElse("path", throw new IllegalArgumentException(

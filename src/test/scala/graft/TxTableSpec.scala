@@ -1198,4 +1198,49 @@ class TxTableSpec extends AnyFunSuite {
           .select("id").collect().map(_.getLong(0)).toSet)
     }
   }
+
+  test("timestamp time travel: versionAtTime monotone lookup, loud below horizon") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+        TxTable.Append)
+      TxTable.commit(spark, root, Seq((3L, "c")).toDF("id", "s"),
+        TxTable.Append)
+      // pin deterministic commit times via the retention test seam
+      Seq(0L, 1L, 2L).foreach(v =>
+        TxTable.setCommitTimeForTest(root, v, 1000L * (v + 1)))
+      assert(TxTable.versionAtTime(root, 1000L) == 0L)
+      assert(TxTable.versionAtTime(root, 2999L) == 1L)
+      assert(TxTable.versionAtTime(root, 999999L) == 2L)
+      assert(TxTable.readAtTime(spark, root, 2500L)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // before the oldest retained commit: loud, names the horizon
+      val e = intercept[java.io.IOException](
+        TxTable.versionAtTime(root, 999L))
+      assert(e.getMessage.contains("no retained version at or before"))
+      // SQL surfaces: tx_read_at + tx_detail
+      Engine.registerTableFunctions(spark)
+      assert(spark.sql(s"SELECT count(*) AS n FROM tx_read_at('$root', 2500)")
+        .collect()(0).getLong(0) == 2L)
+      val det = spark.sql(s"SELECT * FROM tx_detail('$root')").collect()(0)
+      assert(det.getAs[Long]("version") == 2L)
+      assert(det.getAs[Long]("n_files") == 3L)
+      assert(det.getAs[Long]("n_live_rows") == 3L)
+      assert(det.getAs[String]("last_op") == "append")
+      // detail's live rows subtract MoR deletion vectors, scan-free
+      TxTable.deleteWhere(spark, root, col("id") === 2L)
+      val det2 = TxTable.detail(spark, root).collect()(0)
+      assert(det2.getAs[Long]("n_live_rows") == 2L)
+      assert(det2.getAs[String]("last_op") == "delete_mor")
+      // connector option: timestampAsOf (millis), exclusive with versionAsOf
+      intercept[java.io.IOException](spark.read.format("tx")
+        .option("timestampAsOf", "999").load(root))
+      assert(spark.read.format("tx").option("timestampAsOf", "2500")
+        .load(root).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      intercept[IllegalArgumentException](spark.read.format("tx")
+        .option("timestampAsOf", "2500").option("versionAsOf", "1")
+        .load(root))
+    }
+  }
 }
