@@ -232,7 +232,10 @@ object Bench {
       "q196_tx_cdf_consumers", "q197_tx_partition2",
       // round-14: the format("tx") connector — Catalyst-planned manifest
       // pruning and the structured-streaming table tail
-      "q201_tx_relation", "q202_tx_stream_source")
+      "q201_tx_relation", "q202_tx_stream_source",
+      // round-14: metadata-only RENAME/DROP lifecycle read through
+      // alias-aware stat pruning
+      "q205_tx_column_map")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -183,6 +183,21 @@ object Engine {
           receipt(SparkSession.active, "vacuum",
             graft.operators.TxTable.currentVersion(root).getOrElse(-1L))
         }),
+      ("tx_rename_column",
+        "tx_rename_column(root, oldName, newName) - metadata-only column rename (column mapping); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"rename_column:${str(es(1))}->${str(es(2))}",
+            graft.operators.TxTable.renameColumn(s, str(es.head),
+              str(es(1)), str(es(2))))
+        }),
+      ("tx_drop_column",
+        "tx_drop_column(root, name) - metadata-only column drop (tombstoned name); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"drop_column:${str(es(1))}",
+            graft.operators.TxTable.dropColumn(s, str(es.head), str(es(1))))
+        }),
       ("tx_restore",
         "tx_restore(root, version) - metadata-only RESTORE; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {

@@ -74,8 +74,9 @@ object TxChangeFeed {
         val base = parent.map(_.files.toSet).getOrElse(Set.empty)
         val added = snap.files.filterNot(base.contains)
         if (added.isEmpty) None
-        else Some(withMeta(s.read.option("mergeSchema", "true")
-          .parquet(added.map(f => s"$root/$f"): _*), lit("insert"), v))
+        else Some(withMeta(TxTable.projectLogical(snap,
+          s.read.option("mergeSchema", "true")
+            .parquet(added.map(f => s"$root/$f"): _*)), lit("insert"), v))
       case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
       case _ => keyedDiff(s, root, v, snap, parent, keyCol)
     }
@@ -107,7 +108,7 @@ object TxChangeFeed {
         base("__rel") === dv("__dv_file") &&
           base("__pos") === dv("__dv_pos"), "left_semi")
       .drop("__rel", "__pos")
-    Some(withMeta(deleted, lit("delete"), v))
+    Some(withMeta(TxTable.projectLogical(snap, deleted), lit("delete"), v))
   }
 
   /** Net-change diff of a rewrite commit: carryovers cancel, then one

@@ -555,7 +555,54 @@ object TxMaint {
       |    AS total_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** Column-mapping lifecycle in the gate: documents land clustered on
+    * n_chars (tight stat ranges), evolve through TWO metadata-only
+    * renames (source→origin BEFORE more data arrives, so the table
+    * holds mixed column vintages; n_chars→chars AFTER its stat lines
+    * were recorded under the old name) and a DROP (lang tombstoned,
+    * bytes stranded unprojected) — then the final read is a
+    * stat-PRUNED range read addressed entirely by the NEW names. The
+    * oracle restates it on raw documents: any vintage the coalesce
+    * resolution mixed up, any stat line the alias lookup missed (no
+    * pruning = still correct, but a WRONG prune drops rows), or any
+    * resurrected dropped column would hash-fail.
+    */
+  def q205TxColumnMap(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txcolmap_")
+    val root = s"$tmp/docs_evolving"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def slice(m: Int) = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    TxTable.commit(s, root, slice(0), TxTable.Overwrite,
+      clusterBy = Some("n_chars"))
+    TxTable.commit(s, root, slice(1), TxTable.Append,
+      clusterBy = Some("n_chars"))
+    TxTable.renameColumn(s, root, "source", "origin")
+    // post-rename arrivals carry the new vintage
+    TxTable.commit(s, root,
+      slice(2).withColumnRenamed("source", "origin"), TxTable.Append,
+      clusterBy = Some("n_chars"))
+    TxTable.renameColumn(s, root, "n_chars", "chars")
+    TxTable.dropColumn(s, root, "lang")
+    val out = TxTable.readPruned(s, root, "chars", 200.0, 600.0)
+      .groupBy("origin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").cast("long").as("total_chars"))
+      .orderBy("origin")
+    require(!out.columns.contains("lang"), "dropped column resurfaced")
+    offTemp(out, tmp)
+  }
+
+  val q205Sql: String =
+    """SELECT source AS origin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE n_chars >= 200 AND n_chars <= 600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_tx_column_map" -> (q205TxColumnMap _),
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
     "q178_tx_bloom_lookup" -> (q178TxBloomLookup _),
     "q180_tx_constraints" -> (q180TxConstraints _),
@@ -571,6 +618,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q205_tx_column_map" -> q205Sql,
     "q177_tx_delete_mor" -> q177Sql,
     "q178_tx_bloom_lookup" -> q178Sql,
     "q180_tx_constraints" -> q180Sql,

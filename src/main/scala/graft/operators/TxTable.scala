@@ -67,6 +67,8 @@ object TxTable {
   private val PartPrefix = "part "
   private val FormatPrefix = "format "
   private val TsPrefix = "ts "
+  private val ColRenamePrefix = "colrename "
+  private val ColDeadPrefix = "coldead "
 
   /** Highest manifest format this reader understands. Format 1 = files +
     * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
@@ -81,9 +83,12 @@ object TxTable {
     * prevent; Delta's minReaderVersion). Strict line validation backs it
     * up: every non-prefixed line must be a `data/` path, so even a
     * same-format manifest with an unrecognized line type is rejected as
-    * corrupt rather than misread.
+    * corrupt rather than misread. Format 4 adds the in-manifest commit
+    * timestamp; format 5 adds column mapping (colrename/coldead lines)
+    * and is declared ONLY by tables that actually renamed or dropped a
+    * column — unmapped tables stay format 4, byte-identical to r13.
     */
-  private val SupportedFormat = 4
+  private val SupportedFormat = 5
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -170,7 +175,9 @@ object TxTable {
       checks: Seq[(String, String)] = Seq.empty,
       op: Option[String] = None,
       parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
-      tsMillis: Option[Long] = None)
+      tsMillis: Option[Long] = None,
+      renames: Map[String, Seq[String]] = Map.empty,
+      deadCols: Set[String] = Set.empty)
 
   private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -240,6 +247,15 @@ object TxTable {
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val tsMillis = body.find(_.startsWith(TsPrefix))
         .map(_.stripPrefix(TsPrefix).toLong)
+      def b64d(x: String) = new String(
+        java.util.Base64.getDecoder.decode(x),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val renames = body.filter(_.startsWith(ColRenamePrefix)).map { l =>
+        val Array(l64, o64) = l.stripPrefix(ColRenamePrefix).split(' ')
+        (b64d(l64), b64d(o64))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val deadCols = body.filter(_.startsWith(ColDeadPrefix))
+        .map(l => b64d(l.stripPrefix(ColDeadPrefix))).toSet
       val format = body.find(_.startsWith(FormatPrefix))
         .map(_.stripPrefix(FormatPrefix).toInt).getOrElse(1)
       if (format > SupportedFormat) throw new java.io.IOException(
@@ -252,14 +268,15 @@ object TxTable {
           l.startsWith(DvPrefix) || l.startsWith(BloomPrefix) ||
           l.startsWith(CheckPrefix) || l.startsWith(OpPrefix) ||
           l.startsWith(PartPrefix) || l.startsWith(FormatPrefix) ||
-          l.startsWith(TsPrefix))
+          l.startsWith(TsPrefix) || l.startsWith(ColRenamePrefix) ||
+          l.startsWith(ColDeadPrefix))
       files.find(f => !f.startsWith("data/")).foreach(bad =>
         throw new java.io.IOException(
           s"txtable manifest $p holds an unrecognized line '$bad' — " +
             "not a known metadata type and not a data/ path; refusing " +
             "to misread it as a file"))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
-        checks, op, parts, tsMillis)
+        checks, op, parts, tsMillis, renames, deadCols)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -299,6 +316,54 @@ object TxTable {
       throw new java.io.IOException(s"txtable $root v${snap.version} is empty")
     else readFilesWithDvs(s, root, snap, snap.files)
 
+  /** Every name a column has carried across its renames: the current
+    * logical name first, then older vintages (each data file uses the
+    * name current when IT was written — at most one of these per file).
+    */
+  private[graft] def namesOf(snap: Snapshot, logical: String): Seq[String] =
+    logical +: snap.renames.getOrElse(logical, Seq.empty)
+
+  /** Column-mapping projection: resolve each LOGICAL schema field by
+    * coalescing its vintage names (a mergeSchema read over mixed-vintage
+    * files surfaces each vintage as its own column, null where absent —
+    * and since a file carries exactly ONE vintage of a column, coalesce
+    * is exact, not a guess), and drop dropped columns by projecting the
+    * logical schema and nothing else. Identity (no renames, no drops) is
+    * a no-op — unmapped tables take today's exact plan.
+    */
+  private[graft] def projectLogical(snap: Snapshot, df: DataFrame): DataFrame =
+    if (snap.renames.isEmpty && snap.deadCols.isEmpty) df
+    else {
+      val logical = snap.schema.getOrElse(throw new java.io.IOException(
+        "column-mapped txtable without a recorded schema — corrupt " +
+          "manifest (rename/drop commits always record one)"))
+      df.select(logical.fields.toIndexedSeq.map { f =>
+        val present = namesOf(snap, f.name).filter(df.columns.contains)
+        val c = present match {
+          case Seq() => org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType)
+          case Seq(one) => col(one).cast(f.dataType)
+          case many => org.apache.spark.sql.functions
+            .coalesce(many.map(col): _*).cast(f.dataType)
+        }
+        c.as(f.name)
+      }: _*)
+    }
+
+  /** [[projectLogical]]'s keep-everything sibling for internal scans
+    * that need bookkeeping columns (file/pos) ALONGSIDE logical names:
+    * each renamed column is materialized as a coalesce over its present
+    * vintages, existing columns stay. Identity mapping is a no-op.
+    */
+  private def attachLogical(snap: Snapshot, df: DataFrame): DataFrame =
+    if (snap.renames.isEmpty) df
+    else snap.renames.foldLeft(df) { case (d, (logical, olds)) =>
+      val present = (logical +: olds).filter(d.columns.contains)
+      if (present.isEmpty) d
+      else d.withColumn(logical, org.apache.spark.sql.functions
+        .coalesce(present.map(col): _*))
+    }
+
   /** Read a subset of a snapshot's data files with its deletion vectors
     * applied — THE read seam every path (snapshot read, pruned read,
     * maintenance rewrite input) goes through, so a merge-on-read delete
@@ -317,8 +382,8 @@ object TxTable {
       .parquet(files.map(f => s"$root/$f"): _*)
     val dvFiles = files.flatMap(f =>
       snap.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
-    if (dvFiles.isEmpty) base
-    else {
+    if (dvFiles.isEmpty) projectLogical(snap, base)
+    else projectLogical(snap, {
       // dv blobs may carry entries for files outside this subset — those
       // reference paths not being scanned, so the anti-join ignores them
       val dv = s.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
@@ -331,7 +396,7 @@ object TxTable {
           withMeta("__rel") === dv("__dv_file") &&
             withMeta("__pos") === dv("__dv_pos"), "left_anti")
         .drop("__rel", "__pos")
-    }
+    })
   }
 
   /** Newest committed snapshot as an explicit-path DataFrame. */
@@ -382,10 +447,11 @@ object TxTable {
     val base =
       if (fromV < 0) Set.empty[String]
       else snapshotAt(root, fromV).files.toSet
-    val added = snapshotAt(root, toV).files.filterNot(base.contains)
+    val end = snapshotAt(root, toV)
+    val added = end.files.filterNot(base.contains)
     if (added.isEmpty) read(s, root).limit(0)
-    else s.read.option("mergeSchema", "true")
-      .parquet(added.map(f => s"$root/$f"): _*)
+    else projectLogical(end, s.read.option("mergeSchema", "true")
+      .parquet(added.map(f => s"$root/$f"): _*))
   }
 
   /** [[readChanges]] restricted to partition values: the (fromV, toV]
@@ -405,7 +471,8 @@ object TxTable {
     val to = snapshotAt(root, toV)
     val vset = values.toSet
     val added = to.files.filterNot(base.contains).filter { f =>
-      to.parts.getOrElse(f, Seq.empty).find(_._1 == partCol) match {
+      to.parts.getOrElse(f, Seq.empty)
+        .find(e => namesOf(to, partCol).contains(e._1)) match {
         case Some((_, Some(v))) => vset.contains(v)
         case Some((_, None)) => false
         case None => true
@@ -700,7 +767,8 @@ object TxTable {
     */
   private[graft] def bloomMayContainAny(snap: Snapshot, f: String,
       colName: String, probes: Seq[(Long, Long)]): Boolean =
-    snap.blooms.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+    snap.blooms.getOrElse(f, Seq.empty)
+      .find(e => namesOf(snap, colName).contains(e._1)) match {
       case Some((_, m, k, b64)) =>
         val bits = java.util.BitSet.valueOf(
           java.util.Base64.getDecoder.decode(b64))
@@ -774,7 +842,117 @@ object TxTable {
           rowCounts = parent.rowCounts, dvs = parent.dvs,
           blooms = parent.blooms,
           checks = parent.checks :+ (name -> exprSql), op = "add_check",
-          parts = parent.parts))
+          parts = parent.parts, renames = parent.renames,
+          deadCols = parent.deadCols))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** Does `sql` reference `colName` as an identifier? Conservative
+    * word-boundary match — a false positive refuses a rename/drop that
+    * might have been safe (the operator rewrites the CHECK first), a
+    * false negative would let a constraint silently reference a gone
+    * column and fail every later write at validation time.
+    */
+  private def sqlMentions(sql: String, colName: String): Boolean =
+    ("""(?i)(^|[^a-z0-9_`])""" + java.util.regex.Pattern.quote(colName) +
+      """($|[^a-z0-9_`])""").r.findFirstIn(sql).isDefined
+
+  /** Names no NEW column may take: every live logical name, every older
+    * vintage still aliased by a live column (a file somewhere holds data
+    * under it), and every tombstoned name from a drop. Re-introducing
+    * one would make the coalesce-vintage resolution ambiguous — old
+    * rows would resurrect under the new column.
+    */
+  private def reservedNames(snap: Snapshot): Set[String] =
+    snap.schema.map(_.fieldNames.toSet).getOrElse(Set.empty) ++
+      snap.renames.valuesIterator.flatten ++ snap.deadCols
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY (Delta's column-mapping
+    * rename): no data file changes; the manifest records the new
+    * logical name and the alias chain (`colrename` lines, format 5),
+    * and every read path resolves a file by whichever vintage name it
+    * carries ([[projectLogical]]'s coalesce — exact because each file
+    * holds exactly one vintage). Refused when the column is referenced
+    * by a CHECK constraint (the constraint SQL would go stale) or
+    * carries partition part lines (dpo classification is
+    * exact-name-by-contract) — rewrite those first. The old name stays
+    * reserved forever (see [[reservedNames]]).
+    */
+  def renameColumn(s: SparkSession, root: String, oldName: String,
+      newName: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(s"txtable $root has no version"))
+      val schema = parent.schema.getOrElse(throw new java.io.IOException(
+        s"txtable $root has no recorded schema — rename needs one " +
+          "(any r12+ commit records it)"))
+      require(schema.fieldNames.contains(oldName),
+        s"rename: no column '$oldName' in ${schema.fieldNames.mkString(",")}")
+      require(!reservedNames(parent).contains(newName),
+        s"rename: '$newName' is reserved (a live column, an older " +
+          "vintage of one, or a dropped column's name) — reusing it " +
+          "would resurrect old rows under the new column")
+      parent.checks.find { case (_, sql) => sqlMentions(sql, oldName) }
+        .foreach { case (n, sql) => throw new IllegalArgumentException(
+          s"rename: CHECK '$n' ($sql) references '$oldName' — drop and " +
+            "re-add the constraint against the new name first") }
+      require(!parent.parts.valuesIterator.flatten.exists(_._1 == oldName),
+        s"rename: '$oldName' is a partition column (part lines exist) — " +
+          "rewrite the layout first (dpo classification is exact-name)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+      val chain = oldName +: parent.renames.getOrElse(oldName, Seq.empty)
+      if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
+          parent.stats, schema = Some(newSchema),
+          rowCounts = parent.rowCounts, dvs = parent.dvs,
+          blooms = parent.blooms, checks = parent.checks,
+          op = "rename_column", parts = parent.parts,
+          renames = (parent.renames - oldName) + (newName -> chain),
+          deadCols = parent.deadCols))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: the logical schema loses
+    * the field, the bytes stay in the files (unprojected by every read
+    * seam), and the column's whole name chain is tombstoned so no later
+    * add can resurrect the stranded data. Same CHECK/partition-column
+    * refusals as [[renameColumn]]; a full Overwrite resets the
+    * tombstones (no old files remain).
+    */
+  def dropColumn(s: SparkSession, root: String, name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(s"txtable $root has no version"))
+      val schema = parent.schema.getOrElse(throw new java.io.IOException(
+        s"txtable $root has no recorded schema — drop needs one"))
+      require(schema.fieldNames.contains(name),
+        s"drop: no column '$name' in ${schema.fieldNames.mkString(",")}")
+      require(schema.fields.length > 1,
+        "drop: refusing to drop the last column")
+      parent.checks.find { case (_, sql) => sqlMentions(sql, name) }
+        .foreach { case (n, sql) => throw new IllegalArgumentException(
+          s"drop: CHECK '$n' ($sql) references '$name' — drop the " +
+            "constraint first") }
+      require(!parent.parts.valuesIterator.flatten.exists(_._1 == name),
+        s"drop: '$name' is a partition column (part lines exist) — " +
+          "rewrite the layout first")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      val chain = name +: parent.renames.getOrElse(name, Seq.empty)
+      if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
+          parent.stats, schema = Some(newSchema),
+          rowCounts = parent.rowCounts, dvs = parent.dvs,
+          blooms = parent.blooms, checks = parent.checks,
+          op = "drop_column", parts = parent.parts,
+          renames = parent.renames - name,
+          deadCols = parent.deadCols ++ chain))
         committed = parent.version + 1
     }
     committed
@@ -836,7 +1014,9 @@ object TxTable {
       blooms: Map[String, Seq[(String, Int, Int, String)]] = Map.empty,
       checks: Seq[(String, String)] = Seq.empty,
       op: String = "commit",
-      parts: Map[String, Seq[(String, Option[String])]] = Map.empty)
+      parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
+      renames: Map[String, Seq[String]] = Map.empty,
+      deadCols: Set[String] = Set.empty)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -869,6 +1049,13 @@ object TxTable {
         sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
     }
     val opLine = Seq(s"$OpPrefix$op")
+    def b64e(x: String) = java.util.Base64.getEncoder.encodeToString(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val renameLines = renames.toSeq.sortBy(_._1).flatMap {
+      case (logical, olds) => olds.map(o =>
+        s"$ColRenamePrefix${b64e(logical)} ${b64e(o)}")
+    }
+    val deadLines = deadCols.toSeq.sorted.map(d => s"$ColDeadPrefix${b64e(d)}")
     val partLines = parts.toSeq.sortBy(_._1).flatMap {
       case (path, entries) if fileSet.contains(path) =>
         entries.map { case (c, v) =>
@@ -884,13 +1071,15 @@ object TxTable {
     // table keeps its time axis where mtime would lie); part lines
     // alone demanded 3, format-2 carried op at minimum, pre-format
     // manifests parse as 1 on the read side
-    val fmt = 4
+    // column mapping alone ratchets to 5 — unmapped tables stay 4
+    val fmt = if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
     val fmtLine = Seq(s"$FormatPrefix$fmt")
     val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
         statLines ++ rowLines ++ dvLines ++ bloomLines ++ checkLines ++
-        opLine ++ partLines ++ files) :+ Footer)).asJava,
+        opLine ++ partLines ++ renameLines ++ deadLines ++ files)
+        :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -977,8 +1166,23 @@ object TxTable {
       // any manifest references the new files (they orphan for vacuum)
       val schema = mode match {
         case Overwrite => df.schema
-        case Append => parent.flatMap(_.schema)
-          .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
+        case Append =>
+          // additive evolution may not resurrect a retired name: a new
+          // column named like an older vintage (or a dropped column)
+          // would collide with the stranded bytes old files still hold
+          parent.foreach { par =>
+            val live = par.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+            val retired = (par.renames.valuesIterator.flatten.toSet ++
+              par.deadCols) -- live
+            val bad = df.schema.fieldNames.filter(retired.contains)
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              s"append introduces retired column name(s) " +
+                s"${bad.mkString(", ")} — an older vintage or dropped " +
+                "column already owns the name in existing files; pick " +
+                "a new name or Overwrite the table")
+          }
+          parent.flatMap(_.schema)
+            .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
       }
       val rows = (mode match {
         case Overwrite => Map.empty[String, Long]
@@ -1021,7 +1225,17 @@ object TxTable {
           blooms, checks,
           op = mode match { case Overwrite => "overwrite"
                             case Append => "append" },
-          parts = parts))
+          parts = parts,
+          // Overwrite replaces every file: no old vintages remain to
+          // alias, and dropped names are free to return
+          renames = mode match {
+            case Overwrite => Map.empty[String, Seq[String]]
+            case Append => parent.map(_.renames).getOrElse(Map.empty)
+          },
+          deadCols = mode match {
+            case Overwrite => Set.empty[String]
+            case Append => parent.map(_.deadCols).getOrElse(Set.empty)
+          }))
         committed = v
     }
     committed
@@ -1040,7 +1254,8 @@ object TxTable {
     snap.files.filter { f =>
       val ranges = snap.stats.getOrElse(f, Seq.empty)
       preds.forall { case (colName, lo, hi) =>
-        ranges.find(_._1 == colName) match {
+        val names = namesOf(snap, colName).toSet
+        ranges.find(r => names(r._1)) match {
           case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
           case None => true
         }
@@ -1065,8 +1280,9 @@ object TxTable {
       ranges: Seq[(Double, Double)]): Seq[String] = {
     val snap = currentSnapshot(root).getOrElse(
       throw new java.io.IOException(s"txtable $root has no committed version"))
+    val names = namesOf(snap, colName).toSet
     snap.files.filter { f =>
-      snap.stats.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+      snap.stats.getOrElse(f, Seq.empty).find(r => names(r._1)) match {
         case Some((_, mn, mx, _)) =>
           ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
         case None => true
@@ -1087,7 +1303,8 @@ object TxTable {
     val files = snap.files.filter { f =>
       val ranges = snap.stats.getOrElse(f, Seq.empty)
       preds.forall { case (colName, lo, hi) =>
-        ranges.find(_._1 == colName) match {
+        val names = namesOf(snap, colName).toSet
+        ranges.find(r => names(r._1)) match {
           case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
           case None => true
         }
@@ -1126,7 +1343,8 @@ object TxTable {
 
   private def partFileMatches(snap: Snapshot, f: String, colName: String,
       values: Set[String], includeNull: Boolean): Boolean =
-    snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+    snap.parts.getOrElse(f, Seq.empty)
+      .find(e => namesOf(snap, colName).contains(e._1)) match {
       case Some((_, Some(v))) => values.contains(v)
       case Some((_, None)) => includeNull
       case None => true
@@ -1166,7 +1384,7 @@ object TxTable {
       .filter { f =>
         val ranges = snap.stats.getOrElse(f, Seq.empty)
         preds.forall { case (colName, lo, hi) =>
-          ranges.find(_._1 == colName) match {
+          ranges.find(r => namesOf(snap, colName).contains(r._1)) match {
             case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -1282,7 +1500,8 @@ object TxTable {
           rowCounts = parent.rowCounts ++ newRows,
           dvs = parent.dvs, blooms = parent.blooms,
           checks = parent.checks, op = "overwrite_partitions",
-          parts = parent.parts ++ newParts))
+          parts = parent.parts ++ newParts, renames = parent.renames,
+          deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1343,7 +1562,7 @@ object TxTable {
       includeNull = false).filter { f =>
       val ranges = snap.stats.getOrElse(f, Seq.empty)
       preds.forall { case (colName, lo, hi) =>
-        ranges.find(_._1 == colName) match {
+        ranges.find(r => namesOf(snap, colName).contains(r._1)) match {
           case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
           case None => true
         }
@@ -1377,7 +1596,8 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
           schema = parent.schema,
           rowCounts = fileRows(s, root, dataFiles),
-          checks = parent.checks, op = "merge"))
+          checks = parent.checks, op = "merge",
+          renames = parent.renames, deadCols = parent.deadCols))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -1501,7 +1721,8 @@ object TxTable {
           dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
             .toMap, checks = parent.checks, op = "merge",
-          parts = parent.parts))
+          parts = parent.parts, renames = parent.renames,
+          deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1601,7 +1822,9 @@ object TxTable {
           blooms = parent.map(_.blooms).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap,
           checks = checks, op = "merge_additive",
-          parts = parent.map(_.parts).getOrElse(Map.empty)))
+          parts = parent.map(_.parts).getOrElse(Map.empty),
+          renames = parent.map(_.renames).getOrElse(Map.empty),
+          deadCols = parent.map(_.deadCols).getOrElse(Set.empty)))
         committed = v
     }
     committed
@@ -1673,7 +1896,8 @@ object TxTable {
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
           checks = parent.checks, op = "delete_range",
-          parts = parent.parts))
+          parts = parent.parts, renames = parent.renames,
+          deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1716,8 +1940,9 @@ object TxTable {
         }
       }
       if (cand.isEmpty) return parent.version
-      val scan = s.read.option("mergeSchema", "true")
-        .parquet(cand.map(f => s"$root/$f"): _*)
+      val scan = attachLogical(parent, s.read
+        .option("mergeSchema", "true")
+        .parquet(cand.map(f => s"$root/$f"): _*))
         .withColumn("file", concat(lit("data/"),
           substring_index(col("_metadata.file_path"), "/data/", -1)))
         .withColumn("pos", col("_metadata.row_index"))
@@ -1746,7 +1971,8 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms,
-          checks = parent.checks, op = "delete_mor", parts = parent.parts))
+          checks = parent.checks, op = "delete_mor", parts = parent.parts,
+          renames = parent.renames, deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1793,7 +2019,8 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
           stats, schema = parent.schema, rowCounts = rows,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "purge", parts = parent.parts))
+          checks = parent.checks, op = "purge", parts = parent.parts,
+          renames = parent.renames, deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1824,10 +2051,17 @@ object TxTable {
       val newStats =
         if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double, Long)]]
         else footerStats(s, root, newFiles, clusterBy)
+      // a FULL rewrite materializes the column mapping: every new file
+      // carries the current logical names, no older vintage remains in
+      // the head, so the alias chains and tombstones clear and the
+      // manifest drops back to format 4 (time-traveled/restored readers
+      // keep their own snapshots' mappings) — the escape hatch Delta's
+      // column mapping lacks
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
           newStats, schema = parent.schema,
           rowCounts = fileRows(s, root, newFiles),
-          checks = parent.checks, op = "optimize"))
+          checks = parent.checks, op = "optimize",
+          renames = Map.empty, deadCols = Set.empty))
         committed = parent.version + 1
     }
     committed
@@ -1887,7 +2121,8 @@ object TxTable {
           stats, schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "compact", parts = parent.parts))
+          checks = parent.checks, op = "compact", parts = parent.parts,
+          renames = parent.renames, deadCols = parent.deadCols))
         committed = parent.version + 1
     }
     committed
@@ -1924,7 +2159,9 @@ object TxTable {
           .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
           .getOrElse(Map.empty), newStats, Some(df.schema),
-          fileRows(s, root, dataFiles), checks = checks, op = "zorder"))
+          fileRows(s, root, dataFiles), checks = checks, op = "zorder",
+          // full rewrite: mapping materialized (see optimize)
+          renames = Map.empty, deadCols = Set.empty))
         committed = v
     }
     committed
@@ -1988,7 +2225,8 @@ object TxTable {
           target.stats, schema = target.schema,
           rowCounts = target.rowCounts, dvs = target.dvs,
           blooms = target.blooms, checks = parent.checks,
-          op = s"restore:$v", parts = target.parts))
+          op = s"restore:$v", parts = target.parts,
+          renames = target.renames, deadCols = target.deadCols))
         committed = parent.version + 1
     }
     committed

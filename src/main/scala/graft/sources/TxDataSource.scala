@@ -171,6 +171,13 @@ final class TxDataSource extends RelationProvider
         "vectors; format(\"tx\") maps onto Spark's file-granular parquet " +
         "scan and cannot apply row-level deletes — read through " +
         "TxTable.read (the MoR-aware path) or run purgeDeletes first")
+    if (snap.renames.nonEmpty || snap.deadCols.nonEmpty)
+      throw new java.io.IOException(
+        s"txtable $root v${snap.version} is column-mapped (renamed or " +
+          "dropped columns); format(\"tx\") maps onto Spark's plain " +
+          "parquet scan, which reads files by physical name and cannot " +
+          "coalesce column vintages — read through TxTable.read, or " +
+          "optimize() to rewrite every file to the current names first")
     val spark = sqlContext.sparkSession
     HadoopFsRelation(
       location = new TxFileIndex(root, snap),

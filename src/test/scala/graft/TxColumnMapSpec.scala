@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxTable
+
+/** Column mapping (RENAME / DROP COLUMN as metadata-only commits):
+  * alias-chain resolution at the read seam, vintage mixing, name
+  * reservation, refusals, pruning through renamed stats, CDF and MoR
+  * interplay, optimize as the mapping's materializer, and the
+  * format-5 protocol ratchet.
+  */
+class TxColumnMapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def withRoot(f: String => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_txcmspec_")
+    try f(s"$tmp/t") finally graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
+  private def manifestText(root: String, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(root, "_manifests", f"v$v%09d.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("rename: vintage mixing reads exactly, time travel keeps old name, format ratchets") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "x"))
+      TxTable.commit(spark, root,
+        Seq((3L, "c", 30L)).toDF("id", "s", "x"), TxTable.Append)
+      // unmapped table stays format 4
+      assert(manifestText(root, 1L).contains("format 4"))
+      val v2 = TxTable.renameColumn(spark, root, "s", "t")
+      assert(v2 == 2L)
+      assert(manifestText(root, 2L).contains("format 5"))
+      assert(manifestText(root, 2L).contains("colrename "))
+      // metadata-only: same files
+      assert(TxTable.snapshotAt(root, 2L).files ==
+        TxTable.snapshotAt(root, 1L).files)
+      // post-rename append writes the NEW name
+      TxTable.commit(spark, root,
+        Seq((4L, "d", 40L)).toDF("id", "t", "x"), TxTable.Append)
+      val got = TxTable.read(spark, root)
+        .select("id", "t", "x").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+        (4L, "d", 40L)))
+      // null values in old vintages stay null (coalesce is exact)
+      assert(!TxTable.read(spark, root).columns.contains("s"))
+      // time travel: the pre-rename snapshot still reads under 's'
+      val old = TxTable.readVersion(spark, root, 1L)
+      assert(old.columns.toSeq == Seq("id", "s", "x"))
+      assert(old.count() == 3L)
+    }
+  }
+
+  test("renamed stat column still prunes; exact answers through every read path") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1L to 40L).map(i => (i, s"s$i", i * 10L)).toDF("id", "s", "x"),
+        TxTable.Overwrite, clusterBy = Some("x"))
+      TxTable.renameColumn(spark, root, "x", "chars")
+      // pruning by the NEW name consults the OLD name's stat lines
+      val pruned = TxTable.prunedFiles(root, "chars", 10.0, 60.0)
+      assert(pruned.nonEmpty &&
+        pruned.size < TxTable.currentSnapshot(root).get.files.size)
+      val got = TxTable.readPruned(spark, root, "chars", 10.0, 60.0)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == (1L to 6L).toSet)
+      // MoR delete by the new name, then CDF classification
+      TxTable.deleteWhere(spark, root, col("chars") === 30L)
+      assert(TxTable.read(spark, root).count() == 39L)
+      val feed = graft.operators.TxChangeFeed.readChangeFeed(spark, root,
+        1L, TxTable.currentVersion(root).get, "id")
+      val deleted = feed.filter(col("_change_type") === "delete")
+        .select("id", "chars").collect()
+      assert(deleted.map(_.getLong(0)).toSeq == Seq(3L))
+      assert(deleted.head.getLong(1) == 30L) // logical name in the feed
+    }
+  }
+
+  test("name reservation: re-adding retired names refused on every path") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "a", 1.0)).toDF("id", "s", "score"))
+      TxTable.renameColumn(spark, root, "s", "t")
+      TxTable.dropColumn(spark, root, "score")
+      assert(TxTable.read(spark, root).columns.toSeq == Seq("id", "t"))
+      // rename target may not be a live name, an alias, or a dead name
+      intercept[IllegalArgumentException](
+        TxTable.renameColumn(spark, root, "t", "id"))
+      intercept[IllegalArgumentException](
+        TxTable.renameColumn(spark, root, "t", "s"))
+      intercept[IllegalArgumentException](
+        TxTable.renameColumn(spark, root, "t", "score"))
+      // append may not resurrect an alias or tombstone
+      intercept[IllegalArgumentException](TxTable.commit(spark, root,
+        Seq((9L, "z", "boom")).toDF("id", "t", "s"), TxTable.Append))
+      intercept[IllegalArgumentException](TxTable.commit(spark, root,
+        Seq((9L, "z", 2.0)).toDF("id", "t", "score"), TxTable.Append))
+      // a fresh name is fine
+      TxTable.commit(spark, root,
+        Seq((9L, "z", 2.0)).toDF("id", "t", "quality"), TxTable.Append)
+      assert(TxTable.read(spark, root).count() == 2L)
+      // Overwrite resets the reservations (no old files remain)
+      TxTable.commit(spark, root, Seq((1L, "fresh")).toDF("id", "s"))
+      assert(TxTable.currentSnapshot(root).get.deadCols.isEmpty)
+      assert(TxTable.read(spark, root).columns.toSeq == Seq("id", "s"))
+    }
+  }
+
+  test("refusals: CHECK-referenced and partition columns stay rename/drop-proof") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "en", 5L)).toDF("id", "lang", "n"),
+        TxTable.Overwrite, partitionBy = Some("lang"))
+      TxTable.addCheck(spark, root, "pos_n", "n > 0")
+      val e1 = intercept[IllegalArgumentException](
+        TxTable.renameColumn(spark, root, "n", "m"))
+      assert(e1.getMessage.contains("pos_n"))
+      intercept[IllegalArgumentException](
+        TxTable.dropColumn(spark, root, "n"))
+      val e2 = intercept[IllegalArgumentException](
+        TxTable.renameColumn(spark, root, "lang", "language"))
+      assert(e2.getMessage.contains("partition column"))
+      intercept[IllegalArgumentException](
+        TxTable.dropColumn(spark, root, "lang"))
+      // 'id' is mentioned by neither — renames fine
+      TxTable.renameColumn(spark, root, "id", "doc_id")
+      assert(TxTable.read(spark, root).columns.contains("doc_id"))
+    }
+  }
+
+  test("optimize materializes the mapping: format drops to 4, connector readable again") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      TxTable.renameColumn(spark, root, "s", "t")
+      // the plain-scan connector must refuse a mapped table
+      val e = intercept[java.io.IOException](
+        spark.read.format("tx").load(root))
+      assert(e.getMessage.contains("column-mapped"))
+      val vOpt = TxTable.optimize(spark, root, targetFiles = 1)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.renames.isEmpty && snap.deadCols.isEmpty)
+      assert(manifestText(root, vOpt).contains("format 4"))
+      // and now the file-granular connector works, with the new name
+      val rows = spark.read.format("tx").load(root)
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSet == Set((1L, "a"), (2L, "b")))
+      // the retired name is free again after the full rewrite
+      TxTable.commit(spark, root,
+        Seq((3L, "c", "extra")).toDF("id", "t", "s"), TxTable.Append)
+      assert(TxTable.read(spark, root).count() == 3L)
+    }
+  }
+
+  test("restore to a pre-rename version brings that schema and mapping back") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.renameColumn(spark, root, "s", "t")
+      TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "t"),
+        TxTable.Append)
+      TxTable.restore(spark, root, 0L)
+      val head = TxTable.read(spark, root)
+      assert(head.columns.toSeq == Seq("id", "s"))
+      assert(head.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(TxTable.currentSnapshot(root).get.renames.isEmpty)
+    }
+  }
+
+  test("SQL procedures: tx_rename_column / tx_drop_column receipts") {
+    import spark.implicits._
+    withRoot { root =>
+      Engine.registerTableFunctions(spark)
+      TxTable.commit(spark, root,
+        Seq((1L, "a", 1L)).toDF("id", "s", "junk"))
+      val r1 = spark.sql(
+        s"SELECT * FROM tx_rename_column('$root', 's', 't')").collect()(0)
+      assert(r1.getString(0) == "rename_column:s->t" && r1.getLong(1) == 1L)
+      val r2 = spark.sql(
+        s"SELECT * FROM tx_drop_column('$root', 'junk')").collect()(0)
+      assert(r2.getLong(1) == 2L)
+      assert(TxTable.read(spark, root).columns.toSeq == Seq("id", "t"))
+    }
+  }
+}

@@ -122,12 +122,14 @@ class TxTableSpec extends AnyFunSuite {
     withRoot { root =>
       TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
       val rel = TxTable.currentSnapshot(root).get.files.head
-      // a hypothetical format-5 writer's manifest: reader must refuse
+      // a hypothetical future-format writer's manifest: reader must
+      // refuse (format 5 = column mapping is now real, so the future
+      // is 6)
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
-        java.util.Arrays.asList("graft-txtable-v1", "format 5",
+        java.util.Arrays.asList("graft-txtable-v1", "format 6",
           "futurefeature xyz", rel, "COMMIT"))
       val ex = intercept[java.io.IOException](TxTable.read(spark, root))
-      assert(ex.getMessage.contains("format 5"))
+      assert(ex.getMessage.contains("format 6"))
       // same unknown line WITHOUT the format bump: rejected as corrupt,
       // not opened as a parquet path
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
