@@ -213,7 +213,10 @@ final class TxDataSource extends RelationProvider
         val m = v.toLong
         require(m >= 1, s"maxVersionsPerTrigger must be >= 1 (got $m)")
         m
-      })
+      },
+      // tail-only start: skip the initial snapshot and begin the
+      // incremental walk ABOVE this version (Delta's startingVersion)
+      startingVersion = opts.get("startingversion").map(_.toLong))
   }
 }
 
@@ -293,7 +296,8 @@ final class TxSink(root: String, appId: String, partitionCols: Seq[String],
   */
 final class TxStreamSource(spark: SparkSession, root: String,
     declaredSchema: StructType, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Source {
 
   // ops whose file additions are rewrites of already-delivered rows
   private val DataChangeFalse =
@@ -324,7 +328,15 @@ final class TxStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = versionOf(end)
     val batch = start match {
-      case None => TxTable.readVersion(spark, root, toV)
+      // first-ever batch: the full snapshot at the end version — unless
+      // startingVersion asked for a tail-only stream, in which case the
+      // first batch is the (startingVersion, end] window (nothing when
+      // the table hasn't moved past it yet)
+      case None => startingVersion match {
+        case Some(sv) =>
+          if (sv >= toV) emptyBatch() else incremental(sv, toV)
+        case None => TxTable.readVersion(spark, root, toV)
+      }
       case Some(s0) =>
         val fromV = versionOf(s0)
         if (fromV >= toV) emptyBatch()

@@ -261,6 +261,66 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level pushdown composes: manifest prune AND parquet PushedFilters") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        docsDf(spark).repartitionByRange(6, col("n_chars")),
+        TxTable.Overwrite, clusterBy = Some("n_chars"))
+      val df = spark.read.format("tx").load(root)
+        .filter(col("n_chars") >= 300L)
+      val plan = df.queryExecution.executedPlan.toString
+      // level 2: the predicate ALSO reaches the parquet reader for
+      // row-group skipping inside the surviving files
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(n_chars,300)"),
+        s"parquet pushdown missing:\n$plan")
+      // level 1: the manifest prune already dropped dead files
+      df.collect()
+      val idx = scanIndex(df)
+      assert(idx.lastPruned.get.size <
+        TxTable.currentSnapshot(root).get.files.size)
+    }
+  }
+
+  test("manifest-derived sizeInBytes drives auto-broadcast of small tx tables") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root, docsDf(spark))
+      val big = spark.range(0, 100000L).selectExpr("id % 12 AS doc_id",
+        "id AS payload")
+      val joined = big.join(spark.read.format("tx").load(root), "doc_id")
+      // no explicit broadcast(): the relation's manifest-stat size is
+      // what lets Spark pick the broadcast join on its own
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small tx side not auto-broadcast:\n$plan")
+      assert(joined.count() == 100000L)
+    }
+  }
+
+  test("streaming source: startingVersion tails without the initial snapshot") {
+    withRoot { root =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.GraftStreamShim
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(spark, root, b(1, 4))
+      TxTable.commit(spark, root, b(5, 6), TxTable.Append)
+      TxTable.commit(spark, root, b(7, 8), TxTable.Append)
+      val src = new graft.sources.TxStreamSource(spark, root,
+        TxTable.read(spark, root).schema, ignoreChanges = false,
+        startingVersion = Some(1L))
+      def n(df: org.apache.spark.sql.DataFrame) =
+        GraftStreamShim.asBatchFrame(df).collect().map(_.getLong(0)).toSet
+      // first batch = (1, head] window only — v0's snapshot and v1's
+      // append are both before the cursor
+      val o = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(o.offset == 2L)
+      assert(n(src.getBatch(None, o)) == Set(7L, 8L))
+    }
+  }
+
   test("batch writer: SaveMode matrix, options flow to manifest metadata") {
     withRoot { root =>
       val d = docsDf(spark)
