@@ -235,7 +235,9 @@ object Bench {
       "q201_tx_relation", "q202_tx_stream_source",
       // round-14: metadata-only RENAME/DROP lifecycle read through
       // alias-aware stat pruning
-      "q205_tx_column_map")
+      "q205_tx_column_map",
+      // round-14: the change feed as a structured-streaming source
+      "q206_tx_stream_cdf")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

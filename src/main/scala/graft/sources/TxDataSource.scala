@@ -196,8 +196,17 @@ final class TxDataSource extends RelationProvider
     val snap = TxTable.currentSnapshot(root).getOrElse(
       throw new java.io.IOException(
         s"txtable $root has no committed version to stream from"))
-    (shortName(), schema.getOrElse(
-      TxDataSource.schemaOf(sqlContext.sparkSession, root, snap)))
+    val base = schema.getOrElse(
+      TxDataSource.schemaOf(sqlContext.sparkSession, root, snap))
+    val declared =
+      if (opts.get("readchangefeed").exists(_.toBoolean))
+        StructType(base.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      else base
+    (shortName(), declared)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -207,6 +216,15 @@ final class TxDataSource extends RelationProvider
     val root = TxDataSource.rootOf(opts)
     val declared = sourceSchema(sqlContext, schema, providerName,
       parameters)._2
+    if (opts.get("readchangefeed").exists(_.toBoolean))
+      return new TxCdfStreamSource(sqlContext.sparkSession, root, declared,
+        keyCol = opts.getOrElse("keycolumn",
+          throw new IllegalArgumentException(
+            "readChangeFeed streaming needs option(\"keyColumn\", ...) — " +
+              "rewrite commits classify rows by key")),
+        startingVersion = opts.get("startingversion").map(_.toLong),
+        maxVersionsPerTrigger = opts.get("maxversionspertrigger")
+          .map(_.toLong))
     new TxStreamSource(sqlContext.sparkSession, root, declared,
       ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
       maxVersionsPerTrigger = opts.get("maxversionspertrigger").map { v =>
@@ -266,6 +284,75 @@ final class TxSink(root: String, appId: String, partitionCols: Seq[String],
   }
 
   override def toString: String = s"TxSink[$root]"
+}
+
+/** The CHANGE-FEED streaming source (`option("readChangeFeed", "true")`
+  * + `option("keyColumn", ...)`): where [[TxStreamSource]] refuses
+  * data-changing commits, this source EMITS them — each micro-batch is
+  * `TxChangeFeed.readChangeFeed` over the offset window, so MoR deletes
+  * arrive as `delete` rows, rewrites as net pre/post-image pairs, and
+  * appends as `insert`s, with `_change_type`/`_commit_version` columns
+  * appended to the table schema. A signed fold over this stream IS
+  * incremental view maintenance through the real streaming engine (the
+  * q182/q196 consumer loop as a `readStream`). Offsets are versions;
+  * with no prior offset the feed replays from `startingVersion`
+  * (default -1 = the beginning — v0's files arrive as inserts, which
+  * for an overwrite-created table is its snapshot). Replays are
+  * deterministic from manifests; a window below the vacuum horizon
+  * fails loudly.
+  */
+final class TxCdfStreamSource(spark: SparkSession, root: String,
+    declaredSchema: StructType, keyCol: String,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
+    extends Source {
+
+  @volatile private var delivered: Long = -1L
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[Offset] =
+    TxTable.currentVersion(root).map { head =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) if delivered >= 0 => math.min(head, delivered + m)
+        case _ => head
+      }
+      LongOffset(capped)
+    }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val toV = versionOf(end)
+    val fromV = start.map(versionOf).orElse(startingVersion).getOrElse(-1L)
+    val retained = TxTable.versions(root)
+    if (fromV >= 0 && !retained.contains(fromV))
+      throw new java.io.IOException(
+        s"tx cdf stream on $root: resume cursor v$fromV is below the " +
+          s"vacuum horizon (oldest retained is " +
+          s"v${retained.headOption.getOrElse(-1L)})")
+    val batch =
+      if (fromV >= toV) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        declaredSchema)
+      else graft.operators.TxChangeFeed.readChangeFeed(spark, root,
+        fromV, toV, keyCol)
+    delivered = math.max(delivered, toV)
+    val aligned = batch.select(declaredSchema.fields.toIndexedSeq.map { f =>
+      import org.apache.spark.sql.functions.{col, lit}
+      if (batch.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    GraftStreamShim.asStreamingFrame(aligned)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def toString: String = s"TxCdfStreamSource[$root]"
 }
 
 /** Structured-streaming tail of a TxTable: offsets are COMMITTED

@@ -224,15 +224,87 @@ object TxSourceQueries {
       |WHERE lang IN ('en', 'fr') AND n_chars >= 100 AND n_chars <= 600
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q206
+  /** Incremental view maintenance through the REAL streaming engine:
+    * `readStream.format("tx").option("readChangeFeed", "true")` tails a
+    * bronze lifecycle that includes a MoR DELETE and a CoW MERGE — the
+    * ops the plain source refuses — as change ROWS (`delete`,
+    * `update_preimage`/`postimage`, `insert`), and a signed aggregate
+    * over the drained feed reconstructs the final state exactly. This
+    * is q182's consumer loop with the cursor machinery replaced by the
+    * checkpoint's offset log. The oracle restates the lifecycle's final
+    * membership: a missed delete, a double-counted rewrite carryover,
+    * or a lost reinsert all hash-fail.
+    */
+  def q206TxStreamCdf(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txscdf_")
+    val root = s"$tmp/docs_cdc"
+    val cols = Seq("doc_id", "lang", "n_chars")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = graft.Tables.documents(ss, d).select(cols.map(col): _*)
+    def slice(m: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === m)
+    TxTable.commit(ss, root, slice(0), TxTable.Overwrite,
+      clusterBy = Some("doc_id"))
+    TxTable.commit(ss, root, slice(1), TxTable.Append,
+      clusterBy = Some("doc_id"))
+    val sink = s"q206_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = ss.readStream.format("tx")
+      .option("readChangeFeed", "true").option("keyColumn", "doc_id")
+      .load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // inserts of v0+v1
+      TxTable.deleteWhere(ss, root, col("n_chars") < 200)
+      q.processAllAvailable() // delete rows, exact MoR content
+      TxTable.commit(ss, root, slice(2), TxTable.Append,
+        clusterBy = Some("doc_id"))
+      TxTable.mergeByKeyPruned(ss, root,
+        docs.filter(pmod(col("doc_id"), lit(60)) === 0)
+          .withColumn("n_chars", col("n_chars") + 7), "doc_id")
+      q.processAllAvailable() // append inserts + net update/reinsert rows
+    } finally q.stop()
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"),
+      1L).otherwise(-1L)
+    val out = ss.table(sink)
+      .groupBy("lang")
+      .agg(sum(sgn).as("n_docs"),
+        sum(sgn * col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang")
+      .localCheckpoint(true)
+    ss.catalog.dropTempView(sink)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  val q206Sql: String =
+    """WITH fin AS (
+      |  SELECT lang, n_chars + 7 AS n_chars FROM documents
+      |  WHERE doc_id % 60 = 0
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE doc_id % 3 < 2 AND doc_id % 60 <> 0 AND n_chars >= 200
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 2)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_tx_relation" -> (q201TxRelation _),
     "q202_tx_stream_source" -> (q202TxStreamSource _),
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
-    "q204_tx_roundtrip" -> (q204TxRoundtrip _))
+    "q204_tx_roundtrip" -> (q204TxRoundtrip _),
+    "q206_tx_stream_cdf" -> (q206TxStreamCdf _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
     "q202_tx_stream_source" -> q202Sql,
     "q203_tx_bloom_in" -> q203Sql,
-    "q204_tx_roundtrip" -> q204Sql)
+    "q204_tx_roundtrip" -> q204Sql,
+    "q206_tx_stream_cdf" -> q206Sql)
 }

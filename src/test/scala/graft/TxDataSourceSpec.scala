@@ -377,6 +377,45 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CDF streaming source: deletes arrive as rows, restart replays exactly once") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, 100L * i)).toDF("id", "v")
+      TxTable.commit(ss, root, b(1, 6), TxTable.Overwrite,
+        clusterBy = Some("id"))
+      val tmp = Files.createTempDirectory("graft_txds_cdf_")
+      def start() = ss.readStream.format("tx")
+        .option("readChangeFeed", "true").option("keyColumn", "id")
+        .load(root)
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // while down: a MoR delete and an append — the plain source would
+      // refuse the delete; the CDF source must deliver it as rows
+      TxTable.deleteWhere(ss, root, col("id") <= 2L)
+      TxTable.commit(ss, root, b(7, 8), TxTable.Append)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val rows = ss.read.parquet(s"$tmp/out")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // v0: 6 inserts; v1: exactly the 2 deleted rows; v2: 2 inserts —
+      // and nothing twice across the restart
+      assert(rows.count(t => t._2 == "insert" && t._3 == 0L) == 6)
+      assert(rows.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+        Seq(1L, 2L))
+      assert(rows.count(t => t._2 == "insert" && t._3 == 2L) == 2)
+      assert(rows.length == 10, s"re-delivery/loss: ${rows.toSeq}")
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+
   test("streaming source: data-changing commits fail loudly without ignoreChanges") {
     withRoot { root =>
       import spark.implicits._
