@@ -328,6 +328,19 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
         s"tx cdf stream on $root: resume cursor v$fromV is below the " +
           s"vacuum horizon (oldest retained is " +
           s"v${retained.headOption.getOrElse(-1L)})")
+    // a rename/drop inside the window is a SCHEMA change: the feed's
+    // later rows would carry the new name and the projection to this
+    // stream's start schema would silently null the renamed column —
+    // the one failure mode worse than stopping. Fail loudly; restart
+    // the stream to adopt the new schema (Delta's posture).
+    retained.filter(v => v > math.max(fromV, -1L) && v <= toV).foreach { v =>
+      val op = TxTable.snapshotAt(root, v).op.getOrElse("")
+      if (op == "rename_column" || op == "drop_column")
+        throw new java.io.IOException(
+          s"tx cdf stream on $root: version $v is a '$op' commit — the " +
+            "table's schema changed under a running stream; restart the " +
+            "stream (its declared schema is pinned at start)")
+    }
     val batch =
       if (fromV >= toV) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),

@@ -416,6 +416,35 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CDF streaming source: a mid-stream rename fails loudly, never silently nulls") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      TxTable.commit(ss, root,
+        (1L to 4L).map(i => (i, 10L * i)).toDF("id", "v"))
+      val tmp = Files.createTempDirectory("graft_txds_cdfren_")
+      val q = ss.readStream.format("tx")
+        .option("readChangeFeed", "true").option("keyColumn", "id")
+        .load(root)
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        TxTable.renameColumn(ss, root, "v", "val")
+        TxTable.commit(ss, root, (5L to 6L).map(i => (i, 10L * i))
+          .toDF("id", "val"), TxTable.Append)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          q.processAllAvailable())
+        assert(e.getMessage.contains("rename_column") ||
+          e.getCause.getMessage.contains("rename_column"))
+      } finally q.stop()
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+
   test("streaming source: data-changing commits fail loudly without ignoreChanges") {
     withRoot { root =>
       import spark.implicits._
