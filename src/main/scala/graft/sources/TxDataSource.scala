@@ -222,7 +222,7 @@ final class TxDataSource extends RelationProvider
           throw new IllegalArgumentException(
             "readChangeFeed streaming needs option(\"keyColumn\", ...) — " +
               "rewrite commits classify rows by key")),
-        startingVersion = opts.get("startingversion").map(_.toLong),
+        startingVersion = TxDataSource.startCursor(root, opts),
         maxVersionsPerTrigger = opts.get("maxversionspertrigger")
           .map(_.toLong))
     new TxStreamSource(sqlContext.sparkSession, root, declared,
@@ -233,8 +233,9 @@ final class TxDataSource extends RelationProvider
         m
       },
       // tail-only start: skip the initial snapshot and begin the
-      // incremental walk ABOVE this version (Delta's startingVersion)
-      startingVersion = opts.get("startingversion").map(_.toLong))
+      // incremental walk ABOVE this cursor (Delta's startingVersion /
+      // startingTimestamp)
+      startingVersion = TxDataSource.startCursor(root, opts))
   }
 }
 
@@ -247,6 +248,27 @@ object TxDataSource {
   /** timestampAsOf accepts epoch millis or an ISO-8601 instant. */
   private[sources] def parseMillis(t: String): Long =
     t.toLongOption.getOrElse(java.time.Instant.parse(t).toEpochMilli)
+
+  /** Streaming start cursor from options: `startingVersion` wins;
+    * `startingTimestamp` resolves to the newest version committed at or
+    * before T (tail = everything AFTER it), and a T before the first
+    * retained commit means "from the beginning" (-1) — the one case
+    * where versionAtTime's loud horizon refusal is the wrong answer,
+    * because a tail-from-the-dawn-of-time is well-defined.
+    */
+  private[graft] def startCursor(root: String,
+      opts: Map[String, String]): Option[Long] = {
+    require(opts.get("startingversion").isEmpty ||
+      opts.get("startingtimestamp").isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    opts.get("startingversion").map(_.toLong).orElse(
+      opts.get("startingtimestamp").map { t =>
+        val ms = parseMillis(t)
+        val vs = TxTable.versions(root)
+        if (vs.isEmpty || TxTable.commitTimeMillis(root, vs.head) > ms) -1L
+        else TxTable.versionAtTime(root, ms)
+      })
+  }
 
   private[sources] def rootOf(opts: Map[String, String]): String =
     opts.getOrElse("path", throw new IllegalArgumentException(

@@ -318,6 +318,18 @@ class TxDataSourceSpec extends AnyFunSuite {
       val o = src.getOffset.get.asInstanceOf[LongOffset]
       assert(o.offset == 2L)
       assert(n(src.getBatch(None, o)) == Set(7L, 8L))
+
+      // startingTimestamp resolves through commit times: at-or-before
+      // v1's time → tail above v1; before the first commit → everything
+      Seq(0L, 1L, 2L).foreach(v =>
+        TxTable.setCommitTimeForTest(root, v, 1000L * (v + 1)))
+      assert(graft.sources.TxDataSource.startCursor(root,
+        Map("startingtimestamp" -> "2500")).contains(1L))
+      assert(graft.sources.TxDataSource.startCursor(root,
+        Map("startingtimestamp" -> "500")).contains(-1L))
+      intercept[IllegalArgumentException](
+        graft.sources.TxDataSource.startCursor(root,
+          Map("startingtimestamp" -> "500", "startingversion" -> "1")))
     }
   }
 
