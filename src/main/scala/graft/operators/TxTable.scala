@@ -179,7 +179,34 @@ object TxTable {
       renames: Map[String, Seq[String]] = Map.empty,
       deadCols: Set[String] = Set.empty)
 
-  private def manifestDir(root: String): JPath = Paths.get(root, "_manifests")
+  /** Driver-side java.nio path under `root`, accepting both plain local
+    * paths and `file:`-scheme URIs (the Hadoop-qualified spelling the
+    * connector's [[graft.sources.TxFileIndex]] produces and a
+    * `spark.read.format("tx").load("file:/...")` user supplies). Any
+    * OTHER scheme fails loudly: manifest IO (atomic hard-link publish,
+    * directory listing, vacuum deletes) is java.nio-bound in this build
+    * — a genuinely remote lake (hdfs:/s3:) needs a Hadoop-FS manifest
+    * backend, and misreading `hdfs:/x` as a relative local dir would be
+    * the silent-corruption version of that gap.
+    */
+  private[graft] def localRoot(root: String): String = {
+    val colon = root.indexOf(':')
+    val slash = root.indexOf('/')
+    val hasScheme = colon > 0 && (slash < 0 || colon < slash)
+    if (!hasScheme) root
+    else if (root.startsWith("file:"))
+      // file:/p, file:///p (and the degenerate file://p) all mean /p
+      "/" + root.stripPrefix("file:").dropWhile(_ == '/')
+    else throw new java.io.IOException(
+      s"txtable root '$root': manifest IO is local (java.nio); only " +
+        "plain and file:-scheme roots are supported in this build")
+  }
+
+  private def localPath(root: String, rel: String): JPath =
+    Paths.get(localRoot(root), rel)
+
+  private def manifestDir(root: String): JPath =
+    localPath(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
     manifestDir(root).resolve(f"v$v%09d.txt")
 
@@ -375,7 +402,7 @@ object TxTable {
     * between purges is megabytes, the classic DV sizing. Tables (or
     * subsets) without DVs take the plain scan — zero overhead.
     */
-  private[operators] def readFilesWithDvs(s: SparkSession, root: String,
+  private[graft] def readFilesWithDvs(s: SparkSession, root: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
     val base = s.read.option("mergeSchema", "true")
@@ -520,7 +547,7 @@ object TxTable {
       df: DataFrame): Seq[String] = {
     val rel = s"data/w-${java.util.UUID.randomUUID()}"
     df.write.parquet(s"$root/$rel")
-    val d = Paths.get(root, rel)
+    val d = localPath(root, rel)
     val st = Files.list(d)
     try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
       .asScala
@@ -599,7 +626,7 @@ object TxTable {
       if (raw == "__HIVE_DEFAULT_PARTITION__") None
       else Some(unescapePathName(raw))
     }
-    val walk = Files.walk(Paths.get(root, rel))
+    val walk = Files.walk(localPath(root, rel))
     try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
       .asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -2086,7 +2113,7 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to compact"))
       val sized = parent.files.map(f =>
-        f -> Files.size(Paths.get(root, f)))
+        f -> Files.size(localPath(root, f)))
       val small = sized.collect {
         case (f, sz) if sz < minBytes || parent.dvs.contains(f) => f
       }
@@ -2245,7 +2272,7 @@ object TxTable {
       throw new java.io.IOException(s"txtable $root has no committed version"))
     val problems = Seq.newBuilder[String]
     snap.files.foreach { f =>
-      if (!Files.exists(Paths.get(root, f)))
+      if (!Files.exists(localPath(root, f)))
         problems += s"missing data file: $f"
       else snap.rowCounts.get(f).foreach { expect =>
         val actual = fileRows(s, root, Seq(f))(f)
@@ -2254,7 +2281,7 @@ object TxTable {
       }
     }
     snap.dvs.values.flatten.map(_._1).toSeq.distinct.foreach { dvf =>
-      if (!Files.exists(Paths.get(root, dvf)))
+      if (!Files.exists(localPath(root, dvf)))
         problems += s"missing dv blob: $dvf"
     }
     problems.result()
@@ -2306,7 +2333,8 @@ object TxTable {
   def detail(s: SparkSession, root: String): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
       throw new java.io.IOException(s"txtable $root has no committed version"))
-    val bytes = snap.files.map(f => new java.io.File(root, f).length()).sum
+    val bytes = snap.files.map(f =>
+      new java.io.File(localRoot(root), f).length()).sum
     val liveRows: Option[Long] =
       if (snap.files.forall(snap.rowCounts.contains)) {
         val total = snap.files.map(snap.rowCounts).sum
@@ -2382,7 +2410,7 @@ object TxTable {
       snap.files ++ snap.dvs.values.flatten.map(_._1)
     }.toSet
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    val dataRoot = Paths.get(root, "data")
+    val dataRoot = localPath(root, "data")
     if (Files.isDirectory(dataRoot)) {
       val dirs = Files.list(dataRoot)
       val wDirs =

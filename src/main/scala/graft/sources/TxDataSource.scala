@@ -1,8 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{GraftStreamShim, Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
@@ -16,11 +14,17 @@ import graft.operators.TxTable
   *
   *   - BATCH: `spark.read.format("tx").load(root)` (plus
   *     `option("versionAsOf", v)` time travel) resolves ONE snapshot
-  *     and returns a parquet `HadoopFsRelation` over a [[TxFileIndex]],
-  *     so the manifest's stat/partition/bloom metadata prunes files at
-  *     Catalyst planning time from the query's own WHERE clause — no
-  *     bespoke read API needed, `CREATE TABLE ... USING tx` works, and
-  *     the scan itself is Spark's native vectorized parquet reader.
+  *     and returns a parquet `HadoopFsRelation` over a [[TxFileIndex]]
+  *     ([[TxBatchRelation]]), so the manifest's stat/partition/bloom
+  *     metadata prunes files at Catalyst planning time from the query's
+  *     own WHERE clause — no bespoke read API needed,
+  *     `CREATE TABLE ... USING tx` works, `INSERT INTO` commits through
+  *     the manifest protocol, and the scan itself is Spark's native
+  *     vectorized parquet reader. Snapshots carrying live deletion
+  *     vectors or a column mapping take [[TxMorRelation]] instead: the
+  *     same alias-aware manifest pruning, with the DV anti-join and
+  *     vintage coalesce composed IN-scan — `deleteWhere` and
+  *     `tx_rename_column` no longer exile a table from this path.
   *   - STREAMING: `spark.readStream.format("tx").load(root)` tails the
   *     table as a structured-streaming source ([[TxStreamSource]]):
   *     offsets ARE committed versions, the first batch is the starting
@@ -28,13 +32,8 @@ import graft.operators.TxTable
   *     the packaged, checkpointed form of the cursor discipline
   *     `TxChangeFeed.consume` implements for batch consumers.
   *
-  * Batch reads REFUSE a snapshot carrying live deletion vectors (MoR
-  * deletes): this relation maps straight onto Spark's file scan, which
-  * is file-granular — it has no seam to anti-join row positions out,
-  * and silently resurrecting deleted rows is the one thing a read path
-  * must never do. The error names both escapes (`TxTable.read`, the
-  * DV-aware API path, or `purgeDeletes`). Streaming initial snapshots
-  * go through `TxTable.readVersion` and apply DVs exactly.
+  * Streaming initial snapshots go through `TxTable.readVersion` and
+  * apply DVs exactly.
   */
 final class TxDataSource extends RelationProvider
     with CreatableRelationProvider
@@ -115,6 +114,7 @@ final class TxDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val opts = TxDataSource.normalize(parameters)
     val root = TxDataSource.rootOf(opts)
+    val spark = sqlContext.sparkSession
     // change-window read (Delta's readChangeFeed-without-change-columns):
     // startingVersion[/endingVersion] select the files ADDED in
     // (starting, ending] — the tx_changes TVF's window through the
@@ -133,23 +133,20 @@ final class TxDataSource extends RelationProvider
           if (fromV < 0) Set.empty[String]
           else TxTable.snapshotAt(root, fromV).files.toSet
         val added = end.files.filterNot(base.contains)
-        val windowSnap = end.copy(files = added)
-        // appended files never carry DVs of their own version; a DV on
-        // an added file would mean a delete inside the window — refuse
-        // like the snapshot path rather than resurrect
-        if (added.exists(windowSnap.dvs.contains))
-          throw new java.io.IOException(
-            s"txtable $root: the ($fromV, $toV] window's files carry " +
-              "deletion vectors — read the window through " +
-              "TxChangeFeed.readChangeFeed (row-level CDF) instead")
-        return HadoopFsRelation(
-          location = new TxFileIndex(root, windowSnap),
-          partitionSchema = StructType(Nil),
-          dataSchema = TxDataSource.schemaOf(sqlContext.sparkSession, root,
-            if (added.nonEmpty) windowSnap else end),
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = opts)(sqlContext.sparkSession)
+        val windowSnap =
+          if (added.nonEmpty) end.copy(files = added)
+          else end.copy(files = added,
+            // schema source for an empty window: the end snapshot's
+            // recorded schema (schemaOf falls back to footers otherwise,
+            // and an empty window has none to probe)
+            schema = end.schema.orElse(Some(
+              TxDataSource.schemaOf(spark, root, end))))
+        // window semantics under MoR: "rows added in (from, to], as they
+        // stand AT the ending version" — a DV on a window file means some
+        // of its rows were deleted inside the window, and the MoR-aware
+        // relation anti-joins them out (rows-added-and-still-live). A
+        // column mapping at the end version likewise coalesces vintages.
+        return relationFor(spark, root, windowSnap, insertable = false, opts)
       case None => ()
     }
     require(opts.get("versionasof").isEmpty ||
@@ -166,26 +163,25 @@ final class TxDataSource extends RelationProvider
             s"txtable $root has no committed version"))
       }
     }
-    if (snap.dvs.nonEmpty) throw new java.io.IOException(
-      s"txtable $root v${snap.version} carries merge-on-read deletion " +
-        "vectors; format(\"tx\") maps onto Spark's file-granular parquet " +
-        "scan and cannot apply row-level deletes — read through " +
-        "TxTable.read (the MoR-aware path) or run purgeDeletes first")
-    if (snap.renames.nonEmpty || snap.deadCols.nonEmpty)
-      throw new java.io.IOException(
-        s"txtable $root v${snap.version} is column-mapped (renamed or " +
-          "dropped columns); format(\"tx\") maps onto Spark's plain " +
-          "parquet scan, which reads files by physical name and cannot " +
-          "coalesce column vintages — read through TxTable.read, or " +
-          "optimize() to rewrite every file to the current names first")
-    val spark = sqlContext.sparkSession
-    HadoopFsRelation(
-      location = new TxFileIndex(root, snap),
-      partitionSchema = StructType(Nil),
-      dataSchema = TxDataSource.schemaOf(spark, root, snap),
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = opts)(spark)
+    val timeTravel = opts.contains("versionasof") ||
+      opts.contains("timestampasof")
+    relationFor(spark, root, snap, insertable = !timeTravel, opts)
+  }
+
+  /** Pick the relation shape for a snapshot: the file-granular
+    * `HadoopFsRelation` path when nothing row- or name-level stands
+    * between the files and the answer; the MoR-aware composed scan when
+    * live deletion vectors or a column mapping do ([[TxMorRelation]] —
+    * same pruning, same oracle-exact result, DV anti-join and vintage
+    * coalesce applied in-scan). Both are `InsertableRelation`s.
+    */
+  private def relationFor(spark: SparkSession, root: String,
+      snap: TxTable.Snapshot, insertable: Boolean,
+      opts: Map[String, String]): BaseRelation = {
+    val needsMor = snap.files.exists(snap.dvs.contains) ||
+      snap.renames.nonEmpty || snap.deadCols.nonEmpty
+    if (needsMor) new TxMorRelation(spark, root, snap, insertable, opts)
+    else new TxBatchRelation(spark, root, snap, insertable, opts)
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -35,17 +35,65 @@ import graft.operators.TxTable
   * every predicate arrives here as a data filter and the recorded part
   * values act as a per-file dictionary rather than directory structure.
   */
-final class TxFileIndex(root: String, snap: TxTable.Snapshot)
+final class TxFileIndex(root: String, snap0: TxTable.Snapshot)
     extends FileIndex {
 
-  private val statuses: Map[String, FileStatus] = snap.files.map { f =>
-    val jf = new java.io.File(root, f)
-    f -> new FileStatus(jf.length(), false, 1, 128L * 1024 * 1024,
-      jf.lastModified(), new Path(jf.toURI))
-  }.toMap
+  /** The snapshot this index serves. Reads are snapshot-pinned (MVCC);
+    * the ONE sanctioned mutation is [[repin]] — the relation's own
+    * `INSERT INTO` advancing its view to the version it just committed,
+    * so a `SELECT` through the same temp view sees the insert.
+    */
+  @volatile private var snapNow: TxTable.Snapshot = snap0
+  private[sources] def snap: TxTable.Snapshot = snapNow
 
-  override def rootPaths: Seq[Path] =
-    Seq(new Path(new java.io.File(root).toURI))
+  private[sources] def repin(ns: TxTable.Snapshot): Unit = {
+    snapNow = ns
+    statusCache = null
+    lastPruned = None
+  }
+
+  /** File statuses resolved through Hadoop's [[org.apache.hadoop.fs
+    * .FileSystem]] (scheme-dispatched from the root URI + the session's
+    * hadoopConf) rather than `java.io.File` — the connector addresses
+    * `file:`-scheme and remote-FS roots alike. Lazy + one `listStatus`
+    * per commit directory (`data/w-...`), NOT a per-file RPC: planning-
+    * only consumers (prune labs over synthetic manifests) never touch
+    * the FS, and a snapshot costs O(commit dirs) listings however many
+    * files it holds.
+    */
+  @volatile private var statusCache: Map[String, FileStatus] = null
+  private def statuses: Map[String, FileStatus] = {
+    val cached = statusCache
+    if (cached != null) cached
+    else {
+      val fs = qualifiedRoot.getFileSystem(hadoopConf)
+      val m = snapNow.files
+        .groupBy(f => f.substring(0, math.max(f.lastIndexOf('/'), 0)))
+        .iterator.flatMap { case (dir, files) =>
+          val listed: Map[String, FileStatus] =
+            try fs.listStatus(new Path(qualifiedRoot, dir)).iterator
+              .map(st => s"$dir/${st.getPath.getName}" -> st).toMap
+            catch { case _: java.io.FileNotFoundException => Map.empty }
+          files.iterator.map(f => f -> listed.getOrElse(f,
+            fs.getFileStatus(new Path(qualifiedRoot, f))))
+        }.toMap
+      statusCache = m
+      m
+    }
+  }
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private lazy val qualifiedRoot: Path = {
+    val p = new Path(root)
+    p.getFileSystem(hadoopConf).makeQualified(p)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
 
   override def partitionSchema: StructType = StructType(Nil)
 
@@ -151,13 +199,28 @@ final class TxFileIndex(root: String, snap: TxTable.Snapshot)
     case _ => None
   }
 
+  /** Stat lookup is ALIAS-AWARE: a column-mapped table's files record
+    * stat lines under their write-time names, so a predicate on the
+    * current logical name consults every vintage ([[TxTable.namesOf]])
+    * — a file carries at most one vintage of a column, so the first hit
+    * is exact, and a missed alias only degrades pruning (never lies).
+    */
   private def statOf(f: String, colName: String)
-      : Option[(Double, Double, Long)] =
-    snap.stats.getOrElse(f, Seq.empty).find(_._1 == colName)
+      : Option[(Double, Double, Long)] = {
+    val lines = snap.stats.getOrElse(f, Seq.empty)
+    TxTable.namesOf(snap, colName).iterator
+      .flatMap(n => lines.find(_._1 == n))
       .map { case (_, mn, mx, nn) => (mn, mx, nn) }
+      .nextOption()
+  }
 
-  private def partOf(f: String, colName: String): Option[Option[String]] =
-    snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName).map(_._2)
+  private def partOf(f: String, colName: String): Option[Option[String]] = {
+    val lines = snap.parts.getOrElse(f, Seq.empty)
+    TxTable.namesOf(snap, colName).iterator
+      .flatMap(n => lines.find(_._1 == n))
+      .map(_._2)
+      .nextOption()
+  }
 
   private def cmpMay(f: String, colName: String, v: Any, t: DataType)(
       keep: (Double, Double, Double) => Boolean): Boolean =

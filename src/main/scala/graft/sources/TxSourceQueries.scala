@@ -281,6 +281,69 @@ object TxSourceQueries {
     out
   }
 
+  // --------------------------------------------------------------- q207
+  /** The composition gap closed (r14 finding #1): a table that has been
+    * column-RENAMED (twice — one rename before more data arrived, so
+    * files carry mixed name vintages) and then MoR-DELETED (live
+    * deletion vectors, no rewrite) read through plain
+    * `spark.read.format("tx")`. The relation degrades to the MoR-aware
+    * scan ([[TxMorRelation]]): pushed filters still prune the manifest
+    * through the ALIAS chain (old files' stats live under `n_chars`,
+    * new ones under `chars` — the in-query guard requires files were
+    * actually dropped), survivors take the vectorized scan + broadcast
+    * DV anti-join + vintage coalesce. The oracle restates the final
+    * state on raw documents: a resurrected deleted row, a mixed-up
+    * vintage, or a WRONG prune all hash-fail.
+    */
+  def q207TxMorMapRelation(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmor_")
+    val root = s"$tmp/docs_evolved"
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def slice(m: Int) = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    TxTable.commit(s, root, slice(0), TxTable.Overwrite,
+      clusterBy = Some("n_chars"), statsCols = Seq("n_chars"))
+    TxTable.commit(s, root, slice(1), TxTable.Append,
+      clusterBy = Some("n_chars"), statsCols = Seq("n_chars"))
+    TxTable.renameColumn(s, root, "source", "origin")
+    // post-rename vintage: new files carry `origin`
+    TxTable.commit(s, root, slice(2).withColumnRenamed("source", "origin"),
+      TxTable.Append, clusterBy = Some("n_chars"), statsCols = Seq("n_chars"))
+    TxTable.renameColumn(s, root, "n_chars", "chars")
+    // merge-on-read delete: row-scattered, DVs stay live (no purge)
+    TxTable.deleteWhere(s, root, pmod(col("doc_id"), lit(7)) === 0)
+    val filtered = s.read.format("tx").load(root)
+      .filter(col("chars") >= 200L && col("chars") <= 600L)
+    val rel = filtered.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec
+          if r.relation.isInstanceOf[TxMorRelation] =>
+        r.relation.asInstanceOf[TxMorRelation]
+    }.getOrElse(throw new IllegalStateException(
+      "expected the MoR-aware relation (RowDataSourceScan over " +
+        "TxMorRelation) — the connector planned the wrong shape"))
+    val out = filtered.groupBy("origin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").cast("long").as("total_chars"))
+      .orderBy("origin")
+    val collected = out.localCheckpoint(true)
+    // pruning fired across the alias chain (chars → n_chars stat lines):
+    // the [200, 600] range must provably drop at least one range-
+    // clustered file — checked AFTER execution so lastPruned is real
+    val kept = rel.index.lastPruned.getOrElse(
+      throw new IllegalStateException("scan never consulted the index"))
+    require(kept.size < TxTable.currentSnapshot(root).get.files.size,
+      s"alias-chain stat pruning did not fire (kept ${kept.size} files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q207Sql: String =
+    """SELECT source AS origin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id % 7 <> 0 AND n_chars >= 200 AND n_chars <= 600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q206Sql: String =
     """WITH fin AS (
       |  SELECT lang, n_chars + 7 AS n_chars FROM documents

@@ -118,19 +118,145 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("MoR deletion vectors refuse the file-granular relation, loudly") {
+  /** The TxMorRelation a planned scan ran through — the MoR-path
+    * sibling of [[scanIndex]] (the plan leaf is a RowDataSourceScan).
+    */
+  private def morRelation(df: DataFrame): graft.sources.TxMorRelation = {
+    val rel = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec
+          if r.relation.isInstanceOf[graft.sources.TxMorRelation] =>
+        r.relation.asInstanceOf[graft.sources.TxMorRelation]
+    }
+    assert(rel.nonEmpty, "no RowDataSourceScan over TxMorRelation in plan")
+    rel.get
+  }
+
+  test("MoR deletion vectors read exactly through the relation (no refusal)") {
     withRoot { root =>
       import spark.implicits._
       TxTable.commit(spark, root,
         (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"))
       TxTable.deleteWhere(spark, root, col("id") === 3L)
-      val e = intercept[java.io.IOException](
-        spark.read.format("tx").load(root).collect())
-      assert(e.getMessage.contains("deletion vectors"))
-      assert(e.getMessage.contains("purgeDeletes"))
-      // the escapes work: purge, then the relation reads the table
+      // live DVs: the relation degrades to the MoR-aware scan and the
+      // deleted row never resurrects
+      val df = spark.read.format("tx").load(root)
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        (1L to 10L).toSet - 3L)
+      morRelation(df) // pins the MoR shape was actually planned
+      // after a purge the table is clean again → file-granular path
       TxTable.purgeDeletes(spark, root)
-      assert(spark.read.format("tx").load(root).count() == 9L)
+      val clean = spark.read.format("tx").load(root)
+      assert(clean.count() == 9L)
+      scanIndex(clean) // back on FileSourceScan over TxFileIndex
+    }
+  }
+
+  test("column-mapped table reads through the relation; pruning follows the alias chain") {
+    withRoot { root =>
+      import spark.implicits._
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(spark, root, b(1, 4), TxTable.Overwrite,
+        clusterBy = Some("id"), statsCols = Seq("id"))
+      TxTable.commit(spark, root, b(5, 8), TxTable.Append,
+        clusterBy = Some("id"), statsCols = Seq("id"))
+      TxTable.renameColumn(spark, root, "id", "doc_id")
+      // post-rename vintage + a MoR delete on top of the mapping
+      TxTable.commit(spark, root,
+        (9L to 12L).map(i => (i, s"s$i")).toDF("doc_id", "s"),
+        TxTable.Append, clusterBy = Some("doc_id"), statsCols = Seq("doc_id"))
+      TxTable.deleteWhere(spark, root, col("doc_id") === 6L)
+      val df = spark.read.format("tx").load(root)
+        .filter(col("doc_id") >= 5L)
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        (5L to 12L).toSet - 6L)
+      // stat pruning fired across vintages: old files record stats under
+      // "id", the new one under "doc_id"; the >= 5 predicate must drop
+      // the (1..4) file via the ALIAS lookup
+      val rel = morRelation(df)
+      val pruned = rel.index.lastPruned.get
+      val all = TxTable.currentSnapshot(root).get.files
+      assert(pruned.size < all.size,
+        s"alias-chain pruning did not fire: kept $pruned of $all")
+      // identical to the API read
+      assert(df.collect().toSet ==
+        TxTable.read(spark, root).filter(col("doc_id") >= 5L)
+          .collect().toSet)
+    }
+  }
+
+  test("INSERT INTO a USING tx view commits through the manifest; the view reads its own write") {
+    withRoot { root =>
+      import spark.implicits._
+      (1L to 4L).map(i => (i, s"s$i")).toDF("id", "s")
+        .write.format("tx").option("statsCols", "id").save(root)
+      val view = s"tx_ins_${System.nanoTime()}"
+      spark.sql(
+        s"CREATE TEMPORARY VIEW $view USING tx OPTIONS (path '$root', statsCols 'id')")
+      try {
+        spark.range(5, 7).selectExpr("id", "concat('s', id) AS s")
+          .createOrReplaceTempView(s"${view}_src")
+        spark.sql(s"INSERT INTO $view SELECT * FROM ${view}_src")
+        // the insert is a real manifest commit with the declared stats
+        val snap = TxTable.currentSnapshot(root).get
+        assert(snap.version == 1L)
+        assert(snap.files.exists(f => snap.stats.getOrElse(f, Seq.empty)
+          .exists(_._1 == "id")), "insert lost the statsCols option")
+        // the SAME view sees the insert (relation repins to the new head)
+        assert(spark.sql(s"SELECT * FROM $view").collect()
+          .map(_.getLong(0)).toSet == (1L to 6L).toSet)
+        // INSERT INTO also lands on the MoR relation shape
+        TxTable.deleteWhere(spark, root, col("id") === 2L)
+        val view2 = s"${view}_mor"
+        spark.sql(
+          s"CREATE TEMPORARY VIEW $view2 USING tx OPTIONS (path '$root')")
+        spark.sql(s"INSERT INTO $view2 VALUES (7, 's7')")
+        assert(spark.sql(s"SELECT * FROM $view2").collect()
+          .map(_.getLong(0)).toSet == ((1L to 7L).toSet - 2L))
+        spark.catalog.dropTempView(view2)
+      } finally {
+        spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(s"${view}_src")
+      }
+    }
+  }
+
+  test("INSERT INTO a time-travel relation refuses") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+      TxTable.commit(spark, root, Seq((2L, "b")).toDF("id", "s"),
+        TxTable.Append)
+      val view = s"tx_tt_${System.nanoTime()}"
+      spark.sql(s"CREATE TEMPORARY VIEW $view USING tx " +
+        s"OPTIONS (path '$root', versionAsOf '0')")
+      try {
+        val e = intercept[Exception](
+          spark.sql(s"INSERT INTO $view VALUES (9, 'z')"))
+        def all(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else t.getMessage +: all(t.getCause)
+        assert(all(e).exists(m => m != null && m.contains("time-travel")))
+        assert(TxTable.currentVersion(root).get == 1L)
+      } finally spark.catalog.dropTempView(view)
+    }
+  }
+
+  test("connector works against a file:-scheme Hadoop root") {
+    withRoot { plain =>
+      val root = s"file:$plain"
+      import spark.implicits._
+      (1L to 6L).map(i => (i, i * 10L)).toDF("id", "v")
+        .write.format("tx").option("clusterBy", "id")
+        .option("statsCols", "id").save(root)
+      val df = spark.read.format("tx").load(root).filter(col("id") >= 4L)
+      assert(df.collect().map(_.getLong(0)).toSet == Set(4L, 5L, 6L))
+      // pruning and the plan shape survive the scheme-qualified root
+      val idx = scanIndex(df)
+      assert(idx.lastPruned.nonEmpty)
+      // MoR path too
+      TxTable.deleteWhere(spark, root, col("id") === 5L)
+      assert(spark.read.format("tx").load(root).collect()
+        .map(_.getLong(0)).toSet == (1L to 6L).toSet - 5L)
     }
   }
 
@@ -217,12 +343,14 @@ class TxDataSourceSpec extends AnyFunSuite {
       // empty window: schema-preserving empty result
       assert(spark.read.format("tx").option("startingVersion", "2")
         .load(root).count() == 0L)
-      // a delete INSIDE the window puts DVs on a window file — refuse
+      // a delete INSIDE the window puts DVs on a window file — the
+      // MoR-aware relation anti-joins it out: rows added in the window
+      // AND still live at the ending version
       TxTable.commit(spark, root, b(13, 16), TxTable.Append)
       TxTable.deleteWhere(spark, root, col("id") === 14L)
-      val e = intercept[java.io.IOException](spark.read.format("tx")
-        .option("startingVersion", "2").load(root))
-      assert(e.getMessage.contains("deletion vectors"))
+      assert(spark.read.format("tx").option("startingVersion", "2")
+        .load(root).collect().map(_.getLong(0)).toSet ==
+        Set(13L, 15L, 16L))
     }
   }
 
