@@ -56,15 +56,21 @@ object TxChangeFeed {
       keyCol: String): DataFrame = {
     require(fromV <= toV, s"readChangeFeed: fromV $fromV > toV $toV")
     require(fromV >= -1L, s"readChangeFeed: fromV $fromV < -1")
+    // the key's full rename class (resolved at the window END, whose
+    // manifest accumulates every rename): versions before a mid-window
+    // rename carry the key under its write-time vintage, and each
+    // version's diff resolves whichever member its columns hold
+    val keyNames =
+      TxTable.nameClass(TxTable.snapshotAt(root, toV), keyCol)
     val frames = (math.max(0L, fromV + 1) to toV)
-      .flatMap(v => changesAt(s, root, v, keyCol))
+      .flatMap(v => changesAt(s, root, v, keyNames))
     if (frames.isEmpty)
       withMeta(TxTable.read(s, root).limit(0), lit(""), 0L).limit(0)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def changesAt(s: SparkSession, root: String, v: Long,
-      keyCol: String): Option[DataFrame] = {
+      keyNames: Seq[String]): Option[DataFrame] = {
     val snap = TxTable.snapshotAt(root, v)
     val parent = if (v == 0) None else Some(TxTable.snapshotAt(root, v - 1))
     snap.op match {
@@ -78,7 +84,11 @@ object TxChangeFeed {
           s.read.option("mergeSchema", "true")
             .parquet(added.map(f => s"$root/$f"): _*)), lit("insert"), v))
       case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
-      case _ => keyedDiff(s, root, v, snap, parent, keyCol)
+      // rename/drop are metadata-only (no files move): no change rows —
+      // later versions' rows simply arrive under the new logical names
+      // and the consumer's align/key resolution follows the alias class
+      case Some("rename_column") | Some("drop_column") => None
+      case _ => keyedDiff(s, root, v, snap, parent, keyNames)
     }
   }
 
@@ -117,7 +127,7 @@ object TxChangeFeed {
     */
   private def keyedDiff(s: SparkSession, root: String, v: Long,
       snap: TxTable.Snapshot, parent: Option[TxTable.Snapshot],
-      keyCol: String): Option[DataFrame] = {
+      keyNames: Seq[String]): Option[DataFrame] = {
     val snapSet = snap.files.toSet
     val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
     val parentSet = parentFiles.toSet
@@ -162,7 +172,12 @@ object TxChangeFeed {
         n.select(proj: _*).withColumn("__side", lit("post"))
       case _ => return None
     }
-    val w = Window.partitionBy(keyCol)
+    val keyName = keyNames.find(cols.contains).getOrElse(
+      throw new java.io.IOException(
+        s"change feed at $root v$v: key column '${keyNames.head}' (nor " +
+          s"any rename vintage of it, ${keyNames.mkString("/")}) is " +
+          s"present in this version's columns ${cols.mkString(", ")}"))
+    val w = Window.partitionBy(keyName)
     val hasPre = max(when(col("__side") === "pre", 1).otherwise(0)).over(w)
     val hasPost = max(when(col("__side") === "post", 1).otherwise(0)).over(w)
     val ct = when(col("__side") === "pre",

@@ -350,6 +350,20 @@ object TxTable {
   private[graft] def namesOf(snap: Snapshot, logical: String): Seq[String] =
     logical +: snap.renames.getOrElse(logical, Seq.empty)
 
+  /** The full rename equivalence class containing `name` — current
+    * logical name first, then older vintages — whether `name` is the
+    * logical name or ANY retired vintage (retired names are reserved,
+    * so classes never overlap). [[namesOf]] answers "what names may
+    * files use for this logical column"; this answers the inverse too,
+    * which is what a STREAM pinned to a pre-rename schema needs: its
+    * declared (old) name must keep resolving after the table moved on.
+    */
+  private[graft] def nameClass(snap: Snapshot, name: String): Seq[String] =
+    snap.renames.collectFirst {
+      case (logical, olds) if logical == name || olds.contains(name) =>
+        logical +: olds
+    }.getOrElse(Seq(name))
+
   /** Column-mapping projection: resolve each LOGICAL schema field by
     * coalescing its vintage names (a mergeSchema read over mixed-vintage
     * files surfaces each vintage as its own column, null where absent —
@@ -2837,12 +2851,16 @@ object TxTable {
       |FROM documents WHERE doc_id % 3 <> 0 AND lang = 'en'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** SQL-surface demo, both directions since r13: the WRITE side runs
-    * through the procedure table functions (`tx_delete_where` — a
-    * merge-on-read DELETE in pure SQL, receipt-checked in-query so a
-    * silently skipped delete fails the gate; then `tx_optimize`, a
-    * dataChange=false compaction the feed must ignore), and the READ
-    * side is ONE statement — an incremental window (`tx_changes`)
+  /** SQL-surface demo, both directions since r13 (r16 added the
+    * third): the WRITE side runs through the procedure table functions
+    * (`tx_delete_where` — a merge-on-read DELETE in pure SQL,
+    * receipt-checked in-query so a silently skipped delete fails the
+    * gate; then `tx_optimize`, a dataChange=false compaction the feed
+    * must ignore) AND through standard SQL DML — the third data slice
+    * arrives via `INSERT INTO` a `USING tx` view (the connector's
+    * InsertableRelation commits it through the manifest protocol,
+    * partition layout included, receipt-checked at version 2). The
+    * READ side is ONE statement — an incremental window (`tx_changes`)
     * joined with a head count (`tx_read`, AFTER the SQL delete, so
     * deletion-vector semantics flow through the SQL surface too). The
     * oracle restates it on raw documents; TxTableSpec pins the
@@ -2857,7 +2875,18 @@ object TxTable {
       .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
     commit(s, root, slice(0), Overwrite, partitionBy = Some("lang"))
     commit(s, root, slice(1), Append, partitionBy = Some("lang"))
-    commit(s, root, slice(2), Append, partitionBy = Some("lang"))
+    // slice 2 lands through SQL INSERT INTO — the S8/S9 write-parity
+    // surface past CTAS: a plain INSERT is a manifest commit like any
+    // other (same partition layout, same version chain)
+    val view = s"q195_tx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    s.sql(s"CREATE TEMPORARY VIEW $view USING tx " +
+      s"OPTIONS (path '$root', partitionBy 'lang')")
+    slice(2).createOrReplaceTempView(s"${view}_src")
+    s.sql(s"INSERT INTO $view SELECT * FROM ${view}_src")
+    s.catalog.dropTempView(view)
+    s.catalog.dropTempView(s"${view}_src")
+    require(currentVersion(root).contains(2L),
+      "SQL INSERT INTO did not commit as version 2")
     graft.Engine.registerTableFunctions(s)
     // pure-SQL DML: the MoR delete commits v3, the compaction v4; the
     // receipts prove both writes landed where the demo expects them

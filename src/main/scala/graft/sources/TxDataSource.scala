@@ -220,7 +220,8 @@ final class TxDataSource extends RelationProvider
               "rewrite commits classify rows by key")),
         startingVersion = TxDataSource.startCursor(root, opts),
         maxVersionsPerTrigger = opts.get("maxversionspertrigger")
-          .map(_.toLong))
+          .map(_.toLong),
+        metadataPath = Some(metadataPath))
     new TxStreamSource(sqlContext.sparkSession, root, declared,
       ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean),
       maxVersionsPerTrigger = opts.get("maxversionspertrigger").map { v =>
@@ -231,7 +232,8 @@ final class TxDataSource extends RelationProvider
       // tail-only start: skip the initial snapshot and begin the
       // incremental walk ABOVE this cursor (Delta's startingVersion /
       // startingTimestamp)
-      startingVersion = TxDataSource.startCursor(root, opts))
+      startingVersion = TxDataSource.startCursor(root, opts),
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -269,6 +271,42 @@ object TxDataSource {
   private[sources] def rootOf(opts: Map[String, String]): String =
     opts.getOrElse("path", throw new IllegalArgumentException(
       "format(\"tx\") needs a path: load(root) or option(\"path\", root)"))
+
+  /** The delivered-version high-water, persisted under the source's own
+    * checkpoint metadata dir so maxVersionsPerTrigger keeps pacing
+    * ACROSS restarts: the v1 Source API never hands a restored offset
+    * to `getOffset`, so without this a restart with no pending batch
+    * plans one uncapped catch-up batch spanning the entire backlog
+    * (Delta seeds the same limit from its checkpoint). ADVISORY
+    * semantics: correctness never depends on it — batch windows come
+    * from the offset log — so a missing/torn file only degrades to the
+    * uncapped first batch, and IO errors are swallowed, never fatal.
+    */
+  private[sources] object DeliveredCursor {
+    private def fileOf(dir: String): java.nio.file.Path =
+      java.nio.file.Paths.get(graft.operators.TxTable.localRoot(dir),
+        "graft-delivered")
+
+    def load(dir: String): Option[Long] =
+      try {
+        val p = fileOf(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p).trim.toLongOption
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def store(dir: String, v: Long): Unit =
+      try {
+        val p = fileOf(dir)
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.resolveSibling(
+          s".graft-delivered-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.writeString(tmp, v.toString)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Table schema: the manifest-recorded one when present (every
     * commit since r12 records it), else the union of the snapshot
@@ -321,10 +359,14 @@ final class TxSink(root: String, appId: String, partitionCols: Seq[String],
   */
 final class TxCdfStreamSource(spark: SparkSession, root: String,
     declaredSchema: StructType, keyCol: String,
-    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long])
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long],
+    metadataPath: Option[String] = None)
     extends Source {
 
-  @volatile private var delivered: Long = -1L
+  // rate-limit base, seeded from the source's checkpoint metadata on
+  // restart so the first post-restart batch is paced like any other
+  @volatile private var delivered: Long =
+    metadataPath.flatMap(TxDataSource.DeliveredCursor.load).getOrElse(-1L)
 
   override def schema: StructType = declaredSchema
 
@@ -346,19 +388,6 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
         s"tx cdf stream on $root: resume cursor v$fromV is below the " +
           s"vacuum horizon (oldest retained is " +
           s"v${retained.headOption.getOrElse(-1L)})")
-    // a rename/drop inside the window is a SCHEMA change: the feed's
-    // later rows would carry the new name and the projection to this
-    // stream's start schema would silently null the renamed column —
-    // the one failure mode worse than stopping. Fail loudly; restart
-    // the stream to adopt the new schema (Delta's posture).
-    retained.filter(v => v > math.max(fromV, -1L) && v <= toV).foreach { v =>
-      val op = TxTable.snapshotAt(root, v).op.getOrElse("")
-      if (op == "rename_column" || op == "drop_column")
-        throw new java.io.IOException(
-          s"tx cdf stream on $root: version $v is a '$op' commit — the " +
-            "table's schema changed under a running stream; restart the " +
-            "stream (its declared schema is pinned at start)")
-    }
     val batch =
       if (fromV >= toV) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -366,11 +395,26 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
       else graft.operators.TxChangeFeed.readChangeFeed(spark, root,
         fromV, toV, keyCol)
     delivered = math.max(delivered, toV)
+    metadataPath.foreach(TxDataSource.DeliveredCursor.store(_, delivered))
+    // VINTAGE-AWARE align: a rename/drop inside the window is metadata-
+    // only (no change rows of its own), but rows from versions on either
+    // side of it carry different column vintages — each declared name
+    // coalesces over its rename class at the window END, so the stream's
+    // schema contract stays stable across the rename (values land under
+    // the declared name exactly; a file carries one vintage, so the
+    // coalesce is never a guess). readChangeFeed resolves keyCol through
+    // the same class.
+    val endSnap = TxTable.snapshotAt(root, toV)
     val aligned = batch.select(declaredSchema.fields.toIndexedSeq.map { f =>
-      import org.apache.spark.sql.functions.{col, lit}
-      if (batch.columns.contains(f.name))
-        col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val present =
+        TxTable.nameClass(endSnap, f.name).filter(batch.columns.contains)
+      val c = present match {
+        case Seq() => lit(null).cast(f.dataType)
+        case Seq(one) => col(one).cast(f.dataType)
+        case many => coalesce(many.map(col): _*).cast(f.dataType)
+      }
+      c.as(f.name)
     }: _*)
     GraftStreamShim.asStreamingFrame(aligned)
   }
@@ -400,7 +444,9 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
   *     `append` emits that version's added files, dataChange=false
   *     maintenance (`optimize`/`compact`/`zorder`/`purge`/`add_check`)
   *     emits nothing (their "added" files are rewrites of rows already
-  *     delivered), and anything that changes or removes delivered rows
+  *     delivered), metadata-only schema commits (`rename_column`/
+  *     `drop_column`) emit nothing and do NOT break the stream (see
+  *     below), and anything that changes or removes delivered rows
   *     (`overwrite`, `merge`, `delete_mor`, `restore`, dpo, ...) fails
   *     LOUDLY unless `option("ignoreChanges", "true")` accepted
   *     re-delivery of rewritten rows (Delta's option, same semantics,
@@ -409,24 +455,49 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
   * Replays are deterministic: a batch is re-read from its manifest
   * window, so a crashed run resumes bit-identically — unless the
   * window was vacuumed, which fails loudly naming the horizon (the
-  * TxState replay rule). Schema is pinned at stream start; batches
-  * project/cast to it (older files' missing columns read as null).
+  * TxState replay rule).
+  *
+  * SCHEMA CONTRACT: the declared schema is pinned at stream start and
+  * every batch projects/casts to it. Older files' missing columns read
+  * as typed nulls. A mid-stream RENAME keeps the stream flowing with
+  * correct values under the declared name — [[align]] coalesces each
+  * declared column over its rename class at the batch-end snapshot
+  * (Delta-with-column-mapping's stability, on names instead of ids); a
+  * DROP makes post-drop rows read null in the declared column. Columns
+  * ADDED to the table after start are intentionally NOT emitted (the
+  * sink's schema cannot change mid-query); to adopt them, restart the
+  * stream — same checkpoint resumes at the recorded offset with the
+  * re-resolved schema, or a fresh checkpoint with
+  * `option("startingVersion", lastDeliveredVersion)` tails from the
+  * same cursor (both specs in TxDataSourceSpec).
   */
 final class TxStreamSource(spark: SparkSession, root: String,
     declaredSchema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   // ops whose file additions are rewrites of already-delivered rows
   private val DataChangeFalse =
     Set("optimize", "compact", "zorder", "purge", "add_check")
 
+  // metadata-only schema commits: no files move, no rows change — the
+  // stream keeps flowing, and [[align]]'s vintage coalesce keeps the
+  // DECLARED schema stable across them (a rename mid-stream keeps
+  // emitting correct values under the name the sink was promised;
+  // Delta-with-column-mapping's behavior, where id-addressed columns
+  // make renames invisible to running streams)
+  private val MetadataOnly = Set("rename_column", "drop_column")
+
   // highest version already handed to a batch — the rate-limit base.
-  // Restart-safe: the first getBatch after recovery re-seeds it from
-  // the checkpoint's end offset before any getOffset can race ahead
-  // (MicroBatchExecution replays pending batches before planning new
-  // ones).
-  @volatile private var delivered: Long = -1L
+  // Within a run, getBatch advances it; across a RESTART it re-seeds
+  // from the cursor persisted under the source's checkpoint metadata
+  // dir ([[TxDataSource.DeliveredCursor]]) — a pending batch's replay
+  // would also re-seed it, but a restart with NOTHING pending goes
+  // straight to getOffset, and without the persisted base the first
+  // catch-up batch would span the entire backlog uncapped.
+  @volatile private var delivered: Long =
+    metadataPath.flatMap(TxDataSource.DeliveredCursor.load).getOrElse(-1L)
 
   override def schema: StructType = declaredSchema
 
@@ -461,7 +532,9 @@ final class TxStreamSource(spark: SparkSession, root: String,
         else incremental(fromV, toV)
     }
     delivered = math.max(delivered, toV)
-    GraftStreamShim.asStreamingFrame(align(batch))
+    metadataPath.foreach(TxDataSource.DeliveredCursor.store(_, delivered))
+    GraftStreamShim.asStreamingFrame(
+      align(batch, TxTable.snapshotAt(root, toV)))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -498,6 +571,7 @@ final class TxStreamSource(spark: SparkSession, root: String,
       val baseOp = op.takeWhile(_ != ':') // restore:N → restore
       if (op == "append") emit ++= added
       else if (DataChangeFalse.contains(baseOp)) () // rewrites: skip
+      else if (MetadataOnly.contains(baseOp)) () // schema-only: skip
       else if (ignoreChanges) emit ++= added
       else throw new java.io.IOException(
         s"tx stream on $root: version $v is a '$op' commit — it changes " +
@@ -518,13 +592,25 @@ final class TxStreamSource(spark: SparkSession, root: String,
     * (files older than an additive evolution) become typed nulls;
     * columns added to the table AFTER stream start are not emitted
     * (the stream's schema is a contract with its sink — restart the
-    * stream to pick up new columns).
+    * stream to pick up new columns, see the class doc's recipe).
+    * VINTAGE-AWARE: each declared name resolves through its rename
+    * class at the batch-end snapshot, so a mid-stream rename (or a
+    * stream restarted after one, whose declared name is now the NEW
+    * name over a window holding OLD-name files) coalesces exactly —
+    * a file carries exactly one vintage of a column, so the coalesce
+    * picks the one real value, never a guess.
     */
-  private def align(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+  private def align(df: DataFrame, endSnap: TxTable.Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     df.select(declaredSchema.fields.toIndexedSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val present =
+        TxTable.nameClass(endSnap, f.name).filter(df.columns.contains)
+      val c = present match {
+        case Seq() => lit(null).cast(f.dataType)
+        case Seq(one) => col(one).cast(f.dataType)
+        case many => coalesce(many.map(col): _*).cast(f.dataType)
+      }
+      c.as(f.name)
     }: _*)
   }
 

@@ -362,12 +362,14 @@ object TxSourceQueries {
     "q202_tx_stream_source" -> (q202TxStreamSource _),
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
     "q204_tx_roundtrip" -> (q204TxRoundtrip _),
-    "q206_tx_stream_cdf" -> (q206TxStreamCdf _))
+    "q206_tx_stream_cdf" -> (q206TxStreamCdf _),
+    "q207_tx_mor_relation" -> (q207TxMorMapRelation _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
     "q202_tx_stream_source" -> q202Sql,
     "q203_tx_bloom_in" -> q203Sql,
     "q204_tx_roundtrip" -> q204Sql,
-    "q206_tx_stream_cdf" -> q206Sql)
+    "q206_tx_stream_cdf" -> q206Sql,
+    "q207_tx_mor_relation" -> q207Sql)
 }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TxTable
@@ -389,6 +390,51 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxVersionsPerTrigger paces the FIRST post-restart batch (seeded from source metadata)") {
+    withRoot { root =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      def b(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
+      TxTable.commit(spark, root, b(1, 2))
+      val meta = Files.createTempDirectory("graft_txds_meta_").toString
+      val schema = TxTable.read(spark, root).schema
+      val s1 = new graft.sources.TxStreamSource(spark, root, schema,
+        ignoreChanges = false, maxVersionsPerTrigger = Some(2L),
+        metadataPath = Some(meta))
+      val o1 = s1.getOffset.get.asInstanceOf[LongOffset]
+      s1.getBatch(None, o1) // snapshot at v0; persists delivered=0
+      // source goes DOWN; 5 more versions land (backlog > m)
+      (1 to 5).foreach(k =>
+        TxTable.commit(spark, root, b(10L * k, 10L * k + 1), TxTable.Append))
+      // restart with no pending batch: a FRESH source instance must cap
+      // its first offered offset at delivered + m, not the head
+      val s2 = new graft.sources.TxStreamSource(spark, root, schema,
+        ignoreChanges = false, maxVersionsPerTrigger = Some(2L),
+        metadataPath = Some(meta))
+      val o2 = s2.getOffset.get.asInstanceOf[LongOffset]
+      assert(o2.offset == 2L,
+        s"first post-restart batch uncapped: offered v${o2.offset}, head v5")
+      // same contract for the CDF source
+      val c2 = new graft.sources.TxCdfStreamSource(spark, root,
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)),
+        keyCol = "id", startingVersion = None,
+        maxVersionsPerTrigger = Some(2L), metadataPath = Some(meta))
+      val co = c2.getOffset.get.asInstanceOf[LongOffset]
+      assert(co.offset == 2L,
+        s"CDF first post-restart batch uncapped: offered v${co.offset}")
+      // without a persisted cursor the old behavior stands (one catch-up)
+      val s3 = new graft.sources.TxStreamSource(spark, root, schema,
+        ignoreChanges = false, maxVersionsPerTrigger = Some(2L))
+      assert(s3.getOffset.get.asInstanceOf[LongOffset].offset == 5L)
+      graft.streaming.Replay.deleteRecursively(java.nio.file.Paths.get(meta))
+    }
+  }
+
   test("two-level pushdown composes: manifest prune AND parquet PushedFilters") {
     withRoot { root =>
       TxTable.commit(spark, root,
@@ -556,7 +602,7 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("CDF streaming source: a mid-stream rename fails loudly, never silently nulls") {
+  test("CDF streaming source: a mid-stream rename keeps the declared schema, values exact") {
     withRoot { root =>
       import spark.implicits._
       val ss = spark.newSession()
@@ -573,14 +619,82 @@ class TxDataSourceSpec extends AnyFunSuite {
         .start()
       try {
         q.processAllAvailable()
+        // metadata-only rename, then post-rename arrivals under the NEW
+        // name: the running stream's declared column is still "v" — the
+        // vintage coalesce must land the values there, never null
         TxTable.renameColumn(ss, root, "v", "val")
         TxTable.commit(ss, root, (5L to 6L).map(i => (i, 10L * i))
           .toDF("id", "val"), TxTable.Append)
-        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
-          q.processAllAvailable())
-        assert(e.getMessage.contains("rename_column") ||
-          e.getCause.getMessage.contains("rename_column"))
+        q.processAllAvailable()
       } finally q.stop()
+      val rows = ss.read.parquet(s"$tmp/out")
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == (1L to 6L).map(i => (i, 10L * i, "insert")).toSet,
+        s"mid-stream rename corrupted the feed: $rows")
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+
+  test("plain streaming source: a mid-stream rename keeps flowing under the declared name") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      TxTable.commit(ss, root,
+        (1L to 3L).map(i => (i, 10L * i)).toDF("id", "v"))
+      val tmp = Files.createTempDirectory("graft_txds_ren_")
+      val q = ss.readStream.format("tx").load(root)
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        TxTable.renameColumn(ss, root, "v", "val")
+        TxTable.commit(ss, root, (4L to 5L).map(i => (i, 10L * i))
+          .toDF("id", "val"), TxTable.Append)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = ss.read.parquet(s"$tmp/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == (1L to 5L).map(i => (i, 10L * i)).toSet,
+        s"rename broke the stream's schema contract: $rows")
+      graft.streaming.Replay.deleteRecursively(tmp)
+    }
+  }
+
+  test("restart adopts an added column, losing no rows across the boundary") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      TxTable.commit(ss, root,
+        (1L to 2L).map(i => (i, s"s$i")).toDF("id", "s"))
+      val tmp = Files.createTempDirectory("graft_txds_adopt_")
+      def start() = ss.readStream.format("tx").load(root)
+        .writeStream.format("parquet").option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // while down: additive evolution — new arrivals carry `extra`,
+      // which a RUNNING stream would (by contract) not emit
+      TxTable.commit(ss, root,
+        (3L to 4L).map(i => (i, s"s$i", i * 100L)).toDF("id", "s", "extra"),
+        TxTable.Append)
+      // restart on the SAME checkpoint: declared schema re-resolves to
+      // the current snapshot (incl. `extra`), offsets resume exactly
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = ss.read.option("mergeSchema", "true").parquet(s"$tmp/out")
+      val rows = out.select("id", "extra").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // no loss, no re-delivery; pre-restart rows null in the new column
+      assert(rows == Set((1L, -1L), (2L, -1L), (3L, 300L), (4L, 400L)),
+        s"schema adoption across restart broken: $rows")
       graft.streaming.Replay.deleteRecursively(tmp)
     }
   }
