@@ -180,8 +180,22 @@ final class TxDataSource extends RelationProvider
       opts: Map[String, String]): BaseRelation = {
     val needsMor = snap.files.exists(snap.dvs.contains) ||
       snap.renames.nonEmpty || snap.deadCols.nonEmpty
-    if (needsMor) new TxMorRelation(spark, root, snap, insertable, opts)
-    else new TxBatchRelation(spark, root, snap, insertable, opts)
+    val surfaced = opts.get("partitionedread").exists(_.toBoolean)
+    if (needsMor) {
+      require(!surfaced, s"txtable $root: partitionedRead needs a clean " +
+        "snapshot — live deletion vectors / a column mapping take the " +
+        "MoR-aware relation, which reads partition columns from the " +
+        "files (drop the option, or purgeDeletes()/optimize() first)")
+      new TxMorRelation(spark, root, snap, insertable, opts)
+    } else if (surfaced) {
+      val fields = TxDataSource.surfacedPartitionFields(
+        TxDataSource.schemaOf(spark, root, snap), snap)
+      require(fields.nonEmpty, s"txtable $root: partitionedRead found no " +
+        "surfaceable partition column — every snapshot file must carry a " +
+        "recorded part value (commit with partitionBy) of a whitelisted " +
+        "type (string / integral / boolean / date)")
+      new TxBatchRelation(spark, root, snap, insertable, opts, fields)
+    } else new TxBatchRelation(spark, root, snap, insertable, opts)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -318,6 +332,33 @@ object TxDataSource {
       spark.read.option("mergeSchema", "true")
         .parquet(snap.files.map(f => s"$root/$f"): _*).schema
     }
+
+  /** The columns `option("partitionedRead", "true")` may surface as a
+    * real partitionSchema: recorded in EVERY snapshot file's part lines
+    * (a partial layout would force inventing values for the uncovered
+    * files) and of a type whose Spark partition-path rendering
+    * round-trips exactly through `Cast(string, type)` — the same
+    * class hive partition inference trusts. Doubles/timestamps are
+    * excluded on purpose: their renderings are not canonical, and a
+    * lossy round-trip would attach WRONG values to rows. Order is the
+    * commit's part-line order (first file is canonical — one commit
+    * protocol writes them all).
+    */
+  private[sources] def surfacedPartitionFields(schema: StructType,
+      snap: TxTable.Snapshot): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    if (snap.files.isEmpty) return Nil
+    def safe(t: DataType): Boolean = t match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType | DateType => true
+      case _ => false
+    }
+    snap.parts.getOrElse(snap.files.head, Seq.empty).map(_._1)
+      .filter(c => snap.files.forall(f =>
+        snap.parts.getOrElse(f, Seq.empty).exists(_._1 == c)))
+      .flatMap(c => schema.fields.find(_.name == c))
+      .filter(f => safe(f.dataType))
+  }
 }
 
 /** The v1 streaming sink over TxTable: one committed version per

@@ -29,13 +29,32 @@ import graft.operators.TxTable
   * LIE. A file missing metadata on a predicate column survives; an
   * expression shape the translator doesn't recognize keeps every file;
   * the exact predicate always re-applies inside the scan, so skipping
-  * only ever removes provably-dead I/O. `partitionSchema` is empty by
-  * design — TxTable keeps partition columns IN the data files (the
-  * duplicate-tag layout, COVERAGE.md §hive-partitioned TxTable), so
-  * every predicate arrives here as a data filter and the recorded part
-  * values act as a per-file dictionary rather than directory structure.
+  * only ever removes provably-dead I/O.
+  *
+  * `partitionBy` selects between the index's two postures:
+  *
+  *   - EMPTY (default): `partitionSchema` is empty — TxTable keeps
+  *     partition columns IN the data files (the duplicate-tag layout,
+  *     COVERAGE.md §hive-partitioned TxTable), so every predicate
+  *     arrives here as a data filter and the recorded part values act
+  *     as a per-file dictionary rather than directory structure.
+  *   - NON-EMPTY (`option("partitionedRead", "true")`): the recorded
+  *     single-value part columns surface as a REAL `partitionSchema`.
+  *     Catalyst then classifies filters over them as partitionFilters
+  *     (evaluated here against the recorded values — same power as the
+  *     dictionary path), the scan reads those columns from the
+  *     PartitionDirectory values instead of the files, and — the point
+  *     of the posture — the scan becomes eligible for DYNAMIC PARTITION
+  *     PRUNING: a selective dim-side filter in a star join prunes fact
+  *     partitions at runtime through the broadcast's keys, which the
+  *     data-filter posture structurally cannot express. Sound because a
+  *     partitioned commit records exactly one value per (file, column)
+  *     and every row in the file carries it (the duplicate-tag writer);
+  *     a file MISSING a recorded value under this posture fails loudly
+  *     rather than guessing.
   */
-final class TxFileIndex(root: String, snap0: TxTable.Snapshot)
+final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
+    partitionBy: Seq[StructField] = Nil)
     extends FileIndex {
 
   /** The snapshot this index serves. Reads are snapshot-pinned (MVCC);
@@ -49,6 +68,7 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot)
   private[sources] def repin(ns: TxTable.Snapshot): Unit = {
     snapNow = ns
     statusCache = null
+    groupedCache = null
     lastPruned = None
   }
 
@@ -95,7 +115,7 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot)
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
 
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = StructType(partitionBy)
 
   override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
 
@@ -113,11 +133,100 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val survivors = prunedFiles(dataFilters)
-    lastPruned = Some(survivors)
-    Seq(PartitionDirectory(InternalRow.empty,
-      survivors.map(statuses(_)).toArray))
+    if (partitionBy.isEmpty) {
+      val survivors = prunedFiles(dataFilters)
+      lastPruned = Some(survivors)
+      Seq(PartitionDirectory(InternalRow.empty,
+        survivors.map(statuses(_)).toArray))
+    } else {
+      // partition predicates evaluate per GROUP — one typed-row eval
+      // per partition, not per file (the manifest-tree access shape on
+      // the flat manifest: at 10⁶ files × 20 partitions a selective
+      // partition filter decides 20 evals, and the per-file stat/bloom
+      // walk — the q192-style multiplied pruning — runs only inside
+      // kept groups). Dynamic pruning filters never reach here —
+      // FileSourceScanExec evaluates them against the SAME values rows
+      // at execution time, which is the posture's win.
+      val out = prunedGroups(partitionFilters, dataFilters)
+      lastPruned = Some(out.flatMap(_._2))
+      out.map { case (vals, fs) =>
+        PartitionDirectory(partitionRow(vals), fs.map(statuses(_)).toArray)
+      }
+    }
   }
+
+  /** The surfaced posture's prune, group-first: (partition tuple →
+    * surviving files) for non-empty groups. The testable core of the
+    * partitioned [[listFiles]] (no FileStatus resolution), and the lab
+    * seam for the eval-cost-at-10⁶-files measurement.
+    */
+  private[graft] def prunedGroups(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression])
+      : Seq[(Seq[Option[String]], Seq[String])] = {
+    val pred = staticPartitionPredicate(partitionFilters)
+    groupedFiles.filter { case (vals, _) =>
+      pred.forall(_.eval(partitionRow(vals)))
+    }.map { case (vals, fs) =>
+      (vals, fs.filter(f => dataFilters.forall(mayMatch(f, _))))
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** Snapshot files grouped by their recorded partition tuple, built
+    * once per (re)pin — the flat manifest arranged as the tree a
+    * partition predicate wants to walk.
+    */
+  @volatile private var groupedCache: Seq[(Seq[Option[String]], Seq[String])] = null
+  private def groupedFiles: Seq[(Seq[Option[String]], Seq[String])] = {
+    val c = groupedCache
+    if (c != null) c
+    else {
+      val g = snapNow.files.groupBy(partitionTuple).toSeq
+      groupedCache = g
+      g
+    }
+  }
+
+  /** Recorded part values of `f` in `partitionBy` order — the surfaced
+    * posture's per-file identity. LOUD on a file without a recorded
+    * value: inventing one (null, say) would attach wrong partition
+    * values to real rows, the one thing this index must never do.
+    */
+  private def partitionTuple(f: String): Seq[Option[String]] =
+    partitionBy.map { pf =>
+      partOf(f, pf.name).getOrElse(throw new IllegalStateException(
+        s"txtable $root: file $f has no recorded partition value for " +
+          s"'${pf.name}' — partitionedRead needs every snapshot file " +
+          "committed with partitionBy on the surfaced columns"))
+    }
+
+  /** Decoded values tuple → typed InternalRow, cached per distinct
+    * tuple (partition count, not file count). Values were rendered by
+    * Spark's own partitioned writer, so `Cast(string, declaredType)`
+    * round-trips exactly for the whitelisted types
+    * ([[TxDataSource.surfacedPartitionFields]]).
+    */
+  private val partRowCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[Option[String]], InternalRow]()
+  private def partitionRow(vals: Seq[Option[String]]): InternalRow =
+    partRowCache.computeIfAbsent(vals, vs => InternalRow.fromSeq(
+      vs.lazyZip(partitionBy).map {
+        case (None, _) => null
+        case (Some(s), pf) =>
+          Cast(Literal.create(s, StringType), pf.dataType, Some("UTC"))
+            .eval(null)
+      }))
+
+  private def staticPartitionPredicate(
+      filters: Seq[Expression]): Option[BasePredicate] =
+    if (filters.isEmpty) None
+    else Some(Predicate.createInterpreted(
+      filters.reduce(And).transform {
+        case a: AttributeReference =>
+          val i = partitionBy.indexWhere(_.name == a.name)
+          require(i >= 0, s"partition filter references '${a.name}', " +
+            "not a surfaced partition column")
+          BoundReference(i, partitionBy(i).dataType, nullable = true)
+      }))
 
   /** The pruned file set for a predicate list — the spec seam (asserts
     * pin exactly which files a filter keeps) and the testable core of

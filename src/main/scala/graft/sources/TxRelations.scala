@@ -157,9 +157,15 @@ private[sources] object TxRelations {
   */
 class TxBatchRelation(spark: SparkSession, root: String,
     snap: TxTable.Snapshot, insertable: Boolean,
-    opts: Map[String, String])
+    opts: Map[String, String],
+    partitionBy: Seq[org.apache.spark.sql.types.StructField] = Nil)
   extends HadoopFsRelation(
-    new TxFileIndex(root, snap), StructType(Nil),
+    new TxFileIndex(root, snap, partitionBy), StructType(partitionBy),
+    // dataSchema stays the FULL table schema — the duplicate-tag layout
+    // keeps partition columns in the files too, and HadoopFsRelation's
+    // overlap resolution keeps them at their data-schema position while
+    // reading their values from the PartitionDirectory rows (so the
+    // surfaced posture changes the plan, never the answer)
     TxDataSource.schemaOf(spark, root, snap), None,
     new ParquetFileFormat, opts)(spark)
   with InsertableRelation {

@@ -337,6 +337,82 @@ object TxSourceQueries {
     collected
   }
 
+  // --------------------------------------------------------------- q208
+  /** DYNAMIC partition pruning through the connector
+    * (`option("partitionedRead", "true")`): documents commit
+    * lang-partitioned and the recorded part values surface as a REAL
+    * partitionSchema, so a star join against a (lang → region) dim —
+    * itself a tx table — with a dim-side `region` filter prunes fact
+    * partitions AT RUNTIME through the broadcast's keys. The flat
+    * posture cannot express this: the fact side carries no literal lang
+    * predicate to push, so every file would scan. The in-query guard
+    * requires the planned fact scan to carry a dynamicpruning filter
+    * AND to have read strictly fewer files than the snapshot holds; the
+    * oracle proves runtime pruning changed nothing. At 100 TB this is
+    * THE star-schema mechanism: the dim filter decides which of ~10⁵
+    * fact files exist for the scan before one task launches.
+    */
+  def q208TxDpp(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txdpp_")
+    val factRoot = s"$tmp/docs_part"
+    val dimRoot = s"$tmp/lang_dim"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    import ss.implicits._
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    TxTable.commit(ss, factRoot,
+      graft.Tables.documents(ss, d).select(cols.map(col): _*)
+        .repartitionByRange(8, col("lang"), col("n_chars")),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    TxTable.commit(ss, dimRoot,
+      Seq(("de", "eu"), ("en", "eu"), ("fr", "eu"),
+        ("es", "amer"), ("zh", "asia")).toDF("lang", "region"),
+      TxTable.Overwrite)
+    val fact = ss.read.format("tx")
+      .option("partitionedRead", "true").load(factRoot)
+    val dim = ss.read.format("tx").load(dimRoot)
+      .filter(col("region").isInCollection(Seq("amer", "asia")))
+    val out = fact.join(dim, "lang")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang", "source")
+    val collected = out.localCheckpoint(true)
+    val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.nonEmpty &&
+            f.relation.location.isInstanceOf[TxFileIndex] => f
+    }.getOrElse(throw new IllegalStateException(
+      "expected a partition-surfaced FileSourceScan over TxFileIndex"))
+    require(scan.toString.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the fact scan:\n$scan")
+    val total = TxTable.currentSnapshot(factRoot).get.files.size
+    // the files the EXECUTED scan planned, post-dynamic-pruning — the
+    // FileScanRDD partitions are built from the dynamically-selected
+    // set, so strictly-fewer proves runtime pruning actually dropped
+    // partitions (the numFiles SQLMetric only feeds the UI store)
+    val scanned = scan.inputRDDs().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+      .filePartitions.iterator.flatMap(_.files)
+      .map(_.filePath.toString).distinct.size
+    require(scanned < total,
+      s"runtime pruning dropped nothing ($scanned/$total files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q208Sql: String =
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES ('de','eu'), ('en','eu'), ('fr','eu'),
+      |    ('es','amer'), ('zh','asia')) AS t(lang, region))
+      |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |WHERE dim.region IN ('amer', 'asia')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -363,7 +439,8 @@ object TxSourceQueries {
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
     "q204_tx_roundtrip" -> (q204TxRoundtrip _),
     "q206_tx_stream_cdf" -> (q206TxStreamCdf _),
-    "q207_tx_mor_relation" -> (q207TxMorMapRelation _))
+    "q207_tx_mor_relation" -> (q207TxMorMapRelation _),
+    "q208_tx_dpp" -> (q208TxDpp _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -371,5 +448,6 @@ object TxSourceQueries {
     "q203_tx_bloom_in" -> q203Sql,
     "q204_tx_roundtrip" -> q204Sql,
     "q206_tx_stream_cdf" -> q206Sql,
-    "q207_tx_mor_relation" -> q207Sql)
+    "q207_tx_mor_relation" -> q207Sql,
+    "q208_tx_dpp" -> q208Sql)
 }

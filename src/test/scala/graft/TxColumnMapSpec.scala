@@ -140,22 +140,31 @@ class TxColumnMapSpec extends AnyFunSuite {
     }
   }
 
-  test("optimize materializes the mapping: format drops to 4, connector readable again") {
+  test("optimize materializes the mapping: format drops to 4, connector goes file-granular again") {
     import spark.implicits._
     withRoot { root =>
       TxTable.commit(spark, root,
         Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
       TxTable.renameColumn(spark, root, "s", "t")
-      // the plain-scan connector must refuse a mapped table
-      val e = intercept[java.io.IOException](
-        spark.read.format("tx").load(root))
-      assert(e.getMessage.contains("column-mapped"))
+      // the connector no longer refuses a mapped table (r15: it takes
+      // the MoR-aware relation, vintage-coalesced) — but the scan shape
+      // is the composed RowDataSourceScan, not the file-granular path
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.toString
+      val mapped = spark.read.format("tx").load(root)
+      assert(planOf(mapped).contains("TxMorRelation"),
+        s"mapped snapshot should plan the MoR-aware relation:\n${planOf(mapped)}")
+      assert(mapped.select("id", "t").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "b")))
       val vOpt = TxTable.optimize(spark, root, targetFiles = 1)
       val snap = TxTable.currentSnapshot(root).get
       assert(snap.renames.isEmpty && snap.deadCols.isEmpty)
       assert(manifestText(root, vOpt).contains("format 4"))
-      // and now the file-granular connector works, with the new name
-      val rows = spark.read.format("tx").load(root)
+      // and now the FILE-GRANULAR connector path works, with the new name
+      val clean = spark.read.format("tx").load(root)
+      assert(planOf(clean).contains("FileScan"),
+        s"materialized table should plan the file-granular scan:\n${planOf(clean)}")
+      val rows = clean
         .select("id", "t").collect().map(r => (r.getLong(0), r.getString(1)))
       assert(rows.toSet == Set((1L, "a"), (2L, "b")))
       // the retired name is free again after the full rewrite

@@ -725,4 +725,99 @@ class TxDataSourceSpec extends AnyFunSuite {
       graft.streaming.Replay.deleteRecursively(tmp)
     }
   }
+
+  test("partitionedRead surfaces the layout: same answer, same prune, real partitionSchema") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        docsDf(spark).repartitionByRange(6, col("lang"), col("n_chars")),
+        TxTable.Overwrite, partitionBy = Some("lang"),
+        statsCols = Seq("n_chars"))
+      val total = TxTable.currentSnapshot(root).get.files.size
+      def read(surfaced: Boolean) = {
+        val r = spark.read.format("tx")
+        (if (surfaced) r.option("partitionedRead", "true") else r).load(root)
+          .filter(col("lang") === "en" && col("n_chars") >= 300L)
+      }
+      val flat = read(surfaced = false)
+      val part = read(surfaced = true)
+      // the surfaced relation plans a NON-empty partitionSchema
+      val scan = part.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f }.get
+      assert(scan.relation.partitionSchema.fieldNames.toSeq == Seq("lang"))
+      // identical rows either way (partition values come from the
+      // manifest under the surfaced posture, from the files under flat)
+      val a = flat.collect().map(_.toSeq).toSet
+      val b = part.collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+      // identical prune: the lang filter travels as a partitionFilter
+      // in the surfaced plan but keeps the same file-dropping power,
+      // and the n_chars stat prune (a data filter) still multiplies in
+      val keptFlat = scanIndex(flat).lastPruned.get.toSet
+      val keptPart = scanIndex(part).lastPruned.get.toSet
+      assert(keptPart == keptFlat && keptPart.size < total)
+    }
+  }
+
+  test("partitionedRead enables dynamic partition pruning in a star join") {
+    withRoot { root =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      import ss.implicits._
+      TxTable.commit(ss, root,
+        docsDf(ss).repartitionByRange(6, col("lang"), col("n_chars")),
+        TxTable.Overwrite, partitionBy = Some("lang"),
+        statsCols = Seq("n_chars"))
+      val total = TxTable.currentSnapshot(root).get.files.size
+      // dim must be a real scan: a local Seq would constant-fold its
+      // filter away (ConvertToLocalRelation) and DPP needs a selective
+      // predicate node on the build side
+      Seq(("de", "eu"), ("en", "eu"), ("zh", "asia"))
+        .toDF("lang", "region")
+        .write.mode("overwrite").parquet(s"$root-dim")
+      val dim = ss.read.parquet(s"$root-dim")
+      val fact = ss.read.format("tx")
+        .option("partitionedRead", "true").load(root)
+      val joined = fact.join(dim.filter(col("region") === "asia"), "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("zh", 4L)))
+      // the fact scan carries a runtime partition filter fed by the
+      // dim-side broadcast — the plan-level win the flat posture
+      // structurally cannot express
+      val plan = joined.queryExecution.executedPlan
+      val scan = plan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.isInstanceOf[TxFileIndex] => f }.get
+      assert(scan.toString.contains("dynamicpruning"),
+        s"no dynamic pruning filter on the tx scan:\n$scan")
+      // post-dynamic-pruning planned file set (the numFiles SQLMetric
+      // only feeds the UI store, not the local object)
+      val scanned = scan.inputRDDs().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+        .filePartitions.iterator.flatMap(_.files)
+        .map(_.filePath.toString).distinct.size
+      assert(scanned > 0 && scanned < total,
+        s"DPP did not drop files: $scanned/$total")
+    }
+  }
+
+  test("partitionedRead refuses MoR snapshots and unpartitioned tables loudly") {
+    withRoot { root =>
+      TxTable.commit(spark, root, docsDf(spark)) // no partitionBy
+      val e1 = intercept[IllegalArgumentException](
+        spark.read.format("tx").option("partitionedRead", "true")
+          .load(root).collect())
+      assert(e1.getMessage.contains("no surfaceable partition column"))
+    }
+    withRoot { root =>
+      TxTable.commit(spark, root, docsDf(spark),
+        TxTable.Overwrite, partitionBy = Some("lang"))
+      TxTable.deleteWhere(spark, root, col("doc_id") === 0L)
+      val e2 = intercept[IllegalArgumentException](
+        spark.read.format("tx").option("partitionedRead", "true")
+          .load(root).collect())
+      assert(e2.getMessage.contains("clean snapshot"))
+    }
+  }
 }
