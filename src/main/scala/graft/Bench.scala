@@ -237,7 +237,10 @@ object Bench {
       // alias-aware stat pruning
       "q205_tx_column_map",
       // round-14: the change feed as a structured-streaming source
-      "q206_tx_stream_cdf")
+      "q206_tx_stream_cdf",
+      // round-16: dynamic partition pruning through the surfaced
+      // partitionSchema, and the exchange-free hash-bucketed join
+      "q208_tx_dpp", "q209_tx_bucket_join")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -69,6 +69,7 @@ object TxTable {
   private val TsPrefix = "ts "
   private val ColRenamePrefix = "colrename "
   private val ColDeadPrefix = "coldead "
+  private val BucketPrefix = "bucketspec "
 
   /** Highest manifest format this reader understands. Format 1 = files +
     * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
@@ -87,8 +88,13 @@ object TxTable {
     * timestamp; format 5 adds column mapping (colrename/coldead lines)
     * and is declared ONLY by tables that actually renamed or dropped a
     * column — unmapped tables stay format 4, byte-identical to r13.
+    * Format 6 adds the table-level `bucketspec` line (hash-bucket
+    * layout): ratcheted because the line is WRITE-binding — a reader
+    * too old to know buckets could append unbucketed files and corrupt
+    * the co-location contract newer readers plan exchange-free joins
+    * on; unbucketed tables never declare it.
     */
-  private val SupportedFormat = 5
+  private val SupportedFormat = 6
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -177,7 +183,8 @@ object TxTable {
       parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
       tsMillis: Option[Long] = None,
       renames: Map[String, Seq[String]] = Map.empty,
-      deadCols: Set[String] = Set.empty)
+      deadCols: Set[String] = Set.empty,
+      bucketSpec: Option[(Int, Seq[String])] = None)
 
   /** Driver-side java.nio path under `root`, accepting both plain local
     * paths and `file:`-scheme URIs (the Hadoop-qualified spelling the
@@ -283,6 +290,10 @@ object TxTable {
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val deadCols = body.filter(_.startsWith(ColDeadPrefix))
         .map(l => b64d(l.stripPrefix(ColDeadPrefix))).toSet
+      val bucketSpec = body.find(_.startsWith(BucketPrefix)).map { l =>
+        val toks = l.stripPrefix(BucketPrefix).split(' ')
+        (toks.head.toInt, toks.tail.toSeq.map(b64d))
+      }
       val format = body.find(_.startsWith(FormatPrefix))
         .map(_.stripPrefix(FormatPrefix).toInt).getOrElse(1)
       if (format > SupportedFormat) throw new java.io.IOException(
@@ -296,14 +307,14 @@ object TxTable {
           l.startsWith(CheckPrefix) || l.startsWith(OpPrefix) ||
           l.startsWith(PartPrefix) || l.startsWith(FormatPrefix) ||
           l.startsWith(TsPrefix) || l.startsWith(ColRenamePrefix) ||
-          l.startsWith(ColDeadPrefix))
+          l.startsWith(ColDeadPrefix) || l.startsWith(BucketPrefix))
       files.find(f => !f.startsWith("data/")).foreach(bad =>
         throw new java.io.IOException(
           s"txtable manifest $p holds an unrecognized line '$bad' — " +
             "not a known metadata type and not a data/ path; refusing " +
             "to misread it as a file"))
       Snapshot(v, files, txns, stats, schema, rowCounts, dvs, blooms,
-        checks, op, parts, tsMillis, renames, deadCols)
+        checks, op, parts, tsMillis, renames, deadCols, bucketSpec)
     } else throw new java.io.IOException(
       s"corrupt txtable manifest $p — atomic publish contract violated")
   }
@@ -569,6 +580,56 @@ object TxTable {
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     finally st.close()
+  }
+
+  /** Write `df` HASH-BUCKETED on `c` into `n` buckets: one shuffle on
+    * `HashPartitioning(c, n)` — whose partition-id expression
+    * (`pmod(murmur3(c), n)`) is BY CONSTRUCTION the same function
+    * Spark's own bucketed tables use for bucket assignment — then each
+    * produced file is renamed to Spark's bucketed-file convention
+    * (`..._<bucketId>.parquet`, the `part-<idx>-` task index IS the
+    * bucket id), so a reader declaring the matching `BucketSpec` can
+    * report `HashPartitioning` from the scan and plan joins/aggregations
+    * on the bucket column WITHOUT an exchange. Empty buckets write no
+    * file (the bucketed read fills them as empty partitions); a bucket
+    * may span several files (grouped by id at read).
+    *
+    * Rows additionally SORT WITHIN each bucket on the bucket column —
+    * an invariant of every bucketed commit (the read side declares
+    * `sortColumnNames` on its faith), so single-file buckets also
+    * report `SortOrder` and a sort-merge join runs with neither
+    * exchanges NOR sorts. Spark guards the multi-file-per-bucket case
+    * itself (ordering is only reported for one-file buckets).
+    */
+  private def writeDataBucketed(s: SparkSession, root: String,
+      df: DataFrame, c: String, n: Int): Seq[String] = {
+    require(n >= 1, s"bucketBy needs >= 1 bucket (got $n)")
+    val rel = s"data/w-${java.util.UUID.randomUUID()}"
+    df.repartition(n, col(c)).sortWithinPartitions(col(c))
+      .write.parquet(s"$root/$rel")
+    val d = localPath(root, rel)
+    val idxRe = "^part-(\\d+)-.*\\.parquet$".r
+    val st = Files.list(d)
+    val renamed =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet"))
+        .map { name =>
+          val idx = name match {
+            case idxRe(i) => i.toInt
+            case _ => throw new IllegalStateException(
+              s"bucketed write produced unexpected file name $name — " +
+                "cannot recover its bucket id")
+          }
+          require(idx < n, s"bucketed write file $name has task index " +
+            s"$idx >= numBuckets $n")
+          val newName = name.stripSuffix(".parquet") + f"_$idx%05d.parquet"
+          Files.move(d.resolve(name), d.resolve(newName))
+          s"$rel/$newName"
+        }.toSeq.sorted
+      finally st.close()
+    renamed
   }
 
   /** Inverse of Spark's hive path-segment escaping: %XX byte sequences
@@ -1057,7 +1118,8 @@ object TxTable {
       op: String = "commit",
       parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
       renames: Map[String, Seq[String]] = Map.empty,
-      deadCols: Set[String] = Set.empty)
+      deadCols: Set[String] = Set.empty,
+      bucketSpec: Option[(Int, Seq[String])] = None)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -1097,6 +1159,13 @@ object TxTable {
         s"$ColRenamePrefix${b64e(logical)} ${b64e(o)}")
     }
     val deadLines = deadCols.toSeq.sorted.map(d => s"$ColDeadPrefix${b64e(d)}")
+    // bucketSpec defaults to None here ON PURPOSE: any publish that does
+    // not explicitly carry the parent's layout DROPS the declaration, so
+    // an op that rewrites or moves rows (optimize, merge, purge, restore,
+    // dpo, ...) can never leave a stale co-location promise behind —
+    // reads degrade to plain scans, which are always correct
+    val bucketLines = bucketSpec.toSeq.map { case (n, cols) =>
+      s"$BucketPrefix$n ${cols.map(b64e).mkString(" ")}" }
     val partLines = parts.toSeq.sortBy(_._1).flatMap {
       case (path, entries) if fileSet.contains(path) =>
         entries.map { case (c, v) =>
@@ -1113,13 +1182,16 @@ object TxTable {
     // alone demanded 3, format-2 carried op at minimum, pre-format
     // manifests parse as 1 on the read side
     // column mapping alone ratchets to 5 — unmapped tables stay 4
-    val fmt = if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
+    val fmt =
+      if (bucketSpec.nonEmpty) 6
+      else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
     val fmtLine = Seq(s"$FormatPrefix$fmt")
     val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
         statLines ++ rowLines ++ dvLines ++ bloomLines ++ checkLines ++
-        opLine ++ partLines ++ renameLines ++ deadLines ++ files)
+        opLine ++ partLines ++ renameLines ++ deadLines ++ bucketLines ++
+        files)
         :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
@@ -1155,12 +1227,16 @@ object TxTable {
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
       partitionBy: Option[String] = None,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      bucketBy: Option[(String, Int)] = None): Long = {
     // partitionBy (one column) and partitionCols (N columns, the
     // date × tenant layout) merge into one ordered spec
     val partSpec = partitionBy.toSeq ++ partitionCols
     require(clusterBy.isEmpty || partSpec.isEmpty,
       "clusterBy and partitionBy are alternative layouts — pick one")
+    require(bucketBy.isEmpty || (clusterBy.isEmpty && partSpec.isEmpty),
+      "bucketBy is an alternative layout to clusterBy/partitionBy — " +
+        "pick one")
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
@@ -1174,9 +1250,14 @@ object TxTable {
       if (partSpec.nonEmpty) {
         val fp = writeDataPartitionedMulti(s, root, df, partSpec)
         (fp.map(_._1), fp.toMap)
-      } else
-        (writeData(s, root, clustered),
-          Map.empty[String, Seq[(String, Option[String])]])
+      } else bucketBy match {
+        case Some((c, n)) =>
+          (writeDataBucketed(s, root, df, c, n),
+            Map.empty[String, Seq[(String, Option[String])]])
+        case None =>
+          (writeData(s, root, clustered),
+            Map.empty[String, Seq[(String, Option[String])]])
+      }
     // stats recorded for the clustering column plus any caller-named
     // columns (`statsCols` records footer ranges on the layout AS GIVEN —
     // for pre-partitioned input whose files are already range-tight)
@@ -1262,6 +1343,32 @@ object TxTable {
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         validateChecks(aligned, checks)
       }
+      // bucket layout is a TABLE-LEVEL co-location CONTRACT, so the
+      // commit protocol owns it: Overwrite declares the writer's layout
+      // (or none); Append must agree EXACTLY with a bucketed parent —
+      // one unbucketed (or differently-bucketed) append would silently
+      // break every exchange-free join planned on the declaration
+      val parentBucket = parent.flatMap(_.bucketSpec)
+      val newBucket: Option[(Int, Seq[String])] = {
+        val declared = bucketBy.map { case (c, n) => (n, Seq(c)) }
+        (mode, declared) match {
+          case (Overwrite, b) => b
+          case (Append, Some(b)) =>
+            require(parent.forall(_.files.isEmpty) ||
+              parentBucket.contains(b),
+              s"append declares bucket layout $b but the table's is " +
+                s"$parentBucket — appends must match the committed " +
+                "layout exactly (Overwrite to re-bucket)")
+            Some(b)
+          case (Append, None) =>
+            require(parentBucket.isEmpty,
+              s"txtable $root is hash-bucketed ($parentBucket): an " +
+                "unbucketed append would break the co-location contract " +
+                "— pass the matching bucketBy, or Overwrite to drop the " +
+                "layout")
+            None
+        }
+      }
       if (tryPublish(root, v, files, txns, stats, Some(schema), rows, dvs,
           blooms, checks,
           op = mode match { case Overwrite => "overwrite"
@@ -1276,7 +1383,8 @@ object TxTable {
           deadCols = mode match {
             case Overwrite => Set.empty[String]
             case Append => parent.map(_.deadCols).getOrElse(Set.empty)
-          }))
+          },
+          bucketSpec = newBucket))
         committed = v
     }
     committed

@@ -69,7 +69,8 @@ final class TxDataSource extends RelationProvider
         clusterBy = opts.get("clusterby"),
         statsCols = csv("statscols"),
         bloomCols = csv("bloomcols"),
-        partitionCols = csv("partitionby"))
+        partitionCols = csv("partitionby"),
+        bucketBy = TxDataSource.bucketOf(opts))
     mode match {
       case SaveMode.Overwrite => write(TxTable.Overwrite)
       case SaveMode.Append => write(TxTable.Append)
@@ -281,6 +282,16 @@ object TxDataSource {
         else TxTable.versionAtTime(root, ms)
       })
   }
+
+  /** Writer options `bucketBy=<col>` + `bucketCount=<n>` — the
+    * hash-bucket layout through the DataFrame writer/INSERT surface.
+    */
+  private[sources] def bucketOf(opts: Map[String, String])
+      : Option[(String, Int)] =
+    opts.get("bucketby").map { c =>
+      (c, opts.getOrElse("bucketcount", throw new IllegalArgumentException(
+        "bucketBy needs bucketCount (the number of buckets)")).toInt)
+    }
 
   private[sources] def rootOf(opts: Map[String, String]): String =
     opts.getOrElse("path", throw new IllegalArgumentException(

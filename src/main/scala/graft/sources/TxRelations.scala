@@ -74,7 +74,8 @@ private[sources] object TxRelations {
       clusterBy = opts.get("clusterby"),
       statsCols = csv("statscols"),
       bloomCols = csv("bloomcols"),
-      partitionCols = csv("partitionby"))
+      partitionCols = csv("partitionby"),
+      bucketBy = TxDataSource.bucketOf(opts))
   }
 
   /** `sources.Filter` → Catalyst expression over the relation schema's
@@ -166,7 +167,20 @@ class TxBatchRelation(spark: SparkSession, root: String,
     // overlap resolution keeps them at their data-schema position while
     // reading their values from the PartitionDirectory rows (so the
     // surfaced posture changes the plan, never the answer)
-    TxDataSource.schemaOf(spark, root, snap), None,
+    TxDataSource.schemaOf(spark, root, snap),
+    // a manifest-declared hash-bucket layout surfaces as a real
+    // BucketSpec: the scan groups files by the bucket id in their name
+    // (Spark's own convention, written by the bucketed committer) and
+    // reports HashPartitioning — joins/aggregations on the bucket
+    // column plan WITHOUT an exchange. sortColumnNames = the bucket
+    // columns, on the committer's invariant that every bucketed file
+    // is sorted within its bucket — single-file buckets then also
+    // report SortOrder and the merge join drops its sorts (Spark
+    // itself withholds the ordering for multi-file buckets). Sound
+    // because the commit protocol enforces the layout on every append
+    // and DROPS the declaration on any rewrite that could break it.
+    snap.bucketSpec.map { case (n, cols) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, cols) },
     new ParquetFileFormat, opts)(spark)
   with InsertableRelation {
 

@@ -413,6 +413,76 @@ object TxSourceQueries {
       |WHERE dim.region IN ('amer', 'asia')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q209
+  /** Exchange-free co-located join over HASH-BUCKETED tx tables:
+    * orders and lineitem both commit with `bucketBy = (orderkey, 8)` —
+    * one shuffle each AT WRITE TIME (`pmod(murmur3(key), 8)`, by
+    * construction the bucket function Spark's own bucketed tables use,
+    * recorded in the manifest as a format-6 `bucketspec` line) — and
+    * the `format("tx")` relations surface the layout as a real
+    * `BucketSpec`, so the fact-fact join plans as a sort-merge join
+    * with ZERO exchanges under it (the in-query guard requires
+    * exactly that). At 100 TB this is the shuffle that matters: the
+    * repeated big-big join on a canonical key moves NOTHING at query
+    * time, paid once at layout time. The oracle proves co-location
+    * changed no row: a file bucketed by any OTHER hash would silently
+    * drop join matches and hash-fail.
+    */
+  def q209TxBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txbkt_")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the committer sorts within buckets; this knob lets the scan say
+    // so (Spark claims the order only for one-file buckets — exactly
+    // what a single bucketed commit produces)
+    ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val ordersRoot = s"$tmp/orders_b"
+    val itemsRoot = s"$tmp/items_b"
+    TxTable.commit(ss, ordersRoot,
+      graft.Tables.orders(ss, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, itemsRoot,
+      graft.Tables.lineitem(ss, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    val joined = ss.read.format("tx").load(ordersRoot)
+      .join(ss.read.format("tx").load(itemsRoot), "o_orderkey")
+    val out = joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    val collected = out.localCheckpoint(true)
+    val smj = out.queryExecution.executedPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(throw new IllegalStateException(
+      "expected a sort-merge join over the bucketed scans"))
+    val shuffles = smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    require(shuffles.isEmpty,
+      s"bucketed fact-fact join still shuffles (${shuffles.size} " +
+        "exchanges under the join) — the co-located layout was not used")
+    // single-file buckets are sorted within by the committer, so the
+    // merge join also needs no sorts — zero exchanges AND zero sorts
+    val sorts = smj.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    require(sorts.isEmpty,
+      s"bucketed fact-fact join still sorts (${sorts.size} SortExec " +
+        "under the join) — the in-bucket sort order was not used")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q209Sql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -440,7 +510,8 @@ object TxSourceQueries {
     "q204_tx_roundtrip" -> (q204TxRoundtrip _),
     "q206_tx_stream_cdf" -> (q206TxStreamCdf _),
     "q207_tx_mor_relation" -> (q207TxMorMapRelation _),
-    "q208_tx_dpp" -> (q208TxDpp _))
+    "q208_tx_dpp" -> (q208TxDpp _),
+    "q209_tx_bucket_join" -> (q209TxBucketJoin _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -449,5 +520,6 @@ object TxSourceQueries {
     "q204_tx_roundtrip" -> q204Sql,
     "q206_tx_stream_cdf" -> q206Sql,
     "q207_tx_mor_relation" -> q207Sql,
-    "q208_tx_dpp" -> q208Sql)
+    "q208_tx_dpp" -> q208Sql,
+    "q209_tx_bucket_join" -> q209Sql)
 }
