@@ -309,6 +309,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view query routing (inert until a view registers;
     // idempotent — a routed plan no longer matches any base scan)
     e.injectOptimizerRule(_ => graft.plans.MatViewRouting)
+    // metadata-only COUNT(*): unfiltered global counts over clean tx
+    // snapshots answer from manifest row counts — zero jobs, zero scans
+    e.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
     // SQL table functions over the transactional layer (tx_read /
     // tx_history / tx_changes)
     Engine.tableFunctions.foreach { case (name, usage, builder) =>

@@ -186,6 +186,12 @@ class TxBatchRelation(spark: SparkSession, root: String,
 
   def index: TxFileIndex = location.asInstanceOf[TxFileIndex]
 
+  /** The pinned snapshot — the seam metadata-only rewrites consult
+    * ([[graft.plans.TxMetadataCount]] reads its `rows` lines). Via the
+    * index so an INSERT's repin is visible.
+    */
+  private[graft] def snapshot: TxTable.Snapshot = index.snap
+
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     TxRelations.insertInto(spark, root, data, overwrite, insertable, opts)
     index.repin(TxTable.currentSnapshot(root).getOrElse(

@@ -483,6 +483,50 @@ object TxSourceQueries {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q210
+  /** Metadata-only COUNT(*) ([[graft.plans.TxMetadataCount]]): three
+    * counts over a three-commit lifecycle — the head, a time-traveled
+    * v0, and a version-window read — ALL answered from manifest `rows`
+    * lines with ZERO table scans (the in-query guard requires the
+    * optimized plan of the combined frame to contain no relation at
+    * all). At 100 TB each of these is a kilobyte manifest read instead
+    * of a full scan's task wave. The oracle restates the three counts
+    * from the raw table — a stale row line, a miscounted commit, or a
+    * wrong window diff all hash-fail.
+    */
+  def q210TxMetaCount(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmeta_")
+    val root = s"$tmp/docs_cnt"
+    val cols = Seq("doc_id", "lang", "n_chars")
+    def slice(m: Int) = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
+    TxTable.commit(s, root, slice(0), TxTable.Overwrite)
+    TxTable.commit(s, root, slice(1), TxTable.Append)
+    TxTable.commit(s, root, slice(2), TxTable.Append)
+    val now = s.read.format("tx").load(root)
+      .agg(count(lit(1)).as("n_docs"))
+    val v0 = s.read.format("tx").option("versionAsOf", "0").load(root)
+      .agg(count(lit(1)).as("n_v0"))
+    val win = s.read.format("tx").option("startingVersion", "0").load(root)
+      .agg(count(lit(1)).as("n_added"))
+    val out = now.crossJoin(v0).crossJoin(win)
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — the counts were not " +
+        "answered from manifest metadata")
+    offTemp(out, tmp)
+  }
+
+  val q210Sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0) AS n_v0,
+      |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS n_added
+      |""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -511,7 +555,8 @@ object TxSourceQueries {
     "q206_tx_stream_cdf" -> (q206TxStreamCdf _),
     "q207_tx_mor_relation" -> (q207TxMorMapRelation _),
     "q208_tx_dpp" -> (q208TxDpp _),
-    "q209_tx_bucket_join" -> (q209TxBucketJoin _))
+    "q209_tx_bucket_join" -> (q209TxBucketJoin _),
+    "q210_tx_meta_count" -> (q210TxMetaCount _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -521,5 +566,6 @@ object TxSourceQueries {
     "q206_tx_stream_cdf" -> q206Sql,
     "q207_tx_mor_relation" -> q207Sql,
     "q208_tx_dpp" -> q208Sql,
-    "q209_tx_bucket_join" -> q209Sql)
+    "q209_tx_bucket_join" -> q209Sql,
+    "q210_tx_meta_count" -> q210Sql)
 }
