@@ -165,6 +165,27 @@ class TxBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched bucket counts still join shuffle-free via Spark's bucket coalescing") {
+    withRoot { root =>
+      val ss = smjSession()
+      ss.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+        "true")
+      val rootB = s"$root-b"
+      TxTable.commit(ss, root, df(ss, 600), TxTable.Overwrite,
+        bucketBy = Some(("k", 8)))
+      TxTable.commit(ss, rootB, df(ss, 400, seed = 3), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      val joined = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty)
+      assert(smj.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"coalesced bucket join still shuffles:\n${joined.queryExecution}")
+      assert(joined.count() == 400L)
+    }
+  }
+
   test("writer options bucketBy/bucketCount flow through save and INSERT INTO") {
     withRoot { root =>
       df(spark, 200).write.format("tx").mode("overwrite")
