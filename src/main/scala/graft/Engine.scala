@@ -311,7 +311,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.MatViewRouting)
     // metadata-only COUNT(*): unfiltered global counts over clean tx
     // snapshots answer from manifest row counts — zero jobs, zero scans
-    e.injectOptimizerRule(_ => graft.plans.TxMetadataCount)
+    e.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
     // SQL table functions over the transactional layer (tx_read /
     // tx_history / tx_changes)
     Engine.tableFunctions.foreach { case (name, usage, builder) =>

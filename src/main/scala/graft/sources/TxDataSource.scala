@@ -182,7 +182,7 @@ final class TxDataSource extends RelationProvider
     // the connector brings its metadata-only-COUNT rewrite with it, so
     // sessions built without GraftExtensions (bare spark-shell, Verify)
     // still answer unfiltered counts from the manifest (idempotent)
-    graft.plans.TxMetadataCount.enable(spark)
+    graft.plans.TxMetadataAgg.enable(spark)
     val needsMor = snap.files.exists(snap.dvs.contains) ||
       snap.renames.nonEmpty || snap.deadCols.nonEmpty
     val surfaced = opts.get("partitionedread").exists(_.toBoolean)

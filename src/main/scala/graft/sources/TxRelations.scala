@@ -187,7 +187,7 @@ class TxBatchRelation(spark: SparkSession, root: String,
   def index: TxFileIndex = location.asInstanceOf[TxFileIndex]
 
   /** The pinned snapshot — the seam metadata-only rewrites consult
-    * ([[graft.plans.TxMetadataCount]] reads its `rows` lines). Via the
+    * ([[graft.plans.TxMetadataAgg]] reads its `rows` lines). Via the
     * index so an INSERT's repin is visible.
     */
   private[graft] def snapshot: TxTable.Snapshot = index.snap

@@ -484,15 +484,16 @@ object TxSourceQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------- q210
-  /** Metadata-only COUNT(*) ([[graft.plans.TxMetadataCount]]): three
-    * counts over a three-commit lifecycle — the head, a time-traveled
-    * v0, and a version-window read — ALL answered from manifest `rows`
-    * lines with ZERO table scans (the in-query guard requires the
-    * optimized plan of the combined frame to contain no relation at
-    * all). At 100 TB each of these is a kilobyte manifest read instead
-    * of a full scan's task wave. The oracle restates the three counts
-    * from the raw table — a stale row line, a miscounted commit, or a
-    * wrong window diff all hash-fail.
+  /** Metadata-only aggregates ([[graft.plans.TxMetadataAgg]]): three
+    * COUNT(*)s over a three-commit lifecycle — the head, a
+    * time-traveled v0, and a version-window read — plus MIN/MAX of the
+    * stats column, ALL answered from manifest `rows`/`stat` lines with
+    * ZERO table scans (the in-query guard requires the optimized plan
+    * of the combined frame to contain no relation at all). At 100 TB
+    * each of these is a kilobyte manifest read instead of a full
+    * scan's task wave. The oracle restates everything from the raw
+    * table — a stale row line, a miscounted commit, a wrong window
+    * diff, or a lossy stat fold all hash-fail.
     */
   def q210TxMetaCount(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_txmeta_")
@@ -500,11 +501,18 @@ object TxSourceQueries {
     val cols = Seq("doc_id", "lang", "n_chars")
     def slice(m: Int) = graft.Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(3)) === m).select(cols.map(col): _*)
-    TxTable.commit(s, root, slice(0), TxTable.Overwrite)
-    TxTable.commit(s, root, slice(1), TxTable.Append)
-    TxTable.commit(s, root, slice(2), TxTable.Append)
+    TxTable.commit(s, root, slice(0), TxTable.Overwrite,
+      statsCols = Seq("n_chars"))
+    TxTable.commit(s, root, slice(1), TxTable.Append,
+      statsCols = Seq("n_chars"))
+    TxTable.commit(s, root, slice(2), TxTable.Append,
+      statsCols = Seq("n_chars"))
     val now = s.read.format("tx").load(root)
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"),
+        // MIN/MAX fold the same stat lines the pruner uses — long is an
+        // exact-in-double type, so the fold is bit-faithful
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
     val v0 = s.read.format("tx").option("versionAsOf", "0").load(root)
       .agg(count(lit(1)).as("n_v0"))
     val win = s.read.format("tx").option("startingVersion", "0").load(root)
@@ -523,6 +531,8 @@ object TxSourceQueries {
   val q210Sql: String =
     """SELECT
       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT MIN(n_chars) FROM documents) AS min_chars,
+      |  (SELECT MAX(n_chars) FROM documents) AS max_chars,
       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0) AS n_v0,
       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS n_added
       |""".stripMargin

@@ -10,12 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TxTable
 
-/** [[graft.plans.TxMetadataCount]]: an unfiltered global COUNT(*) over
+/** [[graft.plans.TxMetadataAgg]]: an unfiltered global COUNT(*) over
   * a clean tx snapshot optimizes to a LocalRelation fed by manifest
   * `rows` lines (zero scans); every soundness gate degrades to the
   * real scan — never to a wrong number.
   */
-class TxMetadataCountSpec extends AnyFunSuite {
+class TxMetadataAggSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
   private def withRoot(f: String => Unit): Unit = {
@@ -48,6 +48,44 @@ class TxMetadataCountSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))
       assert(isMetadataAnswered(v0))
       assert(v0.collect().head.getLong(0) == 123L)
+    }
+  }
+
+  test("MIN/MAX of a stats column answer from the manifest; exactness gates degrade") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        spark.range(0, 100L).selectExpr("id", "CAST(id AS DOUBLE) AS d",
+          "id * 3 AS v"),
+        statsCols = Seq("v", "d"))
+      TxTable.commit(spark, root,
+        spark.range(100, 150L).selectExpr("id", "CAST(id AS DOUBLE) AS d",
+          "id * 3 AS v"),
+        TxTable.Append, statsCols = Seq("v", "d"))
+      def t = spark.read.format("tx").load(root)
+      val mm = t.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n"))
+      assert(isMetadataAnswered(mm), s"still scans:\n${mm.queryExecution}")
+      assert(mm.collect().head.toSeq == Seq(0L, 447L, 150L))
+      // a DOUBLE column is not exact-in-double-foldable by type gate
+      val dbl = t.agg(min("d").as("lo"))
+      assert(!isMetadataAnswered(dbl))
+      assert(dbl.collect().head.getDouble(0) == 0.0)
+      // a column without stat lines degrades (id was never recorded)
+      val nostats = t.agg(max("id").as("hi"))
+      assert(!isMetadataAnswered(nostats))
+      assert(nostats.collect().head.getLong(0) == 149L)
+    }
+    withRoot { root =>
+      // a file whose column lacks a stat line (one commit recorded no
+      // stats) breaks coverage: the whole rewrite degrades
+      TxTable.commit(spark, root,
+        spark.range(0, 10L).selectExpr("id", "id AS v"),
+        statsCols = Seq("v"))
+      TxTable.commit(spark, root,
+        spark.range(10, 20L).selectExpr("id", "id AS v"), TxTable.Append)
+      val mm = spark.read.format("tx").load(root).agg(min("v").as("lo"))
+      assert(!isMetadataAnswered(mm))
+      assert(mm.collect().head.getLong(0) == 0L)
     }
   }
 
