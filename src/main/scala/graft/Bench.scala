@@ -239,8 +239,9 @@ object Bench {
       // round-14: the change feed as a structured-streaming source
       "q206_tx_stream_cdf",
       // round-16: dynamic partition pruning through the surfaced
-      // partitionSchema, and the exchange-free hash-bucketed join
-      "q208_tx_dpp", "q209_tx_bucket_join")
+      // partitionSchema, the exchange-free hash-bucketed join, and
+      // zero-scan metadata aggregates
+      "q208_tx_dpp", "q209_tx_bucket_join", "q210_tx_meta_count")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
