@@ -312,6 +312,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT(*): unfiltered global counts over clean tx
     // snapshots answer from manifest row counts — zero jobs, zero scans
     e.injectOptimizerRule(_ => graft.plans.TxMetadataAgg)
+    // INSERT INTO partitioned tx relations: claim the statement before
+    // PreprocessTableInsertion hands it to the raw-parquet insert
+    // command (which would write files no manifest references)
+    e.injectResolutionRule(s => graft.sources.TxInsertRouting(s))
     // SQL table functions over the transactional layer (tx_read /
     // tx_history / tx_changes)
     Engine.tableFunctions.foreach { case (name, usage, builder) =>

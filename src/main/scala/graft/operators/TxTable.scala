@@ -656,21 +656,7 @@ object TxTable {
     }
   }
 
-  /** Write `df` hive-partitioned on `partCol` through a DUPLICATE tag
-    * column (Spark's dynamic-partition writer removes the partitioning
-    * column from the data files — tagging a copy keeps the original
-    * column reader-visible, so partitioned and unpartitioned files have
-    * identical schemas and every read seam works unchanged). One write
-    * job regardless of partition count; returns each leaf file with its
-    * decoded partition value (None = hive null sentinel). Invisible
-    * until a manifest references them.
-    */
-  private def writeDataPartitioned(s: SparkSession, root: String,
-      df: DataFrame, partCol: String): Seq[(String, Option[String])] =
-    writeDataPartitionedMulti(s, root, df, Seq(partCol))
-      .map { case (f, vs) => (f, vs.head._2) }
-
-  /** The N-column generalization (r12 VERDICT task 3 — a date × tenant
+  /** The N-column hive-partitioned writer (r12 VERDICT task 3 — a date × tenant
     * layout): hive nesting `tag0=v0/tag1=v1/.../file.parquet` in
     * `partCols` order, one duplicate tag column per partition column
     * (same reader-visibility argument as the single-column writer; the
@@ -702,19 +688,51 @@ object TxTable {
       else Some(unescapePathName(raw))
     }
     val walk = Files.walk(localPath(root, rel))
-    try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
-      .asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        // nearest ancestor = LAST partition column; walk upward
-        val segs = Iterator.iterate(p.getParent)(_.getParent)
-          .take(partCols.size).map(_.getFileName.toString)
-          .toSeq.reverse
-        val pairs = partCols.lazyZip(tags).lazyZip(segs)
-          .map((c, t, seg) => (c, decode(seg, t)))
-        (s"$rel/${segs.mkString("/")}/${p.getFileName}", pairs)
-      }.toSeq.sortBy(_._1)
-    finally walk.close()
+    val fileParts =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+        .asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          // nearest ancestor = LAST partition column; walk upward
+          val segs = Iterator.iterate(p.getParent)(_.getParent)
+            .take(partCols.size).map(_.getFileName.toString)
+            .toSeq.reverse
+          val pairs = partCols.lazyZip(tags).lazyZip(segs)
+            .map((c, t, seg) => (c, decode(seg, t)))
+          (s"$rel/${segs.mkString("/")}/${p.getFileName}", pairs)
+        }.toSeq.sortBy(_._1)
+      finally walk.close()
+    // REFUSE empty-string values in STRING partition columns: hive path
+    // rendering maps both null and "" to __HIVE_DEFAULT_PARTITION__, so
+    // the manifest would record None for both — the flat posture would
+    // read the true "" from the data files while the surfaced posture
+    // reads NULL from the PartitionDirectory values, the two postures
+    // answering differently for the same snapshot (and metadata-only
+    // string MIN/MAX from part values would skip real rows). The check
+    // is exact and cheap: a recorded REAL value can never be "" (it
+    // would have rendered as the sentinel), so only None-recorded files
+    // can hide one — read back just those files, just those columns.
+    // Refusal lands BEFORE publish; the written files orphan for vacuum.
+    val stringCols = partCols.filter(c =>
+      df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+    val suspect = fileParts.collect {
+      case (f, pairs) if pairs.exists { case (c, v) =>
+        v.isEmpty && stringCols.contains(c) } => f
+    }
+    if (suspect.nonEmpty) {
+      val probe = stringCols.map(c => col(c) === "").reduce(_ || _)
+      val hit = !s.read.parquet(suspect.map(f => s"$root/$f"): _*)
+        .filter(probe).isEmpty
+      if (hit) throw new IllegalArgumentException(
+        s"partition column(s) ${stringCols.mkString(", ")} hold " +
+          "empty-string values — hive path rendering cannot distinguish " +
+          "'' from null, so a partitioned commit would record them as " +
+          "null partition values and the surfaced read posture would " +
+          "change the answer. Normalize '' to null (or a real value) " +
+          "before partitioning on the column")
+    }
+    fileParts
   }
 
   /** Per-file (min, max, numNulls) of numeric columns from the parquet

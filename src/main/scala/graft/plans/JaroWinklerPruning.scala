@@ -96,8 +96,6 @@ object JaroWinklerPruning extends Rule[LogicalPlan] {
     * late batch; the guard still short-circuits inside the Filter).
     * Safe to call repeatedly.
     */
-  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this)) spark.experimental.extraOptimizations = cur :+ this
-  }
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit =
+    OptimizerRules.attach(spark, this)
 }

@@ -150,9 +150,6 @@ object MatViewRouting extends Rule[LogicalPlan] {
     }
 
   /** Attach to an already-built session; safe to call repeatedly. */
-  def enable(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this))
-      spark.experimental.extraOptimizations = cur :+ this
-  }
+  def enable(spark: SparkSession): Unit =
+    OptimizerRules.attach(spark, this)
 }

@@ -140,9 +140,6 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     * they touch `format("tx")`, because the connector calls this from
     * relation resolution; idempotent).
     */
-  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this))
-      spark.experimental.extraOptimizations = cur :+ this
-  }
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit =
+    OptimizerRules.attach(spark, this)
 }

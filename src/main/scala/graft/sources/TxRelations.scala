@@ -62,19 +62,41 @@ private[sources] object TxRelations {
     */
   def insertInto(spark: SparkSession, root: String, data: DataFrame,
       overwrite: Boolean, insertable: Boolean,
-      opts: Map[String, String]): Long = {
+      opts: Map[String, String], surfaced: Seq[String] = Nil): Long = {
     if (!insertable) throw new java.io.IOException(
       s"txtable $root: cannot INSERT INTO a time-travel or version-window " +
         "relation (versionAsOf/timestampAsOf/startingVersion) — load the " +
         "table head to write")
     def csv(k: String): Seq[String] =
       opts.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // a relation serving `partitionedRead` promised its reader that EVERY
+    // snapshot file carries recorded part values for the surfaced columns
+    // — an insert committing files without them would succeed and then
+    // permanently break the posture on LATER reads (partitionTuple throws
+    // on the uncovered file). The refusal must land on the WRITE: an
+    // insert with no declared layout inherits the surfaced columns (the
+    // partition layout is table-owned, Delta's insertInto semantics); an
+    // explicitly declared layout must cover them or refuse here.
+    val declared = csv("partitionby")
+    val partCols =
+      if (surfaced.isEmpty) declared
+      else if (declared.isEmpty) surfaced
+      else {
+        val missing = surfaced.filterNot(declared.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"txtable $root: INSERT INTO a partitionedRead relation must " +
+            s"cover its surfaced partition column(s) " +
+            s"${surfaced.mkString(", ")} — the declared partitionBy " +
+            s"(${declared.mkString(", ")}) misses ${missing.mkString(", ")}" +
+            ", which would commit files the surfaced posture cannot read")
+        declared
+      }
     TxTable.commit(spark, root, data,
       if (overwrite) TxTable.Overwrite else TxTable.Append,
       clusterBy = opts.get("clusterby"),
       statsCols = csv("statscols"),
       bloomCols = csv("bloomcols"),
-      partitionCols = csv("partitionby"),
+      partitionCols = partCols,
       bucketBy = TxDataSource.bucketOf(opts))
   }
 
@@ -150,6 +172,32 @@ private[sources] object TxRelations {
   }
 }
 
+/** The parquet FileFormat tx relations declare: reads are stock
+  * vectorized parquet; WRITES REFUSE. A tx table is written only
+  * through the manifest commit protocol — but Spark's analyzer routes
+  * `INSERT INTO` a PARTITIONED HadoopFsRelation to
+  * `InsertIntoHadoopFsRelationCommand` (see [[TxInsertRouting]]), a raw
+  * file write into the table root that no manifest would ever
+  * reference: a "successful" insert whose rows every tx read ignores.
+  * Sessions with GraftExtensions re-route that statement; sessions
+  * without get stopped HERE, at prepareWrite, before one byte lands.
+  */
+final class TxParquetFileFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String], dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct file writes into a tx table are forbidden — they would " +
+        "bypass the manifest protocol and the written rows would be " +
+        "invisible to every read. Write through df.write.format(\"tx\") " +
+        "/ TxTable.commit, or build the session with GraftExtensions " +
+        "so INSERT INTO partitioned tx relations routes through the " +
+        "commit protocol")
+  override def toString: String = "TxParquet"
+}
+
 /** Clean-snapshot relation: Spark's own parquet `HadoopFsRelation` over
   * the manifest-pruning [[TxFileIndex]], plus `InsertableRelation` so
   * `INSERT INTO ... USING tx` commits through the manifest protocol.
@@ -181,7 +229,7 @@ class TxBatchRelation(spark: SparkSession, root: String,
     // and DROPS the declaration on any rewrite that could break it.
     snap.bucketSpec.map { case (n, cols) =>
       org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, cols) },
-    new ParquetFileFormat, opts)(spark)
+    new TxParquetFileFormat, opts)(spark)
   with InsertableRelation {
 
   def index: TxFileIndex = location.asInstanceOf[TxFileIndex]
@@ -193,7 +241,8 @@ class TxBatchRelation(spark: SparkSession, root: String,
   private[graft] def snapshot: TxTable.Snapshot = index.snap
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    TxRelations.insertInto(spark, root, data, overwrite, insertable, opts)
+    TxRelations.insertInto(spark, root, data, overwrite, insertable, opts,
+      surfaced = partitionBy.map(_.name))
     index.repin(TxTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"txtable $root vanished mid-insert")))
   }

@@ -820,4 +820,68 @@ class TxDataSourceSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("clean snapshot"))
     }
   }
+
+  test("partitioned commit refuses empty-string partition values (''/null conflation)") {
+    withRoot { root =>
+      import spark.implicits._
+      // hive path rendering maps both null and "" to the default-
+      // partition sentinel; recording "" as a null part value would make
+      // the flat and surfaced postures answer differently
+      val df = Seq((1L, ""), (2L, "en"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "lang")
+      val e = intercept[IllegalArgumentException](
+        TxTable.commit(spark, root, df, TxTable.Overwrite,
+          partitionBy = Some("lang")))
+      assert(e.getMessage.contains("empty-string"))
+      assert(TxTable.currentVersion(root).isEmpty,
+        "refusal must land before any manifest publishes")
+      // true nulls alone are fine: the sentinel means null and only null
+      TxTable.commit(spark, root,
+        Seq((1L, null.asInstanceOf[String]), (2L, "en")).toDF("id", "lang"),
+        TxTable.Overwrite, partitionBy = Some("lang"))
+      val got = spark.read.format("tx").option("partitionedRead", "true")
+        .load(root).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, null), (2L, "en")))
+    }
+  }
+
+  test("INSERT INTO a partitionedRead relation keeps part-line coverage") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        docsDf(spark), TxTable.Overwrite, partitionBy = Some("lang"))
+      spark.sql("DROP VIEW IF EXISTS tx_spec_surf")
+      spark.sql(s"CREATE TEMPORARY VIEW tx_spec_surf USING tx OPTIONS " +
+        s"(path '$root', partitionedRead 'true')")
+      // an insert with NO declared layout inherits the surfaced columns:
+      // the commit writes part lines and later surfaced reads keep working
+      spark.sql("INSERT INTO tx_spec_surf VALUES (100, 'fr', 'src9', 990)")
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.forall(f =>
+        snap.parts.getOrElse(f, Seq.empty).exists(_._1 == "lang")),
+        "inserted files must carry lang part lines")
+      val again = spark.read.format("tx").option("partitionedRead", "true")
+        .load(root)
+      assert(again.filter(col("lang") === "fr").count() == 1L)
+      assert(again.count() == 13L)
+      spark.catalog.dropTempView("tx_spec_surf")
+      // a declared layout that MISSES the surfaced column refuses on the
+      // write (not on some later read)
+      val rel = new graft.sources.TxDataSource().createRelation(
+        spark.sqlContext, Map("path" -> root, "partitionedread" -> "true",
+          "partitionby" -> "source"))
+      val e = intercept[IllegalArgumentException](
+        rel.asInstanceOf[org.apache.spark.sql.sources.InsertableRelation]
+          .insert(docsDf(spark).limit(1), false))
+      assert(e.getMessage.contains("surfaced partition column"))
+      // defense-in-depth for sessions WITHOUT the TxInsertRouting rule:
+      // the raw InsertIntoHadoopFsRelationCommand path dies at
+      // prepareWrite, before one byte lands in the table root
+      val e2 = intercept[UnsupportedOperationException](
+        new graft.sources.TxParquetFileFormat().prepareWrite(spark,
+          org.apache.hadoop.mapreduce.Job.getInstance(),
+          Map.empty, again.schema))
+      assert(e2.getMessage.contains("manifest protocol"))
+    }
+  }
 }

@@ -135,4 +135,25 @@ class TxMetadataAggSpec extends AnyFunSuite {
       assert(cnt.collect().head.getLong(0) == 42L)
     }
   }
+
+  test("concurrent enable() never loses or double-adds a rule") {
+    // the three self-attaching rules share one session's
+    // extraOptimizations; the attach must be a synchronized
+    // check-and-append or parallel suites race (lost update)
+    val ss = spark.newSession()
+    val rules = Seq(graft.plans.TxMetadataAgg, graft.plans.MatViewRouting,
+      graft.plans.JaroWinklerPruning)
+    val threads = (0 until 24).map { i =>
+      new Thread(() => rules(i % 3) match {
+        case r: graft.plans.TxMetadataAgg.type => r.enable(ss)
+        case r: graft.plans.MatViewRouting.type => r.enable(ss)
+        case r: graft.plans.JaroWinklerPruning.type => r.enable(ss)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val attached = ss.experimental.extraOptimizations
+    rules.foreach(r => assert(attached.count(_ == r) == 1,
+      s"$r attached ${attached.count(_ == r)} times"))
+  }
 }
