@@ -582,19 +582,19 @@ object TxTable {
     finally st.close()
   }
 
-  /** Write `df` HASH-BUCKETED on `c` into `n` buckets: one shuffle on
-    * `HashPartitioning(c, n)` — whose partition-id expression
-    * (`pmod(murmur3(c), n)`) is BY CONSTRUCTION the same function
+  /** Write `df` HASH-BUCKETED on `cols` into `n` buckets: one shuffle
+    * on `HashPartitioning(cols, n)` — whose partition-id expression
+    * (`pmod(murmur3(cols), n)`) is BY CONSTRUCTION the same function
     * Spark's own bucketed tables use for bucket assignment — then each
     * produced file is renamed to Spark's bucketed-file convention
     * (`..._<bucketId>.parquet`, the `part-<idx>-` task index IS the
     * bucket id), so a reader declaring the matching `BucketSpec` can
     * report `HashPartitioning` from the scan and plan joins/aggregations
-    * on the bucket column WITHOUT an exchange. Empty buckets write no
+    * on the bucket columns WITHOUT an exchange. Empty buckets write no
     * file (the bucketed read fills them as empty partitions); a bucket
     * may span several files (grouped by id at read).
     *
-    * Rows additionally SORT WITHIN each bucket on the bucket column —
+    * Rows additionally SORT WITHIN each bucket on the bucket columns —
     * an invariant of every bucketed commit (the read side declares
     * `sortColumnNames` on its faith), so single-file buckets also
     * report `SortOrder` and a sort-merge join runs with neither
@@ -602,34 +602,79 @@ object TxTable {
     * itself (ordering is only reported for one-file buckets).
     */
   private def writeDataBucketed(s: SparkSession, root: String,
-      df: DataFrame, c: String, n: Int): Seq[String] = {
+      df: DataFrame, cols: Seq[String], n: Int): Seq[String] = {
     require(n >= 1, s"bucketBy needs >= 1 bucket (got $n)")
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"bucketBy needs distinct non-empty columns (got $cols)")
     val rel = s"data/w-${java.util.UUID.randomUUID()}"
-    df.repartition(n, col(c)).sortWithinPartitions(col(c))
+    df.repartition(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
       .write.parquet(s"$root/$rel")
     val d = localPath(root, rel)
-    val idxRe = "^part-(\\d+)-.*\\.parquet$".r
     val st = Files.list(d)
     val renamed =
       try scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
         .asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".parquet"))
-        .map { name =>
-          val idx = name match {
-            case idxRe(i) => i.toInt
-            case _ => throw new IllegalStateException(
-              s"bucketed write produced unexpected file name $name — " +
-                "cannot recover its bucket id")
-          }
-          require(idx < n, s"bucketed write file $name has task index " +
-            s"$idx >= numBuckets $n")
-          val newName = name.stripSuffix(".parquet") + f"_$idx%05d.parquet"
-          Files.move(d.resolve(name), d.resolve(newName))
-          s"$rel/$newName"
-        }.toSeq.sorted
+        .map(name => s"$rel/${stampBucketId(d, name, n)}")
+        .toSeq.sorted
       finally st.close()
     renamed
+  }
+
+  /** Rename one task-written parquet file to Spark's bucketed-file
+    * convention (`..._<bucketId>.parquet`): the `part-<idx>-` task
+    * index IS the bucket id, because the writer shuffled on
+    * `HashPartitioning(cols, n)` whose partition index is the bucket
+    * function. Returns the new file name.
+    */
+  private def stampBucketId(dir: java.nio.file.Path, name: String,
+      n: Int): String = {
+    val idxRe = "^part-(\\d+)-.*\\.parquet$".r
+    val idx = name match {
+      case idxRe(i) => i.toInt
+      case _ => throw new IllegalStateException(
+        s"bucketed write produced unexpected file name $name — " +
+          "cannot recover its bucket id")
+    }
+    require(idx < n, s"bucketed write file $name has task index " +
+      s"$idx >= numBuckets $n")
+    val newName = name.stripSuffix(".parquet") + f"_$idx%05d.parquet"
+    Files.move(dir.resolve(name), dir.resolve(newName))
+    newName
+  }
+
+  /** The PARTITION × BUCKET composition (the standard lakehouse fact
+    * layout — date-partitioned, key-bucketed): ONE job that first
+    * shuffles on `HashPartitioning(bucketCols, n)` (task index = bucket
+    * id, same function as [[writeDataBucketed]]) and then lets the
+    * dynamic-partition writer fan each task's rows into its hive dirs —
+    * so every leaf file holds exactly one (partition tuple, bucket)
+    * cell, named with its bucket id. A bucket therefore spans one file
+    * PER partition value; Spark's bucketed scan groups them by the id
+    * in the name across directories, so joins on the bucket columns
+    * still plan zero exchanges while partition/dynamic pruning drops
+    * whole directories (the in-bucket sort-order claim is single-file-
+    * per-bucket only and does not apply here — Spark itself withholds
+    * it). Same duplicate-tag mechanics as [[writeDataPartitionedMulti]].
+    */
+  private def writeDataPartitionedBucketed(s: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String], bucketCols: Seq[String],
+      n: Int): Seq[(String, Seq[(String, Option[String])])] = {
+    require(n >= 1, s"bucketBy needs >= 1 bucket (got $n)")
+    require(partCols.intersect(bucketCols).isEmpty,
+      s"bucket columns ${bucketCols.mkString(",")} overlap partition " +
+        s"columns ${partCols.mkString(",")} — a partition holds one " +
+        "value, bucketing on it would leave every row in one bucket")
+    val fileParts = writeDataPartitionedMulti(s, root,
+      df.repartition(n, bucketCols.map(col): _*), partCols)
+    fileParts.map { case (f, pairs) =>
+      val slash = f.lastIndexOf('/')
+      val dir = localPath(root, f.substring(0, slash))
+      (s"${f.substring(0, slash)}/" +
+        stampBucketId(dir, f.substring(slash + 1), n), pairs)
+    }
   }
 
   /** Inverse of Spark's hive path-segment escaping: %XX byte sequences
@@ -963,7 +1008,9 @@ object TxTable {
           blooms = parent.blooms,
           checks = parent.checks :+ (name -> exprSql), op = "add_check",
           parts = parent.parts, renames = parent.renames,
-          deadCols = parent.deadCols))
+          deadCols = parent.deadCols,
+          // metadata-only: no file moves, the co-location contract holds
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed
@@ -1032,7 +1079,12 @@ object TxTable {
           blooms = parent.blooms, checks = parent.checks,
           op = "rename_column", parts = parent.parts,
           renames = (parent.renames - oldName) + (newName -> chain),
-          deadCols = parent.deadCols))
+          deadCols = parent.deadCols,
+          // the bucket layout follows the rename: the hash was computed
+          // on VALUES, not names, so the declaration stays true under
+          // the column's new logical name
+          bucketSpec = parent.bucketSpec.map { case (n, cs) =>
+            (n, cs.map(c => if (c == oldName) newName else c)) }))
         committed = parent.version + 1
     }
     committed
@@ -1063,6 +1115,10 @@ object TxTable {
       require(!parent.parts.valuesIterator.flatten.exists(_._1 == name),
         s"drop: '$name' is a partition column (part lines exist) — " +
           "rewrite the layout first")
+      require(!parent.bucketSpec.exists(_._2.contains(name)),
+        s"drop: '$name' is a bucket column (bucketspec " +
+          s"${parent.bucketSpec.get}) — the co-location declaration " +
+          "would reference a dead column; Overwrite to re-layout first")
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name))
       val chain = name +: parent.renames.getOrElse(name, Seq.empty)
@@ -1072,7 +1128,9 @@ object TxTable {
           blooms = parent.blooms, checks = parent.checks,
           op = "drop_column", parts = parent.parts,
           renames = parent.renames - name,
-          deadCols = parent.deadCols ++ chain))
+          deadCols = parent.deadCols ++ chain,
+          // metadata-only: non-bucket-column drops keep the layout
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed
@@ -1246,15 +1304,24 @@ object TxTable {
       bloomCols: Seq[String] = Seq.empty,
       partitionBy: Option[String] = None,
       partitionCols: Seq[String] = Seq.empty,
-      bucketBy: Option[(String, Int)] = None): Long = {
+      bucketBy: Option[(String, Int)] = None,
+      bucketByMulti: Option[(Seq[String], Int)] = None): Long = {
     // partitionBy (one column) and partitionCols (N columns, the
     // date × tenant layout) merge into one ordered spec
     val partSpec = partitionBy.toSeq ++ partitionCols
+    // bucketBy (one column) and bucketByMulti (N columns) merge into the
+    // manifest's canonical (n, cols) shape
+    require(bucketBy.isEmpty || bucketByMulti.isEmpty,
+      "bucketBy and bucketByMulti are the same layout — pick one spelling")
+    val bucketSpecReq: Option[(Int, Seq[String])] =
+      bucketBy.map { case (c, n) => (n, Seq(c)) }
+        .orElse(bucketByMulti.map { case (cs, n) => (n, cs) })
     require(clusterBy.isEmpty || partSpec.isEmpty,
       "clusterBy and partitionBy are alternative layouts — pick one")
-    require(bucketBy.isEmpty || (clusterBy.isEmpty && partSpec.isEmpty),
-      "bucketBy is an alternative layout to clusterBy/partitionBy — " +
-        "pick one")
+    require(bucketSpecReq.isEmpty || clusterBy.isEmpty,
+      "bucketBy is an alternative layout to clusterBy — pick one " +
+        "(bucketBy DOES compose with partitionBy: the partition × bucket " +
+        "grid)")
     def alreadyApplied(parent: Option[Snapshot]): Boolean =
       txn.exists { case (app, bid) =>
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
@@ -1264,18 +1331,20 @@ object TxTable {
       case Some(c) => df.repartitionByRange(8, col(c))
       case None => df
     }
-    val (dataFiles, newParts) =
-      if (partSpec.nonEmpty) {
-        val fp = writeDataPartitionedMulti(s, root, df, partSpec)
+    val (dataFiles, newParts) = (partSpec, bucketSpecReq) match {
+      case (ps, Some((n, bc))) if ps.nonEmpty =>
+        val fp = writeDataPartitionedBucketed(s, root, df, ps, bc, n)
         (fp.map(_._1), fp.toMap)
-      } else bucketBy match {
-        case Some((c, n)) =>
-          (writeDataBucketed(s, root, df, c, n),
-            Map.empty[String, Seq[(String, Option[String])]])
-        case None =>
-          (writeData(s, root, clustered),
-            Map.empty[String, Seq[(String, Option[String])]])
-      }
+      case (ps, None) if ps.nonEmpty =>
+        val fp = writeDataPartitionedMulti(s, root, df, ps)
+        (fp.map(_._1), fp.toMap)
+      case (_, Some((n, bc))) =>
+        (writeDataBucketed(s, root, df, bc, n),
+          Map.empty[String, Seq[(String, Option[String])]])
+      case _ =>
+        (writeData(s, root, clustered),
+          Map.empty[String, Seq[(String, Option[String])]])
+    }
     // stats recorded for the clustering column plus any caller-named
     // columns (`statsCols` records footer ranges on the layout AS GIVEN —
     // for pre-partitioned input whose files are already range-tight)
@@ -1368,7 +1437,7 @@ object TxTable {
       // break every exchange-free join planned on the declaration
       val parentBucket = parent.flatMap(_.bucketSpec)
       val newBucket: Option[(Int, Seq[String])] = {
-        val declared = bucketBy.map { case (c, n) => (n, Seq(c)) }
+        val declared = bucketSpecReq
         (mode, declared) match {
           case (Overwrite, b) => b
           case (Append, Some(b)) =>
@@ -2139,7 +2208,12 @@ object TxTable {
           parent.stats, schema = parent.schema,
           rowCounts = parent.rowCounts, dvs = dvs, blooms = parent.blooms,
           checks = parent.checks, op = "delete_mor", parts = parent.parts,
-          renames = parent.renames, deadCols = parent.deadCols))
+          renames = parent.renames, deadCols = parent.deadCols,
+          // rows deleted IN PLACE never move across buckets: the layout
+          // declaration stays true (reads take the MoR relation while
+          // DVs are live; a bucket-preserving optimize both purges them
+          // and restores the one-sorted-file-per-bucket economics)
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed
@@ -2201,6 +2275,19 @@ object TxTable {
     * version still see their snapshot (compaction never mutates data
     * files), and the claim-retry loop recomputes from the new head if a
     * concurrent commit wins.
+    *
+    * A HASH-BUCKETED table keeps its layout (Delta's OPTIMIZE preserves
+    * clustering): the rewrite re-shuffles through the SAME
+    * `pmod(murmur3(cols), n)` the original commit used — every row
+    * provably returns to its own bucket, so the format-6 declaration
+    * carries forward instead of dropping, and because the rewrite lands
+    * ONE sorted file per bucket, the zero-exchange-zero-sort join
+    * economics appends had eroded are fully restored (this was the one
+    * rewrite that could not break the co-location contract, and before
+    * this it dropped the spec anyway — a bucketed table could never be
+    * compacted without losing its layout). `targetFiles`/`clusterBy`
+    * are refused there: the bucket count owns the file count and the
+    * layout is bucket-owned.
     */
   def optimize(s: SparkSession, root: String, targetFiles: Int,
       clusterBy: Seq[String] = Seq.empty): Long = {
@@ -2210,25 +2297,51 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to optimize"))
       val df = readSnapshot(s, root, parent)
-      val clustered = clusterBy match {
-        case Seq() => df.repartition(targetFiles)
-        case cs => df.repartitionByRange(targetFiles, cs.map(col): _*)
+      val (newFiles, newParts, statColsOut) = parent.bucketSpec match {
+        case Some((n, bcols)) =>
+          require(clusterBy.isEmpty,
+            s"txtable $root is hash-bucketed on ${bcols.mkString(",")} — " +
+              "its layout is bucket-owned; optimize compacts WITHIN the " +
+              "bucket grid (drop clusterBy, or Overwrite to re-layout)")
+          // re-bucket through the identical hash: one file per bucket
+          // (per partition value on the grid layout), sorted within —
+          // DVs applied by readSnapshot, so optimize doubles as purge
+          val cols = statCols(Some(parent), "").filter(_.nonEmpty)
+          val partColsOfParent = parent.files.headOption
+            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+            .getOrElse(Seq.empty)
+          if (partColsOfParent.nonEmpty) {
+            val fp = writeDataPartitionedBucketed(
+              s, root, df, partColsOfParent, bcols, n)
+            (fp.map(_._1), fp.toMap, cols)
+          } else
+            (writeDataBucketed(s, root, df, bcols, n),
+              Map.empty[String, Seq[(String, Option[String])]], cols)
+        case None =>
+          val clustered = clusterBy match {
+            case Seq() => df.repartition(targetFiles)
+            case cs => df.repartitionByRange(targetFiles, cs.map(col): _*)
+          }
+          (writeData(s, root, clustered),
+            Map.empty[String, Seq[(String, Option[String])]], clusterBy)
       }
-      val newFiles = writeData(s, root, clustered)
       val newStats =
-        if (clusterBy.isEmpty) Map.empty[String, Seq[(String, Double, Double, Long)]]
-        else footerStats(s, root, newFiles, clusterBy)
+        if (statColsOut.isEmpty)
+          Map.empty[String, Seq[(String, Double, Double, Long)]]
+        else footerStats(s, root, newFiles, statColsOut)
       // a FULL rewrite materializes the column mapping: every new file
       // carries the current logical names, no older vintage remains in
       // the head, so the alias chains and tombstones clear and the
-      // manifest drops back to format 4 (time-traveled/restored readers
-      // keep their own snapshots' mappings) — the escape hatch Delta's
-      // column mapping lacks
+      // manifest drops back to format 4 — or 6 with the preserved
+      // bucketspec — (time-traveled/restored readers keep their own
+      // snapshots' mappings) — the escape hatch Delta's column mapping
+      // lacks
       if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
           newStats, schema = parent.schema,
           rowCounts = fileRows(s, root, newFiles),
-          checks = parent.checks, op = "optimize",
-          renames = Map.empty, deadCols = Set.empty))
+          checks = parent.checks, op = "optimize", parts = newParts,
+          renames = Map.empty, deadCols = Set.empty,
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed
@@ -2268,11 +2381,45 @@ object TxTable {
       // keep the skippable layout: re-cluster on the parent's first stat
       // column when one exists (same policy as purgeDeletes)
       val cols = statCols(Some(parent), "").filter(_.nonEmpty)
-      val clustered = cols.headOption match {
-        case Some(c) => compacted.repartitionByRange(bins, col(c))
-        case None => compacted.repartition(bins)
+      val (writtenAll, writtenParts) = parent.bucketSpec match {
+        case Some((n, bcols)) =>
+          // bucket-preserving tail compaction: the rewritten rows
+          // re-shuffle through the SAME pmod(murmur3(cols), n), so each
+          // provably returns to its own bucket and the layout
+          // declaration survives — the O(tail) policy that keeps the
+          // co-located join economics as appends accumulate (untouched
+          // healthy files never move; `bins` is bucket-owned here)
+          val partColsOfParent = small.headOption
+            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+            .getOrElse(Seq.empty)
+          if (partColsOfParent.nonEmpty) {
+            val fp = writeDataPartitionedBucketed(
+              s, root, compacted, partColsOfParent, bcols, n)
+            (fp.map(_._1), fp.toMap)
+          } else
+            (writeDataBucketed(s, root, compacted, bcols, n),
+              Map.empty[String, Seq[(String, Option[String])]])
+        case None =>
+          // a hive-partitioned tail re-lands IN the partition layout
+          // (part lines and all) — a compaction that stripped part
+          // values would knock the table out of the surfaced read
+          // posture as a side effect
+          val partColsOfParent = small.headOption
+            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+            .getOrElse(Seq.empty)
+          if (partColsOfParent.nonEmpty) {
+            val fp = writeDataPartitionedMulti(
+              s, root, compacted, partColsOfParent)
+            (fp.map(_._1), fp.toMap)
+          } else {
+            val clustered = cols.headOption match {
+              case Some(c) => compacted.repartitionByRange(bins, col(c))
+              case None => compacted.repartition(bins)
+            }
+            (writeData(s, root, clustered),
+              Map.empty[String, Seq[(String, Option[String])]])
+          }
       }
-      val writtenAll = writeData(s, root, clustered)
       val writtenRows = fileRows(s, root, writtenAll)
       val written = writtenAll.filter(f => writtenRows(f) > 0L)
       val keep = parent.files.filterNot(smallSet.contains)
@@ -2288,8 +2435,10 @@ object TxTable {
           stats, schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "compact", parts = parent.parts,
-          renames = parent.renames, deadCols = parent.deadCols))
+          checks = parent.checks, op = "compact",
+          parts = parent.parts ++ writtenParts,
+          renames = parent.renames, deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed
@@ -2393,7 +2542,10 @@ object TxTable {
           rowCounts = target.rowCounts, dvs = target.dvs,
           blooms = target.blooms, checks = parent.checks,
           op = s"restore:$v", parts = target.parts,
-          renames = target.renames, deadCols = target.deadCols))
+          renames = target.renames, deadCols = target.deadCols,
+          // the restored head IS the target's file set: its layout
+          // declaration travels with it (true then, true now)
+          bucketSpec = target.bucketSpec))
         committed = parent.version + 1
     }
     committed

@@ -70,7 +70,7 @@ final class TxDataSource extends RelationProvider
         statsCols = csv("statscols"),
         bloomCols = csv("bloomcols"),
         partitionCols = csv("partitionby"),
-        bucketBy = TxDataSource.bucketOf(opts))
+        bucketByMulti = TxDataSource.bucketOf(opts))
     mode match {
       case SaveMode.Overwrite => write(TxTable.Overwrite)
       case SaveMode.Append => write(TxTable.Append)
@@ -287,13 +287,16 @@ object TxDataSource {
       })
   }
 
-  /** Writer options `bucketBy=<col>` + `bucketCount=<n>` — the
-    * hash-bucket layout through the DataFrame writer/INSERT surface.
+  /** Writer options `bucketBy=<c1[,c2,...]>` + `bucketCount=<n>` — the
+    * hash-bucket layout through the DataFrame writer/INSERT surface
+    * (multi-column: comma-separated, Spark's own BucketSpec shape).
     */
   private[sources] def bucketOf(opts: Map[String, String])
-      : Option[(String, Int)] =
+      : Option[(Seq[String], Int)] =
     opts.get("bucketby").map { c =>
-      (c, opts.getOrElse("bucketcount", throw new IllegalArgumentException(
+      val cols = c.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "bucketBy needs at least one column")
+      (cols, opts.getOrElse("bucketcount", throw new IllegalArgumentException(
         "bucketBy needs bucketCount (the number of buckets)")).toInt)
     }
 

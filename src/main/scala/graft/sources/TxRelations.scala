@@ -97,7 +97,7 @@ private[sources] object TxRelations {
       statsCols = csv("statscols"),
       bloomCols = csv("bloomcols"),
       partitionCols = partCols,
-      bucketBy = TxDataSource.bucketOf(opts))
+      bucketByMulti = TxDataSource.bucketOf(opts))
   }
 
   /** `sources.Filter` → Catalyst expression over the relation schema's

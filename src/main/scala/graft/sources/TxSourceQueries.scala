@@ -537,6 +537,152 @@ object TxSourceQueries {
       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0) AS n_added
       |""".stripMargin
 
+  // --------------------------------------------------------------- q211
+  /** BUCKET-PRESERVING OPTIMIZE (Delta's OPTIMIZE-preserves-clustering):
+    * orders commits bucketed on the order key, absorbs two appends
+    * (buckets go multi-file — exchange-free joins survive, but Spark
+    * withholds the in-bucket sort order so sorts return), then
+    * `optimize` compacts THROUGH the same `pmod(murmur3(key), n)` the
+    * commits used — every row provably returns to its own bucket, so
+    * the format-6 declaration carries forward and the rewrite lands ONE
+    * sorted file per bucket. The in-query guard requires the
+    * post-optimize fact-fact join to plan ZERO exchanges AND ZERO
+    * sorts. At 100 TB this is what makes the co-located layout
+    * OPERABLE: without it, the first compaction of an appending fact
+    * table silently re-priced every downstream join with two full
+    * shuffles. The oracle proves the whole lifecycle moved no row.
+    */
+  def q211TxBucketOptimize(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txbopt_")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val ordersRoot = s"$tmp/orders_b"
+    val itemsRoot = s"$tmp/items_b"
+    val orders = graft.Tables.orders(ss, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    def slice(m: Int) = orders.filter(pmod(col("o_orderkey"), lit(3)) === m)
+    TxTable.commit(ss, ordersRoot, slice(0), TxTable.Overwrite,
+      bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, ordersRoot, slice(1), TxTable.Append,
+      bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, ordersRoot, slice(2), TxTable.Append,
+      bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, itemsRoot,
+      graft.Tables.lineitem(ss, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    TxTable.optimize(ss, ordersRoot, targetFiles = 1)
+    val snap = TxTable.currentSnapshot(ordersRoot).get
+    require(snap.bucketSpec.contains((8, Seq("o_orderkey"))),
+      s"optimize dropped the bucket layout: ${snap.bucketSpec}")
+    require(snap.files.size == 8,
+      s"expected one file per bucket after optimize: ${snap.files.size}")
+    val joined = ss.read.format("tx").load(ordersRoot)
+      .join(ss.read.format("tx").load(itemsRoot), "o_orderkey")
+    val out = joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy("o_orderpriority")
+    val collected = out.localCheckpoint(true)
+    val smj = out.queryExecution.executedPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(throw new IllegalStateException(
+      "expected a sort-merge join over the bucketed scans"))
+    require(smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "post-optimize bucketed join still shuffles")
+    require(smj.collect {
+      case x: org.apache.spark.sql.execution.SortExec => x }.isEmpty,
+      "post-optimize bucketed join still sorts — the one-sorted-file-" +
+        "per-bucket invariant was not restored")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q211Sql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q212
+  /** The PARTITION × BUCKET grid — the standard lakehouse fact layout
+    * (date-partitioned, key-bucketed) the r16 mutual-exclusion made
+    * inexpressible: lineitem commits `partitionBy = l_returnflag,
+    * bucketBy = (orderkey, 8)` in ONE job (hash-shuffle on the key so
+    * the task index IS the bucket id, dynamic-partition fan-out within
+    * each task), so every leaf file is one (partition, bucket) cell.
+    * The query exercises BOTH axes at once: the surfaced read turns the
+    * returnflag predicate into a real partitionFilter (directories
+    * drop at planning; the in-query guard pins strictly-fewer files),
+    * while the join to bucketed orders plans ZERO exchanges (bucket
+    * files group by id ACROSS partition directories). At 100 TB this
+    * is the layout that answers "this month's rows for this key set"
+    * without scanning the year or shuffling the fact table.
+    */
+  def q212TxPartBucket(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txpbk_")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val itemsRoot = s"$tmp/items_pb"
+    val ordersRoot = s"$tmp/orders_pb"
+    TxTable.commit(ss, itemsRoot,
+      graft.Tables.lineitem(ss, d).select(
+        col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+        col("l_extendedprice")),
+      TxTable.Overwrite, partitionBy = Some("l_returnflag"),
+      bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, ordersRoot,
+      graft.Tables.orders(ss, d)
+        .select("o_orderkey", "o_orderpriority"),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    val fact = ss.read.format("tx").option("partitionedRead", "true")
+      .load(itemsRoot).filter(col("l_returnflag") === "R")
+    val joined = fact.join(ss.read.format("tx").load(ordersRoot),
+      "o_orderkey")
+    val out = joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("returned_price"))
+      .orderBy("o_orderpriority")
+    val collected = out.localCheckpoint(true)
+    // partition axis: the returnflag filter pruned whole directories
+    val idx = out.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.nonEmpty &&
+            f.relation.location.isInstanceOf[TxFileIndex] =>
+        f.relation.location.asInstanceOf[TxFileIndex]
+    }.getOrElse(throw new IllegalStateException(
+      "expected a partition-surfaced FileSourceScan over TxFileIndex"))
+    val total = TxTable.currentSnapshot(itemsRoot).get.files.size
+    val kept = idx.lastPruned.getOrElse(throw new IllegalStateException(
+      "scan never consulted the index")).size
+    require(kept < total,
+      s"partition filter pruned nothing ($kept/$total files)")
+    // bucket axis: the fact-fact join moved zero bytes
+    val smj = out.queryExecution.executedPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(throw new IllegalStateException(
+      "expected a sort-merge join over the bucketed scans"))
+    require(smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "partitioned+bucketed join still shuffles")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q212Sql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS returned_price
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -566,7 +712,9 @@ object TxSourceQueries {
     "q207_tx_mor_relation" -> (q207TxMorMapRelation _),
     "q208_tx_dpp" -> (q208TxDpp _),
     "q209_tx_bucket_join" -> (q209TxBucketJoin _),
-    "q210_tx_meta_count" -> (q210TxMetaCount _))
+    "q210_tx_meta_count" -> (q210TxMetaCount _),
+    "q211_tx_bucket_optimize" -> (q211TxBucketOptimize _),
+    "q212_tx_part_bucket" -> (q212TxPartBucket _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -577,5 +725,7 @@ object TxSourceQueries {
     "q207_tx_mor_relation" -> q207Sql,
     "q208_tx_dpp" -> q208Sql,
     "q209_tx_bucket_join" -> q209Sql,
-    "q210_tx_meta_count" -> q210Sql)
+    "q210_tx_meta_count" -> q210Sql,
+    "q211_tx_bucket_optimize" -> q211Sql,
+    "q212_tx_part_bucket" -> q212Sql)
 }

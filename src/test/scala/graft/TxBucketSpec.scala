@@ -151,17 +151,235 @@ class TxBucketSpec extends AnyFunSuite {
         TxTable.commit(spark, root, df(spark, 10), TxTable.Append,
           bucketBy = Some(("k", 8))))
       assert(e2.getMessage.contains("layout"))
-      // a rewrite (optimize) DROPS the declaration — reads degrade to a
-      // plain scan of the rewritten files, still exact
-      TxTable.optimize(spark, root, targetFiles = 2)
+      // an ARBITRARY row-moving rewrite (purge after a MoR delete) DROPS
+      // the declaration — reads degrade to a plain scan, still exact.
+      // (optimize no longer drops it: it re-buckets through the same
+      // hash — see the bucket-preserving optimize test)
+      TxTable.deleteWhere(spark, root, col("k") === 7L)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "a MoR delete moves no row: layout holds")
+      TxTable.purgeDeletes(spark, root)
       assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty)
-      assert(spark.read.format("tx").load(root).count() == 400L)
+      assert(spark.read.format("tx").load(root).count() == 399L)
       // and the now-unbucketed table refuses a bucketed append (mixed
       // layout would resurrect a stale promise)
       val e3 = intercept[IllegalArgumentException](
         TxTable.commit(spark, root, df(spark, 10), TxTable.Append,
           bucketBy = Some(("k", 4))))
       assert(e3.getMessage.contains("layout"))
+    }
+  }
+
+  test("optimize PRESERVES the bucket layout and restores zero-sort joins after appends") {
+    withRoot { root =>
+      val ss = smjSession()
+      val rootB = s"$root-b"
+      TxTable.commit(ss, root, df(ss, 600), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      // two appends: buckets go multi-file — joins stay exchange-free
+      // but Spark withholds the in-bucket sort order, so sorts return
+      TxTable.commit(ss, root,
+        ss.range(600, 700).selectExpr("id AS k", "id % 7 AS v"),
+        TxTable.Append, bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, root,
+        ss.range(700, 800).selectExpr("id AS k", "id % 7 AS v"),
+        TxTable.Append, bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, rootB, df(ss, 500, seed = 9), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      def joined() = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      val before = joined()
+      val smjB = before.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smjB.collect { case e: ShuffleExchangeExec => e }.isEmpty)
+      assert(smjB.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty,
+        "multi-file buckets should have forced sorts back in")
+      // the compaction: layout declared AND one sorted file per bucket
+      TxTable.optimize(ss, root, targetFiles = 1)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.bucketSpec.contains((4, Seq("k"))),
+        "optimize dropped the bucket layout")
+      assert(snap.files.size == 4, s"expected 1 file/bucket: ${snap.files}")
+      val after = joined()
+      val smjA = after.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smjA.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "optimize broke the co-located join")
+      assert(smjA.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        "optimize did not restore the one-sorted-file-per-bucket economics")
+      // content identical through the whole lifecycle
+      assert(after.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+        before.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+      assert(after.count() == 500L)
+      // optimize doubles as purge on bucketed tables: a MoR delete then
+      // optimize clears the DVs without losing the layout
+      TxTable.deleteWhere(ss, root, col("k") === 3L)
+      TxTable.optimize(ss, root, targetFiles = 1)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))))
+      assert(TxTable.currentSnapshot(root).get.dvs.isEmpty)
+      assert(ss.read.format("tx").load(root).count() == 799L)
+      // clusterBy on a bucketed table refuses: layout is bucket-owned
+      val e = intercept[IllegalArgumentException](
+        TxTable.optimize(ss, root, 2, clusterBy = Seq("v")))
+      assert(e.getMessage.contains("bucket-owned"))
+    }
+  }
+
+  test("compactSmall preserves the bucket grid (O(tail) co-location-keeping policy)") {
+    withRoot { root =>
+      val ss = smjSession()
+      val rootB = s"$root-b"
+      TxTable.commit(ss, root, df(ss, 800), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, root,
+        ss.range(800, 820).selectExpr("id AS k", "id % 7 AS v"),
+        TxTable.Append, bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, rootB, df(ss, 300, seed = 2), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      val beforeFiles = TxTable.currentSnapshot(root).get.files.size
+      // the tiny append files compact; the healthy base files stay put
+      TxTable.compactSmall(ss, root, minBytes = 3000L)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.bucketSpec.contains((4, Seq("k"))),
+        "compactSmall dropped the bucket layout")
+      assert(snap.files.size < beforeFiles)
+      val joined = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smj.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "compaction broke the co-located join")
+      assert(joined.count() == 300L)
+    }
+  }
+
+  test("multi-column bucketBy: zero-exchange join on the compound key") {
+    withRoot { root =>
+      val ss = smjSession()
+      val rootB = s"$root-b"
+      def pairs(n: Int, seed: Long) = ss.range(0, n.toLong)
+        .selectExpr("id % 50 AS k1", s"id % 7 AS k2",
+          s"(id * 31 + $seed) % 100 AS v")
+      TxTable.commit(ss, root, pairs(400, 0), TxTable.Overwrite,
+        bucketByMulti = Some((Seq("k1", "k2"), 8)))
+      TxTable.commit(ss, rootB, pairs(350, 4), TxTable.Overwrite,
+        bucketByMulti = Some((Seq("k1", "k2"), 8)))
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((8, Seq("k1", "k2"))))
+      val joined = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), Seq("k1", "k2"))
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smj.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"compound-key bucketed join still shuffles:\n" +
+          joined.queryExecution)
+      // correctness pin: identical to the plain join (a hash computed
+      // over the wrong column order would silently drop matches)
+      val got = joined.groupBy().agg(count(lit(1))).collect()(0).getLong(0)
+      val want = pairs(400, 0).join(pairs(350, 4), Seq("k1", "k2")).count()
+      assert(got == want && got > 0)
+      // appends must match the full compound spec
+      val e = intercept[IllegalArgumentException](
+        TxTable.commit(ss, root, pairs(10, 0), TxTable.Append,
+          bucketByMulti = Some((Seq("k2", "k1"), 8))))
+      assert(e.getMessage.contains("layout"))
+    }
+  }
+
+  test("partition x bucket grid: pruning on one axis, exchange-free join on the other") {
+    withRoot { root =>
+      val ss = smjSession()
+      val rootB = s"$root-b"
+      val part = ss.range(0, 900).selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'de' WHEN id % 3 = 1 THEN 'en' " +
+          "ELSE 'zh' END AS lang", "id % 11 AS v")
+      TxTable.commit(ss, root, part, TxTable.Overwrite,
+        partitionBy = Some("lang"), bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, rootB, df(ss, 600, seed = 8), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.bucketSpec.contains((4, Seq("k"))))
+      // every file carries BOTH a part line and a bucket-id name
+      val re = ".*_(\\d+)\\.parquet$".r
+      snap.files.foreach { f =>
+        assert(snap.parts.getOrElse(f, Seq.empty).exists(_._1 == "lang"),
+          s"$f missing part line")
+        assert(re.findFirstIn(f).nonEmpty, s"$f missing bucket id")
+      }
+      // partition axis: a lang filter prunes whole directories (through
+      // the surfaced posture it is a real partitionFilter)
+      val surf = ss.read.format("tx").option("partitionedRead", "true")
+        .load(root).filter(col("lang") === "en")
+      assert(surf.count() == 300L)
+      val idx = surf.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.isInstanceOf[graft.sources.TxFileIndex] =>
+          f.relation.location.asInstanceOf[graft.sources.TxFileIndex]
+      }.get
+      assert(idx.lastPruned.get.size < snap.files.size,
+        "partition filter pruned nothing")
+      // bucket axis: the fact-fact join plans zero exchanges — bucket
+      // files group by id ACROSS partition directories
+      val joined = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smj.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"partitioned+bucketed join still shuffles:\n" +
+          joined.queryExecution)
+      assert(joined.count() == 600L)
+      // the grid survives optimize: both axes re-land
+      TxTable.commit(ss, root, ss.range(900, 950).selectExpr("id AS k",
+        "'en' AS lang", "id % 11 AS v"), TxTable.Append,
+        partitionBy = Some("lang"), bucketBy = Some(("k", 4)))
+      TxTable.optimize(ss, root, targetFiles = 1)
+      val snap2 = TxTable.currentSnapshot(root).get
+      assert(snap2.bucketSpec.contains((4, Seq("k"))))
+      assert(snap2.files.forall(f =>
+        snap2.parts.getOrElse(f, Seq.empty).exists(_._1 == "lang")))
+      val surf2 = ss.read.format("tx").option("partitionedRead", "true")
+        .load(root)
+      assert(surf2.count() == 950L)
+      val joined2 = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      assert(joined2.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+        .collect { case e: ShuffleExchangeExec => e }.isEmpty)
+      assert(joined2.count() == 600L)
+      // bucketing a partition column refuses (one value per partition)
+      val e = intercept[IllegalArgumentException](
+        TxTable.commit(ss, s"$root-x", part, TxTable.Overwrite,
+          partitionBy = Some("lang"), bucketBy = Some(("lang", 4))))
+      assert(e.getMessage.contains("overlap"))
+    }
+  }
+
+  test("metadata-only ops carry the layout; dropping a bucket column refuses") {
+    withRoot { root =>
+      TxTable.commit(spark, root, df(spark, 200), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      TxTable.addCheck(spark, root, "v_bounds", "v >= 0")
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "add_check dropped the layout")
+      // renaming the bucket column: the declaration follows the name
+      // (the hash was computed on values, names are logical)
+      TxTable.renameColumn(spark, root, "k", "key")
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("key"))), "rename lost the layout")
+      // dropping a bucket column refuses — the declaration would
+      // reference a dead column
+      val e = intercept[IllegalArgumentException](
+        TxTable.dropColumn(spark, root, "key"))
+      assert(e.getMessage.contains("bucket column"))
+      // RESTORE carries the target version's layout
+      TxTable.restore(spark, root, 0L)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "restore lost the target's layout")
     }
   }
 
