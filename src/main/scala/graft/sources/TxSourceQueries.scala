@@ -683,6 +683,53 @@ object TxSourceQueries {
       |WHERE l.l_returnflag = 'R'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  /** Metadata-only GROUP BY partition column + string extremes from part
+    * values ([[graft.plans.TxMetadataAgg]], r16 VERDICT tasks 5+7):
+    * documents commit lang-partitioned with n_chars stats, and `SELECT
+    * lang, COUNT(*), MIN/MAX(n_chars) GROUP BY lang` answers entirely
+    * from part lines × rows lines × stat ranges — the per-partition
+    * fold `partitionRowCounts` (q188) proved possible, now reached
+    * through the OPTIMIZER from plain SQL. The crossed-in global
+    * MIN/MAX(lang) folds the recorded part values themselves — the
+    * STRING extreme double-typed stat lines cannot express (exact
+    * because the writer rendered the values and `''` refuses at
+    * commit). The in-query guard requires the optimized plan of the
+    * whole frame to contain NO relation: at 100 TB this turns a
+    * full-table task wave per dashboard refresh into a kilobyte
+    * manifest read. The oracle recomputes everything from raw rows.
+    */
+  def q213TxMetaGroupBy(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmgb_")
+    val root = s"$tmp/docs_gb"
+    TxTable.commit(s, root,
+      graft.Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    val grouped = s.read.format("tx").load(root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+    val extremes = s.read.format("tx").load(root)
+      .agg(min("lang").as("first_lang"), max("lang").as("last_lang"))
+    val out = grouped.crossJoin(extremes).orderBy("lang")
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — the grouped aggregate was " +
+        "not answered from manifest metadata")
+    offTemp(out, tmp)
+  }
+
+  val q213Sql: String =
+    """SELECT d.lang, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  (SELECT MIN(lang) FROM documents) AS first_lang,
+      |  (SELECT MAX(lang) FROM documents) AS last_lang
+      |FROM documents d GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -714,7 +761,8 @@ object TxSourceQueries {
     "q209_tx_bucket_join" -> (q209TxBucketJoin _),
     "q210_tx_meta_count" -> (q210TxMetaCount _),
     "q211_tx_bucket_optimize" -> (q211TxBucketOptimize _),
-    "q212_tx_part_bucket" -> (q212TxPartBucket _))
+    "q212_tx_part_bucket" -> (q212TxPartBucket _),
+    "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -727,5 +775,6 @@ object TxSourceQueries {
     "q209_tx_bucket_join" -> q209Sql,
     "q210_tx_meta_count" -> q210Sql,
     "q211_tx_bucket_optimize" -> q211Sql,
-    "q212_tx_part_bucket" -> q212Sql)
+    "q212_tx_part_bucket" -> q212Sql,
+    "q213_tx_meta_groupby" -> q213Sql)
 }

@@ -136,6 +136,76 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY a partition column answers from part x rows lines — zero scans") {
+    withRoot { root =>
+      val df = spark.range(0, 300L).selectExpr("id",
+        "CASE WHEN id % 3 = 0 THEN 'de' WHEN id % 3 = 1 THEN 'en' " +
+          "ELSE NULL END AS lang", "id * 2 AS v")
+      TxTable.commit(spark, root, df, TxTable.Overwrite,
+        partitionBy = Some("lang"), statsCols = Seq("v"))
+      TxTable.commit(spark, root,
+        spark.range(300, 400L).selectExpr("id", "'zh' AS lang",
+          "id * 2 AS v"),
+        TxTable.Append, partitionBy = Some("lang"), statsCols = Seq("v"))
+      def t = spark.read.format("tx").load(root)
+      val grouped = t.groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      assert(isMetadataAnswered(grouped),
+        s"still scans:\n${grouped.queryExecution}")
+      val got = grouped.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // the oracle: the same aggregate through a real scan (fresh read,
+      // grouped by a non-answerable expression to force the scan path)
+      val want = t.withColumn("lang2", col("lang")).groupBy("lang2")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want && got.size == 4, s"got $got") // de/en/zh/null
+      // grouping by a NON-partition column degrades to the scan
+      val byV = t.groupBy("v").agg(count(lit(1)).as("n"))
+      assert(!isMetadataAnswered(byV))
+      assert(byV.count() == 400L)
+    }
+  }
+
+  test("string MIN/MAX from part values; a partial stat surface falls back, never lies") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        spark.range(0, 90L).selectExpr("id",
+          "CASE WHEN id % 3 = 0 THEN 'alpha' WHEN id % 3 = 1 THEN 'beta' " +
+            "ELSE NULL END AS tag"),
+        TxTable.Overwrite, partitionBy = Some("tag"))
+      def t = spark.read.format("tx").load(root)
+      // stat lines cannot express string extremes; part values can
+      val mm = t.agg(min("tag").as("lo"), max("tag").as("hi"),
+        count(lit(1)).as("n"))
+      assert(isMetadataAnswered(mm), s"still scans:\n${mm.queryExecution}")
+      assert(mm.collect().head.toSeq == Seq("alpha", "beta", 90L))
+      // MIN/MAX ignore nulls: a table whose column is all-null answers
+      // null (the sentinel means null and only null — '' refuses at
+      // commit)
+      val root2 = s"$root-allnull"
+      TxTable.commit(spark, root2,
+        spark.range(0, 10L).selectExpr("id",
+          "CAST(NULL AS STRING) AS tag"),
+        TxTable.Overwrite, partitionBy = Some("tag"))
+      val nn = spark.read.format("tx").load(root2)
+        .agg(max("tag").as("hi"))
+      assert(isMetadataAnswered(nn))
+      assert(nn.collect().head.isNullAt(0))
+      // a non-partition string column has no metadata surface: scan
+      val root3 = s"$root-plain"
+      TxTable.commit(spark, root3,
+        spark.range(0, 10L).selectExpr("id", "'x' AS tag"))
+      val plain = spark.read.format("tx").load(root3)
+        .agg(max("tag").as("hi"))
+      assert(!isMetadataAnswered(plain))
+      assert(plain.collect().head.getString(0) == "x")
+    }
+  }
+
   test("concurrent enable() never loses or double-adds a rule") {
     // the three self-attaching rules share one session's
     // extraOptimizations; the attach must be a synchronized
