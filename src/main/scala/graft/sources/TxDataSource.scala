@@ -186,20 +186,40 @@ final class TxDataSource extends RelationProvider
     val needsMor = snap.files.exists(snap.dvs.contains) ||
       snap.renames.nonEmpty || snap.deadCols.nonEmpty
     val surfaced = opts.get("partitionedread").exists(_.toBoolean)
-    if (needsMor) {
-      require(!surfaced, s"txtable $root: partitionedRead needs a clean " +
-        "snapshot — live deletion vectors / a column mapping take the " +
-        "MoR-aware relation, which reads partition columns from the " +
-        "files (drop the option, or purgeDeletes()/optimize() first)")
-      new TxMorRelation(spark, root, snap, insertable, opts)
-    } else if (surfaced) {
+    def surfacedFields = {
       val fields = TxDataSource.surfacedPartitionFields(
         TxDataSource.schemaOf(spark, root, snap), snap)
       require(fields.nonEmpty, s"txtable $root: partitionedRead found no " +
         "surfaceable partition column — every snapshot file must carry a " +
         "recorded part value (commit with partitionBy) of a whitelisted " +
         "type (string / integral / boolean / date)")
-      new TxBatchRelation(spark, root, snap, insertable, opts, fields)
+      fields
+    }
+    if (needsMor) {
+      if (!surfaced) new TxMorRelation(spark, root, snap, insertable, opts)
+      else {
+        // DVs-only MoR composes with the surfaced posture: one
+        // partition-surfaced scan (DPP-eligible) + the broadcast DV
+        // anti-join, expanded by TxMorDppRouting at analysis. A column
+        // MAPPING still refuses (vintage coalesce has no exact
+        // partition-surfaced expression), as does a session without the
+        // rewrite rule — the raw scan would resurrect deleted rows.
+        require(snap.renames.isEmpty && snap.deadCols.isEmpty,
+          s"txtable $root: partitionedRead needs an unmapped snapshot — " +
+            "a column mapping takes the MoR-aware relation, which reads " +
+            "partition columns from the files (drop the option, or " +
+            "optimize() to materialize the mapping first)")
+        require(spark.sessionState.analyzer.extendedResolutionRules
+            .exists(_.isInstanceOf[TxMorDppRouting]),
+          s"txtable $root: partitionedRead over live deletion vectors " +
+            "needs the TxMorDppRouting rewrite (build the session with " +
+            "GraftExtensions), or purgeDeletes()/optimize() first")
+        new TxMorPartitionedSurrogate(spark, root, snap, opts,
+          surfacedFields)
+      }
+    } else if (surfaced) {
+      new TxBatchRelation(spark, root, snap, insertable, opts,
+        surfacedFields)
     } else new TxBatchRelation(spark, root, snap, insertable, opts)
   }
 

@@ -730,6 +730,83 @@ object TxSourceQueries {
       |  (SELECT MAX(lang) FROM documents) AS last_lang
       |FROM documents d GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  /** DYNAMIC partition pruning over a MoR snapshot (r16 VERDICT task 3
+    * — the composition gap q208 left): the lang-partitioned fact table
+    * takes a `deleteWhere` (live deletion vectors), and
+    * `partitionedRead` — which used to refuse here, knocking the table
+    * back to the flat posture until a full rewrite — now expands into
+    * ONE partition-surfaced scan plus the broadcast `(file, pos)` DV
+    * anti-join ([[TxMorDppRouting]]). The in-query guard requires BOTH
+    * mechanisms at once: the planned fact scan carries a
+    * dynamicpruning filter from the dim-side region predicate AND reads
+    * strictly fewer files than the snapshot holds, while the oracle
+    * (which excludes the deleted rows arithmetically) proves the
+    * anti-join dropped exactly the deleted rows and nothing else. At
+    * 100 TB this keeps THE star-schema mechanism alive through the
+    * routine delete-correct-reingest cycle instead of paying a
+    * full-table rewrite to win it back.
+    */
+  def q214TxDppMor(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txdppm_")
+    val factRoot = s"$tmp/docs_part"
+    val dimRoot = s"$tmp/lang_dim"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    import ss.implicits._
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    TxTable.commit(ss, factRoot,
+      graft.Tables.documents(ss, d).select(cols.map(col): _*)
+        .repartitionByRange(8, col("lang"), col("n_chars")),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    TxTable.deleteWhere(ss, factRoot, pmod(col("doc_id"), lit(5)) === 0)
+    require(TxTable.currentSnapshot(factRoot).get.dvs.nonEmpty,
+      "the delete left no deletion vectors — the MoR premise is gone")
+    TxTable.commit(ss, dimRoot,
+      Seq(("de", "eu"), ("en", "eu"), ("fr", "eu"),
+        ("es", "amer"), ("zh", "asia")).toDF("lang", "region"),
+      TxTable.Overwrite)
+    val fact = ss.read.format("tx")
+      .option("partitionedRead", "true").load(factRoot)
+    val dim = ss.read.format("tx").load(dimRoot)
+      .filter(col("region").isInCollection(Seq("amer", "asia")))
+    val out = fact.join(dim, "lang")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang", "source")
+    val collected = out.localCheckpoint(true)
+    val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.nonEmpty &&
+            f.relation.location.isInstanceOf[TxFileIndex] => f
+    }.getOrElse(throw new IllegalStateException(
+      "expected a partition-surfaced FileSourceScan over TxFileIndex"))
+    require(scan.toString.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the MoR fact scan:\n$scan")
+    val total = TxTable.currentSnapshot(factRoot).get.files.size
+    val scanned = scan.inputRDDs().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+      .filePartitions.iterator.flatMap(_.files)
+      .map(_.filePath.toString).distinct.size
+    require(scanned < total,
+      s"runtime pruning dropped nothing ($scanned/$total files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q214Sql: String =
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES ('de','eu'), ('en','eu'), ('fr','eu'),
+      |    ('es','amer'), ('zh','asia')) AS t(lang, region))
+      |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |WHERE dim.region IN ('amer', 'asia') AND d.doc_id % 5 <> 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -762,7 +839,8 @@ object TxSourceQueries {
     "q210_tx_meta_count" -> (q210TxMetaCount _),
     "q211_tx_bucket_optimize" -> (q211TxBucketOptimize _),
     "q212_tx_part_bucket" -> (q212TxPartBucket _),
-    "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _))
+    "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _),
+    "q214_tx_dpp_mor" -> (q214TxDppMor _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -776,5 +854,6 @@ object TxSourceQueries {
     "q210_tx_meta_count" -> q210Sql,
     "q211_tx_bucket_optimize" -> q211Sql,
     "q212_tx_part_bucket" -> q212Sql,
-    "q213_tx_meta_groupby" -> q213Sql)
+    "q213_tx_meta_groupby" -> q213Sql,
+    "q214_tx_dpp_mor" -> q214Sql)
 }

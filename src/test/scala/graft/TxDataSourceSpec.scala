@@ -802,7 +802,7 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("partitionedRead refuses MoR snapshots and unpartitioned tables loudly") {
+  test("partitionedRead refuses mapped snapshots and unpartitioned tables loudly") {
     withRoot { root =>
       TxTable.commit(spark, root, docsDf(spark)) // no partitionBy
       val e1 = intercept[IllegalArgumentException](
@@ -813,11 +813,54 @@ class TxDataSourceSpec extends AnyFunSuite {
     withRoot { root =>
       TxTable.commit(spark, root, docsDf(spark),
         TxTable.Overwrite, partitionBy = Some("lang"))
-      TxTable.deleteWhere(spark, root, col("doc_id") === 0L)
+      TxTable.renameColumn(spark, root, "n_chars", "len")
       val e2 = intercept[IllegalArgumentException](
         spark.read.format("tx").option("partitionedRead", "true")
           .load(root).collect())
-      assert(e2.getMessage.contains("clean snapshot"))
+      assert(e2.getMessage.contains("unmapped snapshot"))
+    }
+  }
+
+  test("partitionedRead composes with live deletion vectors: exact rows, DPP still fires") {
+    withRoot { root =>
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      import ss.implicits._
+      TxTable.commit(ss, root,
+        docsDf(ss).repartitionByRange(6, col("lang"), col("n_chars")),
+        TxTable.Overwrite, partitionBy = Some("lang"))
+      TxTable.deleteWhere(ss, root, col("doc_id") % 4 === 0)
+      val surf = ss.read.format("tx").option("partitionedRead", "true")
+        .load(root)
+      // the anti-join applied the DVs exactly: identical to the MoR
+      // relation (the flat posture) on the same snapshot
+      val flat = ss.read.format("tx").load(root)
+      assert(surf.collect().map(_.toSeq).toSet ==
+        flat.collect().map(_.toSeq).toSet)
+      assert(surf.count() == 9L) // 12 - 3 deleted (0,4,8)
+      // and the posture's point: a dim-side filter still dynamically
+      // prunes the fact scan UNDER the DV anti-join
+      Seq(("de", "eu"), ("en", "eu"), ("zh", "asia")).toDF("lang", "region")
+        .write.mode("overwrite").parquet(s"$root-dim")
+      val dim = ss.read.parquet(s"$root-dim")
+        .filter(col("region") === "asia")
+      val joined = surf.join(dim, "lang").groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("zh", 3L))) // doc 8 (zh) deleted
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: FileSourceScanExec
+              if f.relation.location.isInstanceOf[TxFileIndex] => f }.get
+      assert(scan.toString.contains("dynamicpruning"),
+        s"no dynamic pruning on the MoR fact scan:\n$scan")
+      val scanned = scan.inputRDDs().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+        .filePartitions.iterator.flatMap(_.files)
+        .map(_.filePath.toString).distinct.size
+      val total = TxTable.currentSnapshot(root).get.files.size
+      assert(scanned < total, s"DPP dropped nothing ($scanned/$total)")
     }
   }
 
