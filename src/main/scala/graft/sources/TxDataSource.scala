@@ -333,30 +333,51 @@ object TxDataSource {
     * semantics: correctness never depends on it — batch windows come
     * from the offset log — so a missing/torn file only degrades to the
     * uncapped first batch, and IO errors are swallowed, never fatal.
+    *
+    * Resolved through the checkpoint path's OWN Hadoop [[org.apache
+    * .hadoop.fs.FileSystem]] (r16 VERDICT task 6): the metadata dir is
+    * wherever the query's checkpoint lives — `file:`-scheme, HDFS, an
+    * object store — and the previous `java.nio` local-path resolution
+    * silently degraded restart pacing to the uncapped first batch on
+    * any non-local checkpoint, exactly where a 100 TB backlog hurts.
     */
   private[sources] object DeliveredCursor {
-    private def fileOf(dir: String): java.nio.file.Path =
-      java.nio.file.Paths.get(graft.operators.TxTable.localRoot(dir),
-        "graft-delivered")
+    import org.apache.hadoop.fs.Path
+
+    private def hadoopConf: org.apache.hadoop.conf.Configuration =
+      SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
 
     def load(dir: String): Option[Long] =
       try {
-        val p = fileOf(dir)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.readString(p).trim.toLongOption
-        else None
+        val p = new Path(dir, "graft-delivered")
+        val fs = p.getFileSystem(hadoopConf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          finally in.close()
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
 
     def store(dir: String, v: Long): Unit =
       try {
-        val p = fileOf(dir)
-        java.nio.file.Files.createDirectories(p.getParent)
-        val tmp = p.resolveSibling(
+        val p = new Path(dir, "graft-delivered")
+        val fs = p.getFileSystem(hadoopConf)
+        val tmp = new Path(dir,
           s".graft-delivered-${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.writeString(tmp, v.toString)
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // advisory file: delete-then-rename is not atomic, but a reader
+        // racing the window only sees a missing cursor and degrades to
+        // the uncapped first batch — the documented failure mode
+        fs.delete(p, false)
+        fs.rename(tmp, p)
       } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -397,7 +397,11 @@ class TxDataSourceSpec extends AnyFunSuite {
       def b(lo: Long, hi: Long) =
         (lo to hi).map(i => (i, s"s$i")).toDF("id", "s")
       TxTable.commit(spark, root, b(1, 2))
-      val meta = Files.createTempDirectory("graft_txds_meta_").toString
+      // an explicitly scheme'd Hadoop path: the cursor must resolve
+      // through the checkpoint's FileSystem, not java.nio — a remote
+      // checkpoint would otherwise silently lose restart pacing
+      val metaDir = Files.createTempDirectory("graft_txds_meta_")
+      val meta = s"file:$metaDir"
       val schema = TxTable.read(spark, root).schema
       val s1 = new graft.sources.TxStreamSource(spark, root, schema,
         ignoreChanges = false, maxVersionsPerTrigger = Some(2L),
@@ -431,7 +435,9 @@ class TxDataSourceSpec extends AnyFunSuite {
       val s3 = new graft.sources.TxStreamSource(spark, root, schema,
         ignoreChanges = false, maxVersionsPerTrigger = Some(2L))
       assert(s3.getOffset.get.asInstanceOf[LongOffset].offset == 5L)
-      graft.streaming.Replay.deleteRecursively(java.nio.file.Paths.get(meta))
+      // the cursor file actually lives under the scheme'd dir
+      assert(Files.exists(metaDir.resolve("graft-delivered")))
+      graft.streaming.Replay.deleteRecursively(metaDir)
     }
   }
 
