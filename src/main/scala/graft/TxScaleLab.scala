@@ -31,7 +31,54 @@ import graft.operators.TxTable
   *   sbt -batch "runMain graft.TxScaleLab [maxFiles]"
   */
 object TxScaleLab {
+
+  /** `runMain graft.TxScaleLab parse` — the isolated manifest-PARSE
+    * curve (r17): writes synthetic head manifests with the full line
+    * mix a real partitioned stat-bearing table carries (file + stat +
+    * rows + part per file) at 10⁴/10⁵/10⁶ entries and times
+    * `snapshotAt` best-of-5. This is the term the r16 verdict called
+    * the remaining O(F) knee (~0.9 s at 10⁶ with the 14-pass
+    * filter-per-line-type parser); the single-pass parser is measured
+    * here against the same shape. No Spark session needed — the parse
+    * is driver-side java.nio.
+    */
+  private def parseLab(): Unit = {
+    val tmp = Files.createTempDirectory("graft_parselab_")
+    println(f"${"files"}%8s ${"lines"}%9s ${"bytes"}%10s ${"parse_s"}%9s")
+    Seq(10000, 100000, 1000000).foreach { f =>
+      val root = s"$tmp/t$f"
+      val dir = java.nio.file.Paths.get(root, "_manifests")
+      Files.createDirectories(dir)
+      val sb = new java.lang.StringBuilder()
+      sb.append("graft-txtable-v1\n")
+      sb.append("format 3\nts 1700000000000\nop append\n")
+      val b64 = java.util.Base64.getEncoder
+      var i = 0
+      while (i < f) {
+        val path = s"data/w-synthetic/part-$i%05d-0123.parquet"
+        sb.append(s"stat $path k ${i * 10.0} ${i * 10.0 + 9.0} 0\n")
+        sb.append(s"rows $path 1000\n")
+        sb.append(s"part $path p ").append(b64.encodeToString(
+          s"p${i % 20}".getBytes("UTF-8"))).append('\n')
+        sb.append(path).append('\n')
+        i += 1
+      }
+      sb.append("COMMIT\n")
+      val bytes = sb.toString.getBytes("UTF-8")
+      Files.write(dir.resolve("v000000000.txt"), bytes)
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val snap = TxTable.snapshotAt(root, 0L)
+        require(snap.files.size == f && snap.parts.size == f)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$f%8d ${4L * f + 5}%9d ${bytes.length}%10d ${times.min}%9.3f")
+    }
+    graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("parse")) { parseLab(); return }
     val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
