@@ -242,7 +242,11 @@ object Bench {
       // round-16: dynamic partition pruning through the surfaced
       // partitionSchema, the exchange-free hash-bucketed join, and
       // zero-scan metadata aggregates
-      "q208_tx_dpp", "q209_tx_bucket_join", "q210_tx_meta_count")
+      "q208_tx_dpp", "q209_tx_bucket_join", "q210_tx_meta_count",
+      // round-17: bucket-preserving optimize, the partition x bucket
+      // grid, metadata GROUP BY, and DPP over MoR snapshots
+      "q211_tx_bucket_optimize", "q212_tx_part_bucket",
+      "q213_tx_meta_groupby", "q214_tx_dpp_mor")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
