@@ -807,6 +807,57 @@ object TxSourceQueries {
       |WHERE dim.region IN ('amer', 'asia') AND d.doc_id % 5 <> 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  /** PARTITION-FILTERED metadata aggregates + count(col)
+    * ([[graft.plans.TxMetadataAgg]] r17 second wave): a WHERE over
+    * partition columns is CONSTANT within each file, so it keeps/drops
+    * whole files exactly and the filtered GROUP BY still answers from
+    * part × rows lines; `count(col)` answers from trusted stat null
+    * counts (rows − nulls per file) or from part lines (a recorded
+    * value ⇒ every row carries it; the null sentinel ⇒ 0 — sound
+    * because `''` refuses at commit). The frame exercises all three at
+    * once — filtered grouped counts, a stat-backed count(v) with
+    * planted nulls, and a part-backed count of the nullable partition
+    * column — under the no-relation-left guard. At 100 TB this is the
+    * dashboard query class (`WHERE lang = .. GROUP BY ..`) running
+    * entirely on kilobytes of manifest.
+    */
+  def q215TxMetaFilter(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmf_")
+    val root = s"$tmp/docs_mf"
+    TxTable.commit(s, root,
+      graft.Tables.documents(s, d).selectExpr("doc_id",
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang2",
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v"),
+      TxTable.Overwrite, partitionBy = Some("lang2"),
+      statsCols = Seq("v"))
+    def t = s.read.format("tx").load(root)
+    val grouped = t.filter(col("lang2").isNotNull)
+      .groupBy("lang2")
+      .agg(count(lit(1)).as("n_docs"), count(col("v")).as("n_vals"))
+    val global = t.agg(count(col("lang2")).as("n_nonnull_lang"))
+    val out = grouped.crossJoin(global).orderBy("lang2")
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — the filtered aggregate was " +
+        "not answered from manifest metadata")
+    offTemp(out, tmp)
+  }
+
+  val q215Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang2,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v
+      |  FROM documents)
+      |SELECT d.lang2, COUNT(*) AS n_docs, COUNT(v) AS n_vals,
+      |  (SELECT COUNT(lang2) FROM d) AS n_nonnull_lang
+      |FROM d WHERE lang2 IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -840,7 +891,8 @@ object TxSourceQueries {
     "q211_tx_bucket_optimize" -> (q211TxBucketOptimize _),
     "q212_tx_part_bucket" -> (q212TxPartBucket _),
     "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _),
-    "q214_tx_dpp_mor" -> (q214TxDppMor _))
+    "q214_tx_dpp_mor" -> (q214TxDppMor _),
+    "q215_tx_meta_filter" -> (q215TxMetaFilter _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -855,5 +907,6 @@ object TxSourceQueries {
     "q211_tx_bucket_optimize" -> q211Sql,
     "q212_tx_part_bucket" -> q212Sql,
     "q213_tx_meta_groupby" -> q213Sql,
-    "q214_tx_dpp_mor" -> q214Sql)
+    "q214_tx_dpp_mor" -> q214Sql,
+    "q215_tx_meta_filter" -> q215Sql)
 }

@@ -206,6 +206,54 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-filtered aggregates and count(col) answer from metadata") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        spark.range(0, 300L).selectExpr("id",
+          "CASE WHEN id % 3 = 0 THEN 'de' WHEN id % 3 = 1 THEN 'en' " +
+            "ELSE NULL END AS lang",
+          "IF(id % 10 = 0, NULL, id * 2) AS v"),
+        TxTable.Overwrite, partitionBy = Some("lang"),
+        statsCols = Seq("v"))
+      def t = spark.read.format("tx").load(root)
+      // WHERE over the partition column: constant within each file, so
+      // the filter keeps/drops whole files exactly — zero scans
+      val filtered = t.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(filtered),
+        s"still scans:\n${filtered.queryExecution}")
+      assert(filtered.collect().head.getLong(0) == 100L)
+      // filter + grouping compose; IS NULL keeps the sentinel group
+      val nullGroup = t.filter(col("lang").isNull)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(nullGroup))
+      assert(nullGroup.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq((null, 100L)))
+      // count(col) from trusted stat null counts (v: every 10th null)
+      val cv = t.agg(count(col("v")).as("n"))
+      assert(isMetadataAnswered(cv), s"still scans:\n${cv.queryExecution}")
+      assert(cv.collect().head.getLong(0) == 270L)
+      // count(partition col): Some => rows, null sentinel => 0
+      val cl = t.agg(count(col("lang")).as("n"))
+      assert(isMetadataAnswered(cl))
+      assert(cl.collect().head.getLong(0) == 200L)
+      // a filter over a NON-partition column still degrades to the scan
+      val nonPart = t.filter(col("v") > 100L).agg(count(lit(1)).as("n"))
+      assert(!isMetadataAnswered(nonPart))
+      assert(nonPart.collect().head.getLong(0) ==
+        t.collect().count(r => !r.isNullAt(2) && r.getLong(2) > 100L))
+      // count(col) without any metadata surface degrades (u: no stats,
+      // no part lines)
+      val root2 = s"$root-nostats"
+      TxTable.commit(spark, root2,
+        spark.range(0, 50L).selectExpr("id", "IF(id % 5 = 0, NULL, id) AS u"))
+      val cu = spark.read.format("tx").load(root2)
+        .agg(count(col("u")).as("n"))
+      assert(!isMetadataAnswered(cu))
+      assert(cu.collect().head.getLong(0) == 40L)
+    }
+  }
+
   test("concurrent enable() never loses or double-adds a rule") {
     // the three self-attaching rules share one session's
     // extraOptimizations; the attach must be a synchronized
