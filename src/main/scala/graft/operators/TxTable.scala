@@ -2270,12 +2270,35 @@ object TxTable {
       if (withDv.isEmpty) return parent.version
       val survivors = readFilesWithDvs(s, root, parent, withDv)
       val cols = statCols(Some(parent), "").filter(_.nonEmpty)
-      val clustered = cols.headOption match {
-        case Some(c) => survivors.repartitionByRange(
-          math.max(1, withDv.size), col(c))
-        case None => survivors.repartition(math.max(1, withDv.size))
+      // layout-preserving rewrite (the compactSmall r17 rule): bucketed
+      // rows re-shuffle through their own pmod(murmur3) and partitioned
+      // rows re-land IN the hive layout — a purge that stripped either
+      // would break the co-located join / surfaced read as a side effect
+      val partColsOfParent = withDv.headOption
+        .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+        .getOrElse(Seq.empty)
+      val (writtenAll, writtenParts) = parent.bucketSpec match {
+        case Some((n, bcols)) =>
+          if (partColsOfParent.nonEmpty) {
+            val fp = writeDataPartitionedBucketed(
+              s, root, survivors, partColsOfParent, bcols, n)
+            (fp.map(_._1), fp.toMap)
+          } else
+            (writeDataBucketed(s, root, survivors, bcols, n),
+              Map.empty[String, Seq[(String, Option[String])]])
+        case None if partColsOfParent.nonEmpty =>
+          val fp = writeDataPartitionedMulti(
+            s, root, survivors, partColsOfParent)
+          (fp.map(_._1), fp.toMap)
+        case None =>
+          val clustered = cols.headOption match {
+            case Some(c) => survivors.repartitionByRange(
+              math.max(1, withDv.size), col(c))
+            case None => survivors.repartition(math.max(1, withDv.size))
+          }
+          (writeData(s, root, clustered),
+            Map.empty[String, Seq[(String, Option[String])]])
       }
-      val writtenAll = writeData(s, root, clustered)
       val writtenRows = fileRows(s, root, writtenAll)
       // range partitions can come out empty — an empty part has no
       // footer stats and no rows; keep it out of the manifest entirely
@@ -2292,8 +2315,10 @@ object TxTable {
       if (tryPublish(root, parent.version + 1, keep ++ written, parent.txns,
           stats, schema = parent.schema, rowCounts = rows,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
-          checks = parent.checks, op = "purge", parts = parent.parts,
-          renames = parent.renames, deadCols = parent.deadCols))
+          checks = parent.checks, op = "purge",
+          parts = parent.parts ++ writtenParts,
+          renames = parent.renames, deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec))
         committed = parent.version + 1
     }
     committed

@@ -151,15 +151,24 @@ class TxBucketSpec extends AnyFunSuite {
         TxTable.commit(spark, root, df(spark, 10), TxTable.Append,
           bucketBy = Some(("k", 8))))
       assert(e2.getMessage.contains("layout"))
-      // an ARBITRARY row-moving rewrite (purge after a MoR delete) DROPS
-      // the declaration — reads degrade to a plain scan, still exact.
-      // (optimize no longer drops it: it re-buckets through the same
-      // hash — see the bucket-preserving optimize test)
+      // MoR delete moves no row and purge re-buckets through the same
+      // hash — BOTH preserve the declaration (r17)
       TxTable.deleteWhere(spark, root, col("k") === 7L)
       assert(TxTable.currentSnapshot(root).get.bucketSpec
         .contains((4, Seq("k"))), "a MoR delete moves no row: layout holds")
       TxTable.purgeDeletes(spark, root)
-      assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "purge re-buckets its rewrite: holds")
+      assert(TxTable.currentSnapshot(root).get.dvs.isEmpty)
+      assert(spark.read.format("tx").load(root).count() == 399L)
+      // an ARBITRARY row-moving rewrite (a CoW merge bins updated rows
+      // into fresh unbucketed files) DROPS the declaration — reads
+      // degrade to a plain scan, still exact
+      import spark.implicits._
+      TxTable.mergeByKey(spark, root,
+        Seq((3L, 777L)).toDF("k", "v"), Seq("k"))
+      assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty,
+        "a CoW merge cannot prove the layout — it must drop it")
       assert(spark.read.format("tx").load(root).count() == 399L)
       // and the now-unbucketed table refuses a bucketed append (mixed
       // layout would resurrect a stale promise)
@@ -313,9 +322,13 @@ class TxBucketSpec extends AnyFunSuite {
       }
       // partition axis: a lang filter prunes whole directories (through
       // the surfaced posture it is a real partitionFilter)
+      // (count() alone would now answer from metadata with ZERO scans —
+      // the r17 filtered TxMetadataAgg — so probe with a sum, which must
+      // read rows and therefore exercises the partition-filter prune)
       val surf = ss.read.format("tx").option("partitionedRead", "true")
         .load(root).filter(col("lang") === "en")
-      assert(surf.count() == 300L)
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      assert(surf.collect().head.getLong(0) == 300L)
       val idx = surf.queryExecution.sparkPlan.collectLeaves().collectFirst {
         case f: FileSourceScanExec
             if f.relation.location.isInstanceOf[graft.sources.TxFileIndex] =>

@@ -561,10 +561,13 @@ class TxDataSourceSpec extends AnyFunSuite {
       assert(TxTable.read(spark, root).count() == 10L)
       val snap = TxTable.currentSnapshot(root).get
       assert(snap.files.forall(f => snap.parts(f).exists(_._1 == "lang")))
-      // the sink's layout serves the reader's pruning
+      // the sink's layout serves the reader's pruning (count() alone
+      // would now answer from metadata with zero scans — probe with a
+      // sum so the partition prune actually runs)
       val read = spark.read.format("tx").load(root)
         .filter(col("lang") === "de")
-      assert(read.count() == 5L)
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+      assert(read.collect().head.getLong(0) == 5L)
       assert(scanIndex(read).lastPruned.get.size < snap.files.size)
     }
   }
