@@ -246,7 +246,7 @@ object Bench {
       // round-17: bucket-preserving optimize, the partition x bucket
       // grid, metadata GROUP BY, and DPP over MoR snapshots
       "q211_tx_bucket_optimize", "q212_tx_part_bucket",
-      "q213_tx_meta_groupby", "q214_tx_dpp_mor")
+      "q213_tx_meta_groupby", "q214_tx_dpp_mor", "q215_tx_meta_filter")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

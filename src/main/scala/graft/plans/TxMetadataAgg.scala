@@ -216,8 +216,21 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       case a: AggregateExpression => a
       case _ => return None
     }
-    if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete)
+    if (ae.filter.nonEmpty || ae.mode != Complete)
       return None
+    if (ae.isDistinct) return ae.aggregateFunction match {
+      // COUNT(DISTINCT partCol): the distinct non-null values are
+      // recorded VERBATIM in the part lines — every row carries its
+      // file's value, so the value set over candidate files is exact
+      // (and nothing else distinct is metadata-derivable)
+      case Count(Seq(a: AttributeReference))
+          if roundTrips(a.dataType) && files.nonEmpty &&
+            files.forall(f => snap.parts.getOrElse(f, Seq.empty)
+              .exists(_._1 == a.name)) =>
+        Some(files.flatMap(f => partValue(snap, f, a)).distinct.size.toLong)
+      case Count(Seq(a: AttributeReference)) if files.isEmpty => Some(0L)
+      case _ => None
+    }
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => rowCount(snap, files)
       case Count(Seq()) => rowCount(snap, files)

@@ -835,7 +835,10 @@ object TxSourceQueries {
     val grouped = t.filter(col("lang2").isNotNull)
       .groupBy("lang2")
       .agg(count(lit(1)).as("n_docs"), count(col("v")).as("n_vals"))
-    val global = t.agg(count(col("lang2")).as("n_nonnull_lang"))
+    val global = t.agg(count(col("lang2")).as("n_nonnull_lang"),
+      // COUNT(DISTINCT partCol): the distinct values ARE the recorded
+      // part values — zero scans
+      countDistinct(col("lang2")).as("n_langs"))
     val out = grouped.crossJoin(global).orderBy("lang2")
     val leftovers = out.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -854,7 +857,8 @@ object TxSourceQueries {
       |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v
       |  FROM documents)
       |SELECT d.lang2, COUNT(*) AS n_docs, COUNT(v) AS n_vals,
-      |  (SELECT COUNT(lang2) FROM d) AS n_nonnull_lang
+      |  (SELECT COUNT(lang2) FROM d) AS n_nonnull_lang,
+      |  (SELECT COUNT(DISTINCT lang2) FROM d) AS n_langs
       |FROM d WHERE lang2 IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

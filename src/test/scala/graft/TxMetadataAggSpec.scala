@@ -242,6 +242,19 @@ class TxMetadataAggSpec extends AnyFunSuite {
       assert(!isMetadataAnswered(nonPart))
       assert(nonPart.collect().head.getLong(0) ==
         t.collect().count(r => !r.isNullAt(2) && r.getLong(2) > 100L))
+      // COUNT(DISTINCT partCol): the distinct values ARE the part
+      // values; nulls excluded; composes with the partition filter
+      val cd = t.agg(countDistinct(col("lang")).as("n"))
+      assert(isMetadataAnswered(cd), s"still scans:\n${cd.queryExecution}")
+      assert(cd.collect().head.getLong(0) == 2L) // de, en (null excluded)
+      val cdf = t.filter(col("lang") === "en")
+        .agg(countDistinct(col("lang")).as("n"))
+      assert(isMetadataAnswered(cdf))
+      assert(cdf.collect().head.getLong(0) == 1L)
+      // DISTINCT over a non-partition column must see values
+      val cdv = t.agg(countDistinct(col("v")).as("n"))
+      assert(!isMetadataAnswered(cdv))
+      assert(cdv.collect().head.getLong(0) == 270L)
       // count(col) without any metadata surface degrades (u: no stats,
       // no part lines)
       val root2 = s"$root-nostats"
