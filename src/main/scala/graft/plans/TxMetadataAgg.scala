@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
 
 import graft.operators.TxTable
-import graft.sources.TxBatchRelation
+import graft.sources.{TxBatchRelation, TxMorRelation}
 
 /** Optimizer rule: answer UNFILTERED metadata-derivable aggregates over
   * a clean tx snapshot from the manifest alone — zero Spark jobs, zero
@@ -33,12 +33,25 @@ import graft.sources.TxBatchRelation
   * is not a fully-part-covered column of a round-trippable type
   * refuses.
   *
+  * MoR snapshots (r17 third wave): a snapshot with LIVE deletion
+  * vectors routes to [[TxMorRelation]], and the rule now answers there
+  * too — restricted to what stays exact under in-place row deletion.
+  * `deleteWhere` keeps per-file DV counts DISJOINT (positions already
+  * deleted are anti-joined out before a new DV publishes), so a file's
+  * live row count is exactly `rows − Σ dvCounts` — COUNT(*) and every
+  * part-line-derived answer (a file's recorded part value holds for its
+  * live rows as long as ANY survive) carry over with `rows` replaced by
+  * `live`. What CANNOT carry over refuses: stat-fold MIN/MAX (the
+  * extreme row may be among the deleted), stat-null count(col) (the
+  * deleted rows' null-ness is unrecorded), and any grouped row whose
+  * group went fully dead emits NOTHING (a real scan's GROUP BY has no
+  * row to group). Column-mapped snapshots still refuse (stat/part
+  * lookups are name-keyed; purge-first remains the contract).
+  *
   * Soundness gates — every one required, no-op otherwise:
-  *   - the scan is a [[TxBatchRelation]] (the CLEAN-snapshot shape: the
-  *     connector routes snapshots with live deletion vectors or a
-  *     column mapping to TxMorRelation, which this rule never matches —
-  *     manifest metadata predates MoR deletes, so answering from it
-  *     there would resurrect deleted rows);
+  *   - the scan is a [[TxBatchRelation]] (the CLEAN-snapshot shape) or
+  *     a mapping-free [[TxMorRelation]] (DVs only — answers then come
+  *     from LIVE counts as above; a column mapping refuses);
   *   - NOTHING stands between the aggregate and the scan but pure
   *     column-pruning Projects and Filters whose every referenced
   *     column is part-covered ([[filterFiles]] — the predicate is
@@ -75,32 +88,60 @@ import graft.sources.TxBatchRelation
   */
 object TxMetadataAgg extends Rule[LogicalPlan] {
 
+  /** The matched source: a pinned snapshot plus whether answers must be
+    * DV-restricted. When `morLive`, [[live]] is total for every file
+    * (gated in [[apply]]) and all folds run on live counts / live files.
+    */
+  private final case class Src(snap: TxTable.Snapshot, morLive: Boolean) {
+    /** Live rows of `f`: the rows line minus the file's disjoint DV
+      * counts ([[TxTable.deleteWhere]] anti-joins already-deleted
+      * positions out before publishing, so the subtraction is exact).
+      * None when the manifest can't say (no rows line, or corrupt
+      * counts exceeding the file).
+      */
+    def live(f: String): Option[Long] =
+      snap.rowCounts.get(f).map(_ - snap.dvs.getOrElse(f, Seq.empty)
+        .map(_._2).sum).filter(_ >= 0L)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groups, exprs, child, _)
         if groups.forall(_.isInstanceOf[AttributeReference]) =>
       txSnapshot(child) match {
-        case Some((snap, conds)) =>
+        // a MoR source answers only when EVERY file's live count is
+        // derivable — one gate here keeps every downstream fold total
+        case Some((src, conds))
+            if !src.morLive ||
+              src.snap.files.forall(f => src.live(f).isDefined) =>
           val groupAttrs = groups.map(_.asInstanceOf[AttributeReference])
-          filterFiles(snap, conds).flatMap(files =>
-            answerAggregate(agg, groupAttrs, exprs, snap, files))
+          filterFiles(src.snap, conds).flatMap(files =>
+            answerAggregate(agg, groupAttrs, exprs, src, files))
             .getOrElse(agg)
-        case None => agg
+        case _ => agg
       }
   }
 
   /** The pinned snapshot IF `p` is nothing but a (possibly
     * column-pruned, possibly partition-filtered) scan of a clean tx
-    * snapshot — Filter conditions collect for [[filterFiles]].
+    * snapshot or a mapping-free MoR one — Filter conditions collect for
+    * [[filterFiles]].
     */
   private def txSnapshot(p: LogicalPlan)
-      : Option[(TxTable.Snapshot, Seq[Expression])] =
+      : Option[(Src, Seq[Expression])] =
     p match {
       case Project(projs, inner)
           if projs.forall(_.isInstanceOf[Attribute]) => txSnapshot(inner)
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, inner) =>
         txSnapshot(inner).map { case (s, cs) => (s, cond +: cs) }
       case lr: LogicalRelation => lr.relation match {
-        case tx: TxBatchRelation => Some((tx.snapshot, Nil))
+        case tx: TxBatchRelation => Some((Src(tx.snapshot, false), Nil))
+        case mor: TxMorRelation =>
+          val snap = mor.snapshot
+          // a column mapping re-keys every stat/part lookup — refuse
+          // (purge-first); DVs-only is the answerable MoR class
+          if (snap.renames.isEmpty && snap.deadCols.isEmpty)
+            Some((Src(snap, snap.dvs.nonEmpty), Nil))
+          else None
         case _ => None
       }
       case _ => None
@@ -148,8 +189,9 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     */
   private def answerAggregate(agg: Aggregate,
       groupAttrs: Seq[AttributeReference], exprs: Seq[NamedExpression],
-      snap: TxTable.Snapshot, candidateFiles: Seq[String])
+      src: Src, candidateFiles: Seq[String])
       : Option[LogicalPlan] = {
+    val snap = src.snap
     if (exprs.isEmpty) return None
     // grouping columns must be part-covered and round-trippable
     if (!groupAttrs.forall(a => roundTrips(a.dataType) && partCovered(snap, a)))
@@ -160,8 +202,13 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
         candidateFiles
           .groupBy(f => groupAttrs.map(a => partValue(snap, f, a)))
           .toSeq.sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
-    val rows = groups.map { case (key, files) =>
-      val values = exprs.map(answer(_, snap, files, groupAttrs, key))
+    // a group whose every row was MoR-deleted emits NOTHING — a real
+    // scan's GROUP BY never sees it (the global one-row case stays)
+    val liveGroups =
+      if (!src.morLive || groupAttrs.isEmpty) groups
+      else groups.filterNot(_._2.flatMap(src.live).sum == 0L)
+    val rows = liveGroups.map { case (key, files) =>
+      val values = exprs.map(answer(_, src, files, groupAttrs, key))
       if (values.exists(_.isEmpty)) return None
       InternalRow.fromSeq(values.map(_.get))
     }
@@ -198,9 +245,10 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     * None refuses the whole rewrite. Some(null) is a real answer
     * (MIN/MAX of an all-null group).
     */
-  private def answer(e: NamedExpression, snap: TxTable.Snapshot,
+  private def answer(e: NamedExpression, src: Src,
       files: Seq[String], groupAttrs: Seq[AttributeReference],
       key: Seq[Option[String]]): Option[Any] = {
+    val snap = src.snap
     def keyValue(a: AttributeReference): Option[Any] = {
       val i = groupAttrs.indexWhere(_.exprId == a.exprId)
       if (i < 0) None
@@ -218,6 +266,10 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     }
     if (ae.filter.nonEmpty || ae.mode != Complete)
       return None
+    // under live DVs, a file contributes its part value ONLY while any
+    // of its rows survive — fully-deleted files hold no live evidence
+    def valueBearing(fs: Seq[String]): Seq[String] =
+      if (!src.morLive) fs else fs.filter(f => src.live(f).exists(_ > 0L))
     if (ae.isDistinct) return ae.aggregateFunction match {
       // COUNT(DISTINCT partCol): the distinct non-null values are
       // recorded VERBATIM in the part lines — every row carries its
@@ -227,16 +279,17 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
           if roundTrips(a.dataType) && files.nonEmpty &&
             files.forall(f => snap.parts.getOrElse(f, Seq.empty)
               .exists(_._1 == a.name)) =>
-        Some(files.flatMap(f => partValue(snap, f, a)).distinct.size.toLong)
+        Some(valueBearing(files).flatMap(f => partValue(snap, f, a))
+          .distinct.size.toLong)
       case Count(Seq(a: AttributeReference)) if files.isEmpty => Some(0L)
       case _ => None
     }
     ae.aggregateFunction match {
-      case Count(Seq(Literal(v, _))) if v != null => rowCount(snap, files)
-      case Count(Seq()) => rowCount(snap, files)
-      case Count(Seq(a: AttributeReference)) => nonNullCount(snap, files, a)
-      case Min(a: AttributeReference) => extreme(snap, files, a, isMin = true)
-      case Max(a: AttributeReference) => extreme(snap, files, a, isMin = false)
+      case Count(Seq(Literal(v, _))) if v != null => rowCount(src, files)
+      case Count(Seq()) => rowCount(src, files)
+      case Count(Seq(a: AttributeReference)) => nonNullCount(src, files, a)
+      case Min(a: AttributeReference) => extreme(src, files, a, isMin = true)
+      case Max(a: AttributeReference) => extreme(src, files, a, isMin = false)
       case _ => None
     }
   }
@@ -249,15 +302,23 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     * the rewrite — count(col) must see nulls, exactly the gate the
     * global rule always had, now answered where the metadata CAN say.
     */
-  private def nonNullCount(snap: TxTable.Snapshot, files: Seq[String],
+  private def nonNullCount(src: Src, files: Seq[String],
       a: AttributeReference): Option[Any] = {
+    val snap = src.snap
     var total = 0L
     files.foreach { f =>
-      val rows = snap.rowCounts.get(f).getOrElse(return None)
-      val fromStat = snap.stats.getOrElse(f, Seq.empty)
-        .find(_._1 == a.name).collect {
-          case (_, _, _, nn) if nn >= 0L => rows - nn
-        }
+      val rows =
+        if (src.morLive) src.live(f).getOrElse(return None)
+        else snap.rowCounts.get(f).getOrElse(return None)
+      // stat null counts describe the file AS WRITTEN — under live DVs
+      // the deleted rows' null-ness is unrecorded, so only the
+      // part-value branch (constant across every surviving row) answers
+      val fromStat =
+        if (src.morLive) None
+        else snap.stats.getOrElse(f, Seq.empty)
+          .find(_._1 == a.name).collect {
+            case (_, _, _, nn) if nn >= 0L => rows - nn
+          }
       val fromPart = snap.parts.getOrElse(f, Seq.empty).collectFirst {
         case (c, v) if c == a.name => if (v.isDefined) rows else 0L
       }
@@ -266,11 +327,13 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     Some(total)
   }
 
-  private def rowCount(snap: TxTable.Snapshot,
-      files: Seq[String]): Option[Any] =
+  private def rowCount(src: Src, files: Seq[String]): Option[Any] =
     if (files.isEmpty) Some(0L)
-    else if (files.forall(snap.rowCounts.contains))
-      Some(files.iterator.map(snap.rowCounts).sum)
+    else if (src.morLive) {
+      val live = files.map(src.live)
+      if (live.exists(_.isEmpty)) None else Some(live.flatten.sum)
+    } else if (files.forall(src.snap.rowCounts.contains))
+      Some(files.iterator.map(src.snap.rowCounts).sum)
     else None
 
   /** MIN/MAX over a file group: the stat-line fold when every file
@@ -278,10 +341,16 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     * column is partition-covered (exact for every round-trip type,
     * STRINGS included — the one extreme stat lines cannot express).
     */
-  private def extreme(snap: TxTable.Snapshot, files: Seq[String],
+  private def extreme(src: Src, files: Seq[String],
       a: AttributeReference, isMin: Boolean): Option[Any] =
-    statExtreme(snap, files, a, isMin)
-      .orElse(partExtreme(snap, files, a, isMin))
+    if (src.morLive)
+      // a stat range describes the file AS WRITTEN — its extreme row may
+      // be among the deleted; only part values (constant across every
+      // surviving row) answer, and only over files with live rows
+      partExtreme(src.snap,
+        files.filter(f => src.live(f).exists(_ > 0L)), a, isMin)
+    else statExtreme(src.snap, files, a, isMin)
+      .orElse(partExtreme(src.snap, files, a, isMin))
 
   private val ExactLimit = 9007199254740992d // 2^53
 

@@ -268,6 +268,12 @@ final class TxMorRelation(spark: SparkSession, root: String,
     */
   val index = new TxFileIndex(root, snap0)
 
+  /** The pinned snapshot — the seam [[graft.plans.TxMetadataAgg]]
+    * consults for DV-restricted metadata answers (via the index so an
+    * INSERT's repin is visible, mirroring [[TxBatchRelation.snapshot]]).
+    */
+  private[graft] def snapshot: TxTable.Snapshot = index.snap
+
   override def sqlContext: SQLContext = spark.sqlContext
 
   override val schema: StructType =

@@ -862,6 +862,64 @@ object TxSourceQueries {
       |FROM d WHERE lang2 IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** METADATA aggregates over a LIVE-DV MoR snapshot
+    * ([[graft.plans.TxMetadataAgg]] r17 third wave): `deleteWhere`
+    * keeps per-file DV counts disjoint, so a file's live row count is
+    * exactly `rows − Σ dvCounts` — COUNT(*), partition-filtered and
+    * grouped counts, COUNT(DISTINCT partCol) and the part-value string
+    * extremes all still answer with ZERO scans after a delete, with
+    * `rows` replaced by `live` and fully-deleted files/groups excluded
+    * (the whole `zh` partition dies here, so MAX(lang) must step back
+    * to a surviving value and the `zh` group must vanish — a stale
+    * as-written answer would hash-fail). Stat-derived answers refuse
+    * under DVs (the extreme/null rows may be among the deleted), so
+    * everything this frame reports is exact, not approximate. At 100 TB
+    * this keeps the dashboard query class on the kilobyte-manifest path
+    * through the routine MoR delete cycle instead of losing it until a
+    * purge. The oracle recomputes everything from raw rows with the
+    * deletes excluded arithmetically.
+    */
+  def q216TxMetaMor(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmm_")
+    val root = s"$tmp/docs_mm"
+    TxTable.commit(s, root,
+      graft.Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    TxTable.deleteWhere(s, root,
+      col("lang") === "zh" || pmod(col("doc_id"), lit(3)) === 0L)
+    require(TxTable.currentSnapshot(root).get.dvs.nonEmpty,
+      "the delete left no deletion vectors — the MoR premise is gone")
+    def t = s.read.format("tx").load(root)
+    val grouped = t.filter(col("lang") =!= "de").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), count(col("lang")).as("n_langref"))
+    val global = t.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"),
+      min("lang").as("first_lang"), max("lang").as("last_lang"))
+    val out = grouped.crossJoin(global).orderBy("lang")
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — the MoR aggregate was " +
+        "not answered from manifest metadata")
+    offTemp(out, tmp)
+  }
+
+  val q216Sql: String =
+    """WITH live AS (
+      |  SELECT * FROM documents
+      |  WHERE NOT (lang = 'zh' OR doc_id % 3 = 0))
+      |SELECT l.lang, COUNT(*) AS n_docs, COUNT(lang) AS n_langref,
+      |  (SELECT COUNT(*) FROM live) AS n_total,
+      |  (SELECT COUNT(DISTINCT lang) FROM live) AS n_langs,
+      |  (SELECT MIN(lang) FROM live) AS first_lang,
+      |  (SELECT MAX(lang) FROM live) AS last_lang
+      |FROM live l WHERE lang <> 'de'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -896,7 +954,8 @@ object TxSourceQueries {
     "q212_tx_part_bucket" -> (q212TxPartBucket _),
     "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _),
     "q214_tx_dpp_mor" -> (q214TxDppMor _),
-    "q215_tx_meta_filter" -> (q215TxMetaFilter _))
+    "q215_tx_meta_filter" -> (q215TxMetaFilter _),
+    "q216_tx_meta_mor" -> (q216TxMetaMor _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -912,5 +971,6 @@ object TxSourceQueries {
     "q212_tx_part_bucket" -> q212Sql,
     "q213_tx_meta_groupby" -> q213Sql,
     "q214_tx_dpp_mor" -> q214Sql,
-    "q215_tx_meta_filter" -> q215Sql)
+    "q215_tx_meta_filter" -> q215Sql,
+    "q216_tx_meta_mor" -> q216Sql)
 }

@@ -107,12 +107,67 @@ class TxMetadataAggSpec extends AnyFunSuite {
       val grouped = t.groupBy("g").agg(count(lit(1)).as("n"))
       assert(!isMetadataAnswered(grouped))
       assert(grouped.count() == 6L)
-      // a MoR delete routes to TxMorRelation — the rule never matches,
-      // so the count reflects the DELETED state, not the stale manifest
+      // a MoR delete routes to TxMorRelation — COUNT(*) still answers
+      // (r17 third wave), from LIVE counts: rows lines minus the
+      // disjoint per-file DV counts, never the stale as-written number
       TxTable.deleteWhere(spark, root, col("id") < 10L)
       val afterDelete = t.agg(count(lit(1)).as("n"))
-      assert(!isMetadataAnswered(afterDelete))
+      assert(isMetadataAnswered(afterDelete),
+        s"still scans:\n${afterDelete.queryExecution}")
       assert(afterDelete.collect().head.getLong(0) == 90L)
+    }
+  }
+
+  test("MoR snapshots answer live counts and part-value folds; stat-derived answers degrade") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        spark.range(0, 100L).selectExpr("id",
+          "CASE WHEN id < 40 THEN 'a' WHEN id < 80 THEN 'b' ELSE 'c' END AS g",
+          "id * 2 AS v"),
+        partitionBy = Some("g"), statsCols = Seq("v"))
+      // kill ALL of partition c, plus a sprinkle of a/b
+      TxTable.deleteWhere(spark, root,
+        col("g") === "c" || pmod(col("id"), lit(10)) === 0L)
+      assert(TxTable.currentSnapshot(root).get.dvs.nonEmpty)
+      def t = spark.read.format("tx").load(root)
+      // live COUNT(*): 100 - 20 (c) - 8 (a/b multiples of 10) = 72
+      val cnt = t.agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(cnt), s"still scans:\n${cnt.queryExecution}")
+      assert(cnt.collect().head.getLong(0) == 72L)
+      // grouped: the fully-deleted c group emits NOTHING (a real scan
+      // has no row to group); a/b report live counts
+      val grouped = t.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+      assert(isMetadataAnswered(grouped))
+      assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 36L), ("b", 36L)))
+      // part-value folds exclude dead files: MAX(g) is b, not c; the
+      // distinct value set shrinks the same way; count(g) = live rows
+      val folds = t.agg(min("g").as("lo"), max("g").as("hi"),
+        countDistinct(col("g")).as("nd"), count(col("g")).as("nn"))
+      assert(isMetadataAnswered(folds))
+      assert(folds.collect().head.toSeq == Seq("a", "b", 2L, 72L))
+      // filtered by the partition column still answers, on live counts
+      val filtered = t.filter(col("g") =!= "a").agg(count(lit(1)).as("n"))
+      assert(isMetadataAnswered(filtered))
+      assert(filtered.collect().head.getLong(0) == 36L)
+      // stat-derived answers must SEE the deleted rows: both degrade to
+      // the scan (the extreme/null rows may be among the deleted)
+      val statMm = t.agg(max("v").as("hi"))
+      assert(!isMetadataAnswered(statMm))
+      assert(statMm.collect().head.getLong(0) == 158L) // max LIVE id is 79
+    }
+  }
+
+  test("a column-mapped MoR snapshot refuses metadata answers") {
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        spark.range(0, 50L).selectExpr("id", "id % 5 AS g"))
+      TxTable.deleteWhere(spark, root, col("id") < 5L)
+      TxTable.renameColumn(spark, root, "g", "h")
+      val cnt = spark.read.format("tx").load(root)
+        .agg(count(lit(1)).as("n"))
+      assert(!isMetadataAnswered(cnt))
+      assert(cnt.collect().head.getLong(0) == 45L)
     }
   }
 
