@@ -204,6 +204,14 @@ object Engine {
           val s = SparkSession.active
           receipt(s, s"restore:${lng(es(1))}",
             graft.operators.TxTable.restore(s, str(es.head), lng(es(1))))
+        }),
+      ("tx_clone",
+        "tx_clone(sourceRoot, targetRoot[, versionAsOf]) - zero-copy SHALLOW CLONE (one manifest write, no data bytes move); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"clone:${str(es.head)}",
+            graft.operators.TxTable.clone(s, str(es.head), str(es(1)),
+              if (es.size > 2) Some(lng(es(2))) else None))
         }))
   }
 

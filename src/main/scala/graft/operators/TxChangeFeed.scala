@@ -82,7 +82,8 @@ object TxChangeFeed {
         if (added.isEmpty) None
         else Some(withMeta(TxTable.projectLogical(snap,
           s.read.option("mergeSchema", "true")
-            .parquet(added.map(f => s"$root/$f"): _*)), lit("insert"), v))
+            .parquet(added.map(f =>
+              TxTable.absFile(root, f)): _*)), lit("insert"), v))
       case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
       // rename/drop are metadata-only (no files move): no change rows —
       // later versions' rows simply arrive under the new logical names
@@ -107,10 +108,10 @@ object TxChangeFeed {
     }
     if (touched.isEmpty) return None
     val dvFiles = touched.flatMap(_._2).distinct
-    val dv = s.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+    val dv = s.read.parquet(dvFiles.map(f => TxTable.absFile(root, f)): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val base = s.read.option("mergeSchema", "true")
-      .parquet(touched.map(t => s"$root/${t._1}"): _*)
+      .parquet(touched.map(t => TxTable.absFile(root, t._1)): _*)
       .withColumn("__rel", concat(lit("data/"),
         substring_index(col("_metadata.file_path"), "/data/", -1)))
       .withColumn("__pos", col("_metadata.row_index"))

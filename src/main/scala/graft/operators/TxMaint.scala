@@ -601,7 +601,57 @@ object TxMaint {
       |WHERE n_chars >= 200 AND n_chars <= 600
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q217
+  // Zero-copy CLONE (Delta's SHALLOW CLONE): the source publishes orders
+  // in two commits, the clone's v0 is ONE manifest write referencing the
+  // source's files absolutely (format 7, no data bytes move — at 100 TB
+  // a dev/test fork of the production table costs kilobytes), then the
+  // histories diverge: a MoR delete DVs the FOREIGN files (row identity
+  // is root-independent, so the dv keying survives the clone) and
+  // purgeDeletes materializes the survivors into the clone's own root —
+  // after which the SOURCE still answers its full, untouched content.
+  // Both sides' aggregates restate in plain SQL over orders.
+  def q217TxClone(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txclone_")
+    val src = s"$tmp/orders_src"
+    val cln = s"$tmp/orders_fork"
+    val orders = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    TxTable.commit(s, src, orders.filter(col("o_orderkey") % 2 === 0),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"))
+    TxTable.commit(s, src, orders.filter(col("o_orderkey") % 2 =!= 0),
+      TxTable.Append)
+    TxTable.clone(s, src, cln)
+    // diverge the fork only: drop open orders, then materialize
+    TxTable.deleteWhere(s, cln, col("o_orderstatus") === "O")
+    TxTable.purgeDeletes(s, cln)
+    def side(root: String, name: String) =
+      TxTable.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .select(lit(name).as("side"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    val out = side(src, "src").unionAll(side(cln, "fork"))
+      .orderBy("side", "o_orderstatus")
+    offTemp(out, tmp)
+  }
+
+  val q217Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'src' AS side, o_orderstatus, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_price
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'fork' AS side, o_orderstatus, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS total_price
+      |  FROM orders WHERE NOT (o_orderstatus = 'O') GROUP BY 2
+      |) ORDER BY side, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_tx_clone" -> (q217TxClone _),
     "q205_tx_column_map" -> (q205TxColumnMap _),
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
     "q178_tx_bloom_lookup" -> (q178TxBloomLookup _),
@@ -618,6 +668,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q217_tx_clone" -> q217Sql,
     "q205_tx_column_map" -> q205Sql,
     "q177_tx_delete_mor" -> q177Sql,
     "q178_tx_bloom_lookup" -> q178Sql,

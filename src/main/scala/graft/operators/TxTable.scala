@@ -93,8 +93,15 @@ object TxTable {
     * too old to know buckets could append unbucketed files and corrupt
     * the co-location contract newer readers plan exchange-free joins
     * on; unbucketed tables never declare it.
+    * Format 7 marks FOREIGN file references — absolute (leading-`/`)
+    * file/dv entries a [[clone]] leaves pointing into its source's
+    * root. Ratcheted because an older reader's strict line validation
+    * would reject the absolute lines as corrupt (correct, but the
+    * format error names the real cause); declared ONLY while a manifest
+    * actually references foreign files, so a clone that [[optimize]]
+    * fully materializes ratchets back DOWN on its next publish.
     */
-  private val SupportedFormat = 6
+  private val SupportedFormat = 7
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -212,6 +219,42 @@ object TxTable {
   private def localPath(root: String, rel: String): JPath =
     Paths.get(localRoot(root), rel)
 
+  /** Resolve a manifest file entry to a readable path: entries are
+    * root-relative (`data/...`) for files this table wrote itself, or
+    * ABSOLUTE (leading `/`, manifest format 7) for foreign files a
+    * [[clone]] references in its source table's root — zero bytes
+    * copied, the Delta/Iceberg shallow-clone shape. ONE seam so every
+    * read path resolves both spellings identically; any new consumer of
+    * `Snapshot.files`/`Snapshot.dvs` MUST go through it (a raw
+    * `s"$root/$f"` silently misreads a clone).
+    */
+  private[graft] def absFile(root: String, f: String): String =
+    if (f.startsWith("/")) f else s"$root/$f"
+
+  /** [[absFile]] for driver-side java.nio access (sizing, existence):
+    * `Paths.get(base, abs)` CONCATENATES instead of resolving, so
+    * absolute entries must bypass the root join.
+    */
+  private def dataPath(root: String, f: String): JPath =
+    if (f.startsWith("/")) Paths.get(f) else localPath(root, f)
+
+  /** Root-independent row identity of a manifest file entry — what the
+    * scan side's `concat("data/", substring_index(_metadata.file_path,
+    * "/data/", -1))` derivation produces (data files always live
+    * directly under SOME table's `<root>/data/`, and write-dir UUIDs
+    * make the suffix unique across roots). For a clone's foreign
+    * entries this is the SOURCE's relative spelling, which is exactly
+    * why DV blobs keep matching across a clone: both sides derive the
+    * same suffix from the same physical file.
+    */
+  private[graft] def identityOf(f: String): String =
+    if (!f.startsWith("/")) f
+    else {
+      val i = f.lastIndexOf("/data/")
+      require(i >= 0, s"absolute manifest entry '$f' is not under a data/ dir")
+      f.substring(i + 1)
+    }
+
   private def manifestDir(root: String): JPath =
     localPath(root, "_manifests")
   private def manifestPath(root: String, v: Long): JPath =
@@ -286,6 +329,7 @@ object TxTable {
       val l = lines.get(i)
       // dispatch ordered by expected line frequency at scale
       if (l.startsWith("data/")) files += l
+      else if (l.startsWith("/") && format >= 7) files += l // clone: foreign
       else if (l.startsWith(StatPrefix)) {
         val (path, Array(c, mn, mx, nn)) =
           splitPathLine(l.substring(StatPrefix.length), 4)
@@ -463,14 +507,14 @@ object TxTable {
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
     val base = s.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$root/$f"): _*)
+      .parquet(files.map(f => absFile(root, f)): _*)
     val dvFiles = files.flatMap(f =>
       snap.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
     if (dvFiles.isEmpty) projectLogical(snap, base)
     else projectLogical(snap, {
       // dv blobs may carry entries for files outside this subset — those
       // reference paths not being scanned, so the anti-join ignores them
-      val dv = s.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+      val dv = s.read.parquet(dvFiles.map(f => absFile(root, f)): _*)
         .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
       val withMeta = base
         .withColumn("__rel", concat(lit("data/"),
@@ -535,7 +579,7 @@ object TxTable {
     val added = end.files.filterNot(base.contains)
     if (added.isEmpty) read(s, root).limit(0)
     else projectLogical(end, s.read.option("mergeSchema", "true")
-      .parquet(added.map(f => s"$root/$f"): _*))
+      .parquet(added.map(f => absFile(root, f)): _*))
   }
 
   /** [[readChanges]] restricted to partition values: the (fromV, toV]
@@ -565,7 +609,7 @@ object TxTable {
     val df =
       if (added.isEmpty) read(s, root).limit(0)
       else s.read.option("mergeSchema", "true")
-        .parquet(added.map(f => s"$root/$f"): _*)
+        .parquet(added.map(f => absFile(root, f)): _*)
     df.filter(col(partCol).isInCollection(values))
   }
 
@@ -826,7 +870,7 @@ object TxTable {
     relFiles.flatMap { rel =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$root/$rel"), hconf))
+          new org.apache.hadoop.fs.Path(absFile(root, rel)), hconf))
       try {
         val blocks = scala.jdk.CollectionConverters
           .ListHasAsScala(r.getFooter.getBlocks).asScala.toSeq
@@ -1206,7 +1250,7 @@ object TxTable {
     relFiles.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$root/$f"), hconf))
+          new org.apache.hadoop.fs.Path(absFile(root, f)), hconf))
       try f -> r.getRecordCount finally r.close()
     }.toMap
   }
@@ -1289,9 +1333,16 @@ object TxTable {
     // table keeps its time axis where mtime would lie); part lines
     // alone demanded 3, format-2 carried op at minimum, pre-format
     // manifests parse as 1 on the read side
-    // column mapping alone ratchets to 5 — unmapped tables stay 4
+    // column mapping alone ratchets to 5 — unmapped tables stay 4;
+    // foreign (absolute) file/dv references — a clone still pointing
+    // into its source's root — ratchet to 7, and drop back the moment a
+    // rewrite materializes the last foreign byte (fmt is per-manifest)
+    val foreign = files.exists(_.startsWith("/")) ||
+      dvs.exists { case (p, es) =>
+        fileSet.contains(p) && es.exists(_._1.startsWith("/")) }
     val fmt =
-      if (bucketSpec.nonEmpty) 6
+      if (foreign) 7
+      else if (bucketSpec.nonEmpty) 6
       else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
     val fmtLine = Seq(s"$FormatPrefix$fmt")
     val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
@@ -2210,7 +2261,7 @@ object TxTable {
       if (cand.isEmpty) return parent.version
       val scan = attachLogical(parent, s.read
         .option("mergeSchema", "true")
-        .parquet(cand.map(f => s"$root/$f"): _*))
+        .parquet(cand.map(f => absFile(root, f)): _*))
         .withColumn("file", concat(lit("data/"),
           substring_index(col("_metadata.file_path"), "/data/", -1)))
         .withColumn("pos", col("_metadata.row_index"))
@@ -2220,7 +2271,8 @@ object TxTable {
       val fresh =
         if (priorDvFiles.isEmpty) matched
         else matched.join(
-          broadcast(s.read.parquet(priorDvFiles.map(f => s"$root/$f"): _*)),
+          broadcast(s.read.parquet(
+            priorDvFiles.map(f => absFile(root, f)): _*)),
           Seq("file", "pos"), "left_anti")
       // one part file per delete commit: the dv line references it by name
       val written = writeData(s, root, fresh.repartition(1))
@@ -2233,7 +2285,22 @@ object TxTable {
         .groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (counts.isEmpty) return parent.version // matched nothing: no-op
-      val dvs = counts.foldLeft(parent.dvs) { case (m, (f, n)) =>
+      // DV contents key rows by their root-INDEPENDENT identity; the
+      // manifest's dv lines key by the file ENTRY — identical for the
+      // table's own (relative) files, but a clone's foreign entries are
+      // absolute, so map back through identityOf or the new dv line
+      // would be silently dropped by tryPublish's file-set filter and
+      // the deleted rows resurrect
+      val byIdentity = parent.files.groupBy(identityOf).map {
+        case (id, Seq(one)) => id -> one
+        case (id, many) => throw new IllegalStateException(
+          s"txtable $root: ${many.size} manifest entries share row " +
+            s"identity '$id' (${many.mkString(", ")}) — DV keying is " +
+            "ambiguous; purge or optimize before deleting")
+      }
+      val dvs = counts.foldLeft(parent.dvs) { case (m, (id, n)) =>
+        val f = byIdentity.getOrElse(id, throw new IllegalStateException(
+          s"txtable $root: deleted rows in unknown file identity '$id'"))
         m.updated(f, m.getOrElse(f, Seq.empty) :+ (dvFile, n))
       }
       if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
@@ -2423,7 +2490,7 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to compact"))
       val sized = parent.files.map(f =>
-        f -> Files.size(localPath(root, f)))
+        f -> Files.size(dataPath(root, f)))
       val small = sized.collect {
         case (f, sz) if sz < minBytes || parent.dvs.contains(f) => f
       }
@@ -2621,7 +2688,7 @@ object TxTable {
       throw new java.io.IOException(s"txtable $root has no committed version"))
     val problems = Seq.newBuilder[String]
     snap.files.foreach { f =>
-      if (!Files.exists(localPath(root, f)))
+      if (!Files.exists(dataPath(root, f)))
         problems += s"missing data file: $f"
       else snap.rowCounts.get(f).foreach { expect =>
         val actual = fileRows(s, root, Seq(f))(f)
@@ -2630,7 +2697,7 @@ object TxTable {
       }
     }
     snap.dvs.values.flatten.map(_._1).toSeq.distinct.foreach { dvf =>
-      if (!Files.exists(localPath(root, dvf)))
+      if (!Files.exists(dataPath(root, dvf)))
         problems += s"missing dv blob: $dvf"
     }
     problems.result()
@@ -2725,6 +2792,76 @@ object TxTable {
       if (l.startsWith(TsPrefix)) s"$TsPrefix$millis" else l)
     Files.write(p, scala.jdk.CollectionConverters
       .SeqHasAsJava(rewritten).asJava)
+  }
+
+  /** Zero-copy CLONE (Delta's SHALLOW CLONE / the Iceberg snapshot-ref
+    * shape): publish version 0 of `targetRoot` referencing the source
+    * table's data files ABSOLUTELY (manifest format 7) — no data bytes
+    * move, so a 100 TB table clones in ONE manifest write. The clone
+    * carries the source version's schema, per-file stats/rows/parts/
+    * blooms, live deletion vectors, CHECK constraints, column mapping
+    * and bucket layout, so every read posture — stat/bloom/partition
+    * pruning, MoR anti-joins, co-located bucket joins, metadata-only
+    * aggregates, the `format("tx")` connector — answers on the clone
+    * exactly as on the source version (DV blobs key rows by their
+    * root-INDEPENDENT identity, [[identityOf]], which is why they keep
+    * matching across roots). From the clone's v0 the two histories are
+    * fully independent: appends land relative in the clone's own root
+    * (both spellings mix freely through [[absFile]]), `deleteWhere` DVs
+    * only the clone, and any rewrite (optimize / purge / compactSmall /
+    * merge) progressively MATERIALIZES foreign bytes into the clone —
+    * a fully-materialized clone's next manifest ratchets back below
+    * format 7 on its own.
+    *
+    * What deliberately does NOT carry: `txn` writer-idempotence marks —
+    * the clone is a new idempotence domain (a streaming writer pointed
+    * at it must re-deliver from scratch; Delta clones drop stream
+    * transaction history for the same reason).
+    *
+    * Retention contract (the documented Delta shallow-clone hazard):
+    * the clone's own [[vacuum]] never touches foreign files (deletion
+    * candidates come from LISTING the clone's `data/` dir), but the
+    * SOURCE's vacuum knows nothing of clones — dropping the source
+    * version a clone still references breaks the clone. Retain that
+    * version, or [[optimize]] the clone to self-contain it first.
+    *
+    * Refuses: a target that already holds versions (use a fresh root),
+    * target == source, and a source root containing spaces (a dv LINE's
+    * blob path is a space-delimited field; every other line parses the
+    * path from the right and tolerates them).
+    */
+  def clone(s: SparkSession, sourceRoot: String, targetRoot: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val srcAbs = Paths.get(localRoot(sourceRoot))
+      .toAbsolutePath.normalize.toString
+    val tgtAbs = Paths.get(localRoot(targetRoot))
+      .toAbsolutePath.normalize.toString
+    require(srcAbs != tgtAbs, s"clone target must differ from source $srcAbs")
+    require(!srcAbs.contains(' '),
+      s"clone source root '$srcAbs' contains a space — absolute dv-blob " +
+        "references would misparse; relocate the source first")
+    require(versions(targetRoot).isEmpty,
+      s"clone target $targetRoot already holds a txtable version history")
+    val v = versionAsOf.getOrElse(currentVersion(sourceRoot).getOrElse(
+      throw new java.io.IOException(
+        s"txtable $sourceRoot has no version to clone")))
+    val snap = snapshotAt(sourceRoot, v) // vacuumed version: fails loudly
+    def abs(f: String) = absFile(srcAbs, f)
+    if (!tryPublish(targetRoot, 0L, snap.files.map(abs), Map.empty,
+        stats = snap.stats.map { case (k, es) => abs(k) -> es },
+        schema = snap.schema,
+        rowCounts = snap.rowCounts.map { case (k, n) => abs(k) -> n },
+        dvs = snap.dvs.map { case (k, es) =>
+          abs(k) -> es.map { case (dvf, n) => (abs(dvf), n) } },
+        blooms = snap.blooms.map { case (k, es) => abs(k) -> es },
+        checks = snap.checks,
+        op = s"clone $srcAbs@v$v",
+        parts = snap.parts.map { case (k, es) => abs(k) -> es },
+        renames = snap.renames, deadCols = snap.deadCols,
+        bucketSpec = snap.bucketSpec))
+      throw new java.io.IOException(
+        s"clone target $targetRoot was claimed concurrently")
+    0L
   }
 
   def vacuum(root: String, keepVersions: Int = 1): Unit =

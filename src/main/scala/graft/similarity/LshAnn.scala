@@ -247,7 +247,7 @@ object LshAnn {
       cells.map(c => (c.toDouble, c.toDouble)))
     val nAll = TxTable.currentSnapshot(root).get.files.size
     val idx = s.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$root/$f"): _*)
+      .parquet(files.map(f => TxTable.absFile(root, f)): _*)
     // the exact cell equi-join IS the re-applied predicate; from here the
     // ranking is expression-identical to annLshOn's (same rounding, same
     // total order), so the result must equal q157's qid-0 rows

@@ -93,6 +93,14 @@ final class TxDataSource extends RelationProvider
     * be pinned with `option("txnAppId", ...)`. `.partitionBy(...)`
     * flows through as manifest part lines, so a downstream
     * `format("tx")` reader prunes on what the stream wrote.
+    *
+    * `option("bucketBy", "c1[,c2]")` + `option("bucketCount", n)`
+    * commits each micro-batch IN the table's hash-bucket layout — the
+    * continuous-ingest-into-the-bucketed-fact shape: batches stay
+    * join-co-located as they land (the commit-side layout check refuses
+    * a mismatch against the table's declaration LOUDLY on the first
+    * batch, not after a corrupted co-location), and a periodic
+    * bucket-preserving `optimize` re-lands one sorted file per bucket.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -108,7 +116,7 @@ final class TxDataSource extends RelationProvider
     def csv(k: String): Seq[String] =
       opts.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new TxSink(root, appId, partitionColumns, csv("statscols"),
-      csv("bloomcols"))
+      csv("bloomcols"), TxDataSource.bucketOf(opts))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -389,7 +397,7 @@ object TxDataSource {
       snap: TxTable.Snapshot): StructType =
     snap.schema.getOrElse {
       spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => s"$root/$f"): _*).schema
+        .parquet(snap.files.map(f => TxTable.absFile(root, f)): _*).schema
     }
 
   /** The columns `option("partitionedRead", "true")` may surface as a
@@ -429,14 +437,15 @@ object TxDataSource {
   * the write (see [[GraftStreamShim.asBatchFrame]]).
   */
 final class TxSink(root: String, appId: String, partitionCols: Seq[String],
-    statsCols: Seq[String], bloomCols: Seq[String]) extends Sink {
+    statsCols: Seq[String], bloomCols: Seq[String],
+    bucketBy: Option[(Seq[String], Int)] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = GraftStreamShim.asBatchFrame(data)
     TxTable.commit(batch.sparkSession, root, batch, TxTable.Append,
       txn = Some((appId, batchId)),
       statsCols = statsCols, bloomCols = bloomCols,
-      partitionCols = partitionCols)
+      partitionCols = partitionCols, bucketByMulti = bucketBy)
   }
 
   override def toString: String = s"TxSink[$root]"
@@ -685,7 +694,7 @@ final class TxStreamSource(spark: SparkSession, root: String,
     val files = emit.result()
     if (files.isEmpty) emptyBatch()
     else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$root/$f"): _*)
+      .parquet(files.map(f => TxTable.absFile(root, f)): _*)
   }
 
   /** Project/cast to the stream's declared schema: missing columns

@@ -74,7 +74,8 @@ final case class TxMorDppRouting(spark: SparkSession)
         val scanDf = m.spark.baseRelationToDataFrame(base)
         val dvFiles = m.snap.files.flatMap(f =>
           m.snap.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
-        val dv = m.spark.read.parquet(dvFiles.map(f => s"${m.root}/$f"): _*)
+        val dv = m.spark.read.parquet(
+          dvFiles.map(f => TxTable.absFile(m.root, f)): _*)
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
         // the same row coordinates deleteWhere recorded: root-relative
         // path + in-file row index, from the scan's own metadata struct

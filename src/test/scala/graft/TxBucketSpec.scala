@@ -48,6 +48,33 @@ class TxBucketSpec extends AnyFunSuite {
     ss
   }
 
+  test("streaming sink lands micro-batches IN the bucket layout; mismatch refuses on batch 0") {
+    withRoot { root =>
+      TxTable.commit(spark, root, df(spark, 100), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      val sink = new graft.sources.TxSink(root, appId = "bucketsink",
+        partitionCols = Nil, statsCols = Nil, bloomCols = Nil,
+        bucketBy = Some((Seq("k"), 4)))
+      sink.addBatch(0L, df(spark, 150, seed = 7L))
+      sink.addBatch(1L, df(spark, 180, seed = 9L))
+      sink.addBatch(0L, df(spark, 150, seed = 7L)) // replay no-ops
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.version == 2L && snap.bucketSpec.contains((4, Seq("k"))))
+      assert(TxTable.read(spark, root).count() == 430L)
+      // a sink whose declared layout disagrees refuses the FIRST batch
+      val bad = new graft.sources.TxSink(root, appId = "badsink",
+        partitionCols = Nil, statsCols = Nil, bloomCols = Nil,
+        bucketBy = Some((Seq("k"), 8)))
+      intercept[IllegalArgumentException](
+        bad.addBatch(0L, df(spark, 10, seed = 3L)))
+      // and an UNDECLARED sink cannot corrupt the co-location either
+      val plain = new graft.sources.TxSink(root, appId = "plainsink",
+        partitionCols = Nil, statsCols = Nil, bloomCols = Nil)
+      intercept[IllegalArgumentException](
+        plain.addBatch(0L, df(spark, 10, seed = 3L)))
+    }
+  }
+
   test("bucketed commit: exact round-trip, bucket-id file names, format-6 manifest") {
     withRoot { root =>
       TxTable.commit(spark, root, df(spark, 500), TxTable.Overwrite,
