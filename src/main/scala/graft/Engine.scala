@@ -212,6 +212,24 @@ object Engine {
           receipt(s, s"clone:${str(es.head)}",
             graft.operators.TxTable.clone(s, str(es.head), str(es(1)),
               if (es.size > 2) Some(lng(es(2))) else None))
+        }),
+      ("tx_purge",
+        "tx_purge(root) - materialize every deletion vector (copy-on-write rewrite of DV-carrying files only); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, "purge",
+            graft.operators.TxTable.purgeDeletes(s, str(es.head)))
+        }),
+      ("tx_merge",
+        "tx_merge(root, sourceViewName, keyCols) - serializable MERGE (upsert by key) of a registered view/table's rows; keyCols is a comma list; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          val keys = str(es(2)).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(keys.nonEmpty, "tx_merge needs at least one key column")
+          receipt(s, s"merge:${str(es(1))}",
+            graft.operators.TxTable.mergeByKey(s, str(es.head),
+              s.table(str(es(1))), keys))
         }))
   }
 

@@ -1044,6 +1044,29 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML procedures: tx_merge upserts a registered view's rows, " +
+      "tx_purge materializes deletion vectors") {
+    import spark.implicits._
+    withRoot { root =>
+      TxTable.commit(spark, root,
+        (1 to 6).map(i => (i.toLong, i * 10L)).toDF("id", "x"))
+      Seq((2L, 999L), (7L, 70L)).toDF("id", "x")
+        .createOrReplaceTempView("merge_src")
+      val m = spark.sql(
+        s"SELECT * FROM tx_merge('$root', 'merge_src', 'id')").head()
+      assert(m.getString(0) == "merge:merge_src" && m.getLong(1) == 1L)
+      val after = TxTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after(2L) == 999L && after(7L) == 70L && after.size == 7)
+      spark.sql(s"SELECT * FROM tx_delete_where('$root', 'id = 7')")
+      val p = spark.sql(s"SELECT * FROM tx_purge('$root')").head()
+      assert(p.getString(0) == "purge" && p.getLong(1) == 3L)
+      assert(TxTable.currentSnapshot(root).get.dvs.isEmpty)
+      assert(TxTable.read(spark, root).count() == 6L)
+      spark.catalog.dropTempView("merge_src")
+    }
+  }
+
   test("restore is metadata-only, keeps txn high-water, and vacuum " +
       "retains head-referenced restored files") {
     import spark.implicits._
