@@ -70,6 +70,7 @@ object TxTable {
   private val ColRenamePrefix = "colrename "
   private val ColDeadPrefix = "coldead "
   private val BucketPrefix = "bucketspec "
+  private val SumPrefix = "sum "
 
   /** Highest manifest format this reader understands. Format 1 = files +
     * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
@@ -100,8 +101,13 @@ object TxTable {
     * format error names the real cause); declared ONLY while a manifest
     * actually references foreign files, so a clone that [[optimize]]
     * fully materializes ratchets back DOWN on its next publish.
+    * Format 8 adds per-file `sum` lines (opt-in `commit(sumCols)`):
+    * exact decimal column sums + non-null counts that make a global or
+    * partition-grouped SUM a zero-scan manifest answer
+    * ([[graft.plans.TxMetadataAgg]]) — declared only by manifests that
+    * actually carry them.
     */
-  private val SupportedFormat = 7
+  private val SupportedFormat = 8
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -191,7 +197,8 @@ object TxTable {
       tsMillis: Option[Long] = None,
       renames: Map[String, Seq[String]] = Map.empty,
       deadCols: Set[String] = Set.empty,
-      bucketSpec: Option[(Int, Seq[String])] = None)
+      bucketSpec: Option[(Int, Seq[String])] = None,
+      sums: Map[String, Seq[(String, String, Long)]] = Map.empty)
 
   /** Driver-side java.nio path under `root`, accepting both plain local
     * paths and `file:`-scheme URIs (the Hadoop-qualified spelling the
@@ -316,6 +323,8 @@ object TxTable {
     val checks = Seq.newBuilder[(String, String)]
     val parts = new mutable.LinkedHashMap[String,
       mutable.ArrayBuffer[(String, Option[String])]]()
+    val sums = new mutable.LinkedHashMap[String,
+      mutable.ArrayBuffer[(String, String, Long)]]()
     val renames = new mutable.LinkedHashMap[String,
       mutable.ArrayBuffer[String]]()
     val deadCols = Set.newBuilder[String]
@@ -342,6 +351,11 @@ object TxTable {
         val (path, Array(c, v64)) = splitPathLine(l.substring(PartPrefix.length), 2)
         parts.getOrElseUpdate(path, new mutable.ArrayBuffer()) +=
           ((c, if (v64 == "-") None else Some(b64d(v64))))
+      } else if (l.startsWith(SumPrefix)) {
+        val (path, Array(c, dec, nn)) =
+          splitPathLine(l.substring(SumPrefix.length), 3)
+        sums.getOrElseUpdate(path, new mutable.ArrayBuffer()) +=
+          ((c, dec, nn.toLong))
       } else if (l.startsWith(BloomPrefix)) {
         val (path, Array(c, m, k, bits)) =
           splitPathLine(l.substring(BloomPrefix.length), 4)
@@ -392,7 +406,7 @@ object TxTable {
     Snapshot(v, files.result(), txns.result(), freeze(stats), schema,
       rowCounts.result(), freeze(dvs), freeze(blooms), checks.result(),
       op, freeze(parts), tsMillis, freeze(renames), deadCols.result(),
-      bucketSpec)
+      bucketSpec, freeze(sums))
   }
 
   /** All committed versions, ascending (dense by construction). */
@@ -856,6 +870,52 @@ object TxTable {
     fileParts
   }
 
+  /** Per-file EXACT column sums + non-null counts (`sum` manifest
+    * lines, format 8) — the opt-in `commit(sumCols)` surface that makes
+    * a global or partition-grouped SUM a zero-scan manifest answer
+    * ([[graft.plans.TxMetadataAgg]] folds them; Delta's
+    * OptimizeMetadataOnlyQuery stops at COUNT/partition values). One
+    * aggregation job over the NEW files only (map-side combine, grouped
+    * by the file's row identity), summed in DECIMAL(38,0) so the
+    * recorded value is exact for any integral column at any realistic
+    * file size; doubles are refused up front (a parallel double sum is
+    * order-dependent — the exactness contract cannot hold). A file with
+    * zero non-null values records `0 0`, which folds to SQL's NULL sum.
+    */
+  private def fileSums(s: SparkSession, root: String,
+      relFiles: Seq[String], cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Seq[(String, String, Long)]] = {
+    import org.apache.spark.sql.functions.{concat, count, lit,
+      substring_index, sum}
+    import org.apache.spark.sql.types._
+    if (cols.isEmpty || relFiles.isEmpty) return Map.empty
+    val bad = cols.filterNot(c => schema.fields.exists(f =>
+      f.name == c && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })))
+    require(bad.isEmpty,
+      s"sumCols ${bad.mkString(", ")} must be integral columns of the " +
+        "committed frame — recorded sums are exact or absent, never " +
+        "approximate (doubles are order-dependent under parallel sums)")
+    val base = s.read.option("mergeSchema", "true")
+      .parquet(relFiles.map(f => absFile(root, f)): _*)
+      .withColumn("__file", concat(lit("data/"),
+        substring_index(col("_metadata.file_path"), "/data/", -1)))
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).cast(DecimalType(38, 0))).as(s"__s_$c"),
+      count(col(c)).as(s"__n_$c")))
+    base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        r.getString(0) -> cols.map { c =>
+          val s0 = Option(r.getAs[java.math.BigDecimal](s"__s_$c"))
+            .map(_.toBigInteger.toString).getOrElse("0")
+          (c, s0, r.getAs[Long](s"__n_$c"))
+        }
+      }.toMap
+  }
+
   /** Per-file (min, max, numNulls) of numeric columns from the parquet
     * FOOTERS — driver-side metadata I/O, zero Spark jobs (the
     * StateDir.footerRows pattern). Returns no entry for a (file, column)
@@ -1086,7 +1146,7 @@ object TxTable {
           parts = parent.parts, renames = parent.renames,
           deadCols = parent.deadCols,
           // metadata-only: no file moves, the co-location contract holds
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec, sums = parent.sums))
         committed = parent.version + 1
     }
     committed
@@ -1160,7 +1220,11 @@ object TxTable {
           // on VALUES, not names, so the declaration stays true under
           // the column's new logical name
           bucketSpec = parent.bucketSpec.map { case (n, cs) =>
-            (n, cs.map(c => if (c == oldName) newName else c)) }))
+            (n, cs.map(c => if (c == oldName) newName else c)) },
+          // sum lines keep their write-time column name (the metadata
+          // rule's name-keyed lookup then refuses, like stats — inert,
+          // never wrong)
+          sums = parent.sums))
         committed = parent.version + 1
     }
     committed
@@ -1206,7 +1270,7 @@ object TxTable {
           renames = parent.renames - name,
           deadCols = parent.deadCols ++ chain,
           // metadata-only: non-bucket-column drops keep the layout
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec, sums = parent.sums))
         committed = parent.version + 1
     }
     committed
@@ -1271,7 +1335,8 @@ object TxTable {
       parts: Map[String, Seq[(String, Option[String])]] = Map.empty,
       renames: Map[String, Seq[String]] = Map.empty,
       deadCols: Set[String] = Set.empty,
-      bucketSpec: Option[(Int, Seq[String])] = None)
+      bucketSpec: Option[(Int, Seq[String])] = None,
+      sums: Map[String, Seq[(String, String, Long)]] = Map.empty)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -1291,6 +1356,14 @@ object TxTable {
     val dvLines = dvs.toSeq.sortBy(_._1).flatMap {
       case (path, entries) if fileSet.contains(path) =>
         entries.map { case (dvf, n) => s"$DvPrefix$path $dvf $n" }
+      case _ => Seq.empty
+    }
+    // sums drop like stats for files the publish no longer references;
+    // like the bucketspec default, a rewrite that does not explicitly
+    // re-derive them publishes none (stale sums can never mislead)
+    val sumLines = sums.toSeq.sortBy(_._1).flatMap {
+      case (path, entries) if fileSet.contains(path) =>
+        entries.map { case (c, dec, nn) => s"$SumPrefix$path $c $dec $nn" }
       case _ => Seq.empty
     }
     val bloomLines = blooms.toSeq.sortBy(_._1).flatMap {
@@ -1341,16 +1414,17 @@ object TxTable {
       dvs.exists { case (p, es) =>
         fileSet.contains(p) && es.exists(_._1.startsWith("/")) }
     val fmt =
-      if (foreign) 7
+      if (sumLines.nonEmpty) 8
+      else if (foreign) 7
       else if (bucketSpec.nonEmpty) 6
       else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
     val fmtLine = Seq(s"$FormatPrefix$fmt")
     val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
-        statLines ++ rowLines ++ dvLines ++ bloomLines ++ checkLines ++
-        opLine ++ partLines ++ renameLines ++ deadLines ++ bucketLines ++
-        files)
+        statLines ++ sumLines ++ rowLines ++ dvLines ++ bloomLines ++
+        checkLines ++ opLine ++ partLines ++ renameLines ++ deadLines ++
+        bucketLines ++ files)
         :+ Footer)).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
@@ -1388,7 +1462,8 @@ object TxTable {
       partitionBy: Option[String] = None,
       partitionCols: Seq[String] = Seq.empty,
       bucketBy: Option[(String, Int)] = None,
-      bucketByMulti: Option[(Seq[String], Int)] = None): Long = {
+      bucketByMulti: Option[(Seq[String], Int)] = None,
+      sumCols: Seq[String] = Seq.empty): Long = {
     // partitionBy (one column) and partitionCols (N columns, the
     // date × tenant layout) merge into one ordered spec
     val partSpec = partitionBy.toSeq ++ partitionCols
@@ -1438,6 +1513,7 @@ object TxTable {
       else footerStats(s, root, dataFiles, recordCols)
     val newRows = fileRows(s, root, dataFiles)
     val newBlooms = buildBlooms(s, root, dataFiles, bloomCols, newRows)
+    val newSums = fileSums(s, root, dataFiles, sumCols, df.schema)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)
@@ -1554,7 +1630,11 @@ object TxTable {
             case Overwrite => Set.empty[String]
             case Append => parent.map(_.deadCols).getOrElse(Set.empty)
           },
-          bucketSpec = newBucket))
+          bucketSpec = newBucket,
+          sums = (mode match {
+            case Overwrite => Map.empty[String, Seq[(String, String, Long)]]
+            case Append => parent.map(_.sums).getOrElse(Map.empty)
+          }) ++ newSums))
         committed = v
     }
     committed
@@ -2312,7 +2392,10 @@ object TxTable {
           // declaration stays true (reads take the MoR relation while
           // DVs are live; a bucket-preserving optimize both purges them
           // and restores the one-sorted-file-per-bucket economics)
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec,
+          // as-written sums stay recorded; the metadata rule refuses
+          // them while DVs are live, purge drops them with the rewrite
+          sums = parent.sums))
         committed = parent.version + 1
     }
     committed
@@ -2669,7 +2752,7 @@ object TxTable {
           renames = target.renames, deadCols = target.deadCols,
           // the restored head IS the target's file set: its layout
           // declaration travels with it (true then, true now)
-          bucketSpec = target.bucketSpec))
+          bucketSpec = target.bucketSpec, sums = target.sums))
         committed = parent.version + 1
     }
     committed
@@ -2858,7 +2941,8 @@ object TxTable {
         op = s"clone $srcAbs@v$v",
         parts = snap.parts.map { case (k, es) => abs(k) -> es },
         renames = snap.renames, deadCols = snap.deadCols,
-        bucketSpec = snap.bucketSpec))
+        bucketSpec = snap.bucketSpec,
+        sums = snap.sums.map { case (k, es) => abs(k) -> es }))
       throw new java.io.IOException(
         s"clone target $targetRoot was claimed concurrently")
     0L

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -290,8 +290,42 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       case Count(Seq(a: AttributeReference)) => nonNullCount(src, files, a)
       case Min(a: AttributeReference) => extreme(src, files, a, isMin = true)
       case Max(a: AttributeReference) => extreme(src, files, a, isMin = false)
+      // recorded per-file sums (format 8, opt-in commit(sumCols)): a
+      // sum line describes the file AS WRITTEN, so live DVs refuse
+      case Sum(a: AttributeReference, _) if !src.morLive =>
+        sumFold(src.snap, files, a)
       case _ => None
     }
+  }
+
+  /** SUM from recorded per-file exact sums: every group file must carry
+    * a `sum` line for the column (commit-time DECIMAL(38,0) fold over
+    * an INTEGRAL column — exact by construction). Folds in BigInt; an
+    * all-null group answers SQL's NULL; a fold outside Long range
+    * refuses (a real scan's long-summing Sum would overflow there — the
+    * scan is the only honest answer). Integral-only both at record and
+    * here, so the rewrite's Long matches the scan's output type.
+    */
+  private def sumFold(snap: TxTable.Snapshot, files: Seq[String],
+      a: AttributeReference): Option[Any] = {
+    val integral = a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return None
+    if (files.isEmpty) return Some(null) // SUM of nothing is NULL
+    val perFile = files.map { f =>
+      snap.sums.getOrElse(f, Seq.empty).find(_._1 == a.name)
+    }
+    if (perFile.exists(_.isEmpty)) return None // a file without the line
+    var total = BigInt(0)
+    var nn = 0L
+    perFile.flatten.foreach { case (_, dec, n) =>
+      total += BigInt(dec); nn += n
+    }
+    if (nn == 0L) Some(null)
+    else if (total.isValidLong) Some(total.toLong)
+    else None
   }
 
   /** count(col) — non-null rows, per file: a TRUSTED stat null count

@@ -920,6 +920,64 @@ object TxSourceQueries {
       |FROM live l WHERE lang <> 'de'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  /** ZERO-SCAN SUM from recorded per-file sums
+    * ([[graft.plans.TxMetadataAgg]] r17 third wave, manifest format 8):
+    * `commit(sumCols)` records each new file's EXACT column sum
+    * (DECIMAL(38,0) fold over an integral column, one map-side-combined
+    * job over the new files only) plus its non-null count, and the
+    * optimizer rule folds them in BigInt — global, partition-filtered
+    * and partition-grouped `SUM` all answer from kilobytes of manifest,
+    * the aggregate-pushdown step past Delta's count/min/max shape. The
+    * planted-null column exercises SQL's all-null/partial-null SUM
+    * semantics (the recorded non-null count decides NULL vs 0-sum);
+    * appends merge parent sum lines so the multi-commit table still
+    * answers. AVG deliberately does NOT rewrite (a scan's Average
+    * accumulates doubles, order-dependent — only the scan is honest);
+    * the oracle restates it as the decimal-routed SUM/COUNT quotient.
+    */
+  def q219TxMetaSum(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txms_")
+    val root = s"$tmp/docs_ms"
+    val docs = graft.Tables.documents(s, d).selectExpr("doc_id", "lang",
+      "n_chars", "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v")
+    TxTable.commit(s, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0L),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("v"), sumCols = Seq("n_chars", "v"))
+    TxTable.commit(s, root, docs.filter(pmod(col("doc_id"), lit(2)) === 1L),
+      TxTable.Append, partitionBy = Some("lang"),
+      statsCols = Seq("v"), sumCols = Seq("n_chars", "v"))
+    def t = s.read.format("tx").load(root)
+    val grouped = t.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"), sum("v").as("sum_v"))
+    val filtered = t.filter(col("lang").isin("en", "de"))
+      .agg(sum("n_chars").as("sum_chars_ende"),
+        count(col("v")).as("n_v_ende"))
+    val out = grouped.crossJoin(filtered).orderBy("lang")
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — SUM was not answered from " +
+        "recorded manifest sums")
+    offTemp(out, tmp)
+  }
+
+  val q219Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM d
+      |    WHERE lang IN ('en', 'de')) AS sum_chars_ende,
+      |  (SELECT COUNT(v) FROM d WHERE lang IN ('en', 'de')) AS n_v_ende
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q207Sql: String =
     """SELECT source AS origin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -955,7 +1013,8 @@ object TxSourceQueries {
     "q213_tx_meta_groupby" -> (q213TxMetaGroupBy _),
     "q214_tx_dpp_mor" -> (q214TxDppMor _),
     "q215_tx_meta_filter" -> (q215TxMetaFilter _),
-    "q216_tx_meta_mor" -> (q216TxMetaMor _))
+    "q216_tx_meta_mor" -> (q216TxMetaMor _),
+    "q219_tx_meta_sum" -> (q219TxMetaSum _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -972,5 +1031,6 @@ object TxSourceQueries {
     "q213_tx_meta_groupby" -> q213Sql,
     "q214_tx_dpp_mor" -> q214Sql,
     "q215_tx_meta_filter" -> q215Sql,
-    "q216_tx_meta_mor" -> q216Sql)
+    "q216_tx_meta_mor" -> q216Sql,
+    "q219_tx_meta_sum" -> q219Sql)
 }

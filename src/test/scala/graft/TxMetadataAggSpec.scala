@@ -51,6 +51,83 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("SUM from recorded per-file sums: zero-scan global, filtered, grouped; degrades honestly") {
+    withRoot { root =>
+      import spark.implicits._
+      // planted nulls in v; two commits so append-side line merging shows
+      def slice(m: Long) = spark.range(0, 200L)
+        .filter(pmod(col("id"), lit(2)) === m)
+        .selectExpr("id", "CASE WHEN id % 5 = 0 THEN 'en' ELSE 'de' END AS lang",
+          "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS v",
+          "CAST(id AS DOUBLE) AS dv")
+      TxTable.commit(spark, root, slice(0L),
+        partitionBy = Some("lang"), sumCols = Seq("v", "id"))
+      TxTable.commit(spark, root, slice(1L), TxTable.Append,
+        partitionBy = Some("lang"), sumCols = Seq("v", "id"))
+      def t = spark.read.format("tx").load(root)
+      val expectV = (0L until 200L).filter(_ % 7 != 0).map(_ * 3).sum
+      val g = t.agg(sum("v").as("s"), sum("id").as("si"))
+      assert(isMetadataAnswered(g), s"still scans:\n${g.queryExecution}")
+      val gr = g.collect().head
+      assert(gr.getLong(0) == expectV && gr.getLong(1) == (0L until 200L).sum)
+      // partition-filtered + grouped compose
+      val f = t.filter(col("lang") === "en").agg(sum("v").as("s"))
+      assert(isMetadataAnswered(f))
+      assert(f.collect().head.getLong(0) ==
+        (0L until 200L).filter(i => i % 5 == 0 && i % 7 != 0).map(_ * 3).sum)
+      val grp = t.groupBy("lang").agg(sum("id").as("s")).orderBy("lang")
+      assert(isMetadataAnswered(grp))
+      assert(grp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("en" -> (0L until 200L).filter(_ % 5 == 0).sum,
+          "de" -> (0L until 200L).filterNot(_ % 5 == 0).sum))
+      // a double column is refused at commit (order-dependent sums)
+      val e = intercept[IllegalArgumentException](
+        TxTable.commit(spark, root, slice(0L), TxTable.Append,
+          partitionBy = Some("lang"), sumCols = Seq("dv")))
+      assert(e.getMessage.contains("integral"))
+      // no recorded line (plain table) degrades to the scan, same value
+      val plain = s"${root}_plain"
+      TxTable.commit(spark, plain, slice(0L).unionAll(slice(1L)))
+      val p = spark.read.format("tx").load(plain).agg(sum("v").as("s"))
+      assert(!isMetadataAnswered(p))
+      assert(p.collect().head.getLong(0) == expectV)
+      // AVG never rewrites (double accumulation is the scan's business)
+      val a = t.agg(avg("v").as("a"))
+      assert(!isMetadataAnswered(a))
+    }
+  }
+
+  test("SUM metadata answers: all-null is NULL, MoR delete degrades, append without sumCols degrades") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        spark.range(0, 50L).selectExpr("id", "CAST(NULL AS BIGINT) AS v"),
+        sumCols = Seq("v"))
+      val z = spark.read.format("tx").load(root).agg(sum("v").as("s"))
+      assert(isMetadataAnswered(z))
+      assert(z.collect().head.isNullAt(0), "SUM of all-null must be NULL")
+      // live DVs: as-written sums no longer describe live rows - degrade
+      TxTable.commit(spark, root,
+        spark.range(50L, 60L).selectExpr("id", "id AS v"),
+        TxTable.Append, sumCols = Seq("v"))
+      TxTable.deleteWhere(spark, root, col("id") === 55L)
+      val m = spark.read.format("tx").load(root).agg(sum("v").as("s"))
+      assert(!isMetadataAnswered(m))
+      assert(m.collect().head.getLong(0) ==
+        (50L until 60L).filter(_ != 55L).sum)
+    }
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        spark.range(0, 10L).selectExpr("id", "id AS v"), sumCols = Seq("v"))
+      TxTable.commit(spark, root,
+        spark.range(10L, 20L).selectExpr("id", "id AS v"), TxTable.Append)
+      val g = spark.read.format("tx").load(root).agg(sum("v").as("s"))
+      assert(!isMetadataAnswered(g), "a file without a sum line must scan")
+      assert(g.collect().head.getLong(0) == (0L until 20L).sum)
+    }
+  }
+
   test("MIN/MAX of a stats column answer from the manifest; exactness gates degrade") {
     withRoot { root =>
       TxTable.commit(spark, root,
