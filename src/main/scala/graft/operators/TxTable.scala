@@ -2077,6 +2077,30 @@ object TxTable {
     (parent.toSeq.flatMap(_.stats.values.flatten.map(_._1)).toSet +
       keyCol).toSeq.sorted
 
+  /** The columns whose zero-scan SUM property a maintenance rewrite
+    * should PRESERVE: those with a `sum` line on EVERY parent file (a
+    * partially-covered column never answered, so there is nothing to
+    * keep). The bucketspec lesson applied to sums — routine
+    * optimize/purge/compactSmall must not silently demote the
+    * dashboard SUM path back to full scans.
+    */
+  private def sumColsOfParent(parent: Snapshot,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    if (parent.files.isEmpty || parent.sums.isEmpty) return Seq.empty
+    parent.files.map(f => parent.sums.getOrElse(f, Seq.empty)
+        .map(_._1).toSet)
+      .reduce(_ intersect _).toSeq.sorted
+      // lines are write-time-named: one renamed or retyped since the
+      // record would fail the integral gate — skip it (degrade), the
+      // rest keep their zero-scan property
+      .filter(c => schema.fields.exists(f => f.name == c &&
+        (f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })))
+  }
+
   def mergeByKeyPruned(s: SparkSession, root: String, updates: DataFrame,
       keyCol: String, exactKeyLimit: Long = ExactKeyLimit): Long = {
     val kp = keyPrune(updates, keyCol, exactKeyLimit)
@@ -2468,7 +2492,15 @@ object TxTable {
           checks = parent.checks, op = "purge",
           parts = parent.parts ++ writtenParts,
           renames = parent.renames, deadCols = parent.deadCols,
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec,
+          // the delete→purge cycle keeps the zero-scan SUM path: kept
+          // files' lines stay valid (no DVs by definition), the DV
+          // rewrite's survivors re-record — and the post-purge sums are
+          // the first time the table's SUM reflects the deletes through
+          // the metadata rule (live DVs refused it until now)
+          sums = parent.sums.view.filterKeys(keepSet.contains).toMap ++
+            fileSums(s, root, written,
+              sumColsOfParent(parent, survivors.schema), survivors.schema)))
         committed = parent.version + 1
     }
     committed
@@ -2548,7 +2580,12 @@ object TxTable {
           rowCounts = fileRows(s, root, newFiles),
           checks = parent.checks, op = "optimize", parts = newParts,
           renames = Map.empty, deadCols = Set.empty,
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec,
+          // the bucketspec lesson, applied to sums: routine compaction
+          // must not demote the zero-scan SUM path — re-record for the
+          // rewritten files whatever the parent fully covered
+          sums = fileSums(s, root, newFiles,
+            sumColsOfParent(parent, df.schema), df.schema)))
         committed = parent.version + 1
     }
     committed
@@ -2645,7 +2682,10 @@ object TxTable {
           checks = parent.checks, op = "compact",
           parts = parent.parts ++ writtenParts,
           renames = parent.renames, deadCols = parent.deadCols,
-          bucketSpec = parent.bucketSpec))
+          bucketSpec = parent.bucketSpec,
+          sums = parent.sums.view.filterKeys(keepSet.contains).toMap ++
+            fileSums(s, root, written,
+              sumColsOfParent(parent, compacted.schema), compacted.schema)))
         committed = parent.version + 1
     }
     committed

@@ -128,6 +128,34 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance preserves the zero-scan SUM path: optimize, compactSmall, delete->purge") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        spark.range(0, 100L).selectExpr("id", "id * 2 AS v"),
+        sumCols = Seq("v"))
+      TxTable.commit(spark, root,
+        spark.range(100L, 150L).selectExpr("id", "id * 2 AS v"),
+        TxTable.Append, sumCols = Seq("v"))
+      def sumQ = spark.read.format("tx").load(root).agg(sum("v").as("s"))
+      TxTable.optimize(spark, root, targetFiles = 1)
+      assert(isMetadataAnswered(sumQ), "optimize dropped the sum lines")
+      assert(sumQ.collect().head.getLong(0) == (0L until 150L).map(_ * 2).sum)
+      TxTable.commit(spark, root,
+        spark.range(150L, 160L).selectExpr("id", "id * 2 AS v"),
+        TxTable.Append, sumCols = Seq("v"))
+      TxTable.compactSmall(spark, root, minBytes = Long.MaxValue / 2)
+      assert(isMetadataAnswered(sumQ), "compactSmall dropped the sum lines")
+      assert(sumQ.collect().head.getLong(0) == (0L until 160L).map(_ * 2).sum)
+      // the delete->purge cycle: refused while DVs live, zero-scan after
+      TxTable.deleteWhere(spark, root, col("id") >= 140L)
+      assert(!isMetadataAnswered(sumQ))
+      TxTable.purgeDeletes(spark, root)
+      assert(isMetadataAnswered(sumQ), "purge dropped the sum lines")
+      assert(sumQ.collect().head.getLong(0) == (0L until 140L).map(_ * 2).sum)
+    }
+  }
+
   test("MIN/MAX of a stats column answer from the manifest; exactness gates degrade") {
     withRoot { root =>
       TxTable.commit(spark, root,
