@@ -11,88 +11,107 @@ import graft.Tables
   * AFTER pair generation (q26/q27/q33 produce edges; here a
   * deterministic edge set keeps the driver oracle exact).
   *
-  * Algorithm: label propagation with pointer jumping — per round,
-  * (1) every vertex takes the min label among itself and its neighbors,
-  * (2) labels chase one indirection (label := label(label)), which
-  * doubles propagation distance. Rounds = O(log component-diameter),
-  * each round two joins + one aggregate, all hash-partitioned on id —
-  * the Pregel-style CC that runs at any corpus size (vs naive
-  * propagation's O(diameter) rounds).
+  * Algorithm: alternating large-star / small-star edge contraction
+  * (Kiveris et al., SoCC'14) — per round the edge set itself re-parents
+  * toward neighborhood minima and contracts to one star per component
+  * in O(log² component-size) rounds, each round two grouped joins, all
+  * hash-partitioned — the MapReduce-native CC that runs at any corpus
+  * size. (Static-edge label propagation with pointer jumping, the r16
+  * shape, is Θ(diameter) in the flat-clusters-bridged-by-a-path regime
+  * — see connectedComponents' Scaladoc for the counterexample story.)
   */
 object Clusters {
 
-  /** Minimum-label connected components, iterated to convergence.
+  /** Connected components by ALTERNATING large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — each round rewrites the EDGE SET itself:
+    * large-star hangs every neighbor larger than `x` off the minimum of
+    * `x`'s closed neighborhood, small-star does the same for the
+    * smaller-or-equal side, and the set contracts to one star per
+    * component, centered at the component minimum, in O(log²
+    * component-size) rounds (O(log) in practice).
     *
-    * Termination: labels are monotonically non-increasing (every update is
-    * a `least`), so the label table reaches a fixed point exactly when its
-    * label SUM stops changing — one cheap single-column aggregate over the
-    * just-checkpointed blocks per round, instead of a full pre-scan to
-    * size the round count. `maxRounds` is a safety cap, not a tuning knob:
-    * pointer jumping doubles propagation distance per round, so 50 rounds
-    * covers component diameters up to 2^50 — unreachable by any real
-    * corpus.
+    * This replaced round-16's static-edge min-label propagation with
+    * pointer jumping, which a PropertySpec counterexample proved to be
+    * Θ(component DIAMETER), not the advertised O(log): once labels
+    * collapse onto a few roots, there are no label chains left for the
+    * jump to compress, and a min label crawls one graph edge per round
+    * (two flat clusters bridged by a path moved their boundary one
+    * vertex per round until maxRounds expired — silently wrong labels).
+    * Star contraction has no such regime: the EDGES re-parent, so every
+    * round halves star depths regardless of how the graph mixes with
+    * the current parent structure.
+    *
+    * Termination is detected EXACTLY: a round whose output edge set
+    * equals its input (two anti-join emptiness probes on the
+    * just-checkpointed sets) is the fixed point, at which every edge is
+    * (component-min, member) by the paper's invariant. `maxRounds`
+    * stays as a pure safety cap.
     *
     * @param vertices  one column `id` (long)
     * @param edges     columns `src`, `dst` (long); treated as undirected
-    * @param maxRounds safety cap on propagation rounds
+    * @param maxRounds safety cap on contraction rounds
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // decimal sum: exact and overflow-free at any corpus size (long sum
-    // wraps once |V| * max(id) passes 2^63)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    // canonical undirected form (u < v), self-loops dropped: every edge
+    // lives in exactly one row, so each star phase rewrites each edge
+    // exactly once (from its larger endpoint's row in small-star, its
+    // smaller endpoint's in large-star) and set-equality is well-defined
+    var es = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
     // per-INVOCATION chain id: two CC loops running concurrently in one
     // session (parallel test suites; two jobs sharing a driver) must not
     // share a reliable-checkpoint chain, or one loop's round-k cut
     // deletes the other's live round-(k-1) files
-    val chain = s"cc_labels@${java.util.UUID.randomUUID()}"
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
+    val chain = s"cc_edges@${java.util.UUID.randomUUID()}"
+    es = graft.operators.Lineage.cut(es, chain = chain)
+    // large-star: for every vertex x, every LARGER neighbor re-parents
+    // to m = min(closed neighborhood of x) — each edge emitted from its
+    // smaller endpoint's row; m <= x < nbr keeps the canonical form
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("u").as("x"), col("v").as("nbr"))
+        .union(e.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = nb.groupBy("x").agg(min("nbr").as("mn"))
+        .select(col("x").as("mx"), least(col("x"), col("mn")).as("m"))
+      nb.filter(col("nbr") > col("x"))
+        .join(mins, col("x") === col("mx"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .distinct()
+    }
+    // small-star: every vertex x with smaller neighbors N (exactly the
+    // `u` sides of its canonical edges) hangs N ∪ {x} off m = min(N)
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("v").as("x"), col("u").as("nbr"))
+      val mins = nb.groupBy("x").agg(min("nbr").as("m"))
+      val fromNbrs = nb.join(mins, "x")
+        .filter(col("nbr") =!= col("m"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+      val fromSelf = mins.select(col("m").as("u"), col("x").as("v"))
+      fromNbrs.union(fromSelf).distinct()
+    }
+    var converged = es.isEmpty // nothing to contract on an edgeless graph
     var i = 0
     while (i < maxRounds && !converged) {
-      // (1) neighbor min
-      val nbrMin = undirected
-        .join(labels, undirected("src") === labels("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min("label").as("nbr_label"))
-      val merged = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // (2) pointer jump ×2: label := label(label(label(...))) — each
-      // jump doubles propagation distance, so two per round gives 4× and
-      // the round count drops from log2 to log4 of the component
-      // diameter. The FIXED per-round overheads (localCheckpoint, the
-      // convergence aggregate, job scheduling) dominate the join cost at
-      // any corpus size, so halving rounds beats minimizing joins-per-
-      // round (measured ~25% on the chain fixture).
-      def jump(df: DataFrame): DataFrame = {
-        val byId = df.select(col("id").as("jid"), col("label").as("jlabel"))
-        df.join(byId, df("label") === byId("jid"))
-          .select(df("id"), least(col("label"), col("jlabel")).as("label"))
-      }
-      // truncate lineage: the jump self-joins labels with itself, so
-      // without materialization the logical plan DOUBLES per round and
-      // analysis cost goes exponential (observed: hang at 6 rounds).
-      // Lineage.cut is executor-memory localCheckpoint by default (no
-      // filesystem round-trip — right for gate runs) and a reliable
-      // checkpoint() when spark.graft.checkpoint.dir is set — the
-      // fault-tolerant posture a cluster run hours into a loop wants.
-      labels = graft.operators.Lineage.cut(jump(jump(merged)), chain = chain)
-      val s = labelSum(labels)
-      // empty vertex set: sum(NULL group) is null — there is nothing to
-      // propagate, so stop immediately instead of burning maxRounds of
-      // no-op join/checkpoint/agg rounds on an empty table
-      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
-      prevSum = s
+      // truncate lineage per round or the plan doubles per iteration
+      // and analysis hangs (the documented iterative-DataFrame rule)
+      val next = graft.operators.Lineage.cut(
+        smallStar(largeStar(es)), chain = chain)
+      converged = next.exceptAll(es).isEmpty && es.exceptAll(next).isEmpty
+      es = next
       i += 1
     }
-    // loop done: drop the chain's bookkeeping entry (its final checkpoint
-    // dir stays — `labels` is still backed by it)
-    graft.operators.Lineage.endChain(labels, chain)
+    // fixed point: es is one star per component, centered at the min.
+    // min(u) per member is defensive — pre-convergence (maxRounds cap)
+    // a vertex may still carry several parents; the min is then a sound
+    // (if unconverged) label rather than a nondeterministic pick
+    val roots = es.groupBy(col("v").as("rid")).agg(min("u").as("rlabel"))
+    val labels = vertices
+      .join(roots, col("id") === col("rid"), "left")
+      .select(col("id"), coalesce(col("rlabel"), col("id")).as("label"))
+    graft.operators.Lineage.endChain(es, chain)
     labels
   }
 
