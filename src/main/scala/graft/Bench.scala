@@ -246,7 +246,12 @@ object Bench {
       // round-17: bucket-preserving optimize, the partition x bucket
       // grid, metadata GROUP BY, and DPP over MoR snapshots
       "q211_tx_bucket_optimize", "q212_tx_part_bucket",
-      "q213_tx_meta_groupby", "q214_tx_dpp_mor", "q215_tx_meta_filter")
+      "q213_tx_meta_groupby", "q214_tx_dpp_mor", "q215_tx_meta_filter",
+      // round-17 third wave: the zero-copy shallow clone lifecycle,
+      // exact shared-span dedup, and SUM pushed to the manifest
+      // (q216's MoR metadata aggs ride the full map — the headline
+      // stdout line must stay under the driver's 2000-char capture)
+      "q217_tx_clone", "q218_exact_substr", "q219_tx_meta_sum")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -569,7 +569,120 @@ object Dedup {
       |HAVING CAST(MAX(cnt) + ${SpanK - 1} AS BIGINT) >= $MinSpan
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The span-REMOVAL transform q218's detection feeds (Lee et al.'s
+    * actual dedup step): every token position of a LATER document that
+    * any qualifying shared span (>= MinSpan tokens, vs any EARLIER
+    * document's RAW text) covers is excised, the first occurrence kept
+    * verbatim. Ranges come from the q218 diagonal-run machinery with
+    * per-run start positions (`min(pb)`); coverage is the UNION of
+    * ranges (distinct positions), and the scrubbed text reassembles
+    * from the surviving tokens in position order. Built from the
+    * ranges side so a FULLY-covered document (an exact duplicate)
+    * still reports, with empty scrubbed text — the oracle pins that
+    * edge with COALESCE. Shuffle shape: the q218 join plus one
+    * doc-keyed equality join (the in-row range check is free) and one
+    * per-doc fold — nothing all-pairs, nothing corpus-wide beyond the
+    * window join.
+    */
+  def q220SpanScrub(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grams(side: String) =
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id").as(s"${side}_id"),
+          posexplode_outer(expr(
+            s"""CASE WHEN size(t) >= $SpanK
+               |THEN transform(sequence(1, size(t) - ${SpanK - 1}),
+               |               i -> concat_ws(' ', slice(t, i, $SpanK)))
+               |ELSE array() END""".stripMargin)))
+        .filter(col("col").isNotNull)
+        .select(col(s"${side}_id"), (col("pos") + 1).as(s"${side}_pos"),
+          col("col").as(s"${side}_g"))
+    val a = grams("a")
+    val b = grams("b")
+    val m = a.join(b, a("a_g") === b("b_g") && a("a_id") < b("b_id"))
+      .select(col("a_id").as("da"), col("b_id").as("doc_id"),
+        col("a_pos").as("pa"), col("b_pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("run", col("pb") - row_number().over(
+        Window.partitionBy("da", "doc_id", "diag").orderBy("pb")))
+    val spans = m.groupBy("da", "doc_id", "diag", "run")
+      .agg(count(lit(1)).as("cnt"), min("pb").as("start"))
+      .withColumn("len", col("cnt") + (SpanK - 1))
+      .filter(col("len") >= MinSpan)
+      .select("doc_id", "start", "len")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        posexplode_outer(col("t")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("p"), col("col").as("tok"))
+    val covered = toks.join(spans, Seq("doc_id"))
+      .filter(col("p") >= col("start") &&
+        col("p") < col("start") + col("len"))
+      .select("doc_id", "p").distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(array_sort(
+        collect_list(struct(col("p"), col("tok")))), x => x("tok")))
+        .as("scrubbed_raw"))
+    val affected = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    affected.join(base, Seq("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        coalesce(col("scrubbed_raw"), lit("")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val q220Sql: String =
+    s"""WITH toks0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, u.i AS pos,
+      |    array_to_string(t[u.i:u.i+${SpanK - 1}], ' ') AS g
+      |  FROM toks0, LATERAL unnest(range(1, len(t) - ${SpanK - 2})) u(i)),
+      |m AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS doc_id,
+      |    a.pos AS pa, b.pos AS pb
+      |  FROM grams a JOIN grams b USING (g)
+      |  WHERE a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT da, doc_id, pa - pb AS diag, pb,
+      |    pb - ROW_NUMBER() OVER (
+      |      PARTITION BY da, doc_id, pa - pb ORDER BY pb) AS run
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_id, MIN(pb) AS start,
+      |    COUNT(*) + ${SpanK - 1} AS len
+      |  FROM runs GROUP BY da, doc_id, diag, run
+      |  HAVING COUNT(*) + ${SpanK - 1} >= $MinSpan),
+      |toks AS (
+      |  SELECT doc_id, len(t) AS n_tokens, u.p AS p, t[u.p] AS tok
+      |  FROM toks0, LATERAL unnest(range(1, len(t) + 1)) u(p)),
+      |covered AS (
+      |  SELECT DISTINCT k.doc_id, k.p
+      |  FROM toks k JOIN spans s ON k.doc_id = s.doc_id
+      |    AND k.p >= s.start AND k.p < s.start + s.len),
+      |kept AS (
+      |  SELECT k.* FROM toks k ANTI JOIN covered c
+      |    ON k.doc_id = c.doc_id AND k.p = c.p),
+      |kept_agg AS (
+      |  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY p) AS scrubbed_raw
+      |  FROM kept GROUP BY doc_id),
+      |affected AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY 1)
+      |SELECT a.doc_id,
+      |  (SELECT len(t) FROM toks0 WHERE doc_id = a.doc_id) AS n_tokens,
+      |  a.n_removed, COALESCE(k.scrubbed_raw, '') AS scrubbed
+      |FROM affected a LEFT JOIN kept_agg k ON a.doc_id = k.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_span_scrub" -> (q220SpanScrub _),
     "q218_exact_substr" -> (q218ExactSubstr _),
     "q25_dedup_exact" -> (q25ExactDedup _),
     "q26_neardup_minhash" -> (q26NearDupPairs _),
@@ -578,6 +691,7 @@ object Dedup {
     "q88_incremental_dedup" -> (q88IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q220_span_scrub" -> q220Sql,
     "q218_exact_substr" -> q218Sql,
     "q25_dedup_exact" -> q25Sql,
     "q26_neardup_minhash" -> q26Sql,
