@@ -62,12 +62,19 @@ object Clusters {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // per-INVOCATION chain id: two CC loops running concurrently in one
+    // per-INVOCATION chain ids: two CC loops running concurrently in one
     // session (parallel test suites; two jobs sharing a driver) must not
     // share a reliable-checkpoint chain, or one loop's round-k cut
-    // deletes the other's live round-(k-1) files
-    val chain = s"cc_edges@${java.util.UUID.randomUUID()}"
-    es = graft.operators.Lineage.cut(es, chain = chain)
+    // deletes the other's live round-(k-1) files. TWO ALTERNATING chains
+    // because the convergence probe reads BOTH round k-1 (`es`) and
+    // round k (`next`): a single chain's round-k cut would delete round
+    // k-1's reliable-checkpoint dir while exceptAll still needs it
+    // (LineageSpec's reliable-posture q71 run caught exactly that —
+    // FileNotFound on the just-deleted rdd dir); alternating means a cut
+    // only ever reclaims round k-2, which nothing reads anymore
+    val base = java.util.UUID.randomUUID()
+    val chains = Array(s"cc_edges_a@$base", s"cc_edges_b@$base")
+    es = graft.operators.Lineage.cut(es, chain = chains(1))
     // large-star: for every vertex x, every LARGER neighbor re-parents
     // to m = min(closed neighborhood of x) — each edge emitted from its
     // smaller endpoint's row; m <= x < nbr keeps the canonical form
@@ -98,7 +105,7 @@ object Clusters {
       // truncate lineage per round or the plan doubles per iteration
       // and analysis hangs (the documented iterative-DataFrame rule)
       val next = graft.operators.Lineage.cut(
-        smallStar(largeStar(es)), chain = chain)
+        smallStar(largeStar(es)), chain = chains(i % 2))
       converged = next.exceptAll(es).isEmpty && es.exceptAll(next).isEmpty
       es = next
       i += 1
@@ -111,7 +118,8 @@ object Clusters {
     val labels = vertices
       .join(roots, col("id") === col("rid"), "left")
       .select(col("id"), coalesce(col("rlabel"), col("id")).as("label"))
-    graft.operators.Lineage.endChain(es, chain)
+    graft.operators.Lineage.endChain(es, chains(0))
+    graft.operators.Lineage.endChain(es, chains(1))
     labels
   }
 
