@@ -213,6 +213,16 @@ object Engine {
             graft.operators.TxTable.clone(s, str(es.head), str(es(1)),
               if (es.size > 2) Some(lng(es(2))) else None))
         }),
+      ("tx_update",
+        "tx_update(root, predSql, setCol, setExprSql) - merge-on-read UPDATE ... SET setCol = setExpr WHERE pred (DV the old rows + append the images in one commit); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"update_where:${str(es(2))}",
+            graft.operators.TxTable.updateWhere(s, str(es.head),
+              org.apache.spark.sql.functions.expr(str(es(1))),
+              Seq(str(es(2)) ->
+                org.apache.spark.sql.functions.expr(str(es(3))))))
+        }),
       ("tx_purge",
         "tx_purge(root) - materialize every deletion vector (copy-on-write rewrite of DV-carrying files only); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {

@@ -85,6 +85,24 @@ object TxChangeFeed {
             .parquet(added.map(f =>
               TxTable.absFile(root, f)): _*)), lit("insert"), v))
       case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
+      // MoR UPDATE: the version's fresh DV positions are the
+      // pre-images, its added files the post-images — both sides from
+      // the manifest delta, no key-window diff needed
+      case Some("update_mor") =>
+        val pre = morDeletes(s, root, v, snap, parent, ct = Pre)
+        val base = parent.map(_.files.toSet).getOrElse(Set.empty)
+        val added = snap.files.filterNot(base.contains)
+        val post =
+          if (added.isEmpty) None
+          else Some(withMeta(TxTable.projectLogical(snap,
+            s.read.option("mergeSchema", "true")
+              .parquet(added.map(f =>
+                TxTable.absFile(root, f)): _*)), lit(Post), v))
+        (pre, post) match {
+          case (Some(a), Some(b)) =>
+            Some(a.unionByName(b, allowMissingColumns = true))
+          case (a, b) => a.orElse(b)
+        }
       // rename/drop are metadata-only (no files move): no change rows —
       // later versions' rows simply arrive under the new logical names
       // and the consumer's align/key resolution follows the alias class
@@ -99,7 +117,8 @@ object TxChangeFeed {
     */
   private def morDeletes(s: SparkSession, root: String, v: Long,
       snap: TxTable.Snapshot,
-      parent: Option[TxTable.Snapshot]): Option[DataFrame] = {
+      parent: Option[TxTable.Snapshot],
+      ct: String = "delete"): Option[DataFrame] = {
     val parentDvFiles = parent.map(_.dvs.values.flatten.map(_._1).toSet)
       .getOrElse(Set.empty)
     val touched = snap.dvs.toSeq.flatMap { case (f, es) =>
@@ -119,7 +138,7 @@ object TxChangeFeed {
         base("__rel") === dv("__dv_file") &&
           base("__pos") === dv("__dv_pos"), "left_semi")
       .drop("__rel", "__pos")
-    Some(withMeta(TxTable.projectLogical(snap, deleted), lit("delete"), v))
+    Some(withMeta(TxTable.projectLogical(snap, deleted), lit(ct), v))
   }
 
   /** Net-change diff of a rewrite commit: carryovers cancel, then one

@@ -650,7 +650,63 @@ object TxMaint {
       |  FROM orders WHERE NOT (o_orderstatus = 'O') GROUP BY 2
       |) ORDER BY side, o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------- q221
+  // MoR UPDATE (Delta's DV-backed UPDATE): the matched rows' positions
+  // DV out of their files and the updated images append — ONE atomic
+  // commit, kilobytes of writes at any table size (vs mergeByKey's
+  // copy-on-write file rewrites). The follow-up MoR DELETE composes
+  // over the update (its predicate sees post-update values; DV'd
+  // originals stay excluded), and the change feed reads the update
+  // version as update_preimage/update_postimage pairs — all of it
+  // restated arithmetically over raw orders.
+  def q221TxUpdateMor(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txupd_")
+    val root = s"$tmp/orders_upd"
+    TxTable.commit(s, root, graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice"),
+      TxTable.Overwrite, clusterBy = Some("o_totalprice"))
+    TxTable.updateWhere(s, root, col("o_orderstatus") === "O",
+      Seq(
+        "o_totalprice" -> (col("o_totalprice") + lit(1000.0)),
+        "o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
+    TxTable.deleteWhere(s, root, col("o_totalprice") < 5000.0)
+    val changes = graft.operators.TxChangeFeed
+      .readChangeFeed(s, root, 0L, 1L, "o_orderkey")
+      .agg(
+        count(when(col("_change_type") === "update_preimage", 1))
+          .as("n_pre"),
+        count(when(col("_change_type") === "update_postimage", 1))
+          .as("n_post"))
+    val out = TxTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .crossJoin(changes)
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q221Sql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'O'
+      |      THEN 'U:' || o_orderpriority ELSE o_orderpriority END
+      |      AS o_orderpriority,
+      |    CASE WHEN o_orderstatus = 'O'
+      |      THEN o_totalprice + 1000.0 ELSE o_totalprice END
+      |      AS o_totalprice
+      |  FROM orders),
+      |live AS (SELECT * FROM u WHERE NOT (o_totalprice < 5000.0))
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS n_pre,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS n_post
+      |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_tx_update_mor" -> (q221TxUpdateMor _),
     "q217_tx_clone" -> (q217TxClone _),
     "q205_tx_column_map" -> (q205TxColumnMap _),
     "q177_tx_delete_mor" -> (q177TxDeleteMor _),
@@ -668,6 +724,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q221_tx_update_mor" -> q221Sql,
     "q217_tx_clone" -> q217Sql,
     "q205_tx_column_map" -> q205Sql,
     "q177_tx_delete_mor" -> q177Sql,

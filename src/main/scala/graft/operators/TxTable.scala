@@ -2425,6 +2425,142 @@ object TxTable {
     committed
   }
 
+  /** Predicate UPDATE as MERGE-ON-READ (Delta's DV-backed UPDATE): the
+    * matched LIVE rows' positions append to their files' deletion
+    * vectors and their UPDATED images land as newly-written files — in
+    * ONE manifest publish, so a reader sees the old rows or the new
+    * atomically, never both or neither. At 100 TB an update touching
+    * 0.1% of rows writes kilobytes of DV plus one small file; contrast
+    * [[mergeByKey]]'s copy-on-write rewrite of every touched file.
+    *
+    * `set` expressions evaluate per matched row over the table's
+    * LOGICAL columns (column-mapped parents included — the scan
+    * projects vintages first). UPDATE never evolves schema: a set
+    * entry that changes a column's type (or names a column the table
+    * lacks) refuses before anything publishes. Rows already deleted by
+    * earlier DVs are excluded (an update may not resurrect them), and
+    * the matched set is frozen once (localCheckpoint) so the DV blob
+    * and the images describe the SAME rows even under a
+    * nondeterministic predicate. A partitioned parent re-lands images
+    * in the hive layout with part lines (the surfaced posture
+    * survives); a bucket layout DROPS — the appended images hold
+    * arbitrary keys (same row-mover contract as merge). CHECK
+    * constraints validate the images; CDC reads an `update_mor` commit
+    * as update_preimage/update_postimage pairs; the append-only stream
+    * source refuses it (or re-delivers under `ignoreChanges`).
+    * Serializable via the claim-retry loop. Returns the head version
+    * unchanged when nothing matches.
+    */
+  def updateWhere(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      prune: Seq[(String, Double, Double)] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
+    require(set.nonEmpty, "updateWhere needs at least one set column")
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to update"))
+      val cand = parent.files.filter { f =>
+        val ranges = parent.stats.getOrElse(f, Seq.empty)
+        prune.forall { case (c, lo, hi) =>
+          ranges.find(_._1 == c) match {
+            case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+      }
+      if (cand.isEmpty) return parent.version
+      val scan = attachLogical(parent, s.read
+        .option("mergeSchema", "true")
+        .parquet(cand.map(f => absFile(root, f)): _*))
+        .withColumn("__file", concat(lit("data/"),
+          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val matched = scan.filter(cond)
+      val priorDvFiles = cand.flatMap(f =>
+        parent.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
+      val live =
+        if (priorDvFiles.isEmpty) matched
+        else matched.join(
+          broadcast(s.read.parquet(
+              priorDvFiles.map(f => absFile(root, f)): _*)
+            .select(col("file").as("__file"), col("pos").as("__pos"))),
+          Seq("__file", "__pos"), "left_anti")
+      // freeze the matched set: the DV write and the image write are two
+      // evaluations — they must describe the same rows
+      val frozen = live.localCheckpoint(true)
+      if (frozen.isEmpty) return parent.version
+      val images = set.foldLeft(frozen) { case (d, (c, e)) =>
+        require(d.columns.contains(c),
+          s"updateWhere set column '$c' is not a table column")
+        d.withColumn(c, e)
+      }.drop("__file", "__pos")
+      val want = scan.drop("__file", "__pos").schema
+      val shape = (st: org.apache.spark.sql.types.StructType) =>
+        st.fields.map(f => (f.name, f.dataType)).toSeq
+      require(shape(images.schema) == shape(want),
+        "updateWhere must not change the table schema — got " +
+          s"${images.schema.simpleString}, table is ${want.simpleString}")
+      if (parent.checks.nonEmpty) validateChecks(images, parent.checks)
+      // dv blob for the pre-images
+      val dvWritten = writeData(s, root,
+        frozen.select(col("__file").as("file"), col("__pos").as("pos"))
+          .repartition(1))
+      val dvFile = dvWritten match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"dv write produced ${other.size} parts, expected 1")
+      }
+      val counts = s.read.parquet(s"$root/$dvFile")
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byIdentity = parent.files.groupBy(identityOf).map {
+        case (id, Seq(one)) => id -> one
+        case (id, many) => throw new IllegalStateException(
+          s"txtable $root: ${many.size} manifest entries share row " +
+            s"identity '$id' (${many.mkString(", ")}) — DV keying is " +
+            "ambiguous; purge or optimize before updating")
+      }
+      val dvs = counts.foldLeft(parent.dvs) { case (m, (id, n)) =>
+        val f = byIdentity.getOrElse(id, throw new IllegalStateException(
+          s"txtable $root: updated rows in unknown file identity '$id'"))
+        m.updated(f, m.getOrElse(f, Seq.empty) :+ (dvFile, n))
+      }
+      // post-images, re-landed in the parent's hive layout when one exists
+      val partColsOfParent = parent.files.headOption
+        .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+        .getOrElse(Seq.empty)
+      val (writtenAll, writtenParts) =
+        if (partColsOfParent.nonEmpty) {
+          val fp = writeDataPartitionedMulti(s, root, images, partColsOfParent)
+          (fp.map(_._1), fp.toMap)
+        } else
+          (writeData(s, root, images),
+            Map.empty[String, Seq[(String, Option[String])]])
+      val writtenRows = fileRows(s, root, writtenAll)
+      val written = writtenAll.filter(f => writtenRows(f) > 0L)
+      val cols = statCols(Some(parent), "").filter(_.nonEmpty)
+      val stats = parent.stats ++
+        (if (cols.isEmpty) Map.empty else footerStats(s, root, written, cols))
+      val rows = parent.rowCounts ++
+        writtenRows.view.filterKeys(written.contains).toMap
+      if (tryPublish(root, parent.version + 1, parent.files ++ written,
+          parent.txns, stats, schema = parent.schema, rowCounts = rows,
+          dvs = dvs, blooms = parent.blooms,
+          checks = parent.checks, op = "update_mor",
+          parts = parent.parts ++ writtenParts,
+          renames = parent.renames, deadCols = parent.deadCols,
+          // row-mover: the images hold arbitrary bucket keys — the
+          // co-location declaration cannot survive (reads degrade, never
+          // lie). Parent sum lines stay recorded but are inert while DVs
+          // live (the metadata rule refuses); purge re-derives them.
+          bucketSpec = None, sums = parent.sums))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** Materialize every deletion vector: files carrying DVs are rewritten
     * with their deleted positions dropped, DV lines disappear from the
     * child manifest, and reads go back to the plain scan path. Files

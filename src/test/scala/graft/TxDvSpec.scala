@@ -33,6 +33,111 @@ class TxDvSpec extends AnyFunSuite {
       clusterBy = Some("id"))
   }
 
+  test("updateWhere: one atomic MoR commit — originals DV out, images append, " +
+      "no original file touched") {
+    withRoot { root =>
+      seed(root)
+      val before = TxTable.currentSnapshot(root).get
+      val v = TxTable.updateWhere(spark, root, col("grp") === 1,
+        Seq("s" -> concat(lit("u-"), col("s"))))
+      assert(v == 1L, "one version for the whole update")
+      val snap = TxTable.currentSnapshot(root).get
+      assert(before.files.toSet.subsetOf(snap.files.toSet),
+        "original files must be untouched")
+      assert(snap.files.size > before.files.size, "images appended")
+      assert(snap.dvs.nonEmpty)
+      val rows = TxTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 40)
+      (1 to 40).foreach { i =>
+        val want = if (i % 4 == 1) s"u-s$i" else s"s$i"
+        assert(rows(i.toLong) == want, s"row $i")
+      }
+      // a second update sees post-update values and never resurrects:
+      // match the updated rows again, tweak grp
+      TxTable.updateWhere(spark, root, col("s").startsWith("u-"),
+        Seq("grp" -> lit(9)))
+      val g = TxTable.read(spark, root)
+        .groupBy("grp").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(g(9) == 10L && !g.contains(1))
+      assert(TxTable.read(spark, root).count() == 40L)
+      // time travel: v0 is the pre-update content
+      assert(TxTable.readVersion(spark, root, 0L)
+        .filter(col("s").startsWith("u-")).count() == 0L)
+      // purge materializes both updates; content unchanged
+      TxTable.purgeDeletes(spark, root)
+      assert(TxTable.read(spark, root).count() == 40L)
+      assert(TxTable.currentSnapshot(root).get.dvs.isEmpty)
+    }
+  }
+
+  test("updateWhere refusals and layout contracts") {
+    withRoot { root =>
+      seed(root)
+      // schema may not change: type-altering set refuses pre-publish
+      val before = TxTable.versions(root).size
+      intercept[IllegalArgumentException](
+        TxTable.updateWhere(spark, root, col("grp") === 1,
+          Seq("s" -> col("id"))))
+      intercept[IllegalArgumentException](
+        TxTable.updateWhere(spark, root, col("grp") === 1,
+          Seq("nope" -> lit(1))))
+      assert(TxTable.versions(root).size == before, "nothing published")
+      // matching nothing: no new version
+      assert(TxTable.updateWhere(spark, root, col("id") > 999L,
+        Seq("grp" -> lit(7))) == TxTable.currentVersion(root).get)
+    }
+    withRoot { root =>
+      import spark.implicits._
+      // bucketed parent: the update drops the declaration (row-mover)
+      TxTable.commit(spark, root,
+        (1 to 40).map(i => (i.toLong, i % 4)).toDF("id", "grp"),
+        bucketBy = Some(("id", 4)))
+      TxTable.updateWhere(spark, root, col("grp") === 0,
+        Seq("grp" -> lit(5)))
+      assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty)
+      assert(TxTable.read(spark, root)
+        .filter(col("grp") === 5).count() == 10L)
+    }
+    withRoot { root =>
+      import spark.implicits._
+      // partitioned parent: images re-land with part lines — the
+      // surfaced posture survives the update
+      TxTable.commit(spark, root,
+        (1 to 30).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+          .toDF("id", "lang"),
+        partitionBy = Some("lang"))
+      TxTable.updateWhere(spark, root, col("id") <= 6L,
+        Seq("id" -> (col("id") + 100L)))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.forall(f =>
+        snap.parts.getOrElse(f, Seq.empty).exists(_._1 == "lang")))
+      val surf = spark.read.format("tx")
+        .option("partitionedRead", "true").load(root)
+      assert(surf.filter(col("lang") === "a").count() == 10L)
+      assert(surf.filter(col("id") > 100L).count() == 6L)
+    }
+  }
+
+  test("change feed reads update_mor as pre/post image pairs; SQL tx_update routes") {
+    withRoot { root =>
+      seed(root)
+      spark.sql(s"SELECT * FROM tx_update('$root', 'grp = 2', 's', " +
+        "'concat(s, chr(33))')").head()
+      val cdf = graft.operators.TxChangeFeed
+        .readChangeFeed(spark, root, 0L, 1L, "id")
+      val byType = cdf.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("update_preimage" -> 10L,
+        "update_postimage" -> 10L), s"got $byType")
+      // pre/post pair up by key with the expected values
+      val posts = cdf.filter(col("_change_type") === "update_postimage")
+        .select("id", "s").collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(posts.forall { case (i, v) => v == s"s$i!" })
+    }
+  }
+
   test("deleteWhere removes matched rows without touching any data file") {
     withRoot { root =>
       seed(root)
