@@ -42,43 +42,85 @@ object TxScaleLab {
     * here against the same shape. No Spark session needed — the parse
     * is driver-side java.nio.
     */
+  /** Synthetic single-version head manifest with the full line mix a
+    * partitioned stat-bearing table carries (stat + rows + part + file
+    * per entry) — shared by the parse and clone labs. Returns the
+    * manifest byte size.
+    */
+  private def writeSyntheticManifest(root: String, f: Int): Int = {
+    val dir = java.nio.file.Paths.get(root, "_manifests")
+    Files.createDirectories(dir)
+    val sb = new java.lang.StringBuilder()
+    sb.append("graft-txtable-v1\n")
+    sb.append("format 3\nts 1700000000000\nop append\n")
+    val b64 = java.util.Base64.getEncoder
+    var i = 0
+    while (i < f) {
+      val path = s"data/w-synthetic/part-$i%05d-0123.parquet"
+      sb.append(s"stat $path k ${i * 10.0} ${i * 10.0 + 9.0} 0\n")
+      sb.append(s"rows $path 1000\n")
+      sb.append(s"part $path p ").append(b64.encodeToString(
+        s"p${i % 20}".getBytes("UTF-8"))).append('\n')
+      sb.append(path).append('\n')
+      i += 1
+    }
+    sb.append("COMMIT\n")
+    val bytes = sb.toString.getBytes("UTF-8")
+    Files.write(dir.resolve("v000000000.txt"), bytes)
+    bytes.length
+  }
+
   private def parseLab(): Unit = {
     val tmp = Files.createTempDirectory("graft_parselab_")
     println(f"${"files"}%8s ${"lines"}%9s ${"bytes"}%10s ${"parse_s"}%9s")
     Seq(10000, 100000, 1000000).foreach { f =>
       val root = s"$tmp/t$f"
-      val dir = java.nio.file.Paths.get(root, "_manifests")
-      Files.createDirectories(dir)
-      val sb = new java.lang.StringBuilder()
-      sb.append("graft-txtable-v1\n")
-      sb.append("format 3\nts 1700000000000\nop append\n")
-      val b64 = java.util.Base64.getEncoder
-      var i = 0
-      while (i < f) {
-        val path = s"data/w-synthetic/part-$i%05d-0123.parquet"
-        sb.append(s"stat $path k ${i * 10.0} ${i * 10.0 + 9.0} 0\n")
-        sb.append(s"rows $path 1000\n")
-        sb.append(s"part $path p ").append(b64.encodeToString(
-          s"p${i % 20}".getBytes("UTF-8"))).append('\n')
-        sb.append(path).append('\n')
-        i += 1
-      }
-      sb.append("COMMIT\n")
-      val bytes = sb.toString.getBytes("UTF-8")
-      Files.write(dir.resolve("v000000000.txt"), bytes)
+      val len = writeSyntheticManifest(root, f)
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         val snap = TxTable.snapshotAt(root, 0L)
         require(snap.files.size == f && snap.parts.size == f)
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$f%8d ${4L * f + 5}%9d ${bytes.length}%10d ${times.min}%9.3f")
+      println(f"$f%8d ${4L * f + 5}%9d $len%10d ${times.min}%9.3f")
+    }
+    graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
+  /** `runMain graft.TxScaleLab clone` — the zero-copy clone cost curve:
+    * clone = one manifest parse + absolutize + publish, all driver-side
+    * (no Spark jobs, no data I/O), so the wall cost IS the O(F)
+    * manifest term twice over. The number that backs "a 100 TB table
+    * clones in under a second" (10⁵ files ≈ the 100 TB operating point
+    * at 1 GB files).
+    */
+  private def cloneLab(): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = Files.createTempDirectory("graft_clonelab_")
+    println(f"${"files"}%8s ${"clone_s"}%9s ${"manifest_mb"}%12s")
+    Seq(10000, 100000, 1000000).foreach { f =>
+      val root = s"$tmp/t$f"
+      val len = writeSyntheticManifest(root, f)
+      val times = (1 to 3).map { r =>
+        val tgt = s"$tmp/c${f}_$r"
+        val t0 = System.nanoTime()
+        TxTable.clone(spark, root, tgt)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val snap = TxTable.snapshotAt(tgt, 0L)
+        require(snap.files.size == f &&
+          snap.files.forall(_.startsWith("/")), "clone must be foreign")
+        dt
+      }
+      println(f"$f%8d ${times.min}%9.3f ${len / 1e6}%12.1f")
     }
     graft.streaming.Replay.deleteRecursively(tmp)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("parse")) { parseLab(); return }
+    if (args.headOption.contains("clone")) { cloneLab(); return }
     val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -230,6 +230,29 @@ class TxCloneSpec extends AnyFunSuite {
     }
   }
 
+  test("clone of a clone: foreign entries stay pinned to the ORIGINAL files") {
+    withRoots { (src, tgt) =>
+      TxTable.commit(spark, src, df(spark, 0, 50))
+      TxTable.clone(spark, src, tgt)
+      TxTable.commit(spark, tgt, df(spark, 50, 60), TxTable.Append)
+      val tgt2 = s"${tgt}_2"
+      TxTable.clone(spark, tgt, tgt2)
+      // the grand-clone reads the union; its foreign entries point at
+      // BOTH roots (original absolute entries carried verbatim, the
+      // mid-clone's own relative appends absolutized against ITS root)
+      assert(rows(TxTable.read(spark, tgt2)) == rows(TxTable.read(spark, tgt)))
+      val snap = TxTable.currentSnapshot(tgt2).get
+      assert(snap.files.forall(_.startsWith("/")))
+      assert(snap.files.exists(_.contains("/src/")) &&
+        snap.files.exists(_.contains("/clone/")))
+      // and it evolves independently of both ancestors
+      TxTable.deleteWhere(spark, tgt2, col("k") < 5)
+      assert(TxTable.read(spark, tgt2).count() == 55L)
+      assert(TxTable.read(spark, tgt).count() == 60L)
+      assert(TxTable.read(spark, src).count() == 50L)
+    }
+  }
+
   test("tx_clone TVF performs the clone and reports the receipt") {
     withRoots { (src, tgt) =>
       TxTable.commit(spark, src, df(spark, 0, 30))
