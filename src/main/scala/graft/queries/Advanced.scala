@@ -420,7 +420,119 @@ object Advanced {
       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250)
       |SELECT doc_id, jw FROM scored WHERE jw >= 0.5 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  // k-CORE decomposition (k = 4) by iterative peeling over a
+  // deterministic MIXED-generator link graph (one affine map + two
+  // QUADRATIC maps — quadratics are not bijections mod n, so in-degrees
+  // vary and the peel actually cascades; the affine-only q111 graph is
+  // a union of permutations whose degrees are all 5-6, making every
+  // core trivial — measured before choosing): per round, drop every vertex
+  // whose degree in the CURRENT subgraph is < k together with its
+  // incident edges, until the edge set is stable — the surviving
+  // subgraph is the 3-core (every member has >= 3 neighbors INSIDE it),
+  // the standard graph-mining density primitive. State is the
+  // DIRECTED-DOUBLED edge list (each undirected edge as both
+  // orientations), which makes a peel round ONE window pass — deg(x) =
+  // COUNT over (partition by first col), deg(y) over the second — and
+  // lets the DuckDB oracle express the SAME iteration as a recursive
+  // CTE with a single self-reference. Convergence is exact via edge
+  // COUNT equality (the set only shrinks: equal cardinality ⇔ fixed
+  // point), and the loop REQUIREs convergence within the shared round
+  // cap so an unconverged run fails loudly in both engines rather than
+  // diverging silently. Expander-shaped graph ⇒ few rounds (the
+  // CC-lesson applied up front: peeling a path graph would be
+  // O(n) rounds — the graph, not the operator, owns that bound).
+  private val CoreK = 4
+  private val CoreRounds = 60
+
+  def q222KCore(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).select(count(lit(1)).as("n"))
+    val raw = Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      // reduce mod n BEFORE multiplying: a raw doc_id² overflows Long at
+      // the MakeScale SFs (disjoint keyspaces sit at huge offsets), and
+      // Spark ANSI raises where DuckDB's HUGEINT would not — the
+      // documented reduce-first rule keeps both engines in exact-Long
+      // range ((n-1)²·3 for any realistic corpus)
+      .withColumn("m", col("doc_id") % col("n"))
+      .select(col("m").as("src"),
+        explode_outer(array(
+          (col("m") * 7 + 13) % col("n"),
+          (col("m") * col("m") + 1) % col("n"),
+          (col("m") * col("m") * 3 + 11) % col("n"))).as("dst"))
+    val undirected = raw
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def cut(df: DataFrame) = graft.operators.Lineage.cut(df)
+    val chain = s"q222_core@${java.util.UUID.randomUUID()}"
+    def cutEs(df: DataFrame) =
+      graft.operators.Lineage.cut(df, chain = chain)
+    var es = cutEs(undirected
+      .select(col("u").as("x"), col("v").as("y"))
+      .unionAll(undirected.select(col("v").as("x"), col("u").as("y"))))
+    var esCount = es.count()
+    var converged = esCount == 0L
+    var i = 0
+    while (i < CoreRounds && !converged) {
+      val wx = org.apache.spark.sql.expressions.Window.partitionBy("x")
+      val wy = org.apache.spark.sql.expressions.Window.partitionBy("y")
+      // the cut EVALUATES the round before the chain reclaims the
+      // previous one, and the count probe below reads only the NEW set
+      val next = cutEs(es
+        .withColumn("dx", count(lit(1)).over(wx))
+        .withColumn("dy", count(lit(1)).over(wy))
+        .filter(col("dx") >= CoreK && col("dy") >= CoreK)
+        .select("x", "y"))
+      val nextCount = next.count()
+      converged = nextCount == esCount
+      es = next
+      esCount = nextCount
+      i += 1
+    }
+    require(converged,
+      s"q222: 3-core peel did not converge within $CoreRounds rounds")
+    graft.operators.Lineage.endChain(es, chain)
+    es.groupBy(col("x").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  val q222Sql: String = {
+    s"""WITH RECURSIVE
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM (
+       |    SELECT doc_id % n.n AS src,
+       |      ((doc_id % n.n) * 7 + 13) % n.n AS dst
+       |    FROM documents CROSS JOIN n
+       |    UNION ALL
+       |    SELECT doc_id % n.n, ((doc_id % n.n) * (doc_id % n.n) + 1) % n.n
+       |    FROM documents CROSS JOIN n
+       |    UNION ALL
+       |    SELECT doc_id % n.n,
+       |      ((doc_id % n.n) * (doc_id % n.n) * 3 + 11) % n.n
+       |    FROM documents CROSS JOIN n)
+       |  WHERE src <> dst),
+       |peel AS (
+       |  SELECT x, y, 0 AS r FROM (
+       |    SELECT u AS x, v AS y FROM e0
+       |    UNION ALL SELECT v, u FROM e0)
+       |  UNION ALL
+       |  SELECT x, y, r + 1 FROM (
+       |    SELECT x, y, r,
+       |      COUNT(*) OVER (PARTITION BY x) AS dx,
+       |      COUNT(*) OVER (PARTITION BY y) AS dy
+       |    FROM peel)
+       |  WHERE dx >= $CoreK AND dy >= $CoreK AND r < $CoreRounds)
+       |SELECT x AS doc_id, COUNT(*) AS core_degree
+       |FROM peel WHERE r = $CoreRounds
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_kcore"           -> (q222KCore _),
     "q106_topk_agg"        -> (q106TopkAgg _),
     "q107_chunk_dedup"     -> (q107ChunkDedup _),
     "q108_ewma"            -> (q108Ewma _),
@@ -433,6 +545,7 @@ object Advanced {
     "q115_jaro_winkler"    -> (q115JaroWinkler _))
 
   val oracles: Map[String, String] = Map(
+    "q222_kcore"           -> q222Sql,
     "q106_topk_agg"        -> q106Sql,
     "q107_chunk_dedup"     -> q107Sql,
     "q108_ewma"            -> q108Sql,
