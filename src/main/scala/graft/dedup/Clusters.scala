@@ -99,15 +99,22 @@ object Clusters {
       val fromSelf = mins.select(col("m").as("u"), col("x").as("v"))
       fromNbrs.union(fromSelf).distinct()
     }
-    var converged = es.isEmpty // nothing to contract on an edgeless graph
+    var esCount = es.count()
+    var converged = esCount == 0L // nothing to contract on an edgeless graph
     var i = 0
     while (i < maxRounds && !converged) {
       // truncate lineage per round or the plan doubles per iteration
       // and analysis hangs (the documented iterative-DataFrame rule)
       val next = graft.operators.Lineage.cut(
         smallStar(largeStar(es)), chain = chains(i % 2))
-      converged = next.exceptAll(es).isEmpty && es.exceptAll(next).isEmpty
+      // EXACT fixed-point check, cheap first: both sides are DISTINCT
+      // sets, so equal cardinality + empty one-sided difference ⇒ equal
+      // sets — the count gate means shrinking rounds never pay the
+      // anti-join, only the near-convergence ones do
+      val nextCount = next.count()
+      converged = nextCount == esCount && next.exceptAll(es).isEmpty
       es = next
+      esCount = nextCount
       i += 1
     }
     // fixed point: es is one star per component, centered at the min.
