@@ -117,10 +117,26 @@ object Clusters {
       esCount = nextCount
       i += 1
     }
+    // fail LOUDLY if the safety cap expired before the exact fixed
+    // point: pre-convergence the edge set can still carry multiple
+    // parents per vertex and a min-parent label CAN be wrong (this is
+    // precisely the silent-wrong-label failure the r16 rewrite existed
+    // to kill — q222's peel already REQUIREs convergence; same posture
+    // here). With exact fixed-point detection and O(log²) rounds the
+    // cap is unreachable on any real graph, which is exactly why
+    // hitting it must throw rather than return. Chain bookkeeping is
+    // dropped first so the failure path never leaks a lastCkpt entry.
+    if (!converged) {
+      graft.operators.Lineage.endChain(es, chains(0))
+      graft.operators.Lineage.endChain(es, chains(1))
+    }
+    require(converged,
+      s"connectedComponents: star contraction did not reach its fixed " +
+        s"point within $maxRounds rounds ($esCount edges left) — labels " +
+        "would be unsound; raise maxRounds")
     // fixed point: es is one star per component, centered at the min.
-    // min(u) per member is defensive — pre-convergence (maxRounds cap)
-    // a vertex may still carry several parents; the min is then a sound
-    // (if unconverged) label rather than a nondeterministic pick
+    // min(u) per member: at the fixed point each member has exactly one
+    // parent, so this is a plain lookup, not a tie-break
     val roots = es.groupBy(col("v").as("rid")).agg(min("u").as("rlabel"))
     val labels = vertices
       .join(roots, col("id") === col("rid"), "left")

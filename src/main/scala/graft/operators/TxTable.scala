@@ -909,9 +909,21 @@ object TxTable {
     base.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
         r.getString(0) -> cols.map { c =>
-          val s0 = Option(r.getAs[java.math.BigDecimal](s"__s_$c"))
-            .map(_.toBigInteger.toString).getOrElse("0")
-          (c, s0, r.getAs[Long](s"__n_$c"))
+          val raw = Option(r.getAs[java.math.BigDecimal](s"__s_$c"))
+          val nn = r.getAs[Long](s"__n_$c")
+          // a null decimal sum is legitimate ONLY for the all-null file
+          // (folds to SQL's NULL sum as `0 0`); with nn > 0 it means the
+          // DECIMAL(38,0) accumulator overflowed — recording "0" there
+          // would make the metadata SUM silently WRONG, so the exactness
+          // contract is enforced structurally (unreachable below ~1e19
+          // max-Long rows per file, which is why it's a require, not a
+          // handled case)
+          require(nn == 0L || raw.isDefined,
+            s"txtable sum column '$c': file ${r.getString(0)} " +
+              s"overflowed the DECIMAL(38,0) accumulator over $nn " +
+              "values — exact manifest sums cannot be recorded")
+          val s0 = raw.map(_.toBigInteger.toString).getOrElse("0")
+          (c, s0, nn)
         }
       }.toMap
   }

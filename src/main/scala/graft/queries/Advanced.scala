@@ -429,7 +429,8 @@ object Advanced {
   // core trivial — measured before choosing): per round, drop every vertex
   // whose degree in the CURRENT subgraph is < k together with its
   // incident edges, until the edge set is stable — the surviving
-  // subgraph is the 3-core (every member has >= 3 neighbors INSIDE it),
+  // subgraph is the k-core (every member has >= CoreK neighbors INSIDE
+  // it; CoreK = 4 here),
   // the standard graph-mining density primitive. State is the
   // DIRECTED-DOUBLED edge list (each undirected edge as both
   // orientations), which makes a peel round ONE window pass — deg(x) =
@@ -491,7 +492,7 @@ object Advanced {
       i += 1
     }
     require(converged,
-      s"q222: 3-core peel did not converge within $CoreRounds rounds")
+      s"q222: $CoreK-core peel did not converge within $CoreRounds rounds")
     graft.operators.Lineage.endChain(es, chain)
     es.groupBy(col("x").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))

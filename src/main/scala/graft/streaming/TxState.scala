@@ -111,7 +111,7 @@ object TxState {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     resolveBefore(root, beforeBatch) match {
       case Some(snap) if snap.files.nonEmpty =>
-        s.read.schema(schema).parquet(snap.files.map(f => s"$root/$f"): _*)
+        s.read.schema(schema).parquet(snap.files.map(f => TxTable.absFile(root, f)): _*)
       case _ => s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     }
 
@@ -131,7 +131,7 @@ object TxState {
     val files = prunedStateFiles(root, beforeBatch, preds)
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    else s.read.schema(schema).parquet(files.map(f => TxTable.absFile(root, f)): _*)
   }
 
   /** The file subset [[readBeforePruned]] would scan — also the spec
@@ -164,7 +164,7 @@ object TxState {
       case Some(snap) =>
         val (known, unknown) = snap.files.partition(snap.rowCounts.contains)
         known.map(snap.rowCounts).sum +
-          footerRows(s, unknown.map(f => s"$root/$f"))
+          footerRows(s, unknown.map(f => TxTable.absFile(root, f)))
       case None => 0L
     }
 
@@ -180,7 +180,7 @@ object TxState {
         val added = snap.files.filterNot(before.contains)
         val (known, unknown) = added.partition(snap.rowCounts.contains)
         known.map(snap.rowCounts).sum +
-          footerRows(s, unknown.map(f => s"$root/$f"))
+          footerRows(s, unknown.map(f => TxTable.absFile(root, f)))
       case None => 0L
     }
   }
@@ -210,7 +210,7 @@ object TxState {
       .map(_.files).getOrElse(Seq.empty)
     val before = TxTable.snapshotBefore(root, App, batchId)
       .map(_.files.toSet).getOrElse(Set.empty)
-    after.filterNot(before.contains).map(f => s"$root/$f")
+    after.filterNot(before.contains).map(f => TxTable.absFile(root, f))
   }
 
   /** Bound the one-file-per-batch growth: committed compaction +

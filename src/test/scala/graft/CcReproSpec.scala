@@ -37,4 +37,19 @@ class CcReproSpec extends AnyFunSuite {
       assert(got == expected, s"case $ci rep $rep: got $got expected $expected")
     }
   }
+
+  test("an expired round cap throws instead of returning unsound labels") {
+    import spark.implicits._
+    // a 64-vertex path cannot reach its star fixed point in one round;
+    // pre-r18 the min-parent labels were returned anyway ("sound (if
+    // unconverged)"), which is exactly the silent-wrong-label class the
+    // r17 rewrite existed to kill — the cap must now fail loudly
+    val vertices = (0L to 63L).map(Tuple1(_)).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.Clusters
+        .connectedComponents(vertices, edges, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not reach its fixed point"))
+  }
 }
