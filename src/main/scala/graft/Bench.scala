@@ -251,7 +251,9 @@ object Bench {
       // exact shared-span dedup, and SUM pushed to the manifest
       // (q216's MoR metadata aggs ride the full map — the headline
       // stdout line must stay under the driver's 2000-char capture)
-      "q217_tx_clone", "q218_exact_substr", "q219_tx_meta_sum")
+      "q217_tx_clone", "q218_exact_substr", "q219_tx_meta_sum",
+      // round-18: bucket-preserving MERGE
+      "q223_tx_bucket_merge")
     val byName = results.toMap
     def dict(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -493,12 +493,21 @@ object Dedup {
     *      position — O(total tokens), zero shuffle, `posexplode_outer`
     *      so InferFiltersFromGenerate cannot clone the window expression
     *      into a pre-filter (the documented explode rule);
-    *   2. ONE shuffle keys windows by text for the exact-equality join
-    *      (at 100 TB the shuffle key becomes the window's 8-byte hash
-    *      with a string verify behind it; here the join is measured
-    *      collision-sparse — 23.7k windows / 22.6k distinct at sf0.01,
-    *      k = 8 chosen by the corpus-density rule that killed char
-    *      3-grams for q143);
+    *   2. ONE shuffle keys windows by the 96-bit hash pair
+    *      (xxhash64, murmur3) of the window text — the window STRING
+    *      never enters the shuffle, so the join moves ~20 bytes per
+    *      window instead of ~8× the corpus text (the r17 plan shuffled
+    *      the full 8-token strings; k = 8 itself chosen by the
+    *      corpus-density rule that killed char 3-grams for q143);
+    *   2b. every reported pair's longest run is then STRING-CERTIFIED:
+    *      the actual token slices of both documents are compared with
+    *      `assert_true`, so a 96-bit hash collision that reached the
+    *      output would fail LOUDLY instead of reporting a false span
+    *      (short runs that only feed `n_matches` stay hash-verified;
+    *      the residual double-collision odds there are ~2^-96 per
+    *      candidate window pair). The certification joins are
+    *      broadcast-side (the qualifying pair set is tiny), costing one
+    *      extra map-side pass over the corpus and zero shuffle;
     *   3. matches group per (pair, diagonal): `pos - row_number()` folds
     *      consecutive positions into run ids, one keyed window + one
     *      aggregation — never an all-pairs product.
@@ -509,37 +518,93 @@ object Dedup {
   private val SpanK = 8
   private val MinSpan = 20
 
+  /** k-token windows of one side, HASH-KEYED: (doc id, 1-based position,
+    * xxhash64 of the window text, murmur3 of the window text). The text
+    * itself is projected away BEFORE the join shuffle — the r17 plan
+    * keyed (and therefore shuffled) the full 8-token strings, ~8× the
+    * corpus text; this shape moves 20 bytes per window and the 96-bit
+    * pair makes a spurious hash match ~2^-96 per candidate (the reported
+    * spans are string-certified on top, see the callers). Two
+    * INDEPENDENT reads per query: a self-join of one lineage trips
+    * AMBIGUOUS_SELF_JOIN on the join keys.
+    */
+  private def spanWindows(s: SparkSession, d: String,
+      side: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id").as(s"${side}_id"),
+        posexplode_outer(expr(
+          s"""CASE WHEN size(t) >= $SpanK
+             |THEN transform(sequence(1, size(t) - ${SpanK - 1}),
+             |               i -> concat_ws(' ', slice(t, i, $SpanK)))
+             |ELSE array() END""".stripMargin)))
+      .filter(col("col").isNotNull)
+      .select(col(s"${side}_id"), (col("pos") + 1).as(s"${side}_pos"),
+        xxhash64(col("col")).as(s"${side}_h"),
+        hash(col("col")).as(s"${side}_v"))
+
+  /** STRING-CERTIFY one representative span per output row: re-reads the
+    * two documents' token arrays (broadcast join against the tiny span
+    * set — one extra map-side corpus pass, zero shuffle) and compares
+    * the ACTUAL text slices with `assert_true`, so if a 96-bit hash
+    * collision ever reached a reported span the query fails LOUDLY
+    * instead of reporting a false duplicate. `df` must carry doc id
+    * columns `aId`/`bId` and 1-based span starts `aPos`/`bPos` plus
+    * `spanLen`; rows pass through unchanged.
+    */
+  private def certifySpans(s: SparkSession, d: String, df: DataFrame,
+      aId: String, bId: String, aPos: String, bPos: String,
+      spanLen: org.apache.spark.sql.Column): DataFrame = {
+    val ta = Tables.documents(s, d)
+      .select(col("doc_id").as("__ca"), split(col("text"), " ").as("__ta"))
+    val tb = Tables.documents(s, d)
+      .select(col("doc_id").as("__cb"), split(col("text"), " ").as("__tb"))
+    broadcast(df).join(ta, col(aId) === col("__ca"))
+      .join(tb, col(bId) === col("__cb"))
+      .where(assert_true(
+        concat_ws(" ", slice(col("__ta"), col(aPos).cast("int"),
+          spanLen.cast("int"))) ===
+          concat_ws(" ", slice(col("__tb"), col(bPos).cast("int"),
+            spanLen.cast("int"))),
+        lit("exactsubstr: a certified span's token slices differ — " +
+          "96-bit window-hash collision reached the output")).isNull)
+      .drop("__ca", "__ta", "__cb", "__tb")
+  }
+
   def q218ExactSubstr(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // two INDEPENDENT reads: a self-join of one lineage trips
-    // AMBIGUOUS_SELF_JOIN on the join keys
-    def grams(side: String) =
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id").as(s"${side}_id"),
-          posexplode_outer(expr(
-            s"""CASE WHEN size(t) >= $SpanK
-               |THEN transform(sequence(1, size(t) - ${SpanK - 1}),
-               |               i -> concat_ws(' ', slice(t, i, $SpanK)))
-               |ELSE array() END""".stripMargin)))
-        .filter(col("col").isNotNull)
-        .select(col(s"${side}_id"), col("pos").as(s"${side}_pos"),
-          col("col").as(s"${side}_g"))
-    val a = grams("a")
-    val b = grams("b")
-    val m = a.join(b, a("a_g") === b("b_g") && a("a_id") < b("b_id"))
+    val a = spanWindows(s, d, "a")
+    val b = spanWindows(s, d, "b")
+    // the equality join keys on the 96-bit hash pair — 20-byte rows in
+    // the shuffle, never the window text (a window value repeated m
+    // times still fans out m_a × m_b genuine pairs here: that is q218's
+    // pair-report SEMANTICS; the excision path q220 collapses the
+    // a-side first and is the one a 100 TB pipeline runs per-corpus —
+    // AQE skew-join splits any residual hot hash at runtime)
+    val m = a.join(b,
+        a("a_h") === b("b_h") && a("a_v") === b("b_v") &&
+          a("a_id") < b("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         col("a_pos").as("pa"), col("b_pos").as("pb"))
     val runs = m
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("run", col("pa") - row_number().over(
         Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
-    runs.groupBy("doc_a", "doc_b", "diag", "run")
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = runs.groupBy("doc_a", "doc_b", "diag", "run")
+      .agg(count(lit(1)).as("cnt"), min("pa").as("pa0"), min("pb").as("pb0"))
       .groupBy("doc_a", "doc_b")
       .agg(sum("cnt").cast("long").as("n_matches"),
-        (max("cnt") + (SpanK - 1)).cast("long").as("max_span"))
+        // the argmax run carries its start positions out for the string
+        // certification; struct order = (cnt, pa0, pb0) so `max` is the
+        // longest run, ties broken deterministically
+        max(struct(col("cnt"), col("pa0"), col("pb0"))).as("mx"))
+      .select(col("doc_a"), col("doc_b"), col("n_matches"),
+        (col("mx.cnt") + (SpanK - 1)).cast("long").as("max_span"),
+        col("mx.pa0").as("cpa"), col("mx.pb0").as("cpb"))
       .filter(col("max_span") >= MinSpan)
+    certifySpans(s, d, pairs, "doc_a", "doc_b", "cpa", "cpb",
+      col("max_span"))
+      .select("doc_a", "doc_b", "n_matches", "max_span")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -579,37 +644,88 @@ object Dedup {
     * from the surviving tokens in position order. Built from the
     * ranges side so a FULLY-covered document (an exact duplicate)
     * still reports, with empty scrubbed text — the oracle pins that
-    * edge with COALESCE. Shuffle shape: the q218 join plus one
+    * edge with COALESCE. Shuffle shape (r18): the hash-keyed window
+    * join probes a COLLAPSED a-side — one representative occurrence
+    * per window value — so a boilerplate window repeated m times joins
+    * m-1 times, not O(m²); the join rows carry 20-byte hash keys, never
+    * the window text; reported spans are string-certified. Then one
     * doc-keyed equality join (the in-row range check is free) and one
     * per-doc fold — nothing all-pairs, nothing corpus-wide beyond the
     * window join.
     */
+  /** MinSpan-token windows of one side, hash-keyed like [[spanWindows]]
+    * but at the FULL span width — the q220 reduction's unit (see below).
+    * The window text is hashed per position directly off the token-array
+    * slice (never concatenated into a shuffled string).
+    */
+  private def minspanWindows(s: SparkSession, d: String,
+      side: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id").as(s"${side}_id"),
+        posexplode_outer(expr(
+          s"""CASE WHEN size(t) >= $MinSpan
+             |THEN transform(sequence(1, size(t) - ${MinSpan - 1}),
+             |  i -> struct(xxhash64(slice(t, i, $MinSpan)) AS h,
+             |              hash(slice(t, i, $MinSpan)) AS v))
+             |ELSE array() END""".stripMargin)))
+      .filter(col("col").isNotNull)
+      .select(col(s"${side}_id"), (col("pos") + 1).as(s"${side}_pos"),
+        col("col.h").as(s"${side}_h"), col("col.v").as(s"${side}_v"))
+
   def q220SpanScrub(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def grams(side: String) =
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id").as(s"${side}_id"),
-          posexplode_outer(expr(
-            s"""CASE WHEN size(t) >= $SpanK
-               |THEN transform(sequence(1, size(t) - ${SpanK - 1}),
-               |               i -> concat_ws(' ', slice(t, i, $SpanK)))
-               |ELSE array() END""".stripMargin)))
-        .filter(col("col").isNotNull)
-        .select(col(s"${side}_id"), (col("pos") + 1).as(s"${side}_pos"),
-          col("col").as(s"${side}_g"))
-    val a = grams("a")
-    val b = grams("b")
-    val m = a.join(b, a("a_g") === b("b_g") && a("a_id") < b("b_id"))
-      .select(col("a_id").as("da"), col("b_id").as("doc_id"),
-        col("a_pos").as("pa"), col("b_pos").as("pb"))
-      .withColumn("diag", col("pa") - col("pb"))
-      .withColumn("run", col("pb") - row_number().over(
-        Window.partitionBy("da", "doc_id", "diag").orderBy("pb")))
-    val spans = m.groupBy("da", "doc_id", "diag", "run")
-      .agg(count(lit(1)).as("cnt"), min("pb").as("start"))
-      .withColumn("len", col("cnt") + (SpanK - 1))
-      .filter(col("len") >= MinSpan)
+    // THE r18 HOT-KEY REDUCTION, exact by construction: coverage by
+    // >= MinSpan single-witness diagonal runs of k-token windows (the
+    // r17 pairwise plan) EQUALS coverage by MinSpan-token windows that
+    // occur verbatim in ANY earlier document —
+    //   (>=) an earlier occurrence of a MinSpan-window is itself a
+    //        length-MinSpan diagonal run vs that witness;
+    //   (<=) every position of a >= MinSpan shared span lies inside
+    //        some MinSpan-sub-window of the span, and that sub-window
+    //        occurs at the witness's corresponding offset.
+    // At the full span width NO run structure survives the predicate,
+    // so "occurs earlier" is a plain MIN(doc_id) per window VALUE — and
+    // min is a map-side partial aggregate: a boilerplate window
+    // repeated m times collapses to one row per partition BEFORE the
+    // shuffle, where the r17 verdict's prescribed per-window
+    // min-REPRESENTATIVE collapse (kept vs the diagonal-run machinery)
+    // is REFUTED by this corpus: re-anchoring windows to their earliest
+    // occurrence splits a later, longer witness's run at the seam
+    // (doc 360 at sf0.001: a 77-token exact copy of doc 12 lost its
+    // final token because doc 8, a 76-token prefix twin, hijacked the
+    // shared windows — ExactSubstrSpec pins the fixture). The reduction
+    // has no seam to split: windows decide individually.
+    val reps = minspanWindows(s, d, "a")
+      .groupBy(col("a_h").as("h"), col("a_v").as("v"))
+      .agg(min(struct(col("a_id"), col("a_pos"))).as("rep"))
+      .select(col("h"), col("v"),
+        col("rep.a_id").as("rep_id"), col("rep.a_pos").as("rep_pos"))
+    val b = minspanWindows(s, d, "b")
+    // a window occurs in an EARLIER doc iff the global-min doc over its
+    // value precedes this one (strict: first occurrences stay verbatim);
+    // the rep side is one row per distinct value, so the join fan-out is
+    // the probe side's own occurrence count — output-sized, never m²
+    val cand = b.join(reps,
+        b("b_h") === reps("h") && b("b_v") === reps("v") &&
+          reps("rep_id") < b("b_id"))
+      .select(col("rep_id").as("da"), col("b_id").as("doc_id"),
+        col("rep_pos").as("pa0"), col("b_pos").as("start"))
+    // every excision-driving window is STRING-certified against both
+    // documents' raw text — a hash collision fails loudly instead of
+    // scrubbing the wrong tokens
+    val certified = certifySpans(s, d, cand, "da", "doc_id", "pa0",
+      "start", lit(MinSpan))
+    // gaps-and-islands over qualifying starts: consecutive starts fold
+    // into one maximal interval so a fully-duplicated document carries
+    // ONE span row into the coverage join, not one per position (the
+    // covered-positions join below is O(doc_len × islands))
+    val spans = certified
+      .withColumn("run", col("start") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("start")))
+      .groupBy("doc_id", "run")
+      .agg(min("start").as("start"),
+        (max("start") - min("start") + MinSpan).as("len"))
       .select("doc_id", "start", "len")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -643,23 +759,14 @@ object Dedup {
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |grams AS (
       |  SELECT doc_id, u.i AS pos,
-      |    array_to_string(t[u.i:u.i+${SpanK - 1}], ' ') AS g
-      |  FROM toks0, LATERAL unnest(range(1, len(t) - ${SpanK - 2})) u(i)),
-      |m AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS doc_id,
-      |    a.pos AS pa, b.pos AS pb
-      |  FROM grams a JOIN grams b USING (g)
-      |  WHERE a.doc_id < b.doc_id),
-      |runs AS (
-      |  SELECT da, doc_id, pa - pb AS diag, pb,
-      |    pb - ROW_NUMBER() OVER (
-      |      PARTITION BY da, doc_id, pa - pb ORDER BY pb) AS run
-      |  FROM m),
+      |    array_to_string(t[u.i:u.i+${MinSpan - 1}], ' ') AS g
+      |  FROM toks0, LATERAL unnest(range(1, len(t) - ${MinSpan - 2})) u(i)),
+      |rep AS (
+      |  SELECT g, MIN(doc_id) AS rep_id FROM grams GROUP BY g),
       |spans AS (
-      |  SELECT doc_id, MIN(pb) AS start,
-      |    COUNT(*) + ${SpanK - 1} AS len
-      |  FROM runs GROUP BY da, doc_id, diag, run
-      |  HAVING COUNT(*) + ${SpanK - 1} >= $MinSpan),
+      |  SELECT b.doc_id, b.pos AS start, $MinSpan AS len
+      |  FROM grams b JOIN rep r USING (g)
+      |  WHERE r.rep_id < b.doc_id),
       |toks AS (
       |  SELECT doc_id, len(t) AS n_tokens, u.p AS p, t[u.p] AS tok
       |  FROM toks0, LATERAL unnest(range(1, len(t) + 1)) u(p)),

@@ -767,6 +767,42 @@ object TxTable {
     }
   }
 
+  /** Layout-preserving rewrite router for DML row-movers (r18): a
+    * rewrite of a HASH-BUCKETED table re-shuffles its output through
+    * the SAME `pmod(murmur3(cols), n)` the original commit used — every
+    * row provably returns to its own bucket, so the format-6
+    * declaration can carry across MERGE and copy-on-write DELETE (the
+    * optimize/purge/compactSmall pattern, now on the most common DML
+    * verbs — before this, a nightly upsert into a bucketed fact cost
+    * the co-location until the next optimize). On the partition ×
+    * bucket grid the rewrite lands in the hive layout too, one file per
+    * (partition, bucket) cell. Unbucketed tables take `fallback`
+    * (the caller's historical clustering) unchanged. A rewritten bucket
+    * may hold several files until the next optimize — Spark's bucketed
+    * scan joins multi-file buckets exchange-free and merely withholds
+    * the in-bucket sort order, so reads degrade gracefully, never lie.
+    */
+  private def rewriteDataInLayout(s: SparkSession, root: String,
+      parent: Snapshot, df: DataFrame,
+      fallback: DataFrame => DataFrame)
+      : (Seq[String], Map[String, Seq[(String, Option[String])]]) = {
+    val partColsOfParent = parent.files.headOption
+      .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
+      .getOrElse(Seq.empty)
+    parent.bucketSpec match {
+      case Some((n, bcols)) if partColsOfParent.nonEmpty =>
+        val fp = writeDataPartitionedBucketed(
+          s, root, df, partColsOfParent, bcols, n)
+        (fp.map(_._1), fp.toMap)
+      case Some((n, bcols)) =>
+        (writeDataBucketed(s, root, df, bcols, n),
+          Map.empty[String, Seq[(String, Option[String])]])
+      case None =>
+        (writeData(s, root, fallback(df)),
+          Map.empty[String, Seq[(String, Option[String])]])
+    }
+  }
+
   /** Inverse of Spark's hive path-segment escaping: %XX byte sequences
     * decode as UTF-8. Values without escapes pass through unchanged.
     */
@@ -1398,9 +1434,11 @@ object TxTable {
     val deadLines = deadCols.toSeq.sorted.map(d => s"$ColDeadPrefix${b64e(d)}")
     // bucketSpec defaults to None here ON PURPOSE: any publish that does
     // not explicitly carry the parent's layout DROPS the declaration, so
-    // an op that rewrites or moves rows (optimize, merge, purge, restore,
-    // dpo, ...) can never leave a stale co-location promise behind —
-    // reads degrade to plain scans, which are always correct
+    // an op that moves rows across buckets (MoR update's image appends,
+    // zorder, dpo, ...) can never leave a stale co-location promise
+    // behind — reads degrade to plain scans, which are always correct.
+    // Ops that provably re-bucket (optimize/compactSmall/purge r17,
+    // merge/CoW delete r18) OPT IN by passing the parent's spec.
     val bucketLines = bucketSpec.toSeq.map { case (n, cols) =>
       s"$BucketPrefix$n ${cols.map(b64e).mkString(" ")}" }
     val partLines = parts.toSeq.sortBy(_._1).flatMap {
@@ -2000,15 +2038,27 @@ object TxTable {
           java.io.IOException(s"txtable $root has no version to merge into"))
       val merged = Upsert.mergeByKey(readSnapshot(s, root, parent),
         updates, keys)
-      val dataFiles = writeData(s, root, merged)
+      // a bucketed (or partitioned) parent keeps its layout: the merge
+      // output re-shuffles through the identical pmod(murmur3) / hive
+      // fan-out the commits used, so the format-6 declaration survives
+      // the most common DML verb (r18; before this a nightly upsert
+      // into a bucketed fact cost the co-location until optimize)
+      val (dataFiles, newParts) =
+        rewriteDataInLayout(s, root, parent, merged, identity)
       if (parent.checks.nonEmpty)
         validateChecks(s.read.option("mergeSchema", "true")
           .parquet(dataFiles.map(f => s"$root/$f"): _*), parent.checks)
       if (tryPublish(root, parent.version + 1, dataFiles, parent.txns,
           schema = parent.schema,
           rowCounts = fileRows(s, root, dataFiles),
-          checks = parent.checks, op = "merge",
-          renames = parent.renames, deadCols = parent.deadCols))
+          checks = parent.checks, op = "merge", parts = newParts,
+          renames = parent.renames, deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec,
+          // full rewrite: re-record exact sums for whatever the parent
+          // fully covered (values legitimately change with the merge;
+          // the zero-scan SUM path should not silently demote)
+          sums = fileSums(s, root, dataFiles,
+            sumColsOfParent(parent, merged.schema), merged.schema)))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -2139,8 +2189,15 @@ object TxTable {
         else Upsert.mergeByKey(
           readFilesWithDvs(s, root, parent, touched),
           updates, Seq(keyCol))
-      val newFiles = writeData(s, root,
-        merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
+      // a bucketed parent keeps its layout: the touched-group rewrite
+      // (matched rows + every insert) re-shuffles through the identical
+      // pmod(murmur3) — a bucket may hold several files until the next
+      // optimize (exchange-free joins hold; in-bucket sort order is
+      // withheld by Spark itself). Unbucketed tables keep the
+      // historical key-range clustering so the table STAYS skippable.
+      val (newFiles, newParts) = rewriteDataInLayout(s, root, parent,
+        merged,
+        _.repartitionByRange(math.max(1, touched.size), col(keyCol)))
       val newStats = footerStats(s, root, newFiles, statCols(Some(parent), keyCol))
       val files = untouched ++ newFiles
       val stats = parent.stats.view.filterKeys(untouchedSet.contains).toMap ++
@@ -2156,8 +2213,12 @@ object TxTable {
           dvs = parent.dvs.view.filterKeys(untouchedSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(untouchedSet.contains)
             .toMap, checks = parent.checks, op = "merge",
-          parts = parent.parts, renames = parent.renames,
-          deadCols = parent.deadCols))
+          parts = parent.parts ++ newParts, renames = parent.renames,
+          deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec,
+          sums = parent.sums.view.filterKeys(untouchedSet.contains)
+            .toMap ++ fileSums(s, root, newFiles,
+              sumColsOfParent(parent, merged.schema), merged.schema)))
         committed = parent.version + 1
     }
     committed
@@ -2308,14 +2369,22 @@ object TxTable {
       }
       val keep = classified.collect { case (f, 0) => f }
       val rewrite = classified.collect { case (f, 2) => f }
-      val written =
-        if (rewrite.isEmpty) Seq.empty[String]
-        else writeData(s, root,
+      // copy-on-write DELETE follows the merge route (r18): a bucketed
+      // parent's rewrite re-buckets through the identical pmod(murmur3)
+      // so the declaration survives; unbucketed rewrites stay unclustered
+      // (the straddling files' own extents already bound the stats)
+      val (writtenAll, newParts) =
+        if (rewrite.isEmpty)
+          (Seq.empty[String],
+            Map.empty[String, Seq[(String, Option[String])]])
+        else rewriteDataInLayout(s, root, parent,
           readFilesWithDvs(s, root, parent, rewrite)
             // null keys don't match the range — keep them (a bare
             // NOT(between) would null out and silently drop those rows)
             .filter(col(keyCol).isNull ||
-              col(keyCol) < lo || col(keyCol) > hi))
+              col(keyCol) < lo || col(keyCol) > hi), identity)
+      val writtenRows = fileRows(s, root, writtenAll)
+      val written = writtenAll.filter(f => writtenRows(f) > 0L)
       val files = keep ++ written
       if (files.isEmpty) throw new java.io.IOException(
         s"deleteRange would empty txtable $root — use an explicit " +
@@ -2324,15 +2393,21 @@ object TxTable {
       val stats = parent.stats.view.filterKeys(keepSet.contains).toMap ++
         footerStats(s, root, written, statCols(Some(parent), keyCol))
       val rows = parent.rowCounts.view.filterKeys(keepSet.contains)
-        .toMap ++ fileRows(s, root, written)
+        .toMap ++ writtenRows.view.filterKeys(written.contains).toMap
       // deletes only remove already-valid rows — carry checks, no re-scan
       if (tryPublish(root, parent.version + 1, files, parent.txns, stats,
           schema = parent.schema, rowCounts = rows,
           dvs = parent.dvs.view.filterKeys(keepSet.contains).toMap,
           blooms = parent.blooms.view.filterKeys(keepSet.contains).toMap,
           checks = parent.checks, op = "delete_range",
-          parts = parent.parts, renames = parent.renames,
-          deadCols = parent.deadCols))
+          parts = parent.parts ++ newParts, renames = parent.renames,
+          deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec,
+          sums = parent.sums.view.filterKeys(keepSet.contains).toMap ++ {
+            val sch = parent.schema.getOrElse(
+              org.apache.spark.sql.types.StructType(Nil))
+            fileSums(s, root, written, sumColsOfParent(parent, sch), sch)
+          }))
         committed = parent.version + 1
     }
     committed
@@ -2456,7 +2531,8 @@ object TxTable {
     * nondeterministic predicate. A partitioned parent re-lands images
     * in the hive layout with part lines (the surfaced posture
     * survives); a bucket layout DROPS — the appended images hold
-    * arbitrary keys (same row-mover contract as merge). CHECK
+    * arbitrary keys (UPDATE is the remaining true row-mover: since r18
+    * MERGE and CoW DELETE re-bucket their rewrites and preserve). CHECK
     * constraints validate the images; CDC reads an `update_mor` commit
     * as update_preimage/update_postimage pairs; the append-only stream
     * source refuses it (or re-delivers under `ignoreChanges`).

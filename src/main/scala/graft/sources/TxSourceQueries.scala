@@ -683,6 +683,79 @@ object TxSourceQueries {
       |WHERE l.l_returnflag = 'R'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q223
+  /** BUCKET-PRESERVING MERGE (r18, the r17 verdict's task 2): orders
+    * commits hash-bucketed on the order key, then a copy-on-write
+    * `mergeByKey` re-prices a fifth of the keys — and the merge's
+    * rewrite re-shuffles through the SAME `pmod(murmur3(key), n)` the
+    * commit used, so the format-6 declaration survives the most common
+    * DML verb (r17 used this exact call as the drop-demo: a nightly
+    * upsert into a bucketed fact cost the co-location until the next
+    * optimize). The in-query guard requires the post-merge fact-fact
+    * join to plan ZERO exchanges and — the full rewrite landing one
+    * sorted file per bucket — ZERO sorts. The oracle replays the merge
+    * relationally and proves the lifecycle moved no row it shouldn't.
+    */
+  def q223TxBucketMerge(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txbmrg_")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val ordersRoot = s"$tmp/orders_m"
+    val itemsRoot = s"$tmp/items_m"
+    TxTable.commit(ss, ordersRoot,
+      graft.Tables.orders(ss, d)
+        .select("o_orderkey", "o_orderpriority"),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    TxTable.commit(ss, itemsRoot,
+      graft.Tables.lineitem(ss, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
+    val upd = graft.Tables.orders(ss, d)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("X-MERGED").as("o_orderpriority"))
+    TxTable.mergeByKey(ss, ordersRoot, upd, Seq("o_orderkey"))
+    val snap = TxTable.currentSnapshot(ordersRoot).get
+    require(snap.bucketSpec.contains((8, Seq("o_orderkey"))),
+      s"merge dropped the bucket layout: ${snap.bucketSpec}")
+    require(snap.op.contains("merge"), s"head op: ${snap.op}")
+    require(snap.files.size == 8,
+      s"full-rewrite merge should land one file per bucket: ${snap.files.size}")
+    val joined = ss.read.format("tx").load(ordersRoot)
+      .join(ss.read.format("tx").load(itemsRoot), "o_orderkey")
+    val out = joined.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy("o_orderpriority")
+    val collected = out.localCheckpoint(true)
+    val smj = out.queryExecution.executedPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(throw new IllegalStateException(
+      "expected a sort-merge join over the bucketed scans"))
+    require(smj.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "post-merge bucketed join still shuffles")
+    require(smj.collect {
+      case x: org.apache.spark.sql.execution.SortExec => x }.isEmpty,
+      "post-merge bucketed join still sorts — the merge rewrite did " +
+        "not restore the one-sorted-file-per-bucket economics")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q223Sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'X-MERGED'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders)
+      |SELECT m.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM merged m JOIN lineitem l ON m.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q213
   /** Metadata-only GROUP BY partition column + string extremes from part
     * values ([[graft.plans.TxMetadataAgg]], r16 VERDICT tasks 5+7):
@@ -1014,7 +1087,8 @@ object TxSourceQueries {
     "q214_tx_dpp_mor" -> (q214TxDppMor _),
     "q215_tx_meta_filter" -> (q215TxMetaFilter _),
     "q216_tx_meta_mor" -> (q216TxMetaMor _),
-    "q219_tx_meta_sum" -> (q219TxMetaSum _))
+    "q219_tx_meta_sum" -> (q219TxMetaSum _),
+    "q223_tx_bucket_merge" -> (q223TxBucketMerge _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -1032,5 +1106,6 @@ object TxSourceQueries {
     "q214_tx_dpp_mor" -> q214Sql,
     "q215_tx_meta_filter" -> q215Sql,
     "q216_tx_meta_mor" -> q216Sql,
-    "q219_tx_meta_sum" -> q219Sql)
+    "q219_tx_meta_sum" -> q219Sql,
+    "q223_tx_bucket_merge" -> q223Sql)
 }

@@ -399,6 +399,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both candidate sides should scan the one materialized prefix table:\n$p")
   }
 
+  test("q218/q220 window joins shuffle 96-bit hash keys, never the window text") {
+    // the r17 plan keyed the ExactSubstr window join on the full 8-token
+    // STRING (a_g/b_g) — ~8x the corpus text through the shuffle and an
+    // O(m²) hot key on boilerplate spans. The rekeyed plans must not
+    // reference a window-text column anywhere: text is hashed to
+    // (xxhash64, murmur3) before any exchange.
+    val p218 = plan(graft.dedup.Dedup.q218ExactSubstr(spark, sf))
+    assert(!p218.contains("a_g") && !p218.contains("b_g"),
+      s"q218 must not materialize the window string into the join:\n$p218")
+    // the window join's equi-keys are the hash pair, whatever strategy
+    // AQE picks for the sides (broadcast at spec SF, shuffled at scale)
+    assert(p218.linesIterator.exists(l => l.contains("Join [a_h") &&
+      l.contains("a_v") && l.contains("[b_h")),
+      s"q218's window join should key on (a_h, a_v):\n$p218")
+    val p220 = plan(graft.dedup.Dedup.q220SpanScrub(spark, sf))
+    assert(!p220.contains("a_g") && !p220.contains("b_g"),
+      s"q220 must not materialize the window string into the join:\n$p220")
+    // the rep side must PARTIAL-aggregate below its grouping exchange —
+    // that map-side min is what collapses a hot boilerplate window
+    // before any data moves
+    val lines = p220.linesIterator.toSeq
+    val repPartial = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial_min") &&
+        l.contains("a_h"))
+    assert(repPartial >= 0,
+      s"q220's rep min must partial-aggregate map-side:\n$p220")
+    assert(lines.take(repPartial).exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("a_h")),
+      s"q220's rep aggregate should shuffle on the hash key ABOVE the " +
+        s"partial aggregate:\n$p220")
+  }
+
   test("q147 redaction is a pure narrow pass; q151 gate aggregates once") {
     // q147's claim is ZERO data shuffles — the only exchange allowed is
     // the presentation orderBy's range exchange

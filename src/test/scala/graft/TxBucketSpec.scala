@@ -17,8 +17,11 @@ import graft.operators.TxTable
   * and the `format("tx")` relation surfaces it as a real `BucketSpec`
   * — joins and aggregations on the bucket column plan WITHOUT an
   * exchange. The commit protocol owns the co-location contract:
-  * appends must match the layout exactly, rewrites drop the
-  * declaration (reads degrade to plain scans, never lie).
+  * appends must match the layout exactly; rewrites that re-shuffle
+  * through the identical hash (optimize/compactSmall/purge since r17,
+  * MERGE and CoW DELETE since r18) carry the declaration, and only
+  * true row-movers (MoR UPDATE's image appends, zorder, dpo) drop it
+  * (reads degrade to plain scans, never lie).
   */
 class TxBucketSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -188,14 +191,37 @@ class TxBucketSpec extends AnyFunSuite {
         .contains((4, Seq("k"))), "purge re-buckets its rewrite: holds")
       assert(TxTable.currentSnapshot(root).get.dvs.isEmpty)
       assert(spark.read.format("tx").load(root).count() == 399L)
-      // an ARBITRARY row-moving rewrite (a CoW merge bins updated rows
-      // into fresh unbucketed files) DROPS the declaration — reads
-      // degrade to a plain scan, still exact
+      // a CoW MERGE re-buckets its rewrite through the same
+      // pmod(murmur3) — the most common DML verb PRESERVES the
+      // declaration (r18; r17 used this exact call as the drop-demo)
       import spark.implicits._
       TxTable.mergeByKey(spark, root,
-        Seq((3L, 777L)).toDF("k", "v"), Seq("k"))
+        Seq((3L, 777L), (9999L, 1L)).toDF("k", "v"), Seq("k"))
+      val postMerge = TxTable.currentSnapshot(root).get
+      assert(postMerge.bucketSpec.contains((4, Seq("k"))),
+        "a CoW merge re-buckets through the identical hash — it must " +
+          "carry the declaration")
+      val merged = spark.read.format("tx").load(root)
+      assert(merged.count() == 400L) // 399 + 1 insert
+      assert(merged.filter(col("k") === 3L).select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(777L))
+      // pruned CoW merge and CoW deleteRange keep it too
+      TxTable.mergeByKeyPruned(spark, root,
+        Seq((5L, 555L)).toDF("k", "v"), "k")
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "pruned merge must carry the layout")
+      TxTable.deleteRange(spark, root, "k", 9999.0, 9999.0)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "CoW delete must carry the layout")
+      assert(spark.read.format("tx").load(root).count() == 399L)
+      // a TRUE row-mover (MoR UPDATE appends post-image files holding
+      // arbitrary bucket keys) DROPS the declaration — reads degrade
+      // to a plain scan, still exact
+      TxTable.updateWhere(spark, root, col("k") === 5L,
+        Seq("v" -> lit(556L)))
       assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty,
-        "a CoW merge cannot prove the layout — it must drop it")
+        "a MoR update's image files cannot prove the layout — it must " +
+          "drop it")
       assert(spark.read.format("tx").load(root).count() == 399L)
       // and the now-unbucketed table refuses a bucketed append (mixed
       // layout would resurrect a stale promise)
@@ -203,6 +229,38 @@ class TxBucketSpec extends AnyFunSuite {
         TxTable.commit(spark, root, df(spark, 10), TxTable.Append,
           bucketBy = Some(("k", 4))))
       assert(e3.getMessage.contains("layout"))
+    }
+  }
+
+  test("merge keeps the co-located join exchange-free, exact content") {
+    withRoot { root =>
+      import spark.implicits._
+      val ss = smjSession()
+      val rootB = s"$root-b"
+      TxTable.commit(ss, root, df(ss, 400), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      TxTable.commit(ss, rootB, df(ss, 300, seed = 9), TxTable.Overwrite,
+        bucketBy = Some(("k", 4)))
+      val before = ss.read.format("tx").load(root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      TxTable.mergeByKey(ss, root,
+        Seq((7L, 700L), (4000L, 1L)).toDF("k", "v"), Seq("k"))
+      val joined = ss.read.format("tx").load(root)
+        .join(ss.read.format("tx").load(rootB), "k")
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }.get
+      assert(smj.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "post-merge bucketed join should plan zero exchanges")
+      // content: merge semantics applied, nothing else moved
+      val after = ss.read.format("tx").load(root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(after == before.updated(7L, 700L).updated(4000L, 1L))
+      // a full-rewrite merge lands ONE sorted file per bucket — the
+      // zero-sort economics hold too (legacy ordering knob session)
+      assert(TxTable.currentSnapshot(root).get.files.size == 4)
+      assert(smj.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        "full-rewrite merge should restore one-sorted-file-per-bucket")
     }
   }
 
