@@ -45,8 +45,12 @@ import graft.sources.{TxBatchRelation, TxMorRelation}
   * extreme row may be among the deleted), stat-null count(col) (the
   * deleted rows' null-ness is unrecorded), and any grouped row whose
   * group went fully dead emits NOTHING (a real scan's GROUP BY has no
-  * row to group). Column-mapped snapshots still refuse (stat/part
-  * lookups are name-keyed; purge-first remains the contract).
+  * row to group). Column-mapped snapshots answer too (r18): every
+  * stat/part/sum lookup resolves through the rename alias chains
+  * (write-time-named lines consulted under every vintage of the
+  * logical column — the machinery stat/bloom pruning already used), so
+  * one RENAME COLUMN no longer costs a full rewrite to keep the
+  * zero-scan dashboard class.
   *
   * Soundness gates — every one required, no-op otherwise:
   *   - the scan is a [[TxBatchRelation]] (the CLEAN-snapshot shape) or
@@ -136,12 +140,16 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr.relation match {
         case tx: TxBatchRelation => Some((Src(tx.snapshot, false), Nil))
         case mor: TxMorRelation =>
+          // column-mapped snapshots answer too (r18): every stat/part/
+          // sum lookup below resolves through the rename alias chains
+          // ([[TxTable.namesOf]] — a file carries at most one vintage of
+          // a column, so the first matching line is exact), and DROPPED
+          // columns never arrive here (the logical schema lacks them, so
+          // no attribute can reference one). The old purge-first refusal
+          // survives only as lookup DEGRADATION: a vintage without the
+          // line refuses that fold, never mis-answers it.
           val snap = mor.snapshot
-          // a column mapping re-keys every stat/part lookup — refuse
-          // (purge-first); DVs-only is the answerable MoR class
-          if (snap.renames.isEmpty && snap.deadCols.isEmpty)
-            Some((Src(snap, snap.dvs.nonEmpty), Nil))
-          else None
+          Some((Src(snap, snap.dvs.nonEmpty), Nil))
         case _ => None
       }
       case _ => None
@@ -224,16 +232,49 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Part line of logical column `name` in file `f`, ALIAS-AWARE: a
+    * column-mapped table's files record part lines under their
+    * write-time names, so the lookup consults every vintage
+    * ([[TxTable.namesOf]]); a file carries at most one vintage of a
+    * column, so the first hit is exact. Some(value) = the line exists
+    * (value None is the hive null sentinel); None = no line at all.
+    */
+  private def partLine(snap: TxTable.Snapshot, f: String,
+      name: String): Option[Option[String]] = {
+    val names = TxTable.namesOf(snap, name)
+    snap.parts.getOrElse(f, Seq.empty).collectFirst {
+      case (c, v) if names.contains(c) => v
+    }
+  }
+
+  /** Stat line of logical column `name` in `f`, alias-aware like
+    * [[partLine]].
+    */
+  private def statLine(snap: TxTable.Snapshot, f: String,
+      name: String): Option[(Double, Double, Long)] = {
+    val names = TxTable.namesOf(snap, name)
+    snap.stats.getOrElse(f, Seq.empty).collectFirst {
+      case (c, mn, mx, nn) if names.contains(c) => (mn, mx, nn)
+    }
+  }
+
+  /** Sum line of logical column `name` in `f`, alias-aware. */
+  private def sumLine(snap: TxTable.Snapshot, f: String,
+      name: String): Option[(String, Long)] = {
+    val names = TxTable.namesOf(snap, name)
+    snap.sums.getOrElse(f, Seq.empty).collectFirst {
+      case (c, dec, n) if names.contains(c) => (dec, n)
+    }
+  }
+
   private def partCovered(snap: TxTable.Snapshot,
       a: AttributeReference): Boolean =
     snap.files.nonEmpty && snap.files.forall(f =>
-      snap.parts.getOrElse(f, Seq.empty).exists(_._1 == a.name))
+      partLine(snap, f, a.name).isDefined)
 
   private def partValue(snap: TxTable.Snapshot, f: String,
       a: AttributeReference): Option[String] =
-    snap.parts.getOrElse(f, Seq.empty).collectFirst {
-      case (c, v) if c == a.name => v
-    }.flatten
+    partLine(snap, f, a.name).flatten
 
   /** Decoded part value → the Catalyst-internal value of the column's
     * type (the writer rendered it, so the cast round-trips exactly).
@@ -277,8 +318,7 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       // (and nothing else distinct is metadata-derivable)
       case Count(Seq(a: AttributeReference))
           if roundTrips(a.dataType) && files.nonEmpty &&
-            files.forall(f => snap.parts.getOrElse(f, Seq.empty)
-              .exists(_._1 == a.name)) =>
+            files.forall(f => partLine(snap, f, a.name).isDefined) =>
         Some(valueBearing(files).flatMap(f => partValue(snap, f, a))
           .distinct.size.toLong)
       case Count(Seq(a: AttributeReference)) if files.isEmpty => Some(0L)
@@ -314,13 +354,11 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     }
     if (!integral) return None
     if (files.isEmpty) return Some(null) // SUM of nothing is NULL
-    val perFile = files.map { f =>
-      snap.sums.getOrElse(f, Seq.empty).find(_._1 == a.name)
-    }
+    val perFile = files.map(f => sumLine(snap, f, a.name))
     if (perFile.exists(_.isEmpty)) return None // a file without the line
     var total = BigInt(0)
     var nn = 0L
-    perFile.flatten.foreach { case (_, dec, n) =>
+    perFile.flatten.foreach { case (dec, n) =>
       total += BigInt(dec); nn += n
     }
     if (nn == 0L) Some(null)
@@ -349,13 +387,11 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       // part-value branch (constant across every surviving row) answers
       val fromStat =
         if (src.morLive) None
-        else snap.stats.getOrElse(f, Seq.empty)
-          .find(_._1 == a.name).collect {
-            case (_, _, _, nn) if nn >= 0L => rows - nn
-          }
-      val fromPart = snap.parts.getOrElse(f, Seq.empty).collectFirst {
-        case (c, v) if c == a.name => if (v.isDefined) rows else 0L
-      }
+        else statLine(snap, f, a.name).collect {
+          case (_, _, nn) if nn >= 0L => rows - nn
+        }
+      val fromPart = partLine(snap, f, a.name).map(v =>
+        if (v.isDefined) rows else 0L)
       total += fromStat.orElse(fromPart).getOrElse(return None)
     }
     Some(total)
@@ -397,8 +433,8 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     if (!exact) return None
     if (files.isEmpty) return Some(null) // MIN/MAX of nothing
     val perFile = files.map { f =>
-      snap.stats.getOrElse(f, Seq.empty).find(_._1 == a.name)
-        .map { case (_, mn, mx, _) => if (isMin) mn else mx }
+      statLine(snap, f, a.name)
+        .map { case (mn, mx, _) => if (isMin) mn else mx }
     }
     if (perFile.exists(_.isEmpty)) return None
     val folded =
@@ -428,11 +464,7 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       a: AttributeReference, isMin: Boolean): Option[Any] = {
     if (!roundTrips(a.dataType)) return None
     if (files.isEmpty) return Some(null)
-    val perFile = files.map { f =>
-      snap.parts.getOrElse(f, Seq.empty).collectFirst {
-        case (c, v) if c == a.name => v
-      }
-    }
+    val perFile = files.map(f => partLine(snap, f, a.name))
     if (perFile.exists(_.isEmpty)) return None // a file without the line
     val present = perFile.flatten.flatten.map(decode(_, a.dataType))
     if (present.isEmpty) return Some(null) // every file all-null

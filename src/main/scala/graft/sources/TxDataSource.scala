@@ -206,22 +206,21 @@ final class TxDataSource extends RelationProvider
     if (needsMor) {
       if (!surfaced) new TxMorRelation(spark, root, snap, insertable, opts)
       else {
-        // DVs-only MoR composes with the surfaced posture: one
-        // partition-surfaced scan (DPP-eligible) + the broadcast DV
-        // anti-join, expanded by TxMorDppRouting at analysis. A column
-        // MAPPING still refuses (vintage coalesce has no exact
-        // partition-surfaced expression), as does a session without the
-        // rewrite rule — the raw scan would resurrect deleted rows.
-        require(snap.renames.isEmpty && snap.deadCols.isEmpty,
-          s"txtable $root: partitionedRead needs an unmapped snapshot — " +
-            "a column mapping takes the MoR-aware relation, which reads " +
-            "partition columns from the files (drop the option, or " +
-            "optimize() to materialize the mapping first)")
+        // MoR composes with the surfaced posture: one partition-
+        // surfaced scan (DPP-eligible) + whatever the snapshot needs
+        // above it — the broadcast DV anti-join, the vintage-coalescing
+        // projection for a column MAPPING (r18: the scan reads the
+        // physical vintage-name union; partition values come from the
+        // alias-aware index, so a renamed partition column keeps DPP),
+        // or both — expanded by TxMorDppRouting at analysis. A session
+        // without the rewrite rule refuses: the raw scan would
+        // resurrect deleted rows / null out renamed columns.
         require(spark.sessionState.analyzer.extendedResolutionRules
             .exists(_.isInstanceOf[TxMorDppRouting]),
           s"txtable $root: partitionedRead over live deletion vectors " +
-            "needs the TxMorDppRouting rewrite (build the session with " +
-            "GraftExtensions), or purgeDeletes()/optimize() first")
+            "or a column mapping needs the TxMorDppRouting rewrite " +
+            "(build the session with GraftExtensions), or " +
+            "purgeDeletes()/optimize() first")
         new TxMorPartitionedSurrogate(spark, root, snap, opts,
           surfacedFields)
       }
@@ -420,9 +419,17 @@ object TxDataSource {
            BooleanType | DateType => true
       case _ => false
     }
+    // ALIAS-AWARE (r18): part lines carry write-time names, so each is
+    // resolved to its LOGICAL name through the rename class, coverage
+    // checks every vintage per file, and a DROPPED partition column
+    // (absent from the logical schema) simply stops surfacing. One
+    // RENAME COLUMN no longer knocks a fact table off the DPP posture.
     snap.parts.getOrElse(snap.files.head, Seq.empty).map(_._1)
-      .filter(c => snap.files.forall(f =>
-        snap.parts.getOrElse(f, Seq.empty).exists(_._1 == c)))
+      .map(c => TxTable.nameClass(snap, c).head)
+      .filter(c => snap.files.forall { f =>
+        val names = TxTable.namesOf(snap, c)
+        snap.parts.getOrElse(f, Seq.empty).exists(l => names.contains(l._1))
+      })
       .flatMap(c => schema.fields.find(_.name == c))
       .filter(f => safe(f.dataType))
   }

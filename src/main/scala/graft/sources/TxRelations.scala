@@ -207,7 +207,11 @@ final class TxParquetFileFormat
 class TxBatchRelation(spark: SparkSession, root: String,
     snap: TxTable.Snapshot, insertable: Boolean,
     opts: Map[String, String],
-    partitionBy: Seq[org.apache.spark.sql.types.StructField] = Nil)
+    partitionBy: Seq[org.apache.spark.sql.types.StructField] = Nil,
+    // column-mapped composition (r18): the surrogate expansion scans
+    // the PHYSICAL vintage-name union and coalesces above — everything
+    // else keeps the logical default
+    dataSchemaOverride: Option[StructType] = None)
   extends HadoopFsRelation(
     new TxFileIndex(root, snap, partitionBy), StructType(partitionBy),
     // dataSchema stays the FULL table schema — the duplicate-tag layout
@@ -215,7 +219,7 @@ class TxBatchRelation(spark: SparkSession, root: String,
     // overlap resolution keeps them at their data-schema position while
     // reading their values from the PartitionDirectory rows (so the
     // surfaced posture changes the plan, never the answer)
-    TxDataSource.schemaOf(spark, root, snap),
+    dataSchemaOverride.getOrElse(TxDataSource.schemaOf(spark, root, snap)),
     // a manifest-declared hash-bucket layout surfaces as a real
     // BucketSpec: the scan groups files by the bucket id in their name
     // (Spark's own convention, written by the bucketed committer) and

@@ -756,6 +756,124 @@ object TxSourceQueries {
       |FROM merged m JOIN lineitem l ON m.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q224
+  /** Metadata-only aggregates on a COLUMN-MAPPED table (r18, the r17
+    * verdict's task 3): documents commit lang-partitioned with stats
+    * AND exact sums on n_chars, then `RENAME COLUMN n_chars TO len` —
+    * a metadata-only commit whose files keep the write-time name. The
+    * q213-class dashboard (GROUP BY partition column, COUNT / MIN /
+    * MAX / SUM over the renamed column) still answers entirely from
+    * the manifest: every stat/part/sum lookup resolves through the
+    * rename alias chain ([[graft.plans.TxMetadataAgg]] partLine/
+    * statLine/sumLine). Before this, one RENAME cost a full rewrite
+    * (purge-first) to get the zero-scan dashboard class back. The
+    * in-query guard requires the optimized plan to contain NO relation;
+    * the oracle recomputes everything from raw rows under the ORIGINAL
+    * name (same values — the rename is metadata-only).
+    */
+  def q224TxMetaMapped(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txmmap_")
+    val root = s"$tmp/docs_map"
+    TxTable.commit(s, root,
+      graft.Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"), sumCols = Seq("n_chars"))
+    TxTable.renameColumn(s, root, "n_chars", "len")
+    val grouped = s.read.format("tx").load(root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), count(col("len")).as("n_len"),
+        min("len").as("min_len"), max("len").as("max_len"),
+        sum("len").as("total_len"))
+    val out = grouped.orderBy("lang")
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      s"${leftovers.size} scan(s) survived — the renamed column's " +
+        "aggregates were not answered from manifest metadata")
+    offTemp(out, tmp)
+  }
+
+  val q224Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, COUNT(n_chars) AS n_len,
+      |  MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_len
+      |FROM documents GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q225
+  /** DPP over a COLUMN-MAPPED partitioned table (r18): the fact table
+    * renames a DATA column (files now carry the old name; the logical
+    * schema the new), and `partitionedRead` — which used to refuse any
+    * mapped snapshot — expands into one partition-surfaced scan over
+    * the PHYSICAL vintage-name union plus the exact vintage-coalescing
+    * projection ([[graft.sources.TxMorDppRouting]]; partition values
+    * come from the alias-aware index, and the partition attribute
+    * passes through the projection untouched, which is what keeps the
+    * scan DPP-eligible). The in-query guard requires the planned fact
+    * scan to carry a dynamicpruning filter AND read strictly fewer
+    * files than the snapshot holds. At 100 TB this keeps the
+    * star-schema mechanism alive through routine schema evolution
+    * instead of paying a full rewrite to win it back.
+    */
+  def q225TxDppMapped(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txdppc_")
+    val factRoot = s"$tmp/docs_part"
+    val dimRoot = s"$tmp/lang_dim"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    import ss.implicits._
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    TxTable.commit(ss, factRoot,
+      graft.Tables.documents(ss, d).select(cols.map(col): _*)
+        .repartitionByRange(8, col("lang"), col("n_chars")),
+      TxTable.Overwrite, partitionBy = Some("lang"),
+      statsCols = Seq("n_chars"))
+    TxTable.renameColumn(ss, factRoot, "n_chars", "len")
+    TxTable.commit(ss, dimRoot,
+      Seq(("de", "eu"), ("en", "eu"), ("fr", "eu"),
+        ("es", "amer"), ("zh", "asia")).toDF("lang", "region"),
+      TxTable.Overwrite)
+    val fact = ss.read.format("tx")
+      .option("partitionedRead", "true").load(factRoot)
+    val dim = ss.read.format("tx").load(dimRoot)
+      .filter(col("region").isInCollection(Seq("amer", "asia")))
+    val out = fact.join(dim, "lang")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").cast("long").as("total_len"))
+      .orderBy("lang", "source")
+    val collected = out.localCheckpoint(true)
+    val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.partitionSchema.nonEmpty &&
+            f.relation.location.isInstanceOf[TxFileIndex] => f
+    }.getOrElse(throw new IllegalStateException(
+      "expected a partition-surfaced FileSourceScan over TxFileIndex"))
+    require(scan.toString.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the mapped fact scan:\n$scan")
+    val total = TxTable.currentSnapshot(factRoot).get.files.size
+    val scanned = scan.inputRDDs().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+      .filePartitions.iterator.flatMap(_.files)
+      .map(_.filePath.toString).distinct.size
+    require(scanned < total,
+      s"runtime pruning dropped nothing ($scanned/$total files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q225Sql: String =
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES ('de','eu'), ('en','eu'), ('fr','eu'),
+      |    ('es','amer'), ('zh','asia')) AS t(lang, region))
+      |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_len
+      |FROM documents d JOIN dim ON d.lang = dim.lang
+      |WHERE dim.region IN ('amer', 'asia')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- q213
   /** Metadata-only GROUP BY partition column + string extremes from part
     * values ([[graft.plans.TxMetadataAgg]], r16 VERDICT tasks 5+7):
@@ -1088,7 +1206,9 @@ object TxSourceQueries {
     "q215_tx_meta_filter" -> (q215TxMetaFilter _),
     "q216_tx_meta_mor" -> (q216TxMetaMor _),
     "q219_tx_meta_sum" -> (q219TxMetaSum _),
-    "q223_tx_bucket_merge" -> (q223TxBucketMerge _))
+    "q223_tx_bucket_merge" -> (q223TxBucketMerge _),
+    "q224_tx_meta_mapped" -> (q224TxMetaMapped _),
+    "q225_tx_dpp_mapped" -> (q225TxDppMapped _))
 
   val oracles: Map[String, String] = Map(
     "q201_tx_relation" -> q201Sql,
@@ -1107,5 +1227,7 @@ object TxSourceQueries {
     "q215_tx_meta_filter" -> q215Sql,
     "q216_tx_meta_mor" -> q216Sql,
     "q219_tx_meta_sum" -> q219Sql,
-    "q223_tx_bucket_merge" -> q223Sql)
+    "q223_tx_bucket_merge" -> q223Sql,
+    "q224_tx_meta_mapped" -> q224Sql,
+    "q225_tx_dpp_mapped" -> q225Sql)
 }

@@ -811,7 +811,7 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("partitionedRead refuses mapped snapshots and unpartitioned tables loudly") {
+  test("partitionedRead refuses unpartitioned tables loudly") {
     withRoot { root =>
       TxTable.commit(spark, root, docsDf(spark)) // no partitionBy
       val e1 = intercept[IllegalArgumentException](
@@ -819,14 +819,62 @@ class TxDataSourceSpec extends AnyFunSuite {
           .load(root).collect())
       assert(e1.getMessage.contains("no surfaceable partition column"))
     }
+  }
+
+  test("partitionedRead composes with column mappings: coalesced vintages, pruning and DPP intact") {
     withRoot { root =>
-      TxTable.commit(spark, root, docsDf(spark),
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      import ss.implicits._
+      TxTable.commit(ss, root, docsDf(ss),
         TxTable.Overwrite, partitionBy = Some("lang"))
-      TxTable.renameColumn(spark, root, "n_chars", "len")
-      val e2 = intercept[IllegalArgumentException](
-        spark.read.format("tx").option("partitionedRead", "true")
-          .load(root).collect())
-      assert(e2.getMessage.contains("unmapped snapshot"))
+      // rename a DATA column, then append a post-rename vintage —
+      // files now genuinely mix n_chars/len bytes (the PARTITION column
+      // itself stays un-renameable: renameColumn refuses it loudly at
+      // the source, so no snapshot with vintage-named part lines can
+      // exist — the write paths that re-land the hive layout are
+      // exact-name by contract)
+      TxTable.renameColumn(ss, root, "n_chars", "len")
+      TxTable.commit(ss, root,
+        Seq((100L, "zh", "src0", 990L)).toDF("doc_id", "lang", "source", "len"),
+        TxTable.Append, partitionBy = Some("lang"))
+      val surf = ss.read.format("tx").option("partitionedRead", "true")
+        .load(root)
+      val flat = ss.read.format("tx").load(root)
+      // r18: the mapped surfaced read answers EXACTLY like the MoR
+      // relation — every vintage coalesced, both column generations
+      // (pre-r18 this refused with "needs an unmapped snapshot")
+      assert(surf.collect().map(_.toSeq).toSet ==
+        flat.collect().map(_.toSeq).toSet)
+      assert(surf.count() == 13L)
+      assert(surf.filter(col("len") === 990L).count() == 1L)
+      // the pre-rename vintage reads through the coalesce too
+      assert(surf.filter(col("doc_id") === 0L).select("len")
+        .collect().head.getLong(0) == 100L)
+      // static partition pruning still prunes
+      val probe = surf.filter(col("lang") === "zh")
+      assert(probe.collect().length == 5)
+      val total = TxTable.currentSnapshot(root).get.files.size
+      val kept = scanIndex(probe).lastPruned.get.size
+      assert(kept < total,
+        s"partition pruning under the mapping pruned nothing ($kept/$total)")
+      // and DPP: a dim-side filter dynamically prunes the mapped fact
+      // scan at runtime
+      Seq(("de", "eu"), ("en", "eu"), ("zh", "asia"))
+        .toDF("lang", "region")
+        .write.mode("overwrite").parquet(s"$root-dim")
+      val dim = ss.read.parquet(s"$root-dim")
+        .filter(col("region") === "asia")
+      val joined = surf.join(dim, "lang").groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("zh", 5L)))
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec
+            if f.relation.location.isInstanceOf[TxFileIndex] => f }.get
+      assert(scan.toString.contains("dynamicpruning"),
+        s"no dynamic pruning filter on the mapped tx scan:\n$scan")
     }
   }
 

@@ -263,16 +263,49 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
-  test("a column-mapped MoR snapshot refuses metadata answers") {
+  test("a column-mapped MoR snapshot answers metadata counts (r18: alias-aware lookups)") {
     withRoot { root =>
       TxTable.commit(spark, root,
         spark.range(0, 50L).selectExpr("id", "id % 5 AS g"))
       TxTable.deleteWhere(spark, root, col("id") < 5L)
       TxTable.renameColumn(spark, root, "g", "h")
+      // pre-r18 this refused (purge-first); the rename is metadata-only,
+      // so the live-count fold is exactly as sound as the unmapped case
       val cnt = spark.read.format("tx").load(root)
         .agg(count(lit(1)).as("n"))
-      assert(!isMetadataAnswered(cnt))
+      assert(isMetadataAnswered(cnt))
       assert(cnt.collect().head.getLong(0) == 45L)
+    }
+  }
+
+  test("a clean column-mapped snapshot answers stat/sum folds through the alias chain") {
+    withRoot { root =>
+      val df = spark.range(0, 90L).selectExpr("id",
+        "CASE WHEN id % 3 = 0 THEN 'de' WHEN id % 3 = 1 THEN 'en' " +
+          "ELSE 'zh' END AS lang", "id * 2 AS v")
+      TxTable.commit(spark, root, df, TxTable.Overwrite,
+        partitionBy = Some("lang"), statsCols = Seq("v"),
+        sumCols = Seq("v"))
+      TxTable.renameColumn(spark, root, "v", "w")
+      // stat lines carry 'v'; the logical column is 'w' — every fold
+      // (count(col) via stat nulls, MIN/MAX via stat ranges, SUM via
+      // format-8 sum lines, GROUP BY via part lines) resolves through
+      // the rename class
+      val out = spark.read.format("tx").load(root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+          min("w").as("mn"), max("w").as("mx"), sum("w").as("sm"))
+        .orderBy("lang")
+      assert(isMetadataAnswered(out))
+      val got = out.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      val expect = Seq("de", "en", "zh").map { lang =>
+        val ids = (0L until 90L).filter(i => Seq("de", "en", "zh")(
+          (i % 3).toInt) == lang)
+        (lang, ids.size.toLong, ids.size.toLong,
+          ids.map(_ * 2).min, ids.map(_ * 2).max, ids.map(_ * 2).sum)
+      }
+      assert(got == expect, s"got $got")
     }
   }
 
