@@ -131,8 +131,7 @@ object TxChangeFeed {
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val base = s.read.option("mergeSchema", "true")
       .parquet(touched.map(t => TxTable.absFile(root, t._1)): _*)
-      .withColumn("__rel", concat(lit("data/"),
-        substring_index(col("_metadata.file_path"), "/data/", -1)))
+      .withColumn("__rel", TxTable.relFileFromMeta)
       .withColumn("__pos", col("_metadata.row_index"))
     val deleted = base.join(broadcast(dv),
         base("__rel") === dv("__dv_file") &&

@@ -238,6 +238,26 @@ object TxTable {
   private[graft] def absFile(root: String, f: String): String =
     if (f.startsWith("/")) f else s"$root/$f"
 
+  /** The scan-side root-relative file identity, as a Column over
+    * `_metadata.file_path` — THE seam every DV/sum/identity derivation
+    * must use. `file_path` is a URL-ENCODED URI string while manifest
+    * entries carry raw on-disk names (hive partition segments may
+    * contain unescaped spaces — escapePathName leaves them literal, so
+    * a value like 'old world' reads back as 'old%20world' from the
+    * metadata struct and a raw string compare silently misses the
+    * manifest entry). Exact decode = percent-decoding ONLY: literal '+'
+    * is protected by pre-encoding it, because `url_decode` is form
+    * decoding and would corrupt it into a space. (Latent until r18's
+    * clone grammar pin put a spaced partition value through deleteWhere
+    * — every prior fixture used space-free values.)
+    */
+  private[graft] def relFileFromMeta: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("data/"), url_decode(regexp_replace(
+      substring_index(col("_metadata.file_path"), "/data/", -1),
+      "\\+", "%2B")))
+  }
+
   /** [[absFile]] for driver-side java.nio access (sizing, existence):
     * `Paths.get(base, abs)` CONCATENATES instead of resolving, so
     * absolute entries must bypass the root join.
@@ -531,8 +551,7 @@ object TxTable {
       val dv = s.read.parquet(dvFiles.map(f => absFile(root, f)): _*)
         .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
       val withMeta = base
-        .withColumn("__rel", concat(lit("data/"),
-          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("__rel", relFileFromMeta)
         .withColumn("__pos", col("_metadata.row_index"))
       withMeta.join(broadcast(dv),
           withMeta("__rel") === dv("__dv_file") &&
@@ -937,8 +956,7 @@ object TxTable {
         "approximate (doubles are order-dependent under parallel sums)")
     val base = s.read.option("mergeSchema", "true")
       .parquet(relFiles.map(f => absFile(root, f)): _*)
-      .withColumn("__file", concat(lit("data/"),
-        substring_index(col("_metadata.file_path"), "/data/", -1)))
+      .withColumn("__file", relFileFromMeta)
     val aggs = cols.flatMap(c => Seq(
       sum(col(c).cast(DecimalType(38, 0))).as(s"__s_$c"),
       count(col(c)).as(s"__n_$c")))
@@ -1049,8 +1067,7 @@ object TxTable {
     val m = bloomM(rowsPerFile.values.foldLeft(1L)(math.max))
     val base = s.read.option("mergeSchema", "true")
       .parquet(relFiles.map(f => s"$root/$f"): _*)
-      .withColumn("__file", concat(lit("data/"),
-        substring_index(col("_metadata.file_path"), "/data/", -1)))
+      .withColumn("__file", relFileFromMeta)
     cols.flatMap { c =>
       // only the low log2(m) bits survive the mask, so mask BEFORE the
       // multiply: (h1 + i·h2) mod 2^b == ((h1 mod 2^b) + i·(h2 mod 2^b))
@@ -2453,8 +2470,7 @@ object TxTable {
       val scan = attachLogical(parent, s.read
         .option("mergeSchema", "true")
         .parquet(cand.map(f => absFile(root, f)): _*))
-        .withColumn("file", concat(lit("data/"),
-          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("file", relFileFromMeta)
         .withColumn("pos", col("_metadata.row_index"))
       val matched = scan.filter(cond).select("file", "pos")
       val priorDvFiles = cand.flatMap(f =>
@@ -2562,8 +2578,7 @@ object TxTable {
       val scan = attachLogical(parent, s.read
         .option("mergeSchema", "true")
         .parquet(cand.map(f => absFile(root, f)): _*))
-        .withColumn("__file", concat(lit("data/"),
-          substring_index(col("_metadata.file_path"), "/data/", -1)))
+        .withColumn("__file", relFileFromMeta)
         .withColumn("__pos", col("_metadata.row_index"))
       val matched = scan.filter(cond)
       val priorDvFiles = cand.flatMap(f =>
@@ -3192,24 +3207,134 @@ object TxTable {
     val v = versionAsOf.getOrElse(currentVersion(sourceRoot).getOrElse(
       throw new java.io.IOException(
         s"txtable $sourceRoot has no version to clone")))
-    val snap = snapshotAt(sourceRoot, v) // vacuumed version: fails loudly
-    def abs(f: String) = absFile(srcAbs, f)
-    if (!tryPublish(targetRoot, 0L, snap.files.map(abs), Map.empty,
-        stats = snap.stats.map { case (k, es) => abs(k) -> es },
-        schema = snap.schema,
-        rowCounts = snap.rowCounts.map { case (k, n) => abs(k) -> n },
-        dvs = snap.dvs.map { case (k, es) =>
-          abs(k) -> es.map { case (dvf, n) => (abs(dvf), n) } },
-        blooms = snap.blooms.map { case (k, es) => abs(k) -> es },
-        checks = snap.checks,
-        op = s"clone $srcAbs@v$v",
-        parts = snap.parts.map { case (k, es) => abs(k) -> es },
-        renames = snap.renames, deadCols = snap.deadCols,
-        bucketSpec = snap.bucketSpec,
-        sums = snap.sums.map { case (k, es) => abs(k) -> es }))
-      throw new java.io.IOException(
-        s"clone target $targetRoot was claimed concurrently")
+    val srcManifest = manifestPath(sourceRoot, v)
+    if (!Files.exists(srcManifest)) throw new java.io.IOException(
+      s"txtable $sourceRoot has no manifest for version $v — vacuumed " +
+        "or never committed; a clone of it cannot resolve")
+    // STREAMED absolutize-and-copy (r18): the clone never builds a
+    // Snapshot — each source line rewrites independently (path fields
+    // absolutized into the source root, txn lines dropped, op/ts/format
+    // replaced), so the 10⁶-file clone term drops from the O(F)
+    // parse+render cost to line I/O. [[absolutizeManifestLine]] owns
+    // the per-type grammar; TxCloneSpec pins the semantic equivalence
+    // (snapshotAt over a streamed clone == the parse-and-absolutize
+    // reconstruction, field by field) so the two grammar sites cannot
+    // drift silently.
+    val tgtDir = manifestDir(targetRoot)
+    Files.createDirectories(tgtDir)
+    val tmp = tgtDir.resolve(s".w-${java.util.UUID.randomUUID()}")
+    val in = Files.newBufferedReader(srcManifest,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = Files.newBufferedWriter(tmp,
+      java.nio.charset.StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      var sawFooter = false
+      var sawFormat = false
+      var line = in.readLine()
+      if (line != Header) throw new java.io.IOException(
+        s"corrupt txtable manifest $srcManifest — atomic publish " +
+          "contract violated")
+      out.write(line); out.newLine()
+      line = in.readLine()
+      while (line != null) {
+        val rewritten =
+          if (line == Footer) { sawFooter = true; Some(line) }
+          else absolutizeManifestLine(srcAbs, v, line, srcManifest)
+        if (rewritten.exists(_.startsWith(FormatPrefix))) sawFormat = true
+        // a pre-format (v1) source carries no format line, but a clone
+        // ALWAYS holds foreign absolute references — declare 7 before
+        // the footer so old readers reject rather than misread
+        if (line == Footer && !sawFormat) {
+          out.write(s"${FormatPrefix}7"); out.newLine()
+        }
+        rewritten.foreach { l => out.write(l); out.newLine() }
+        line = in.readLine()
+      }
+      if (!sawFooter) throw new java.io.IOException(
+        s"corrupt txtable manifest $srcManifest — atomic publish " +
+          "contract violated")
+    } finally { in.close(); out.close() }
+    try {
+      Files.createLink(manifestPath(targetRoot, 0L), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.io.IOException(
+          s"clone target $targetRoot was claimed concurrently")
+    } finally Files.deleteIfExists(tmp)
     0L
+  }
+
+  /** One line of [[clone]]'s streamed manifest rewrite: absolutize the
+    * path field(s) into `srcAbs`, drop txn lines (application
+    * idempotence watermarks deliberately do not travel), stamp a fresh
+    * ts and the clone op, ratchet the format line to >= 7 (foreign
+    * absolute references). Per-file lines locate their path by the
+    * TYPE'S trailing-field count from the RIGHT — hive path segments
+    * may contain unescaped spaces, the same rule the parser applies
+    * (dv lines additionally absolutize the blob path: blob files are
+    * plain `data/w-&lt;uuid&gt;/part-N.parquet` writes, never
+    * hive-nested, so the second-from-right token is the whole blob
+    * path). Unknown prefixed
+    * lines throw — the format ratchet's corrupt-with-the-right-message
+    * contract, same as the parser.
+    */
+  private def absolutizeManifestLine(srcAbs: String, v: Long,
+      line: String, src: JPath): Option[String] = {
+    def abs(f: String) = absFile(srcAbs, f)
+    // path-from-the-right: everything before the last `trailing`
+    // space-separated fields is the path
+    def absPathLeft(prefix: String, trailing: Int): String = {
+      val body = line.stripPrefix(prefix)
+      var cut = body.length
+      var i = 0
+      while (i < trailing) {
+        cut = body.lastIndexOf(' ', cut - 1)
+        if (cut < 0) throw new java.io.IOException(
+          s"corrupt txtable manifest $src — malformed line '$line'")
+        i += 1
+      }
+      s"$prefix${abs(body.substring(0, cut))}${body.substring(cut)}"
+    }
+    line match {
+      case l if l.startsWith(TxnPrefix) => None
+      case l if l.startsWith(FormatPrefix) =>
+        val fmt = l.stripPrefix(FormatPrefix).trim.toInt
+        if (fmt > 8) throw new java.io.IOException(
+          s"txtable manifest $src declares format $fmt — newer than " +
+            "this reader's ratchet (8); refusing to clone what cannot " +
+            "be understood")
+        Some(s"$FormatPrefix${math.max(fmt, 7)}")
+      case l if l.startsWith(TsPrefix) =>
+        Some(s"$TsPrefix${System.currentTimeMillis()}")
+      case l if l.startsWith(OpPrefix) =>
+        Some(s"${OpPrefix}clone $srcAbs@v$v")
+      case l if l.startsWith(SchemaPrefix) || l.startsWith(CheckPrefix) ||
+        l.startsWith(ColRenamePrefix) || l.startsWith(ColDeadPrefix) ||
+        l.startsWith(BucketPrefix) => Some(l)
+      case l if l.startsWith(StatPrefix) =>
+        Some(absPathLeft(StatPrefix, 4)) // col mn mx nn
+      case l if l.startsWith(SumPrefix) =>
+        Some(absPathLeft(SumPrefix, 3)) // col dec nn
+      case l if l.startsWith(RowsPrefix) =>
+        Some(absPathLeft(RowsPrefix, 1)) // n
+      case l if l.startsWith(BloomPrefix) =>
+        Some(absPathLeft(BloomPrefix, 4)) // col m k bits
+      case l if l.startsWith(PartPrefix) =>
+        Some(absPathLeft(PartPrefix, 2)) // col enc
+      case l if l.startsWith(DvPrefix) =>
+        // dv <path> <blob> <n>: blob is space-free, path may not be
+        val withBlob = absPathLeft(DvPrefix, 2)
+        val body = withBlob.stripPrefix(DvPrefix)
+        val nCut = body.lastIndexOf(' ')
+        val bCut = body.lastIndexOf(' ', nCut - 1)
+        Some(s"$DvPrefix${body.substring(0, bCut)} " +
+          s"${abs(body.substring(bCut + 1, nCut))}${body.substring(nCut)}")
+      case l if l.startsWith("data/") || l.startsWith("/") => Some(abs(l))
+      case l => throw new java.io.IOException(
+        s"corrupt txtable manifest $src — unknown line type in " +
+          s"'${l.take(40)}' (a newer format than this reader knows?)")
+    }
   }
 
   def vacuum(root: String, keepVersions: Int = 1): Unit =

@@ -103,8 +103,7 @@ final case class TxMorDppRouting(spark: SparkSession)
               .select(col("file").as("__dv_file"),
                 col("pos").as("__dv_pos"))
             val withMeta = scanDf
-              .withColumn("__rel", concat(lit("data/"),
-                substring_index(col("_metadata.file_path"), "/data/", -1)))
+              .withColumn("__rel", TxTable.relFileFromMeta)
               .withColumn("__pos", col("_metadata.row_index"))
             withMeta.join(broadcast(dv),
               withMeta("__rel") === dv("__dv_file") &&

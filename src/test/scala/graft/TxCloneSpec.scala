@@ -59,6 +59,53 @@ class TxCloneSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed rewrite == parse-and-absolutize, field by field (grammar pin)") {
+    // the r18 clone never builds a Snapshot — it rewrites manifest lines
+    // in a stream. This pin holds the OTHER grammar site (parse, then
+    // absolutize every map like the r17 clone did) against it over a
+    // maximal-feature manifest: stats, exact sums, rows, blooms, CHECK,
+    // column mapping, partition values WITH SPACES (the right-parse
+    // hazard), bucket layout, and live DVs. If the streamed rewrite's
+    // per-type field counts ever drift from the parser's, this fails.
+    withRoots { (src, tgt) =>
+      val d = spark.range(0, 60).selectExpr("id AS k", "id % 5 AS v",
+        "CASE WHEN id % 2 = 0 THEN 'north america' " +
+          "ELSE 'old world' END AS region")
+      TxTable.commit(spark, src, d, TxTable.Overwrite,
+        partitionBy = Some("region"), statsCols = Seq("v"),
+        bloomCols = Seq("k"), sumCols = Seq("v"),
+        bucketBy = Some(("k", 4)))
+      TxTable.addCheck(spark, src, "k_nonneg", "k >= 0")
+      TxTable.renameColumn(spark, src, "v", "w")
+      TxTable.deleteWhere(spark, src, col("k") === 3L)
+      TxTable.clone(spark, src, tgt)
+      val srcAbs = Paths.get(src).toAbsolutePath.normalize.toString
+      def abs(f: String) = if (f.startsWith("/")) f else s"$srcAbs/$f"
+      val s0 = TxTable.currentSnapshot(src).get
+      val c = TxTable.currentSnapshot(tgt).get
+      assert(c.files == s0.files.map(abs))
+      assert(c.txns.isEmpty)
+      assert(c.stats == s0.stats.map { case (k, e) => abs(k) -> e })
+      assert(c.schema == s0.schema)
+      assert(c.rowCounts == s0.rowCounts.map { case (k, n) => abs(k) -> n })
+      assert(c.dvs == s0.dvs.map { case (k, es) =>
+        abs(k) -> es.map { case (b, n) => (abs(b), n) } })
+      assert(c.blooms == s0.blooms.map { case (k, e) => abs(k) -> e })
+      assert(c.checks == s0.checks)
+      assert(c.parts == s0.parts.map { case (k, e) => abs(k) -> e })
+      assert(c.renames == s0.renames && c.deadCols == s0.deadCols)
+      assert(c.bucketSpec == s0.bucketSpec)
+      assert(c.sums == s0.sums.map { case (k, e) => abs(k) -> e })
+      assert(c.op.exists(_.startsWith("clone ")))
+      // format ratchet: sums present -> the renderer would say 8; the
+      // streamed rewrite keeps max(srcFmt, 7) = 8 here
+      assert(manifestText(tgt, 0L).contains("format 8"))
+      // and the clone READS exactly like the source under the mapping
+      assert(rows(TxTable.read(spark, tgt).select(col("k"), col("w").as("v"))) ==
+        rows(TxTable.read(spark, src).select(col("k"), col("w").as("v"))))
+    }
+  }
+
   test("clone at versionAsOf pins the old snapshot") {
     withRoots { (src, tgt) =>
       TxTable.commit(spark, src, df(spark, 0, 60))
