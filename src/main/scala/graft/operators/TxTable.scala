@@ -786,6 +786,18 @@ object TxTable {
     }
   }
 
+  /** Partition columns of a file set, as LOGICAL names: part lines keep
+    * their write-time names, so each maps through its rename class
+    * before a writer re-lands the hive layout (the DataFrame being
+    * written carries logical names — a write-time name would miss).
+    */
+  private def logicalPartCols(snap: Snapshot,
+      files: Seq[String]): Seq[String] =
+    files.headOption
+      .map(f => snap.parts.getOrElse(f, Seq.empty).map(_._1)
+        .map(n => nameClass(snap, n).head))
+      .getOrElse(Seq.empty)
+
   /** Layout-preserving rewrite router for DML row-movers (r18): a
     * rewrite of a HASH-BUCKETED table re-shuffles its output through
     * the SAME `pmod(murmur3(cols), n)` the original commit used — every
@@ -805,9 +817,7 @@ object TxTable {
       parent: Snapshot, df: DataFrame,
       fallback: DataFrame => DataFrame)
       : (Seq[String], Map[String, Seq[(String, Option[String])]]) = {
-    val partColsOfParent = parent.files.headOption
-      .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-      .getOrElse(Seq.empty)
+    val partColsOfParent = logicalPartCols(parent, parent.files)
     parent.bucketSpec match {
       case Some((n, bcols)) if partColsOfParent.nonEmpty =>
         val fp = writeDataPartitionedBucketed(
@@ -1243,9 +1253,12 @@ object TxTable {
     * and every read path resolves a file by whichever vintage name it
     * carries ([[projectLogical]]'s coalesce — exact because each file
     * holds exactly one vintage). Refused when the column is referenced
-    * by a CHECK constraint (the constraint SQL would go stale) or
-    * carries partition part lines (dpo classification is
-    * exact-name-by-contract) — rewrite those first. The old name stays
+    * by a CHECK constraint (the constraint SQL would go stale) —
+    * re-add it against the new name first. Partition columns rename
+    * freely since r18: every part-line consumer (pruning, dpo
+    * classification, surfaced reads, metadata aggregates, the writers'
+    * hive re-landing) resolves through the alias chains, and hive path
+    * segments never embed the column name. The old name stays
     * reserved forever (see [[reservedNames]]).
     */
   def renameColumn(s: SparkSession, root: String, oldName: String,
@@ -1267,9 +1280,13 @@ object TxTable {
         .foreach { case (n, sql) => throw new IllegalArgumentException(
           s"rename: CHECK '$n' ($sql) references '$oldName' — drop and " +
             "re-add the constraint against the new name first") }
-      require(!parent.parts.valuesIterator.flatten.exists(_._1 == oldName),
-        s"rename: '$oldName' is a partition column (part lines exist) — " +
-          "rewrite the layout first (dpo classification is exact-name)")
+      // partition columns RENAME freely since r18: part lines keep their
+      // write-time names and every consumer resolves through the alias
+      // chains (partFileMatches/partOf/surfacedPartitionFields on the
+      // read side; dpo classification, partitionRowCounts and the
+      // writers' logicalPartCols on the write side) — the hive path
+      // segments themselves never embed the column name (the duplicate
+      // tag is always __graft_part*), so no on-disk state goes stale
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f =>
           if (f.name == oldName) f.copy(name = newName) else f))
@@ -1286,9 +1303,9 @@ object TxTable {
           // the column's new logical name
           bucketSpec = parent.bucketSpec.map { case (n, cs) =>
             (n, cs.map(c => if (c == oldName) newName else c)) },
-          // sum lines keep their write-time column name (the metadata
-          // rule's name-keyed lookup then refuses, like stats — inert,
-          // never wrong)
+          // sum lines keep their write-time column name; since r18 the
+          // metadata rule's sumLine lookup is alias-aware, so the
+          // zero-scan SUM path survives the rename
           sums = parent.sums))
         committed = parent.version + 1
     }
@@ -1317,7 +1334,8 @@ object TxTable {
         .foreach { case (n, sql) => throw new IllegalArgumentException(
           s"drop: CHECK '$n' ($sql) references '$name' — drop the " +
             "constraint first") }
-      require(!parent.parts.valuesIterator.flatten.exists(_._1 == name),
+      require(!parent.parts.valuesIterator.flatten.exists(l =>
+        namesOf(parent, name).contains(l._1)),
         s"drop: '$name' is a partition column (part lines exist) — " +
           "rewrite the layout first")
       require(!parent.bucketSpec.exists(_._2.contains(name)),
@@ -1945,7 +1963,8 @@ object TxTable {
       val keep = parent.files.filter { f =>
         val lines = parent.parts.getOrElse(f, Seq.empty)
         val combo = partCols.map { c =>
-          lines.find(_._1 == c).getOrElse(throw new java.io.IOException(
+          lines.find(l => namesOf(parent, c).contains(l._1))
+            .getOrElse(throw new java.io.IOException(
             s"overwritePartitions(${partCols.mkString(",")}): parent " +
               s"file $f has no recorded partition value for $c — cannot " +
               "classify it as replaced or kept"))._2
@@ -1992,7 +2011,8 @@ object TxTable {
     val snap = currentSnapshot(root).getOrElse(
       throw new java.io.IOException(s"txtable $root has no committed version"))
     val rows = snap.files.map { f =>
-      val value = snap.parts.getOrElse(f, Seq.empty).find(_._1 == colName)
+      val value = snap.parts.getOrElse(f, Seq.empty)
+        .find(l => namesOf(snap, colName).contains(l._1))
         .getOrElse(throw new java.io.IOException(
           s"partitionRowCounts($colName): file $f has no recorded " +
             "partition value — metadata-only counting would be wrong"))
@@ -2191,7 +2211,8 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to merge into"))
       val touched = parent.files.filter { f =>
-        parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+        parent.stats.getOrElse(f, Seq.empty)
+          .find(l => namesOf(parent, keyCol).contains(l._1)) match {
           case Some((_, mn, mx, _)) => kp.intersects(mn, mx)
           // statless: could hold a matched key — unless no update key
           // could match anything (all-null batch = pure insert)
@@ -2281,7 +2302,8 @@ object TxTable {
       // null-key rows (numNulls != 0, or unknown). Leaving such a file
       // untouched would split the null group's aggregate across files.
       val touched = parent.toSeq.flatMap(_.files).filter { f =>
-        parent.get.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+        parent.get.stats.getOrElse(f, Seq.empty)
+          .find(l => namesOf(parent.get, keyCol).contains(l._1)) match {
           case Some((_, mn, mx, nn)) =>
             kp.intersects(mn, mx) || (kp.nullKeys > 0 && nn != 0L)
           case None => kp.hasNonNullKeys || kp.nullKeys > 0
@@ -2313,8 +2335,17 @@ object TxTable {
       // would otherwise creep the schema version over version)
       val merged = combinedSrc.groupBy(col(keyCol))
         .agg(sumAggs.head, sumAggs.tail: _*)
-      val newFiles = writeData(s, root,
-        merged.repartitionByRange(math.max(1, touched.size), col(keyCol)))
+      // the additive merge keeps a bucketed parent's layout the same
+      // way mergeByKeyPruned does (r18) — per-batch partial aggregates
+      // land co-located, so the downstream join never re-prices
+      val (newFiles, newParts) = parent match {
+        case Some(par) => rewriteDataInLayout(s, root, par, merged,
+          _.repartitionByRange(math.max(1, touched.size), col(keyCol)))
+        case None => (writeData(s, root,
+          merged.repartitionByRange(math.max(1, touched.size),
+            col(keyCol))),
+          Map.empty[String, Seq[(String, Option[String])]])
+      }
       val newStats = footerStats(s, root, newFiles, statCols(parent, keyCol))
       val files = untouched ++ newFiles
       val stats = parent.map(_.stats).getOrElse(Map.empty)
@@ -2335,9 +2366,10 @@ object TxTable {
           blooms = parent.map(_.blooms).getOrElse(Map.empty)
             .view.filterKeys(untouchedSet.contains).toMap,
           checks = checks, op = "merge_additive",
-          parts = parent.map(_.parts).getOrElse(Map.empty),
+          parts = parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
           renames = parent.map(_.renames).getOrElse(Map.empty),
-          deadCols = parent.map(_.deadCols).getOrElse(Set.empty)))
+          deadCols = parent.map(_.deadCols).getOrElse(Set.empty),
+          bucketSpec = parent.flatMap(_.bucketSpec)))
         committed = v
     }
     committed
@@ -2377,7 +2409,8 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to delete from"))
       val classified = parent.files.map { f =>
-        parent.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol) match {
+        parent.stats.getOrElse(f, Seq.empty)
+          .find(l => namesOf(parent, keyCol).contains(l._1)) match {
           case Some((_, mn, mx, _)) if mx < lo || mn > hi => (f, 0) // keep
           case Some((_, mn, mx, nn)) // drop: whole file provably deleted
               if mn >= lo && mx <= hi && nn == 0L => (f, 1)
@@ -2460,7 +2493,7 @@ object TxTable {
       val cand = parent.files.filter { f =>
         val ranges = parent.stats.getOrElse(f, Seq.empty)
         prune.forall { case (c, lo, hi) =>
-          ranges.find(_._1 == c) match {
+          ranges.find(l => namesOf(parent, c).contains(l._1)) match {
             case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -2568,7 +2601,7 @@ object TxTable {
       val cand = parent.files.filter { f =>
         val ranges = parent.stats.getOrElse(f, Seq.empty)
         prune.forall { case (c, lo, hi) =>
-          ranges.find(_._1 == c) match {
+          ranges.find(l => namesOf(parent, c).contains(l._1)) match {
             case Some((_, mn, mx, _)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -2631,9 +2664,7 @@ object TxTable {
         m.updated(f, m.getOrElse(f, Seq.empty) :+ (dvFile, n))
       }
       // post-images, re-landed in the parent's hive layout when one exists
-      val partColsOfParent = parent.files.headOption
-        .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-        .getOrElse(Seq.empty)
+      val partColsOfParent = logicalPartCols(parent, parent.files)
       val (writtenAll, writtenParts) =
         if (partColsOfParent.nonEmpty) {
           val fp = writeDataPartitionedMulti(s, root, images, partColsOfParent)
@@ -2687,9 +2718,7 @@ object TxTable {
       // rows re-shuffle through their own pmod(murmur3) and partitioned
       // rows re-land IN the hive layout — a purge that stripped either
       // would break the co-located join / surfaced read as a side effect
-      val partColsOfParent = withDv.headOption
-        .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-        .getOrElse(Seq.empty)
+      val partColsOfParent = logicalPartCols(parent, withDv)
       val (writtenAll, writtenParts) = parent.bucketSpec match {
         case Some((n, bcols)) =>
           if (partColsOfParent.nonEmpty) {
@@ -2785,9 +2814,7 @@ object TxTable {
           // (per partition value on the grid layout), sorted within —
           // DVs applied by readSnapshot, so optimize doubles as purge
           val cols = statCols(Some(parent), "").filter(_.nonEmpty)
-          val partColsOfParent = parent.files.headOption
-            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-            .getOrElse(Seq.empty)
+          val partColsOfParent = logicalPartCols(parent, parent.files)
           if (partColsOfParent.nonEmpty) {
             val fp = writeDataPartitionedBucketed(
               s, root, df, partColsOfParent, bcols, n)
@@ -2872,9 +2899,7 @@ object TxTable {
           // declaration survives — the O(tail) policy that keeps the
           // co-located join economics as appends accumulate (untouched
           // healthy files never move; `bins` is bucket-owned here)
-          val partColsOfParent = small.headOption
-            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-            .getOrElse(Seq.empty)
+          val partColsOfParent = logicalPartCols(parent, small)
           if (partColsOfParent.nonEmpty) {
             val fp = writeDataPartitionedBucketed(
               s, root, compacted, partColsOfParent, bcols, n)
@@ -2887,9 +2912,7 @@ object TxTable {
           // (part lines and all) — a compaction that stripped part
           // values would knock the table out of the surfaced read
           // posture as a side effect
-          val partColsOfParent = small.headOption
-            .map(f => parent.parts.getOrElse(f, Seq.empty).map(_._1))
-            .getOrElse(Seq.empty)
+          val partColsOfParent = logicalPartCols(parent, small)
           if (partColsOfParent.nonEmpty) {
             val fp = writeDataPartitionedMulti(
               s, root, compacted, partColsOfParent)

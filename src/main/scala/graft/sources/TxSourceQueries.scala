@@ -810,7 +810,10 @@ object TxSourceQueries {
     * projection ([[graft.sources.TxMorDppRouting]]; partition values
     * come from the alias-aware index, and the partition attribute
     * passes through the projection untouched, which is what keeps the
-    * scan DPP-eligible). The in-query guard requires the planned fact
+    * scan DPP-eligible). The PARTITION column renames too — part lines
+    * keep the write-time name; dpo classification, the writers' hive
+    * re-landing and the surfaced index all resolve the alias chain
+    * (r18 second wave). The in-query guard requires the planned fact
     * scan to carry a dynamicpruning filter AND read strictly fewer
     * files than the snapshot holds. At 100 TB this keeps the
     * star-schema mechanism alive through routine schema evolution
@@ -831,18 +834,25 @@ object TxSourceQueries {
       TxTable.Overwrite, partitionBy = Some("lang"),
       statsCols = Seq("n_chars"))
     TxTable.renameColumn(ss, factRoot, "n_chars", "len")
+    // the PARTITION column renames too (r18): part lines keep the
+    // write-time name 'lang', the alias-aware index serves values
+    // under 'language', and DPP keys on the renamed attribute (the
+    // output aliases back so the oracle stays name-stable)
+    TxTable.renameColumn(ss, factRoot, "lang", "language")
     TxTable.commit(ss, dimRoot,
       Seq(("de", "eu"), ("en", "eu"), ("fr", "eu"),
-        ("es", "amer"), ("zh", "asia")).toDF("lang", "region"),
+        ("es", "amer"), ("zh", "asia")).toDF("language", "region"),
       TxTable.Overwrite)
     val fact = ss.read.format("tx")
       .option("partitionedRead", "true").load(factRoot)
     val dim = ss.read.format("tx").load(dimRoot)
       .filter(col("region").isInCollection(Seq("amer", "asia")))
-    val out = fact.join(dim, "lang")
-      .groupBy("lang", "source")
+    val out = fact.join(dim, "language")
+      .groupBy("language", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("len").cast("long").as("total_len"))
+      .select(col("language").as("lang"), col("source"),
+        col("n_docs"), col("total_len"))
       .orderBy("lang", "source")
     val collected = out.localCheckpoint(true)
     val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {

@@ -205,11 +205,18 @@ class TxBucketSpec extends AnyFunSuite {
       assert(merged.count() == 400L) // 399 + 1 insert
       assert(merged.filter(col("k") === 3L).select("v")
         .collect().map(_.getLong(0)).toSeq == Seq(777L))
-      // pruned CoW merge and CoW deleteRange keep it too
+      // pruned CoW merge, additive merge and CoW deleteRange keep it too
       TxTable.mergeByKeyPruned(spark, root,
         Seq((5L, 555L)).toDF("k", "v"), "k")
       assert(TxTable.currentSnapshot(root).get.bucketSpec
         .contains((4, Seq("k"))), "pruned merge must carry the layout")
+      TxTable.mergeAdditive(spark, root,
+        Seq((5L, 10L)).toDF("k", "v"), "k")
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("k"))), "additive merge must carry the layout")
+      assert(spark.read.format("tx").load(root)
+        .filter(col("k") === 5L).select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(565L))
       TxTable.deleteRange(spark, root, "k", 9999.0, 9999.0)
       assert(TxTable.currentSnapshot(root).get.bucketSpec
         .contains((4, Seq("k"))), "CoW delete must carry the layout")

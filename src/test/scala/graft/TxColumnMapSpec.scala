@@ -117,7 +117,7 @@ class TxColumnMapSpec extends AnyFunSuite {
     }
   }
 
-  test("refusals: CHECK-referenced and partition columns stay rename/drop-proof") {
+  test("refusals: CHECK-referenced columns stay rename/drop-proof; partition drop refuses through the alias") {
     import spark.implicits._
     withRoot { root =>
       TxTable.commit(spark, root,
@@ -129,11 +129,13 @@ class TxColumnMapSpec extends AnyFunSuite {
       assert(e1.getMessage.contains("pos_n"))
       intercept[IllegalArgumentException](
         TxTable.dropColumn(spark, root, "n"))
+      // partition columns rename freely since r18 — and the DROP
+      // refusal follows the column through its alias chain (the part
+      // lines still carry the old name)
+      TxTable.renameColumn(spark, root, "lang", "language")
       val e2 = intercept[IllegalArgumentException](
-        TxTable.renameColumn(spark, root, "lang", "language"))
+        TxTable.dropColumn(spark, root, "language"))
       assert(e2.getMessage.contains("partition column"))
-      intercept[IllegalArgumentException](
-        TxTable.dropColumn(spark, root, "lang"))
       // 'id' is mentioned by neither — renames fine
       TxTable.renameColumn(spark, root, "id", "doc_id")
       assert(TxTable.read(spark, root).columns.contains("doc_id"))
@@ -202,6 +204,60 @@ class TxColumnMapSpec extends AnyFunSuite {
         s"SELECT * FROM tx_drop_column('$root', 'junk')").collect()(0)
       assert(r2.getLong(1) == 2L)
       assert(TxTable.read(spark, root).columns.toSeq == Seq("id", "t"))
+    }
+  }
+
+  test("partition-column rename: full lifecycle through every part-line consumer (r18)") {
+    import spark.implicits._
+    withRoot { root =>
+      val docs = (0L until 12L).map(i =>
+        (i, Seq("de", "en", "zh")((i % 3).toInt), 100L + i))
+      TxTable.commit(spark, root, docs.toDF("id", "lang", "n"),
+        TxTable.Overwrite, partitionBy = Some("lang"),
+        statsCols = Seq("n"))
+      TxTable.renameColumn(spark, root, "lang", "language")
+      // 1. reads coalesce the vintage: old files' bytes say 'lang'
+      val all = TxTable.read(spark, root)
+      assert(all.columns.contains("language"))
+      assert(all.filter(col("language") === "zh").count() == 4L)
+      // 2. a post-rename partitioned APPEND writes part lines under the
+      // NEW name — mixed-name manifests from here on
+      TxTable.commit(spark, root,
+        Seq((100L, "fr", 990L)).toDF("id", "language", "n"),
+        TxTable.Append, partitionBy = Some("language"))
+      assert(TxTable.read(spark, root).count() == 13L)
+      // 3. manifest partition pruning matches across vintages
+      val pruned = TxTable.partPrunedFilesMulti(root,
+        Seq(("language", Set("zh", "fr"))))
+      val snap = TxTable.currentSnapshot(root).get
+      assert(pruned.size < snap.files.size && pruned.nonEmpty)
+      // 4. zero-scan partition stats group across both name vintages
+      val counts = TxTable.partitionRowCounts(spark, root, "language")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("de" -> 4L, "en" -> 4L, "zh" -> 4L, "fr" -> 1L))
+      // 5. dynamic partition overwrite classifies old-name files by the
+      // renamed column and swaps exactly the recomputed partition
+      TxTable.overwritePartitions(spark, root,
+        Seq((200L, "zh", 1L), (201L, "zh", 2L)).toDF("id", "language", "n"),
+        "language")
+      val after = TxTable.read(spark, root)
+      assert(after.filter(col("language") === "zh").count() == 2L)
+      assert(after.count() == 11L) // 13 - 4 old zh + 2 new
+      // 6. the surfaced posture + metadata GROUP BY answer on the
+      // renamed column (alias-aware index + TxMetadataAgg)
+      val surf = spark.read.format("tx")
+        .option("partitionedRead", "true").load(root)
+      assert(surf.filter(col("language") === "fr").count() == 1L)
+      val meta = spark.read.format("tx").load(root)
+        .groupBy("language").agg(count(lit(1)).as("cnt"))
+      val leftovers = meta.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(leftovers.isEmpty,
+        "grouped count on the renamed partition column should answer " +
+          "from the manifest")
+      assert(meta.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("de" -> 4L, "en" -> 4L, "zh" -> 2L, "fr" -> 1L))
     }
   }
 }

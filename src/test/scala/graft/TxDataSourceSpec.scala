@@ -830,15 +830,14 @@ class TxDataSourceSpec extends AnyFunSuite {
       TxTable.commit(ss, root, docsDf(ss),
         TxTable.Overwrite, partitionBy = Some("lang"))
       // rename a DATA column, then append a post-rename vintage —
-      // files now genuinely mix n_chars/len bytes (the PARTITION column
-      // itself stays un-renameable: renameColumn refuses it loudly at
-      // the source, so no snapshot with vintage-named part lines can
-      // exist — the write paths that re-land the hive layout are
-      // exact-name by contract)
+      // files now genuinely mix n_chars/len bytes
       TxTable.renameColumn(ss, root, "n_chars", "len")
       TxTable.commit(ss, root,
         Seq((100L, "zh", "src0", 990L)).toDF("doc_id", "lang", "source", "len"),
         TxTable.Append, partitionBy = Some("lang"))
+      // and rename the PARTITION column itself (r18: part lines keep
+      // the write-time name; the alias-aware index resolves it)
+      TxTable.renameColumn(ss, root, "lang", "language")
       val surf = ss.read.format("tx").option("partitionedRead", "true")
         .load(root)
       val flat = ss.read.format("tx").load(root)
@@ -852,21 +851,21 @@ class TxDataSourceSpec extends AnyFunSuite {
       // the pre-rename vintage reads through the coalesce too
       assert(surf.filter(col("doc_id") === 0L).select("len")
         .collect().head.getLong(0) == 100L)
-      // static partition pruning still prunes
-      val probe = surf.filter(col("lang") === "zh")
+      // static partition pruning prunes THROUGH the renamed column
+      val probe = surf.filter(col("language") === "zh")
       assert(probe.collect().length == 5)
       val total = TxTable.currentSnapshot(root).get.files.size
       val kept = scanIndex(probe).lastPruned.get.size
       assert(kept < total,
         s"partition pruning under the mapping pruned nothing ($kept/$total)")
       // and DPP: a dim-side filter dynamically prunes the mapped fact
-      // scan at runtime
+      // scan at runtime, keyed on the RENAMED partition column
       Seq(("de", "eu"), ("en", "eu"), ("zh", "asia"))
-        .toDF("lang", "region")
+        .toDF("language", "region")
         .write.mode("overwrite").parquet(s"$root-dim")
       val dim = ss.read.parquet(s"$root-dim")
         .filter(col("region") === "asia")
-      val joined = surf.join(dim, "lang").groupBy("lang")
+      val joined = surf.join(dim, "language").groupBy("language")
         .agg(count(lit(1)).as("n"))
       assert(joined.collect().map(r => (r.getString(0), r.getLong(1)))
         .toSeq == Seq(("zh", 5L)))
