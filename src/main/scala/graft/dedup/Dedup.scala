@@ -788,7 +788,112 @@ object Dedup {
       |FROM affected a LEFT JOIN kept_agg k ON a.doc_id = k.doc_id
       |ORDER BY a.doc_id""".stripMargin
 
+  /** Duplicated-span CLUSTER report — the output-size-safe sibling of
+    * q218's pair report (the r17 verdict's remaining q218 concern: a
+    * boilerplate span duplicated across m documents is m(m-1)/2 PAIRS —
+    * quadratic in the OUTPUT — but only ONE cluster). Semantics: a
+    * MinSpan-token window duplicated across >= 2 distinct documents is
+    * cluster material; per document, material positions fold into
+    * maximal INTERVAL-UNION islands (running-max gaps-and-islands, not
+    * consecutive-start runs — overlapping non-consecutive windows must
+    * merge or the island text fragments); islands group by their exact
+    * text, and clusters spanning >= 2 documents report (representative
+    * occurrence, span length, document spread, occurrence count). Every
+    * stage is hot-key safe: the spread aggregate and the island fold
+    * are one-row-per-(value|island) shapes, the text grouping keys on
+    * the 96-bit hash pair (text never shuffles; the oracle groups by
+    * the actual string — a cross-text collision is ~2^-96 per island
+    * pair, the documented q218 class). At 100 TB this is the report a
+    * dedup pipeline actually pages through: one row per boilerplate
+    * block with its blast radius, not millions of pair rows.
+    */
+  def q226SpanClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // window values spread across >= 2 distinct docs (partial-agg
+    // collapses per-partition duplicates of a hot value before the
+    // shuffle; the distinct-doc count is one row per (value, doc))
+    val spread = minspanWindows(s, d, "b")
+      .groupBy(col("b_h").as("h"), col("b_v").as("v"))
+      .agg(count_distinct(col("b_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h", "v")
+    val qual = minspanWindows(s, d, "a")
+      .join(spread, col("a_h") === col("h") && col("a_v") === col("v"))
+      .select(col("a_id").as("doc_id"), col("a_pos").as("s"))
+    // interval union per doc: a new island starts where s clears the
+    // running max end of everything before it
+    val w1 = Window.partitionBy("doc_id").orderBy("s")
+    val islands = qual
+      .withColumn("pme", max(col("s") + MinSpan).over(
+        w1.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1).otherwise(0))
+      .withColumn("island", sum("ni").over(w1))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("start"), (max("s") + MinSpan).as("e"))
+      .select(col("doc_id"), col("start"), (col("e") - col("start")).as("len"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("__d"), split(col("text"), " ").as("t"))
+    val withText = islands.join(toks, col("doc_id") === col("__d"))
+      .select(col("doc_id"), col("start"), col("len"),
+        xxhash64(slice(col("t"), col("start").cast("int"),
+          col("len").cast("int"))).as("th"),
+        hash(slice(col("t"), col("start").cast("int"),
+          col("len").cast("int"))).as("tv"))
+    withText.groupBy("th", "tv", "len")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("start"))).as("rep"))
+      .filter(col("n_docs") >= 2)
+      .select(col("rep.doc_id").as("rep_doc"),
+        col("rep.start").cast("long").as("rep_pos"),
+        col("len").cast("long").as("span_tokens"),
+        col("n_docs"), col("n_occurrences"))
+      .orderBy("rep_doc", "rep_pos")
+  }
+
+  val q226Sql: String =
+    s"""WITH toks0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g20 AS (
+      |  SELECT doc_id, u.i AS s,
+      |    array_to_string(t[u.i:u.i+${MinSpan - 1}], ' ') AS g
+      |  FROM toks0, LATERAL unnest(range(1, len(t) - ${MinSpan - 2})) u(i)),
+      |spread AS (
+      |  SELECT g FROM g20 GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |qual AS (SELECT doc_id, s FROM g20 JOIN spread USING (g)),
+      |flagged AS (
+      |  SELECT doc_id, s, MAX(s + $MinSpan) OVER (
+      |    PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM qual),
+      |isl AS (
+      |  SELECT doc_id, s, SUM(CASE WHEN pme IS NULL OR s > pme
+      |    THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY doc_id ORDER BY s) AS island
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT doc_id, MIN(s) AS start, MAX(s) + $MinSpan - MIN(s) AS len
+      |  FROM isl GROUP BY doc_id, island),
+      |wtext AS (
+      |  SELECT i.doc_id, i.start, i.len,
+      |    array_to_string(t[i.start:i.start+i.len-1], ' ') AS txt
+      |  FROM islands i JOIN toks0 USING (doc_id)),
+      |ranked AS (
+      |  SELECT txt, len, doc_id, start, ROW_NUMBER() OVER (
+      |    PARTITION BY txt, len ORDER BY doc_id, start) AS rn
+      |  FROM wtext),
+      |counts AS (
+      |  SELECT txt, len, COUNT(*) AS n_occurrences,
+      |    COUNT(DISTINCT doc_id) AS n_docs
+      |  FROM wtext GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT r.doc_id AS rep_doc, CAST(r.start AS BIGINT) AS rep_pos,
+      |  CAST(c.len AS BIGINT) AS span_tokens, c.n_docs, c.n_occurrences
+      |FROM counts c JOIN ranked r ON c.txt = r.txt AND c.len = r.len
+      |WHERE r.rn = 1
+      |ORDER BY rep_doc, rep_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_span_clusters" -> (q226SpanClusters _),
     "q220_span_scrub" -> (q220SpanScrub _),
     "q218_exact_substr" -> (q218ExactSubstr _),
     "q25_dedup_exact" -> (q25ExactDedup _),
@@ -798,6 +903,7 @@ object Dedup {
     "q88_incremental_dedup" -> (q88IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q226_span_clusters" -> q226Sql,
     "q220_span_scrub" -> q220Sql,
     "q218_exact_substr" -> q218Sql,
     "q25_dedup_exact" -> q25Sql,

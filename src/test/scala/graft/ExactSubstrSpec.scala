@@ -231,6 +231,44 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 25L), s"per-doc removals: $out")
   }
 
+  test("q226 cluster report: one row per boilerplate block where the pair report is quadratic") {
+    // the m=40 license fixture again: q218's pair semantics yield
+    // m(m-1)/2 = 780 rows; the cluster report yields ONE row with the
+    // blast radius
+    val m = 40
+    val boiler = (1 to 25).map(i => s"lic$i")
+    val docs = (1L to m.toLong).map { id =>
+      val pre = (1 to 6).map(j => s"p${id}x$j")
+      val post = (1 to 6).map(j => s"s${id}y$j")
+      (id, (pre ++ boiler ++ post).mkString(" "))
+    }
+    val dir = writeDocs(docs)
+    val out = graft.dedup.Dedup.q226SpanClusters(spark, dir).collect()
+    assert(out.length == 1, out.mkString("\n"))
+    val r = out.head
+    assert(r.getAs[Long]("rep_doc") == 1L && r.getAs[Long]("rep_pos") == 7L)
+    assert(r.getAs[Long]("span_tokens") == 25L)
+    assert(r.getAs[Long]("n_docs") == m.toLong &&
+      r.getAs[Long]("n_occurrences") == m.toLong)
+  }
+
+  test("q226 interval union: overlapping non-consecutive windows merge into one island") {
+    // two docs share two 20-token blocks separated by 5 shared tokens:
+    // qualifying window starts are NOT all consecutive, but their
+    // [s, s+20) ranges chain — the island must be the single 45-token
+    // span, not fragments
+    val shared = (1 to 45).map(i => s"c$i")
+    val docs = Seq(
+      1L -> (shared ++ Seq("z1", "z2")).mkString(" "),
+      2L -> (Seq("a1", "a2", "a3") ++ shared).mkString(" "))
+    val dir = writeDocs(docs)
+    val out = graft.dedup.Dedup.q226SpanClusters(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rep_doc"),
+        r.getAs[Long]("rep_pos"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(out == Seq((1L, 1L, 45L, 2L)), out.toString)
+  }
+
   test("q218 detection on a planted family reports string-certified spans") {
     // three docs sharing one 30-token block: q218's pair report keeps
     // its pairwise semantics (all 3 pairs), hash-keyed + certified
