@@ -788,6 +788,145 @@ object Dedup {
       |FROM affected a LEFT JOIN kept_agg k ON a.doc_id = k.doc_id
       |ORDER BY a.doc_id""".stripMargin
 
+  /** SELF-repetition scrub — the WITHIN-document counterpart of q220
+    * (Lee et al. excise intra-document repeats too; q220's `a_id <
+    * b_id` is strictly cross-document). A MinSpan-token window whose
+    * value occurred EARLIER IN THE SAME document is duplicated; the
+    * union of its [s, s+MinSpan) ranges excises, the first in-document
+    * occurrence stays verbatim. Same W20-reduction exactness argument
+    * as q220, one document interior at a time. Shuffle shape: both
+    * sides key on (doc, 96-bit window hash) — repetition is per-doc, so
+    * a pathological periodic document fans out O(its own length), never
+    * corpus-coupled; qualifying windows string-certify against the
+    * first occurrence (a hash collision fails loudly); everything else
+    * is the per-doc fold. The row-local pass a 100 TB pipeline runs
+    * right next to the Gopher repetition gates (q151/q170 measure
+    * repetition; this removes it).
+    */
+  /** Deterministic self-repetition corpus for q227: every 7th document
+    * (with >= 25 tokens) re-appends its own first 25 tokens — the
+    * planted-positive pattern q26/q33 use, restated identically in the
+    * DuckDB oracle, so the within-doc scrub has known work at any SF
+    * (the synthetic corpus has no natural >= MinSpan intra-doc repeats
+    * — measured in DuckDB before choosing).
+    */
+  private def selfRepDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN doc_id % 7 = 0 AND size(t) >= 25
+          |THEN concat_ws(' ', concat_ws(' ', t),
+          |               concat_ws(' ', slice(t, 1, 25)))
+          |ELSE concat_ws(' ', t) END""".stripMargin).as("text"))
+
+  private def selfRepWindows(docs: DataFrame, side: String): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id").as(s"${side}_id"),
+        posexplode_outer(expr(
+          s"""CASE WHEN size(t) >= $MinSpan
+             |THEN transform(sequence(1, size(t) - ${MinSpan - 1}),
+             |  i -> struct(xxhash64(slice(t, i, $MinSpan)) AS h,
+             |              hash(slice(t, i, $MinSpan)) AS v))
+             |ELSE array() END""".stripMargin)))
+      .filter(col("col").isNotNull)
+      .select(col(s"${side}_id"), (col("pos") + 1).as(s"${side}_pos"),
+        col("col.h").as(s"${side}_h"), col("col.v").as(s"${side}_v"))
+
+  def q227SelfRepScrub(s: SparkSession, d: String): DataFrame = {
+    // two INDEPENDENT reads (AMBIGUOUS_SELF_JOIN rule)
+    val firsts = selfRepWindows(selfRepDocs(s, d), "a")
+      .groupBy(col("a_id").as("fid"), col("a_h").as("h"),
+        col("a_v").as("v"))
+      .agg(min("a_pos").as("fp"))
+    val b = selfRepWindows(selfRepDocs(s, d), "b")
+    val cand = b.join(firsts,
+        b("b_id") === firsts("fid") && b("b_h") === firsts("h") &&
+          b("b_v") === firsts("v") && b("b_pos") > firsts("fp"))
+      .select(col("b_id").as("doc_id"), col("fid"),
+        col("fp"), col("b_pos").as("start"))
+    // string-certify within the augmented corpus (both occurrences are
+    // in the SAME document's token array)
+    val ta = selfRepDocs(s, d)
+      .select(col("doc_id").as("__ca"), split(col("text"), " ").as("__ta"))
+    val certified = broadcast(cand).join(ta, col("doc_id") === col("__ca"))
+      .where(assert_true(
+        concat_ws(" ", slice(col("__ta"), col("fp").cast("int"),
+          lit(MinSpan))) ===
+          concat_ws(" ", slice(col("__ta"), col("start").cast("int"),
+            lit(MinSpan))),
+        lit("selfrep: a certified span's token slices differ — " +
+          "96-bit window-hash collision reached the output")).isNull)
+      .select("doc_id", "start")
+    val toks = selfRepDocs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        posexplode_outer(col("t")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("p"), col("col").as("tok"))
+    val covered = toks.join(certified, Seq("doc_id"))
+      .filter(col("p") >= col("start") &&
+        col("p") < col("start") + MinSpan)
+      .select("doc_id", "p").distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(array_sort(
+        collect_list(struct(col("p"), col("tok")))), x => x("tok")))
+        .as("scrubbed_raw"))
+    val affected = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    val base = selfRepDocs(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    affected.join(base, Seq("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        coalesce(col("scrubbed_raw"), lit("")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val q227Sql: String =
+    s"""WITH docs2 AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |      AND len(string_split(text, ' ')) >= 25
+      |    THEN text || ' ' ||
+      |      array_to_string(string_split(text, ' ')[1:25], ' ')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |toks0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+      |grams AS (
+      |  SELECT doc_id, u.i AS pos,
+      |    array_to_string(t[u.i:u.i+${MinSpan - 1}], ' ') AS g
+      |  FROM toks0, LATERAL unnest(range(1, len(t) - ${MinSpan - 2})) u(i)),
+      |firsts AS (
+      |  SELECT doc_id, g, MIN(pos) AS fp FROM grams GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT b.doc_id, b.pos AS start
+      |  FROM grams b JOIN firsts f
+      |    ON b.doc_id = f.doc_id AND b.g = f.g
+      |  WHERE b.pos > f.fp),
+      |toks AS (
+      |  SELECT doc_id, len(t) AS n_tokens, u.p AS p, t[u.p] AS tok
+      |  FROM toks0, LATERAL unnest(range(1, len(t) + 1)) u(p)),
+      |covered AS (
+      |  SELECT DISTINCT k.doc_id, k.p
+      |  FROM toks k JOIN spans s ON k.doc_id = s.doc_id
+      |    AND k.p >= s.start AND k.p < s.start + $MinSpan),
+      |kept AS (
+      |  SELECT k.* FROM toks k ANTI JOIN covered c
+      |    ON k.doc_id = c.doc_id AND k.p = c.p),
+      |kept_agg AS (
+      |  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY p) AS scrubbed_raw
+      |  FROM kept GROUP BY doc_id),
+      |affected AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY 1)
+      |SELECT a.doc_id,
+      |  (SELECT len(t) FROM toks0 WHERE doc_id = a.doc_id) AS n_tokens,
+      |  a.n_removed, COALESCE(k.scrubbed_raw, '') AS scrubbed
+      |FROM affected a LEFT JOIN kept_agg k ON a.doc_id = k.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Duplicated-span CLUSTER report — the output-size-safe sibling of
     * q218's pair report (the r17 verdict's remaining q218 concern: a
     * boilerplate span duplicated across m documents is m(m-1)/2 PAIRS —
@@ -894,6 +1033,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_span_clusters" -> (q226SpanClusters _),
+    "q227_selfrep_scrub" -> (q227SelfRepScrub _),
     "q220_span_scrub" -> (q220SpanScrub _),
     "q218_exact_substr" -> (q218ExactSubstr _),
     "q25_dedup_exact" -> (q25ExactDedup _),
@@ -904,6 +1044,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q226_span_clusters" -> q226Sql,
+    "q227_selfrep_scrub" -> q227Sql,
     "q220_span_scrub" -> q220Sql,
     "q218_exact_substr" -> q218Sql,
     "q25_dedup_exact" -> q25Sql,
