@@ -47,7 +47,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++
       graft.streaming.EventsStream.queries ++
       graft.streaming.DocSetSimStream.queries ++
-      graft.streaming.PhashStream.queries
+      graft.streaming.PhashStream.queries ++
+      graft.streaming.SpanStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -84,5 +85,6 @@ object SparkEntry {
       graft.multimodal.Multimodal.oracles ++
       graft.streaming.EventsStream.oracles ++
       graft.streaming.DocSetSimStream.oracles ++
-      graft.streaming.PhashStream.oracles
+      graft.streaming.PhashStream.oracles ++
+      graft.streaming.SpanStream.oracles
 }

@@ -269,6 +269,45 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L, 45L, 2L)), out.toString)
   }
 
+  test("q228 stream fold is arrival-order independent: a late-arriving earlier doc retroactively covers") {
+    import spark.implicits._
+    // the prefix-twin family, delivered ADVERSARIALLY: the copies
+    // (docs 12, 360) arrive BEFORE the earliest witness (doc 8). At
+    // batch 1 nothing is covered (12 is the min holder of every shared
+    // window); when 8 arrives, the BACKWARD leg must retroactively
+    // cover doc 12's shared prefix and re-anchor doc 360's coverage —
+    // the converged event set must equal the batch q220 coverage.
+    val toks = (1 to 76).map(i => s"t${i % 9}w$i")
+    val full = toks :+ "tail"
+    val stateDir = s"/tmp/graft_sspan_${java.util.UUID.randomUUID()}"
+    val b1 = Seq((12L, full.mkString(" ")), (360L, full.mkString(" ")))
+      .toDF("doc_id", "text")
+    val b2 = Seq((8L, toks.mkString(" "))).toDF("doc_id", "text")
+    graft.streaming.SpanStream.processBatch(spark, b1, stateDir, 0L)
+    graft.streaming.SpanStream.processBatch(spark, b2, stateDir, 1L)
+    val covSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.IntegerType)))
+    val events = graft.streaming.TxState.readBefore(spark,
+      s"$stateDir/covered", covSchema)
+      .dropDuplicates("doc_id", "start")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val coveredPos = events.groupBy(_._1).view.mapValues(_.flatMap {
+      case (_, s) => s until s + 20 }.toSet).toMap
+    // doc 360: full 77 tokens (witness doc 12 arrived WITH it — within-
+    // batch leg — and doc 8 later re-covers the prefix); doc 12: its
+    // 76-token shared prefix, covered ONLY by the backward leg
+    assert(coveredPos(360L) == (1 to 77).toSet,
+      s"doc 360: ${coveredPos.get(360L).map(_.toSeq.sorted)}")
+    assert(coveredPos(12L) == (1 to 76).toSet,
+      s"doc 12: ${coveredPos.get(12L).map(_.toSeq.sorted)}")
+    assert(!coveredPos.contains(8L), "the earliest doc stays verbatim")
+    graft.streaming.Replay.deleteRecursively(
+      java.nio.file.Paths.get(stateDir))
+  }
+
   test("q218 detection on a planted family reports string-certified spans") {
     // three docs sharing one 30-token block: q218's pair report keeps
     // its pairwise semantics (all 3 pairs), hash-keyed + certified

@@ -54,6 +54,26 @@ if n:
     print(f"FAIL q153 vs q143 cross-path: {n} differing rows"); sys.exit(1)
 print("PASS q153_stream_setsim == q143_ppjoin (cross-path exact match)")
 EOF
+# cross-path check: the incremental span scrub (q228) must equal the
+# batch excision answer (q220) exactly — same W20 reduction, independent
+# code paths (batch rep-probe join vs streaming bidirectional events).
+python3 - "$OUT" <<'EOF'
+import sys, duckdb
+out = sys.argv[1]
+n = duckdb.sql(f"""
+  SELECT count(*) FROM (
+    (SELECT * FROM '{out}/q220_span_scrub/*.parquet'
+     EXCEPT
+     SELECT * FROM '{out}/q228_stream_spanscrub/*.parquet')
+    UNION ALL
+    (SELECT * FROM '{out}/q228_stream_spanscrub/*.parquet'
+     EXCEPT
+     SELECT * FROM '{out}/q220_span_scrub/*.parquet'))
+""").fetchone()[0]
+if n:
+    print(f"FAIL q228 vs q220 cross-path: {n} differing rows"); sys.exit(1)
+print("PASS q228_stream_spanscrub == q220_span_scrub (cross-path exact match)")
+EOF
 # cross-path check: the incremental phash index (q155) must equal the
 # batch perceptual-hash answer (q152) exactly — same banding definition,
 # independent code paths (batch sub-banding vs streaming banded index).
