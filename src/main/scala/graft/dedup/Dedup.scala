@@ -638,20 +638,21 @@ object Dedup {
     * actual dedup step): every token position of a LATER document that
     * any qualifying shared span (>= MinSpan tokens, vs any EARLIER
     * document's RAW text) covers is excised, the first occurrence kept
-    * verbatim. Ranges come from the q218 diagonal-run machinery with
-    * per-run start positions (`min(pb)`); coverage is the UNION of
-    * ranges (distinct positions), and the scrubbed text reassembles
-    * from the surviving tokens in position order. Built from the
-    * ranges side so a FULLY-covered document (an exact duplicate)
-    * still reports, with empty scrubbed text — the oracle pins that
-    * edge with COALESCE. Shuffle shape (r18): the hash-keyed window
-    * join probes a COLLAPSED a-side — one representative occurrence
-    * per window value — so a boilerplate window repeated m times joins
-    * m-1 times, not O(m²); the join rows carry 20-byte hash keys, never
-    * the window text; reported spans are string-certified. Then one
-    * doc-keyed equality join (the in-row range check is free) and one
-    * per-doc fold — nothing all-pairs, nothing corpus-wide beyond the
-    * window join.
+    * verbatim. Since r18 the ranges come from the W20 REDUCTION, not
+    * the diagonal-run machinery (see the in-method proof sketch):
+    * coverage is the UNION of [s, s+MinSpan) over MinSpan-token windows
+    * occurring in any earlier document, and the scrubbed text
+    * reassembles from the surviving tokens in position order. Built
+    * from the ranges side so a FULLY-covered document (an exact
+    * duplicate) still reports, with empty scrubbed text — the oracle
+    * pins that edge with COALESCE. Shuffle shape (r18): the hash-keyed
+    * window join probes the per-value min(doc) aggregate — map-side
+    * partial, so a boilerplate window repeated m times collapses before
+    * the shuffle and fans out O(m), never O(m²); the join rows carry
+    * 20-byte hash keys, never the window text; qualifying windows are
+    * string-certified. Then gaps-and-islands, one doc-keyed equality
+    * join (the in-row range check is free) and one per-doc fold —
+    * nothing all-pairs, nothing corpus-wide beyond the window join.
     */
   /** MinSpan-token windows of one side, hash-keyed like [[spanWindows]]
     * but at the FULL span width — the q220 reduction's unit (see below).
