@@ -3305,19 +3305,11 @@ object TxTable {
   private def absolutizeManifestLine(srcAbs: String, v: Long,
       line: String, src: JPath): Option[String] = {
     def abs(f: String) = absFile(srcAbs, f)
-    // path-from-the-right: everything before the last `trailing`
-    // space-separated fields is the path
+    // path-from-the-right via the parser's OWN splitter — one grammar
+    // site, shared with snapshotAt's line handling
     def absPathLeft(prefix: String, trailing: Int): String = {
-      val body = line.stripPrefix(prefix)
-      var cut = body.length
-      var i = 0
-      while (i < trailing) {
-        cut = body.lastIndexOf(' ', cut - 1)
-        if (cut < 0) throw new java.io.IOException(
-          s"corrupt txtable manifest $src — malformed line '$line'")
-        i += 1
-      }
-      s"$prefix${abs(body.substring(0, cut))}${body.substring(cut)}"
+      val (path, fields) = splitPathLine(line.stripPrefix(prefix), trailing)
+      s"$prefix${abs(path)} ${fields.mkString(" ")}"
     }
     line match {
       case l if l.startsWith(TxnPrefix) => None
@@ -3346,13 +3338,10 @@ object TxTable {
       case l if l.startsWith(PartPrefix) =>
         Some(absPathLeft(PartPrefix, 2)) // col enc
       case l if l.startsWith(DvPrefix) =>
-        // dv <path> <blob> <n>: blob is space-free, path may not be
-        val withBlob = absPathLeft(DvPrefix, 2)
-        val body = withBlob.stripPrefix(DvPrefix)
-        val nCut = body.lastIndexOf(' ')
-        val bCut = body.lastIndexOf(' ', nCut - 1)
-        Some(s"$DvPrefix${body.substring(0, bCut)} " +
-          s"${abs(body.substring(bCut + 1, nCut))}${body.substring(nCut)}")
+        // dv <path> <blob> <n>: blob is space-free, path may not be —
+        // BOTH paths absolutize
+        val (path, fields) = splitPathLine(l.stripPrefix(DvPrefix), 2)
+        Some(s"$DvPrefix${abs(path)} ${abs(fields(0))} ${fields(1)}")
       case l if l.startsWith("data/") || l.startsWith("/") => Some(abs(l))
       case l => throw new java.io.IOException(
         s"corrupt txtable manifest $src — unknown line type in " +
