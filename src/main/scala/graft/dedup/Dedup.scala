@@ -544,22 +544,27 @@ object Dedup {
         hash(col("col")).as(s"${side}_v"))
 
   /** STRING-CERTIFY one representative span per output row: re-reads the
-    * two documents' token arrays (broadcast join against the tiny span
-    * set — one extra map-side corpus pass, zero shuffle) and compares
-    * the ACTUAL text slices with `assert_true`, so if a 96-bit hash
-    * collision ever reached a reported span the query fails LOUDLY
-    * instead of reporting a false duplicate. `df` must carry doc id
-    * columns `aId`/`bId` and 1-based span starts `aPos`/`bPos` plus
-    * `spanLen`; rows pass through unchanged.
+    * two documents' token arrays and compares the ACTUAL text slices
+    * with `assert_true`, so if a 96-bit hash collision ever reached a
+    * reported span the query fails LOUDLY instead of reporting a false
+    * duplicate. `df` must carry doc id columns `aId`/`bId` and 1-based
+    * span starts `aPos`/`bPos` plus `spanLen`; rows pass through
+    * unchanged. `small = true` broadcasts the span set (q218's pair
+    * report: one row per doc PAIR — tiny); the per-window-OCCURRENCE
+    * candidate sets (q220) are O(duplicated token positions) and must
+    * NOT broadcast — on a heavily duplicated corpus they outgrow the
+    * driver/broadcast cap, so they take the plain shuffled join (AQE
+    * splits any residual hot rep doc at runtime).
     */
   private def certifySpans(s: SparkSession, d: String, df: DataFrame,
       aId: String, bId: String, aPos: String, bPos: String,
-      spanLen: org.apache.spark.sql.Column): DataFrame = {
+      spanLen: org.apache.spark.sql.Column,
+      small: Boolean = true): DataFrame = {
     val ta = Tables.documents(s, d)
       .select(col("doc_id").as("__ca"), split(col("text"), " ").as("__ta"))
     val tb = Tables.documents(s, d)
       .select(col("doc_id").as("__cb"), split(col("text"), " ").as("__tb"))
-    broadcast(df).join(ta, col(aId) === col("__ca"))
+    (if (small) broadcast(df) else df).join(ta, col(aId) === col("__ca"))
       .join(tb, col(bId) === col("__cb"))
       .where(assert_true(
         concat_ws(" ", slice(col("__ta"), col(aPos).cast("int"),
@@ -714,9 +719,13 @@ object Dedup {
         col("rep_pos").as("pa0"), col("b_pos").as("start"))
     // every excision-driving window is STRING-certified against both
     // documents' raw text — a hash collision fails loudly instead of
-    // scrubbing the wrong tokens
+    // scrubbing the wrong tokens. small = false: cand is one row per
+    // qualifying window OCCURRENCE — O(duplicated token positions), not
+    // a tiny pair set — so the certification join shuffles instead of
+    // broadcasting (a fully-boilerplate corpus would blow the 8 GB
+    // broadcast / driver cap otherwise)
     val certified = certifySpans(s, d, cand, "da", "doc_id", "pa0",
-      "start", lit(MinSpan))
+      "start", lit(MinSpan), small = false)
     // gaps-and-islands over qualifying starts: consecutive starts fold
     // into one maximal interval so a fully-duplicated document carries
     // ONE span row into the coverage join, not one per position (the
@@ -847,10 +856,13 @@ object Dedup {
       .select(col("b_id").as("doc_id"), col("fid"),
         col("fp"), col("b_pos").as("start"))
     // string-certify within the augmented corpus (both occurrences are
-    // in the SAME document's token array)
+    // in the SAME document's token array). No broadcast hint: cand is
+    // one row per repeated window OCCURRENCE — O(repeated positions),
+    // unbounded on a chant-like corpus — so the join shuffles on doc_id
+    // (each doc's candidates colocate with its one token-array row)
     val ta = selfRepDocs(s, d)
       .select(col("doc_id").as("__ca"), split(col("text"), " ").as("__ta"))
-    val certified = broadcast(cand).join(ta, col("doc_id") === col("__ca"))
+    val certified = cand.join(ta, col("doc_id") === col("__ca"))
       .where(assert_true(
         concat_ws(" ", slice(col("__ta"), col("fp").cast("int"),
           lit(MinSpan))) ===

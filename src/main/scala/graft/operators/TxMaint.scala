@@ -662,15 +662,21 @@ object TxMaint {
   def q221TxUpdateMor(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft_txupd_")
     val root = s"$tmp/orders_upd"
+    // bucketed commit (r19): the update's image append re-buckets
+    // through the same pmod(murmur3), so the co-location declaration
+    // must survive BOTH MoR verbs — guarded in-query below
     TxTable.commit(s, root, graft.Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_orderpriority",
           "o_totalprice"),
-      TxTable.Overwrite, clusterBy = Some("o_totalprice"))
+      TxTable.Overwrite, bucketBy = Some(("o_orderkey", 8)))
     TxTable.updateWhere(s, root, col("o_orderstatus") === "O",
       Seq(
         "o_totalprice" -> (col("o_totalprice") + lit(1000.0)),
         "o_orderpriority" -> concat(lit("U:"), col("o_orderpriority"))))
     TxTable.deleteWhere(s, root, col("o_totalprice") < 5000.0)
+    val snapDml = TxTable.currentSnapshot(root).get
+    require(snapDml.bucketSpec.contains((8, Seq("o_orderkey"))),
+      s"MoR update/delete dropped the bucket layout: ${snapDml.bucketSpec}")
     val changes = graft.operators.TxChangeFeed
       .readChangeFeed(s, root, 0L, 1L, "o_orderkey")
       .agg(

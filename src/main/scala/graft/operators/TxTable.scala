@@ -826,6 +826,18 @@ object TxTable {
       case Some((n, bcols)) =>
         (writeDataBucketed(s, root, df, bcols, n),
           Map.empty[String, Seq[(String, Option[String])]])
+      // partitioned-but-UNBUCKETED parents re-land the hive layout too
+      // (the updateWhere/compactSmall behavior, now uniform across the
+      // router's verbs): without this, a merge/CoW-delete on a plain
+      // partitioned table published files with no part lines, knocking
+      // it out of the surfaced-read / partitionRowCounts / DPP postures
+      // (loud refusal downstream). fallback still applies INSIDE the
+      // hive fan-out, so key-range clustering survives within each
+      // partition directory.
+      case None if partColsOfParent.nonEmpty =>
+        val fp = writeDataPartitionedMulti(
+          s, root, fallback(df), partColsOfParent)
+        (fp.map(_._1), fp.toMap)
       case None =>
         (writeData(s, root, fallback(df)),
           Map.empty[String, Seq[(String, Option[String])]])
@@ -2188,11 +2200,16 @@ object TxTable {
     import org.apache.spark.sql.types._
     if (parent.files.isEmpty || parent.sums.isEmpty) return Seq.empty
     parent.files.map(f => parent.sums.getOrElse(f, Seq.empty)
-        .map(_._1).toSet)
+        // lines are write-time-named: map each through its rename class
+        // to the LOGICAL name before intersecting/filtering, so a
+        // renamed column keeps its zero-scan SUM across DML rewrites
+        // (mixed-vintage parents intersect correctly too — each file
+        // names the column as of ITS write) and the re-derived sums
+        // record under the logical name the rewritten files carry
+        .map(l => nameClass(parent, l._1).head).toSet)
       .reduce(_ intersect _).toSeq.sorted
-      // lines are write-time-named: one renamed or retyped since the
-      // record would fail the integral gate — skip it (degrade), the
-      // rest keep their zero-scan property
+      // a column retyped since the record would fail the integral
+      // gate — skip it (degrade), the rest keep their property
       .filter(c => schema.fields.exists(f => f.name == c &&
         (f.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
@@ -2663,15 +2680,16 @@ object TxTable {
           s"txtable $root: updated rows in unknown file identity '$id'"))
         m.updated(f, m.getOrElse(f, Seq.empty) :+ (dvFile, n))
       }
-      // post-images, re-landed in the parent's hive layout when one exists
-      val partColsOfParent = logicalPartCols(parent, parent.files)
+      // post-images, re-landed in the parent's FULL layout (r19): the
+      // images are just new rows, so the bucketed/partitioned writers
+      // re-shuffle them through the identical pmod(murmur3) / hive
+      // fan-out — the format-6 declaration survives the update the same
+      // way it survives MERGE (a bucket holds one extra image file
+      // until the next optimize; Spark joins multi-file buckets
+      // exchange-free). Before this, updateWhere was the last common
+      // DML verb that dropped co-location (r18 verdict task 4).
       val (writtenAll, writtenParts) =
-        if (partColsOfParent.nonEmpty) {
-          val fp = writeDataPartitionedMulti(s, root, images, partColsOfParent)
-          (fp.map(_._1), fp.toMap)
-        } else
-          (writeData(s, root, images),
-            Map.empty[String, Seq[(String, Option[String])]])
+        rewriteDataInLayout(s, root, parent, images, identity)
       val writtenRows = fileRows(s, root, writtenAll)
       val written = writtenAll.filter(f => writtenRows(f) > 0L)
       val cols = statCols(Some(parent), "").filter(_.nonEmpty)
@@ -2685,11 +2703,11 @@ object TxTable {
           checks = parent.checks, op = "update_mor",
           parts = parent.parts ++ writtenParts,
           renames = parent.renames, deadCols = parent.deadCols,
-          // row-mover: the images hold arbitrary bucket keys — the
-          // co-location declaration cannot survive (reads degrade, never
-          // lie). Parent sum lines stay recorded but are inert while DVs
+          // the images re-landed through the parent's own layout writer
+          // above, so the declaration provably holds on every published
+          // file. Parent sum lines stay recorded but are inert while DVs
           // live (the metadata rule refuses); purge re-derives them.
-          bucketSpec = None, sums = parent.sums))
+          bucketSpec = parent.bucketSpec, sums = parent.sums))
         committed = parent.version + 1
     }
     committed
@@ -3246,44 +3264,50 @@ object TxTable {
     val tgtDir = manifestDir(targetRoot)
     Files.createDirectories(tgtDir)
     val tmp = tgtDir.resolve(s".w-${java.util.UUID.randomUUID()}")
-    val in = Files.newBufferedReader(srcManifest,
-      java.nio.charset.StandardCharsets.UTF_8)
-    val out = Files.newBufferedWriter(tmp,
-      java.nio.charset.StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    // ONE try/finally owns the temp file for the whole rewrite-and-link
+    // sequence: a rewrite-loop throw (corrupt source line, foreign-ref
+    // grammar violation) must not leave a .w-<uuid> orphan in the
+    // target's manifest dir — only the published hard link survives
     try {
-      var sawFooter = false
-      var sawFormat = false
-      var line = in.readLine()
-      if (line != Header) throw new java.io.IOException(
-        s"corrupt txtable manifest $srcManifest — atomic publish " +
-          "contract violated")
-      out.write(line); out.newLine()
-      line = in.readLine()
-      while (line != null) {
-        val rewritten =
-          if (line == Footer) { sawFooter = true; Some(line) }
-          else absolutizeManifestLine(srcAbs, v, line, srcManifest)
-        if (rewritten.exists(_.startsWith(FormatPrefix))) sawFormat = true
-        // a pre-format (v1) source carries no format line, but a clone
-        // ALWAYS holds foreign absolute references — declare 7 before
-        // the footer so old readers reject rather than misread
-        if (line == Footer && !sawFormat) {
-          out.write(s"${FormatPrefix}7"); out.newLine()
-        }
-        rewritten.foreach { l => out.write(l); out.newLine() }
+      val in = Files.newBufferedReader(srcManifest,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val out = Files.newBufferedWriter(tmp,
+        java.nio.charset.StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try {
+        var sawFooter = false
+        var sawFormat = false
+        var line = in.readLine()
+        if (line != Header) throw new java.io.IOException(
+          s"corrupt txtable manifest $srcManifest — atomic publish " +
+            "contract violated")
+        out.write(line); out.newLine()
         line = in.readLine()
+        while (line != null) {
+          val rewritten =
+            if (line == Footer) { sawFooter = true; Some(line) }
+            else absolutizeManifestLine(srcAbs, v, line, srcManifest)
+          if (rewritten.exists(_.startsWith(FormatPrefix))) sawFormat = true
+          // a pre-format (v1) source carries no format line, but a clone
+          // ALWAYS holds foreign absolute references — declare 7 before
+          // the footer so old readers reject rather than misread
+          if (line == Footer && !sawFormat) {
+            out.write(s"${FormatPrefix}7"); out.newLine()
+          }
+          rewritten.foreach { l => out.write(l); out.newLine() }
+          line = in.readLine()
+        }
+        if (!sawFooter) throw new java.io.IOException(
+          s"corrupt txtable manifest $srcManifest — atomic publish " +
+            "contract violated")
+      } finally { in.close(); out.close() }
+      try {
+        Files.createLink(manifestPath(targetRoot, 0L), tmp)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(
+            s"clone target $targetRoot was claimed concurrently")
       }
-      if (!sawFooter) throw new java.io.IOException(
-        s"corrupt txtable manifest $srcManifest — atomic publish " +
-          "contract violated")
-    } finally { in.close(); out.close() }
-    try {
-      Files.createLink(manifestPath(targetRoot, 0L), tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.io.IOException(
-          s"clone target $targetRoot was claimed concurrently")
     } finally Files.deleteIfExists(tmp)
     0L
   }

@@ -19,9 +19,10 @@ import graft.operators.TxTable
   * exchange. The commit protocol owns the co-location contract:
   * appends must match the layout exactly; rewrites that re-shuffle
   * through the identical hash (optimize/compactSmall/purge since r17,
-  * MERGE and CoW DELETE since r18) carry the declaration, and only
-  * true row-movers (MoR UPDATE's image appends, zorder, dpo) drop it
-  * (reads degrade to plain scans, never lie).
+  * MERGE and CoW DELETE since r18, MoR UPDATE's image appends since
+  * r19) carry the declaration, and only rewrites whose files provably
+  * hold a DIFFERENT order (zorder, dpo) drop it (reads degrade to
+  * plain scans, never lie).
   */
 class TxBucketSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -49,6 +50,22 @@ class TxBucketSpec extends AnyFunSuite {
     // (multi-file buckets fall back to sorting, guarded by Spark itself)
     ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     ss
+  }
+
+  /** Pins the co-location claim on `root`'s current snapshot: a join of
+    * two independent tx reads on the bucket column plans with NO
+    * exchange under the join (multi-file buckets may still sort — Spark
+    * withholds only the ordering, never the partitioning).
+    */
+  private def assertZeroExchangeJoin(root: String): Unit = {
+    val ss = smjSession()
+    val plan = ss.read.format("tx").load(root)
+      .join(ss.read.format("tx").load(root), "k")
+      .queryExecution.executedPlan
+    val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+    assert(smj.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed join still shuffles:\n$plan")
   }
 
   test("streaming sink lands micro-batches IN the bucket layout; mismatch refuses on batch 0") {
@@ -221,14 +238,32 @@ class TxBucketSpec extends AnyFunSuite {
       assert(TxTable.currentSnapshot(root).get.bucketSpec
         .contains((4, Seq("k"))), "CoW delete must carry the layout")
       assert(spark.read.format("tx").load(root).count() == 399L)
-      // a TRUE row-mover (MoR UPDATE appends post-image files holding
-      // arbitrary bucket keys) DROPS the declaration — reads degrade
-      // to a plain scan, still exact
+      // MoR UPDATE re-lands its post-image files through the SAME
+      // pmod(murmur3) writer (r19) — the last common DML verb now
+      // CARRIES the declaration; after purge materializes the DVs the
+      // join is exchange-free again with zero manual re-bucketing
       TxTable.updateWhere(spark, root, col("k") === 5L,
         Seq("v" -> lit(556L)))
+      val postUpdate = TxTable.currentSnapshot(root).get
+      assert(postUpdate.bucketSpec.contains((4, Seq("k"))),
+        "a MoR update re-buckets its images — it must carry the layout")
+      assert(spark.read.format("tx").load(root).count() == 399L)
+      assert(spark.read.format("tx").load(root)
+        .filter(col("k") === 5L).select("v")
+        .collect().map(_.getLong(0)).toSeq == Seq(556L))
+      TxTable.purgeDeletes(spark, root)
+      val purged = TxTable.currentSnapshot(root).get
+      assert(purged.bucketSpec.contains((4, Seq("k"))) &&
+        purged.dvs.isEmpty,
+        "purge after update: clean bucketed snapshot, layout intact")
+      assertZeroExchangeJoin(root)
+      // the remaining LEGITIMATE drop case: a Z-order rewrite
+      // re-clusters every row by Morton order — its files provably do
+      // NOT hold the hash layout, so the declaration must go
+      TxTable.commitZOrdered(spark, root,
+        spark.read.format("tx").load(root), "k", "v", targetFiles = 4)
       assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty,
-        "a MoR update's image files cannot prove the layout — it must " +
-          "drop it")
+        "a Z-order rewrite re-clusters rows — it must drop the layout")
       assert(spark.read.format("tx").load(root).count() == 399L)
       // and the now-unbucketed table refuses a bucketed append (mixed
       // layout would resurrect a stale promise)

@@ -156,6 +156,30 @@ class TxMetadataAggSpec extends AnyFunSuite {
     }
   }
 
+  test("RENAME keeps the zero-scan SUM across a DML rewrite (r19: sums " +
+      "re-derive under the LOGICAL name)") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        spark.range(0, 100L).selectExpr("id", "id * 2 AS v"),
+        sumCols = Seq("v"))
+      TxTable.renameColumn(spark, root, "v", "val")
+      def sumQ = spark.read.format("tx").load(root).agg(sum("val").as("s"))
+      assert(isMetadataAnswered(sumQ), "rename alone must not demote")
+      assert(sumQ.collect().head.getLong(0) == (0L until 100L).map(_ * 2).sum)
+      // a CoW merge rewrites every file: the write-time sum-line name
+      // 'v' maps through its rename class to 'val' before the schema
+      // filter, so the re-derived sums record under the logical name
+      // (before r19 this silently demoted the zero-scan SUM to a scan)
+      TxTable.mergeByKey(spark, root,
+        Seq((5L, 555L), (200L, 400L)).toDF("id", "val"), Seq("id"))
+      assert(isMetadataAnswered(sumQ),
+        "merge after rename demoted the zero-scan SUM path")
+      assert(sumQ.collect().head.getLong(0) ==
+        (0L until 100L).filter(_ != 5L).map(_ * 2).sum + 555L + 400L)
+    }
+  }
+
   test("MIN/MAX of a stats column answer from the manifest; exactness gates degrade") {
     withRoot { root =>
       TxTable.commit(spark, root,

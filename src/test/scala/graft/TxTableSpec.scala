@@ -705,6 +705,46 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned-UNBUCKETED DML rewrites re-land the hive layout: " +
+      "merge/pruned-merge/deleteRange keep every file part-covered") {
+    import spark.implicits._
+    withRoot { root =>
+      def src(ids: Seq[Long]) = ids
+        .map(i => (i, if (i % 2 == 0) "en" else "fr", i * 10L))
+        .toDF("id", "lang", "n")
+      TxTable.commit(spark, root, src(0L until 20L),
+        partitionBy = Some("lang"))
+      def allPartCovered(tag: String): Unit = {
+        val snap = TxTable.currentSnapshot(root).get
+        assert(snap.files.forall(f =>
+          snap.parts.get(f).exists(_.count(_._1 == "lang") == 1)),
+          s"$tag published files without part lines — the table fell " +
+            "out of the surfaced/partitionRowCounts/DPP postures")
+      }
+      // r19: before the partitioned-unbucketed branch in
+      // rewriteDataInLayout, each of these verbs knocked the table out
+      // of the partitioned posture while updateWhere kept it
+      TxTable.mergeByKey(spark, root,
+        Seq((3L, "fr", 999L), (40L, "en", 400L)).toDF("id", "lang", "n"),
+        Seq("id"))
+      allPartCovered("mergeByKey")
+      TxTable.mergeByKeyPruned(spark, root,
+        Seq((5L, "fr", 555L)).toDF("id", "lang", "n"), "id")
+      allPartCovered("mergeByKeyPruned")
+      TxTable.deleteRange(spark, root, "id", 18.0, 19.0)
+      allPartCovered("deleteRange")
+      // the hive posture still answers: per-partition counts zero-scan,
+      // pruned read exact
+      val counts = TxTable.partitionRowCounts(spark, root, "lang")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts == Map("en" -> 10L, "fr" -> 9L), counts.toString)
+      val fr = TxTable.readPartitionPruned(spark, root, "lang", Seq("fr"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(fr == (1L until 18L by 2).map(i =>
+        (i, if (i == 3L) 999L else if (i == 5L) 555L else i * 10L)).toSet)
+    }
+  }
+
   test("null partition values: hive sentinel round-trips, matched only " +
       "via includeNull; escaped values round-trip") {
     import spark.implicits._
