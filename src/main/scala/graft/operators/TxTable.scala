@@ -71,6 +71,15 @@ object TxTable {
   private val ColDeadPrefix = "coldead "
   private val BucketPrefix = "bucketspec "
   private val SumPrefix = "sum "
+  private val SstatPrefix = "sstat "
+
+  /** Truncation cap (BYTES of UTF-8) for string min/max stat bounds —
+    * Delta records 32-char prefixes for the same reason: long text
+    * values must not bloat the manifest, and a PREFIX is still a valid
+    * lower bound while a successor-bumped prefix is still a valid upper
+    * bound in the binary order string comparisons actually use.
+    */
+  private[graft] val StrStatCap = 32
 
   /** Highest manifest format this reader understands. Format 1 = files +
     * txn/stat/schema/rows lines; format 2 adds dv/bloom/check/op lines;
@@ -106,8 +115,14 @@ object TxTable {
     * partition-grouped SUM a zero-scan manifest answer
     * ([[graft.plans.TxMetadataAgg]]) — declared only by manifests that
     * actually carry them.
+    * Format 9 adds per-file `sstat` lines — STRING column min/max
+    * bounds (base64 of truncated UTF-8 bytes, compared in unsigned
+    * byte order = UTF8String binary order) + exactness flags + null
+    * count, closing the "a plain `WHERE lang = 'en'` scans every file"
+    * gap numeric-only stat lines left. Declared only by manifests that
+    * carry them.
     */
-  private val SupportedFormat = 8
+  private val SupportedFormat = 9
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -184,6 +199,30 @@ object TxTable {
     * at every subsequent version by induction. SQL-standard semantics:
     * a NULL check value passes; only FALSE violates.
     */
+  /** One string-column stat line (format 9): byte BOUNDS of the file's
+    * values in unsigned-lexicographic (= UTF8String binary) order.
+    * `min64`/`max64` are base64 of raw UTF-8 bytes, truncated at
+    * [[StrStatCap]] bytes — a truncated min is a PREFIX (lower bound);
+    * a truncated max is the prefix with its last non-0xFF byte bumped
+    * (strict upper bound; None when no bound survives the bump, which
+    * valid UTF-8 can never produce but the format tolerates).
+    * `min64 = None` marks the ALL-NULL file: the column holds no value
+    * at all, so any non-null predicate prunes it outright.
+    * `exactMin`/`exactMax` record whether the stored bound IS the
+    * file's true extreme value — the gate [[graft.plans.TxMetadataAgg]]
+    * string MIN/MAX answers require. `nulls` follows the stat-line
+    * rule: footer null count, or -1 when any block withheld it.
+    */
+  final case class StrStat(col: String, min64: Option[String],
+      max64: Option[String], exactMin: Boolean, exactMax: Boolean,
+      nulls: Long) {
+    def allNull: Boolean = min64.isEmpty
+    def minBytes: Option[Array[Byte]] =
+      min64.map(java.util.Base64.getDecoder.decode)
+    def maxBytes: Option[Array[Byte]] =
+      max64.map(java.util.Base64.getDecoder.decode)
+  }
+
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Seq[(String, Double, Double, Long)]] = Map.empty,
@@ -198,7 +237,8 @@ object TxTable {
       renames: Map[String, Seq[String]] = Map.empty,
       deadCols: Set[String] = Set.empty,
       bucketSpec: Option[(Int, Seq[String])] = None,
-      sums: Map[String, Seq[(String, String, Long)]] = Map.empty)
+      sums: Map[String, Seq[(String, String, Long)]] = Map.empty,
+      strStats: Map[String, Seq[StrStat]] = Map.empty)
 
   /** Driver-side java.nio path under `root`, accepting both plain local
     * paths and `file:`-scheme URIs (the Hadoop-qualified spelling the
@@ -345,6 +385,8 @@ object TxTable {
       mutable.ArrayBuffer[(String, Option[String])]]()
     val sums = new mutable.LinkedHashMap[String,
       mutable.ArrayBuffer[(String, String, Long)]]()
+    val strStats = new mutable.LinkedHashMap[String,
+      mutable.ArrayBuffer[StrStat]]()
     val renames = new mutable.LinkedHashMap[String,
       mutable.ArrayBuffer[String]]()
     val deadCols = Set.newBuilder[String]
@@ -376,6 +418,17 @@ object TxTable {
           splitPathLine(l.substring(SumPrefix.length), 3)
         sums.getOrElseUpdate(path, new mutable.ArrayBuffer()) +=
           ((c, dec, nn.toLong))
+      } else if (l.startsWith(SstatPrefix)) {
+        val (path, Array(c, mn64, mx64, flags, nn)) =
+          splitPathLine(l.substring(SstatPrefix.length), 5)
+        require(flags.length == 2 && flags.forall(ch =>
+          ch == 'e' || ch == 't'),
+          s"malformed sstat flags '$flags' in manifest $p")
+        strStats.getOrElseUpdate(path, new mutable.ArrayBuffer()) +=
+          StrStat(c,
+            if (mn64 == "-") None else Some(mn64),
+            if (mx64 == "-") None else Some(mx64),
+            flags.charAt(0) == 'e', flags.charAt(1) == 'e', nn.toLong)
       } else if (l.startsWith(BloomPrefix)) {
         val (path, Array(c, m, k, bits)) =
           splitPathLine(l.substring(BloomPrefix.length), 4)
@@ -426,7 +479,7 @@ object TxTable {
     Snapshot(v, files.result(), txns.result(), freeze(stats), schema,
       rowCounts.result(), freeze(dvs), freeze(blooms), checks.result(),
       op, freeze(parts), tsMillis, freeze(renames), deadCols.result(),
-      bucketSpec, freeze(sums))
+      bucketSpec, freeze(sums), freeze(strStats))
   }
 
   /** All committed versions, ascending (dense by construction). */
@@ -1057,6 +1110,140 @@ object TxTable {
     }.toMap
   }
 
+  /** Unsigned lexicographic byte comparison — the order parquet's UTF8
+    * binary statistics, Spark's UTF8String, and DuckDB's string compare
+    * all share (java.lang.String.compareTo is NOT this order for
+    * supplementary characters; the string-extreme rule).
+    */
+  private[graft] def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** Truncate a true MINIMUM value's bytes to the manifest bound:
+    * any prefix is <= the full value in unsigned byte order, so the
+    * first [[StrStatCap]] bytes are a valid lower bound. Returns
+    * (bound, exact) — exact iff nothing was cut.
+    */
+  private[graft] def truncMin(b: Array[Byte]): (Array[Byte], Boolean) =
+    if (b.length <= StrStatCap) (b, true)
+    else (java.util.Arrays.copyOf(b, StrStatCap), false)
+
+  /** Truncate a true MAXIMUM value's bytes to a manifest UPPER bound:
+    * a bare prefix would UNDER-bound (the Delta/Iceberg successor
+    * rule), so the cap-length prefix has its last non-0xFF byte bumped
+    * and the tail dropped — strictly greater than every value sharing
+    * the prefix. All-0xFF prefixes have no successor → None (no upper
+    * bound recorded; unreachable for valid UTF-8, which never contains
+    * 0xFF, but the format tolerates arbitrary bytes). Returns
+    * (bound, exact).
+    */
+  private[graft] def truncMaxBound(b: Array[Byte])
+      : (Option[Array[Byte]], Boolean) =
+    if (b.length <= StrStatCap) (Some(b), true)
+    else {
+      val p = java.util.Arrays.copyOf(b, StrStatCap)
+      var i = StrStatCap - 1
+      while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+      if (i < 0) (None, false)
+      else {
+        val out = java.util.Arrays.copyOf(p, i + 1)
+        out(i) = (out(i) + 1).toByte
+        (Some(out), false)
+      }
+    }
+
+  /** Per-file string-column bounds from the parquet FOOTERS — the
+    * BYTE_ARRAY sibling of [[footerStats]] (driver-side metadata I/O,
+    * zero Spark jobs). A (file, column) yields a line only when EVERY
+    * block either states binary min/max or is provably ALL-NULL for
+    * the column (trusted null count == block row count); partial stat
+    * surfaces yield nothing — such files are simply never pruned.
+    * parquet-mr records binary chunk statistics untruncated (its
+    * truncation knob is off by default and its column-index truncation
+    * uses the same successor rule), so [[StrStatCap]] is the binding
+    * truncation and exactness flags are decided here.
+    */
+  private def footerStringStats(s: SparkSession, root: String,
+      relFiles: Seq[String], colNames: Seq[String])
+      : Map[String, Seq[StrStat]] = {
+    import org.apache.parquet.io.api.Binary
+    if (colNames.isEmpty || relFiles.isEmpty) return Map.empty
+    val b64 = java.util.Base64.getEncoder
+    val hconf = s.sparkContext.hadoopConfiguration
+    relFiles.flatMap { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(absFile(root, rel)), hconf))
+      try {
+        val blocks = scala.jdk.CollectionConverters
+          .ListHasAsScala(r.getFooter.getBlocks).asScala.toSeq
+        val perCol = colNames.flatMap { colName =>
+          val chunks = blocks.map { b =>
+            scala.jdk.CollectionConverters.ListHasAsScala(b.getColumns)
+              .asScala.find(_.getPath.toDotString == colName)
+              .map(c => (c, b.getRowCount))
+          }
+          if (chunks.exists(_.isEmpty)) None
+          else {
+            val present = chunks.flatten
+            // classify each block: Some((mn, mx)) = value-bearing with
+            // stated binary bounds, None-with-allNull = provably empty
+            sealed trait Blk
+            case class Vals(mn: Array[Byte], mx: Array[Byte]) extends Blk
+            case object AllNull extends Blk
+            case object Unknown extends Blk
+            val classified = present.map { case (c, rows) =>
+              val st = c.getStatistics
+              if (st == null) Unknown
+              else if (st.hasNonNullValue)
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: Binary, mx: Binary) =>
+                    Vals(mn.getBytes, mx.getBytes)
+                  case _ => Unknown
+                }
+              else if (st.isNumNullsSet && st.getNumNulls == rows) AllNull
+              else Unknown
+            }
+            if (classified.contains(Unknown)) None
+            else {
+              val nulls: Long =
+                if (present.forall { case (c, _) =>
+                    val st = c.getStatistics
+                    st != null && st.isNumNullsSet && st.getNumNulls >= 0
+                  }) present.map(_._1.getStatistics.getNumNulls).sum
+                else -1L
+              val vals = classified.collect { case v: Vals => v }
+              if (vals.isEmpty) // every block all-null: the ALL-NULL line
+                Some(StrStat(colName, None, None,
+                  exactMin = true, exactMax = true, nulls))
+              else {
+                val mn = vals.map(_.mn).reduce((a, b) =>
+                  if (ucmp(a, b) <= 0) a else b)
+                val mx = vals.map(_.mx).reduce((a, b) =>
+                  if (ucmp(a, b) >= 0) a else b)
+                val (mnB, mnE) = truncMin(mn)
+                val (mxB, mxE) = truncMaxBound(mx)
+                Some(StrStat(colName,
+                  Some(b64.encodeToString(mnB)),
+                  mxB.map(b64.encodeToString),
+                  mnE, mxE, nulls))
+              }
+            }
+          }
+        }
+        if (perCol.isEmpty) None else Some(rel -> perCol)
+      } finally r.close()
+    }.toMap
+  }
+
+  /** String-stat columns a maintenance rewrite re-records — the union
+    * of every column the parent carried `sstat` lines for, mapped to
+    * LOGICAL names (the [[sumColsOfParent]] rename rule: rewritten
+    * files carry logical names).
+    */
+  private def strStatColsOfParent(parent: Option[Snapshot]): Seq[String] =
+    parent.toSeq.flatMap(p => p.strStats.values.flatten
+      .map(st => nameClass(p, st.col).head)).distinct.sorted
+
   /** Second xxhash64 seed for the bloom hash family (Kirsch-Mitzenmacher
     * double hashing: position_i = (h1 + i·h2) & (m-1), h2 forced odd so
     * the probe sequence never degenerates on a power-of-two m).
@@ -1233,7 +1420,8 @@ object TxTable {
           parts = parent.parts, renames = parent.renames,
           deadCols = parent.deadCols,
           // metadata-only: no file moves, the co-location contract holds
-          bucketSpec = parent.bucketSpec, sums = parent.sums))
+          bucketSpec = parent.bucketSpec, sums = parent.sums,
+          strStats = parent.strStats))
         committed = parent.version + 1
     }
     committed
@@ -1315,10 +1503,10 @@ object TxTable {
           // the column's new logical name
           bucketSpec = parent.bucketSpec.map { case (n, cs) =>
             (n, cs.map(c => if (c == oldName) newName else c)) },
-          // sum lines keep their write-time column name; since r18 the
-          // metadata rule's sumLine lookup is alias-aware, so the
-          // zero-scan SUM path survives the rename
-          sums = parent.sums))
+          // sum and sstat lines keep their write-time column name;
+          // every consumer's lookup is alias-aware, so the zero-scan
+          // SUM path and string skipping both survive the rename
+          sums = parent.sums, strStats = parent.strStats))
         committed = parent.version + 1
     }
     committed
@@ -1365,7 +1553,8 @@ object TxTable {
           renames = parent.renames - name,
           deadCols = parent.deadCols ++ chain,
           // metadata-only: non-bucket-column drops keep the layout
-          bucketSpec = parent.bucketSpec, sums = parent.sums))
+          bucketSpec = parent.bucketSpec, sums = parent.sums,
+          strStats = parent.strStats))
         committed = parent.version + 1
     }
     committed
@@ -1431,7 +1620,8 @@ object TxTable {
       renames: Map[String, Seq[String]] = Map.empty,
       deadCols: Set[String] = Set.empty,
       bucketSpec: Option[(Int, Seq[String])] = None,
-      sums: Map[String, Seq[(String, String, Long)]] = Map.empty)
+      sums: Map[String, Seq[(String, String, Long)]] = Map.empty,
+      strStats: Map[String, Seq[StrStat]] = Map.empty)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
@@ -1459,6 +1649,18 @@ object TxTable {
     val sumLines = sums.toSeq.sortBy(_._1).flatMap {
       case (path, entries) if fileSet.contains(path) =>
         entries.map { case (c, dec, nn) => s"$SumPrefix$path $c $dec $nn" }
+      case _ => Seq.empty
+    }
+    // string stat lines follow the stat-line drop rule: files the
+    // publish no longer references lose them; a rewrite that does not
+    // re-derive publishes none (degrade-only, never stale)
+    val strStatLines = strStats.toSeq.sortBy(_._1).flatMap {
+      case (path, entries) if fileSet.contains(path) =>
+        entries.map { st =>
+          val fl = s"${if (st.exactMin) "e" else "t"}" +
+            s"${if (st.exactMax) "e" else "t"}"
+          s"$SstatPrefix$path ${st.col} ${st.min64.getOrElse("-")} " +
+            s"${st.max64.getOrElse("-")} $fl ${st.nulls}" }
       case _ => Seq.empty
     }
     val bloomLines = blooms.toSeq.sortBy(_._1).flatMap {
@@ -1511,7 +1713,8 @@ object TxTable {
       dvs.exists { case (p, es) =>
         fileSet.contains(p) && es.exists(_._1.startsWith("/")) }
     val fmt =
-      if (sumLines.nonEmpty) 8
+      if (strStatLines.nonEmpty) 9
+      else if (sumLines.nonEmpty) 8
       else if (foreign) 7
       else if (bucketSpec.nonEmpty) 6
       else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
@@ -1519,7 +1722,8 @@ object TxTable {
     val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
       (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
-        statLines ++ sumLines ++ rowLines ++ dvLines ++ bloomLines ++
+        statLines ++ sumLines ++ strStatLines ++ rowLines ++ dvLines ++
+        bloomLines ++
         checkLines ++ opLine ++ partLines ++ renameLines ++ deadLines ++
         bucketLines ++ files)
         :+ Footer)).asJava,
@@ -1604,10 +1808,17 @@ object TxTable {
     // columns (`statsCols` records footer ranges on the layout AS GIVEN —
     // for pre-partitioned input whose files are already range-tight)
     val recordCols = (clusterBy.toSeq ++ statsCols).distinct
+    // STRING columns take the sstat surface (format 9: truncated byte
+    // bounds); everything else the numeric stat surface — one statsCols
+    // knob, routed by declared type
+    val (strRecordCols, numRecordCols) = recordCols.partition(c =>
+      df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.StringType))
     val newStats =
-      if (recordCols.isEmpty)
+      if (numRecordCols.isEmpty)
         Map.empty[String, Seq[(String, Double, Double, Long)]]
-      else footerStats(s, root, dataFiles, recordCols)
+      else footerStats(s, root, dataFiles, numRecordCols)
+    val newStrStats = footerStringStats(s, root, dataFiles, strRecordCols)
     val newRows = fileRows(s, root, dataFiles)
     val newBlooms = buildBlooms(s, root, dataFiles, bloomCols, newRows)
     val newSums = fileSums(s, root, dataFiles, sumCols, df.schema)
@@ -1731,7 +1942,11 @@ object TxTable {
           sums = (mode match {
             case Overwrite => Map.empty[String, Seq[(String, String, Long)]]
             case Append => parent.map(_.sums).getOrElse(Map.empty)
-          }) ++ newSums))
+          }) ++ newSums,
+          strStats = (mode match {
+            case Overwrite => Map.empty[String, Seq[StrStat]]
+            case Append => parent.map(_.strStats).getOrElse(Map.empty)
+          }) ++ newStrStats))
         committed = v
     }
     committed
@@ -1998,7 +2213,7 @@ object TxTable {
           dvs = parent.dvs, blooms = parent.blooms,
           checks = parent.checks, op = "overwrite_partitions",
           parts = parent.parts ++ newParts, renames = parent.renames,
-          deadCols = parent.deadCols))
+          deadCols = parent.deadCols, strStats = parent.strStats))
         committed = parent.version + 1
     }
     committed
@@ -2107,7 +2322,9 @@ object TxTable {
           // fully covered (values legitimately change with the merge;
           // the zero-scan SUM path should not silently demote)
           sums = fileSums(s, root, dataFiles,
-            sumColsOfParent(parent, merged.schema), merged.schema)))
+            sumColsOfParent(parent, merged.schema), merged.schema),
+          strStats = footerStringStats(s, root, dataFiles,
+            strStatColsOfParent(Some(parent)))))
         committed = parent.version + 1
       // lost claims leave an unreferenced data dir for vacuum — cheaper
       // and safer than deleting files a concurrent reader might list
@@ -2273,7 +2490,11 @@ object TxTable {
           bucketSpec = parent.bucketSpec,
           sums = parent.sums.view.filterKeys(untouchedSet.contains)
             .toMap ++ fileSums(s, root, newFiles,
-              sumColsOfParent(parent, merged.schema), merged.schema)))
+              sumColsOfParent(parent, merged.schema), merged.schema),
+          strStats = parent.strStats.view
+            .filterKeys(untouchedSet.contains).toMap ++
+            footerStringStats(s, root, newFiles,
+              strStatColsOfParent(Some(parent)))))
         committed = parent.version + 1
     }
     committed
@@ -2386,7 +2607,11 @@ object TxTable {
           parts = parent.map(_.parts).getOrElse(Map.empty) ++ newParts,
           renames = parent.map(_.renames).getOrElse(Map.empty),
           deadCols = parent.map(_.deadCols).getOrElse(Set.empty),
-          bucketSpec = parent.flatMap(_.bucketSpec)))
+          bucketSpec = parent.flatMap(_.bucketSpec),
+          strStats = parent.map(_.strStats).getOrElse(Map.empty)
+            .view.filterKeys(untouchedSet.contains).toMap ++
+            footerStringStats(s, root, newFiles,
+              strStatColsOfParent(parent))))
         committed = v
     }
     committed
@@ -2474,7 +2699,10 @@ object TxTable {
             val sch = parent.schema.getOrElse(
               org.apache.spark.sql.types.StructType(Nil))
             fileSums(s, root, written, sumColsOfParent(parent, sch), sch)
-          }))
+          },
+          strStats = parent.strStats.view.filterKeys(keepSet.contains)
+            .toMap ++ footerStringStats(s, root, written,
+              strStatColsOfParent(Some(parent)))))
         committed = parent.version + 1
     }
     committed
@@ -2571,8 +2799,10 @@ object TxTable {
           // and restores the one-sorted-file-per-bucket economics)
           bucketSpec = parent.bucketSpec,
           // as-written sums stay recorded; the metadata rule refuses
-          // them while DVs are live, purge drops them with the rewrite
-          sums = parent.sums))
+          // them while DVs are live, purge drops them with the rewrite.
+          // String stat BOUNDS stay valid over any surviving subset, so
+          // they carry too (pruning only ever widens under deletes)
+          sums = parent.sums, strStats = parent.strStats))
         committed = parent.version + 1
     }
     committed
@@ -2707,7 +2937,9 @@ object TxTable {
           // above, so the declaration provably holds on every published
           // file. Parent sum lines stay recorded but are inert while DVs
           // live (the metadata rule refuses); purge re-derives them.
-          bucketSpec = parent.bucketSpec, sums = parent.sums))
+          bucketSpec = parent.bucketSpec, sums = parent.sums,
+          strStats = parent.strStats ++ footerStringStats(s, root,
+            written, strStatColsOfParent(Some(parent)))))
         committed = parent.version + 1
     }
     committed
@@ -2784,6 +3016,9 @@ object TxTable {
           // rewrite's survivors re-record — and the post-purge sums are
           // the first time the table's SUM reflects the deletes through
           // the metadata rule (live DVs refused it until now)
+          strStats = parent.strStats.view.filterKeys(keepSet.contains)
+            .toMap ++ footerStringStats(s, root, written,
+              strStatColsOfParent(Some(parent))),
           sums = parent.sums.view.filterKeys(keepSet.contains).toMap ++
             fileSums(s, root, written,
               sumColsOfParent(parent, survivors.schema), survivors.schema)))
@@ -2869,7 +3104,9 @@ object TxTable {
           // must not demote the zero-scan SUM path — re-record for the
           // rewritten files whatever the parent fully covered
           sums = fileSums(s, root, newFiles,
-            sumColsOfParent(parent, df.schema), df.schema)))
+            sumColsOfParent(parent, df.schema), df.schema),
+          strStats = footerStringStats(s, root, newFiles,
+            strStatColsOfParent(Some(parent)))))
         committed = parent.version + 1
     }
     committed
@@ -2963,6 +3200,9 @@ object TxTable {
           parts = parent.parts ++ writtenParts,
           renames = parent.renames, deadCols = parent.deadCols,
           bucketSpec = parent.bucketSpec,
+          strStats = parent.strStats.view.filterKeys(keepSet.contains)
+            .toMap ++ footerStringStats(s, root, written,
+              strStatColsOfParent(Some(parent))),
           sums = parent.sums.view.filterKeys(keepSet.contains).toMap ++
             fileSums(s, root, written,
               sumColsOfParent(parent, compacted.schema), compacted.schema)))
@@ -3072,7 +3312,8 @@ object TxTable {
           renames = target.renames, deadCols = target.deadCols,
           // the restored head IS the target's file set: its layout
           // declaration travels with it (true then, true now)
-          bucketSpec = target.bucketSpec, sums = target.sums))
+          bucketSpec = target.bucketSpec, sums = target.sums,
+          strStats = target.strStats))
         committed = parent.version + 1
     }
     committed
@@ -3339,10 +3580,10 @@ object TxTable {
       case l if l.startsWith(TxnPrefix) => None
       case l if l.startsWith(FormatPrefix) =>
         val fmt = l.stripPrefix(FormatPrefix).trim.toInt
-        if (fmt > 8) throw new java.io.IOException(
+        if (fmt > SupportedFormat) throw new java.io.IOException(
           s"txtable manifest $src declares format $fmt — newer than " +
-            "this reader's ratchet (8); refusing to clone what cannot " +
-            "be understood")
+            s"this reader's ratchet ($SupportedFormat); refusing to " +
+            "clone what cannot be understood")
         Some(s"$FormatPrefix${math.max(fmt, 7)}")
       case l if l.startsWith(TsPrefix) =>
         Some(s"$TsPrefix${System.currentTimeMillis()}")
@@ -3355,6 +3596,8 @@ object TxTable {
         Some(absPathLeft(StatPrefix, 4)) // col mn mx nn
       case l if l.startsWith(SumPrefix) =>
         Some(absPathLeft(SumPrefix, 3)) // col dec nn
+      case l if l.startsWith(SstatPrefix) =>
+        Some(absPathLeft(SstatPrefix, 5)) // col mn64 mx64 flags nn
       case l if l.startsWith(RowsPrefix) =>
         Some(absPathLeft(RowsPrefix, 1)) // n
       case l if l.startsWith(BloomPrefix) =>

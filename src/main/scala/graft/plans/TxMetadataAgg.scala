@@ -267,6 +267,13 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
     }
   }
 
+  /** String-stat line of logical column `name` in `f`, alias-aware. */
+  private def strStatLine(snap: TxTable.Snapshot, f: String,
+      name: String): Option[TxTable.StrStat] = {
+    val names = TxTable.namesOf(snap, name)
+    snap.strStats.getOrElse(f, Seq.empty).find(st => names.contains(st.col))
+  }
+
   private def partCovered(snap: TxTable.Snapshot,
       a: AttributeReference): Boolean =
     snap.files.nonEmpty && snap.files.forall(f =>
@@ -426,6 +433,7 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
 
   private def statExtreme(snap: TxTable.Snapshot, files: Seq[String],
       a: AttributeReference, isMin: Boolean): Option[Any] = {
+    if (a.dataType == StringType) return strStatExtreme(snap, files, a, isMin)
     val exact = a.dataType match {
       case ByteType | ShortType | IntegerType | LongType | DateType => true
       case _ => false
@@ -448,6 +456,37 @@ object TxMetadataAgg extends Rule[LogicalPlan] {
       case LongType => Some(folded.toLong)
       case _ => None
     }
+  }
+
+  /** String MIN/MAX from `sstat` lines (format 9): every group file
+    * must carry one for the column, all-null lines contribute nothing
+    * (all all-null → Some(null), a real answer), and every CONTRIBUTING
+    * bound must be flagged EXACT on the folded side — a truncated bound
+    * brackets the extreme without naming it, so it refuses to the scan.
+    * The fold compares raw UTF-8 bytes unsigned ([[TxTable.ucmp]] =
+    * UTF8String binary order, the same order a real scan's Min/Max
+    * produces — the string-extreme rule) and answers the winner's bytes
+    * as the Catalyst-internal UTF8String.
+    */
+  private def strStatExtreme(snap: TxTable.Snapshot, files: Seq[String],
+      a: AttributeReference, isMin: Boolean): Option[Any] = {
+    if (files.isEmpty) return Some(null)
+    val perFile = files.map(f => strStatLine(snap, f, a.name))
+    if (perFile.exists(_.isEmpty)) return None
+    val bearing = perFile.flatten.filterNot(_.allNull)
+    if (bearing.isEmpty) return Some(null)
+    val bounds =
+      if (isMin) {
+        if (!bearing.forall(_.exactMin)) return None
+        bearing.flatMap(_.minBytes)
+      } else {
+        if (!bearing.forall(_.exactMax)) return None
+        bearing.flatMap(_.maxBytes)
+      }
+    if (bounds.size != bearing.size) return None // a bound-less line
+    val w = bounds.reduce((x, y) =>
+      if (isMin == (TxTable.ucmp(x, y) <= 0)) x else y)
+    Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(w))
   }
 
   /** Fold recorded part values: every file must carry a part LINE for

@@ -248,22 +248,44 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
     case EqualNullSafe(Lit(v, t), a: AttributeReference) =>
       if (v == null) mayHaveNulls(f, a.name) else eqMay(f, a, v, t)
     case GreaterThan(a: AttributeReference, Lit(v, t)) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d) &&
+        strCmpMay(f, a.name, v, StrGt)
     case GreaterThanOrEqual(a: AttributeReference, Lit(v, t)) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d) &&
+        strCmpMay(f, a.name, v, StrGe)
     case LessThan(a: AttributeReference, Lit(v, t)) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d) &&
+        strCmpMay(f, a.name, v, StrLt)
     case LessThanOrEqual(a: AttributeReference, Lit(v, t)) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d) &&
+        strCmpMay(f, a.name, v, StrLe)
     // literal-on-the-left comparisons arrive flipped
     case GreaterThan(Lit(v, t), a: AttributeReference) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn < d) &&
+        strCmpMay(f, a.name, v, StrLt)
     case GreaterThanOrEqual(Lit(v, t), a: AttributeReference) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mn <= d) &&
+        strCmpMay(f, a.name, v, StrLe)
     case LessThan(Lit(v, t), a: AttributeReference) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx > d) &&
+        strCmpMay(f, a.name, v, StrGt)
     case LessThanOrEqual(Lit(v, t), a: AttributeReference) =>
-      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d)
+      cmpMay(f, a.name, v, t)((mn, mx, d) => mx >= d) &&
+        strCmpMay(f, a.name, v, StrGe)
+    // prefix probe = the range [prefix, successor(prefix)): some value
+    // >= prefix AND strictly below the bumped prefix
+    case StartsWith(a: AttributeReference, Lit(v, _)) =>
+      utf8Bytes(v) match {
+        case Some(p) =>
+          strCmpMay(f, a.name, v, StrGe) &&
+            bump(p).forall(su => strStatOf(f, a.name) match {
+              case Some(st) if !st.allNull =>
+                st.minBytes.forall(mn => TxTable.ucmp(mn, su) < 0)
+              case Some(_) => false // all-null: no value has any prefix
+              case None => true
+            })
+        case None => true
+      }
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { case Lit(v, t) => eqMay(f, a, v, t); case _ => true }
     case InSet(a: AttributeReference, vs) =>
@@ -323,6 +345,78 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
       .nextOption()
   }
 
+  /** String-stat lookup (format 9 `sstat` lines), alias-aware like
+    * [[statOf]].
+    */
+  private def strStatOf(f: String, colName: String)
+      : Option[TxTable.StrStat] = {
+    val lines = snap.strStats.getOrElse(f, Seq.empty)
+    TxTable.namesOf(snap, colName).iterator
+      .flatMap(n => lines.find(_.col == n))
+      .nextOption()
+  }
+
+  private def utf8Bytes(v: Any): Option[Array[Byte]] = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.getBytes)
+    case _ => None
+  }
+
+  /** Successor of a byte string: last non-0xFF byte bumped, tail
+    * dropped — strictly greater than every string with this prefix.
+    * None when all bytes are 0xFF (no successor; never valid UTF-8).
+    */
+  private def bump(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  private sealed trait StrOp
+  private case object StrGt extends StrOp
+  private case object StrGe extends StrOp
+  private case object StrLt extends StrOp
+  private case object StrLe extends StrOp
+
+  /** String-range pruning over `sstat` bounds, exactness-aware: a
+    * truncated min is STRICTLY below the true min (a proper prefix),
+    * a truncated max STRICTLY above the true max (successor bump), so
+    * inexact bounds tighten the <= / >= decisions by one notch. A
+    * missing upper bound (all-0xFF bump) never prunes above; the
+    * all-null line prunes every value comparison outright. Non-string
+    * probes and statless files keep the file (degrade, never lie).
+    */
+  private def strCmpMay(f: String, colName: String, v: Any,
+      op: StrOp): Boolean =
+    (strStatOf(f, colName), utf8Bytes(v)) match {
+      case (Some(st), Some(p)) =>
+        if (st.allNull) false
+        else op match {
+          case StrGt => // need true max > p
+            st.maxBytes.forall(mx => TxTable.ucmp(mx, p) > 0)
+          case StrGe => // need true max >= p
+            st.maxBytes.forall(mx =>
+              if (st.exactMax) TxTable.ucmp(mx, p) >= 0
+              else TxTable.ucmp(mx, p) > 0)
+          case StrLt => // need true min < p
+            st.minBytes.forall(mn => TxTable.ucmp(mn, p) < 0)
+          case StrLe => // need true min <= p
+            st.minBytes.forall(mn =>
+              if (st.exactMin) TxTable.ucmp(mn, p) <= 0
+              else TxTable.ucmp(mn, p) < 0)
+        }
+      case _ => true
+    }
+
+  /** String equality probe against `sstat` bounds: inside
+    * [min, max] with the same exactness notches as [[strCmpMay]]. */
+  private def strEqMay(f: String, colName: String, v: Any): Boolean =
+    strCmpMay(f, colName, v, StrLe) && strCmpMay(f, colName, v, StrGe)
+
   private def partOf(f: String, colName: String): Option[Option[String]] = {
     val lines = snap.parts.getOrElse(f, Seq.empty)
     TxTable.namesOf(snap, colName).iterator
@@ -366,13 +460,16 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
         }
       case _ => true
     }
+    // string stat bounds (format 9): the unpartitioned-table answer to
+    // the same probe — all applicable mechanisms must agree
+    val strOk = strEqMay(f, a.name, v)
     val bloomOk =
       if (isIntegral(a.dataType)) toLong(v) match {
         case Some(l) => TxTable.bloomMayContainAny(snap, f, a.name,
           TxTable.bloomProbes(Seq(l)))
         case None => true
       } else true
-    statOk && partOk && bloomOk
+    statOk && partOk && strOk && bloomOk
   }
 
   private def isIntegral(t: DataType): Boolean = t match {
@@ -388,7 +485,7 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
       case (Some((_, _, nn)), _) if nn == 0L => false
       // a recorded NON-null partition value means every row carries it
       case (_, Some(Some(_))) => false
-      case _ => true
+      case _ => !strStatOf(f, colName).exists(_.nulls == 0L)
     }
 
   /** IS NOT NULL pruning: a file is all-null on the column only when
@@ -397,6 +494,8 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
     */
   private def mayHaveNonNulls(f: String, colName: String): Boolean =
     if (partOf(f, colName).contains(None)) false
+    // the all-null sstat line states it outright
+    else if (strStatOf(f, colName).exists(_.allNull)) false
     else (statOf(f, colName), snap.rowCounts.get(f)) match {
       case (Some((_, _, nn)), Some(rows)) => !(nn >= 0L && nn == rows)
       case _ => true

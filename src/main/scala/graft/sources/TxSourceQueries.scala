@@ -1199,7 +1199,105 @@ object TxSourceQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q229
+  /** STRING data skipping on an UNPARTITIONED tx table — the format-9
+    * `sstat` surface (r19): documents commit range-clustered on `lang`
+    * with `statsCols` on it, so each file's manifest line carries its
+    * truncated UTF-8 byte bounds, and a plain `WHERE lang = 'en'`
+    * through `format("tx")` prunes every file whose recorded range
+    * cannot hold 'en' — before this, string predicates on unpartitioned
+    * tables scanned every file (numeric-only stat lines; the r18
+    * verdict's top gap). The in-query guard pins the PLANNED file set
+    * of the executed scan strictly below the snapshot's (the
+    * FileScanRDD seam — numFiles SQLMetrics only feed the UI store);
+    * the oracle proves pruning changed nothing. At 100 TB this is the
+    * most common predicate class after numerics: the driver drops
+    * dead files from kilobytes of manifest instead of scanning them.
+    */
+  def q229TxStringSkip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txsstr_")
+    val root = s"$tmp/docs_str"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    TxTable.commit(ss, root,
+      graft.Tables.documents(ss, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartitionByRange(8, col("lang"), col("doc_id")),
+      TxTable.Overwrite, statsCols = Seq("lang"))
+    val out = ss.read.format("tx").load(root)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("source")
+    val collected = out.localCheckpoint(true)
+    val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.isInstanceOf[TxFileIndex] => f
+    }.getOrElse(throw new IllegalStateException(
+      "expected a FileSourceScan over TxFileIndex"))
+    val total = TxTable.currentSnapshot(root).get.files.size
+    val scanned = scan.inputRDDs().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+      .filePartitions.iterator.flatMap(_.files)
+      .map(_.filePath.toString).distinct.size
+    require(scanned < total,
+      s"string stats pruned nothing ($scanned/$total files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q229Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q230
+  /** STRING MIN/MAX as a zero-scan manifest answer on an UNPARTITIONED
+    * table (r19): every file's `sstat` bounds are exact for these short
+    * values, so [[graft.plans.TxMetadataAgg]] folds them driver-side in
+    * unsigned byte order (= what a real scan's Min/Max and DuckDB both
+    * produce) and the whole aggregate collapses to a LocalRelation —
+    * guarded in-query. Before format 9 this was partition-values-only.
+    */
+  def q230TxStringMinmax(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txsmm_")
+    val root = s"$tmp/orders_str"
+    TxTable.commit(s, root,
+      graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+      TxTable.Overwrite,
+      statsCols = Seq("o_orderstatus", "o_orderpriority"))
+    val out = s.read.format("tx").load(root)
+      .agg(min("o_orderstatus").as("min_status"),
+        max("o_orderstatus").as("max_status"),
+        min("o_orderpriority").as("min_priority"),
+        max("o_orderpriority").as("max_priority"),
+        count(lit(1)).as("n_orders"))
+    val leftovers = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr
+    }
+    require(leftovers.isEmpty,
+      "string MIN/MAX did not answer from manifest sstat lines — a " +
+        s"scan survived: ${leftovers.size}")
+    offTemp(out, tmp)
+  }
+
+  val q230Sql: String =
+    """SELECT
+      |  (SELECT MIN(o_orderstatus) FROM orders) AS min_status,
+      |  (SELECT MAX(o_orderstatus) FROM orders) AS max_status,
+      |  (SELECT MIN(o_orderpriority) FROM orders) AS min_priority,
+      |  (SELECT MAX(o_orderpriority) FROM orders) AS max_priority,
+      |  (SELECT COUNT(*) FROM orders) AS n_orders
+      |""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_tx_string_skip" -> (q229TxStringSkip _),
+    "q230_tx_string_minmax" -> (q230TxStringMinmax _),
     "q201_tx_relation" -> (q201TxRelation _),
     "q202_tx_stream_source" -> (q202TxStreamSource _),
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
@@ -1221,6 +1319,8 @@ object TxSourceQueries {
     "q225_tx_dpp_mapped" -> (q225TxDppMapped _))
 
   val oracles: Map[String, String] = Map(
+    "q229_tx_string_skip" -> q229Sql,
+    "q230_tx_string_minmax" -> q230Sql,
     "q201_tx_relation" -> q201Sql,
     "q202_tx_stream_source" -> q202Sql,
     "q203_tx_bloom_in" -> q203Sql,

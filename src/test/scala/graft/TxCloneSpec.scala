@@ -70,9 +70,10 @@ class TxCloneSpec extends AnyFunSuite {
     withRoots { (src, tgt) =>
       val d = spark.range(0, 60).selectExpr("id AS k", "id % 5 AS v",
         "CASE WHEN id % 2 = 0 THEN 'north america' " +
-          "ELSE 'old world' END AS region")
+          "ELSE 'old world' END AS region",
+        "concat('tag-', lpad(CAST(id % 7 AS STRING), 2, '0')) AS tag")
       TxTable.commit(spark, src, d, TxTable.Overwrite,
-        partitionBy = Some("region"), statsCols = Seq("v"),
+        partitionBy = Some("region"), statsCols = Seq("v", "tag"),
         bloomCols = Seq("k"), sumCols = Seq("v"),
         bucketBy = Some(("k", 4)))
       TxTable.addCheck(spark, src, "k_nonneg", "k >= 0")
@@ -96,10 +97,12 @@ class TxCloneSpec extends AnyFunSuite {
       assert(c.renames == s0.renames && c.deadCols == s0.deadCols)
       assert(c.bucketSpec == s0.bucketSpec)
       assert(c.sums == s0.sums.map { case (k, e) => abs(k) -> e })
+      assert(c.strStats == s0.strStats.map { case (k, e) => abs(k) -> e })
+      assert(s0.strStats.nonEmpty, "fixture must exercise sstat lines")
       assert(c.op.exists(_.startsWith("clone ")))
-      // format ratchet: sums present -> the renderer would say 8; the
-      // streamed rewrite keeps max(srcFmt, 7) = 8 here
-      assert(manifestText(tgt, 0L).contains("format 8"))
+      // format ratchet: string stats present -> the renderer says 9; the
+      // streamed rewrite keeps max(srcFmt, 7) = 9 here
+      assert(manifestText(tgt, 0L).contains("format 9"))
       // and the clone READS exactly like the source under the mapping
       assert(rows(TxTable.read(spark, tgt).select(col("k"), col("w").as("v"))) ==
         rows(TxTable.read(spark, src).select(col("k"), col("w").as("v"))))
