@@ -118,9 +118,76 @@ object TxScaleLab {
     graft.streaming.Replay.deleteRecursively(tmp)
   }
 
+  /** `runMain graft.TxScaleLab delta` — the format-10 DELTA manifest
+    * A/B (r19): at 10⁵/10⁶-entry heads, time the SAME metadata-only
+    * commit (an all-keep deleteRange: no data I/O, pure publish) with
+    * the delta path forced OFF (flat full render — the r18 knee) and
+    * ON (the default at this size), plus the cold checkpoint parse and
+    * the warm head re-resolution the claim-retry loop pays. The
+    * manifest byte sizes make the O(F)→O(Δ) write-amplification story
+    * concrete.
+    */
+  private def deltaLab(): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = Files.createTempDirectory("graft_deltalab_")
+    println(f"${"files"}%8s ${"cold_parse_s"}%13s ${"flat_commit_s"}%14s " +
+      f"${"delta_commit_s"}%15s ${"meta_only_s"}%12s ${"warm_head_s"}%12s " +
+      f"${"flat_mb"}%8s " +
+      f"${"delta_kb"}%9s")
+    Seq(100000, 1000000).foreach { f =>
+      val root = s"$tmp/t$f"
+      writeSyntheticManifest(root, f)
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, coldS) = timed {
+        require(TxTable.snapshotAt(root, 0L).files.size == f)
+      }
+      // flat (delta forced off): the r18 per-commit O(F) render
+      TxTable.deltaThresholdOverride.set(Integer.MAX_VALUE)
+      val (_, flatS) =
+        try timed(TxTable.deleteRange(spark, root, "k", -10.0, -5.0))
+        finally TxTable.deltaThresholdOverride.remove()
+      val flatBytes = Files.size(
+        java.nio.file.Paths.get(root, "_manifests", "v000000001.txt"))
+      // delta (the default at this head size)
+      val deltaS = (2 to 4).map { i =>
+        timed(TxTable.deleteRange(spark, root, "k",
+          -10.0 - i, -5.0 - i))._2
+      }.min
+      val deltaBytes = Files.size(java.nio.file.Paths.get(root,
+        "_manifests", f"v${TxTable.currentVersion(root).get}%09d.txt"))
+      // the PURE metadata-only commit (restore passes the target's maps
+      // by reference → the redo scan short-circuits at map identity):
+      // this is the cadence-critical client class — streaming substrates
+      // and the claim-retry loop
+      val metaTimes = (1 to 3).map { _ =>
+        timed(TxTable.restore(spark, root, 1L))._2
+      }
+      val metaS = metaTimes.min
+      val metaBytes = Files.size(java.nio.file.Paths.get(root,
+        "_manifests", f"v${TxTable.currentVersion(root).get}%09d.txt"))
+      println(s"  meta runs: ${metaTimes.map(t => f"$t%.3f").mkString(" ")}" +
+        s" head_bytes=$metaBytes")
+      val (_, warmS) = timed {
+        require(TxTable.currentSnapshot(root).get.files.size == f)
+      }
+      println(f"$f%8d $coldS%13.3f $flatS%14.3f ${deltaS}%15.3f " +
+        f"$metaS%11.3f $warmS%12.4f ${flatBytes / 1e6}%8.1f " +
+        f"${deltaBytes / 1e3}%9.1f")
+    }
+    graft.streaming.Replay.deleteRecursively(tmp)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("parse")) { parseLab(); return }
     if (args.headOption.contains("clone")) { cloneLab(); return }
+    if (args.headOption.contains("delta")) { deltaLab(); return }
     val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -72,6 +72,36 @@ object TxTable {
   private val BucketPrefix = "bucketspec "
   private val SumPrefix = "sum "
   private val SstatPrefix = "sstat "
+  private val BasePrefix = "base "
+  private val DropPrefix = "drop "
+  private val RedoPrefix = "redo "
+
+  /** DELTA manifests (format 10) switch on when the parent snapshot
+    * references at least this many files: below it, the flat full
+    * render is tens of ms and a delta would only add chain-resolution
+    * hops; at and above it, every commit re-rendering O(F) lines is the
+    * measured driver-side knee (SCALE.md "Where the flat manifest
+    * actually bends" — ~1-1.5 s per metadata-only commit at 10⁵).
+    */
+  private val DeltaFileThreshold = 10000
+  /** A delta chain CHECKPOINTS (writes a full manifest) at this depth:
+    * readers resolve base + ≤ depth deltas, so the O(F) render
+    * amortizes to 1/depth per commit while cold head resolution stays
+    * bounded.
+    */
+  private val CheckpointEvery = 16
+  /** Test seams: per-thread overrides so specs can force tiny tables
+    * onto the delta path without a cross-suite-visible global (the
+    * parallel-suites-share-one-session rule).
+    */
+  private[graft] val deltaThresholdOverride = new ThreadLocal[Integer]
+  private[graft] val checkpointEveryOverride = new ThreadLocal[Integer]
+  private def deltaThreshold: Int =
+    Option(deltaThresholdOverride.get).map(_.toInt)
+      .getOrElse(DeltaFileThreshold)
+  private def checkpointEvery: Int =
+    Option(checkpointEveryOverride.get).map(_.toInt)
+      .getOrElse(CheckpointEvery)
 
   /** Truncation cap (BYTES of UTF-8) for string min/max stat bounds —
     * Delta records 32-char prefixes for the same reason: long text
@@ -121,8 +151,18 @@ object TxTable {
     * count, closing the "a plain `WHERE lang = 'en'` scans every file"
     * gap numeric-only stat lines left. Declared only by manifests that
     * carry them.
+    * Format 10 marks a DELTA manifest (`base`/`drop`/`redo` lines): the
+    * manifest records only what changed against version `base` (always
+    * the immediate parent), so a commit on a large table writes O(Δ)
+    * lines instead of re-rendering O(F) — the Delta-checkpoint answer
+    * to the flat manifest's driver-side knee. Written only when the
+    * parent holds ≥ [[DeltaFileThreshold]] files AND the delta is
+    * genuinely smaller than the full render; a full CHECKPOINT manifest
+    * is forced every [[CheckpointEvery]] deltas so resolution depth
+    * stays bounded. Declared per-manifest: checkpoint versions of the
+    * same table carry their natural (≤ 9) format.
     */
-  private val SupportedFormat = 9
+  private val SupportedFormat = 10
 
   sealed trait Mode
   case object Overwrite extends Mode
@@ -358,7 +398,17 @@ object TxTable {
     * step past this and stays deferred with numbers in SCALE.md — this
     * moves the flat format's knee a decade, it does not change O(F).
     */
-  private def parseManifest(p: JPath, v: Long): Snapshot = {
+  /** One parsed manifest FILE — either a full snapshot (`base` empty)
+    * or a format-10 delta: `snap` then holds only the delta's own
+    * content (added files, per-path metadata for added+redone paths,
+    * fully re-rendered global sections) and [[applyDelta]] composes it
+    * over the base version's resolved snapshot. `depth` is this
+    * manifest's position in its delta chain (0 for full manifests).
+    */
+  private final case class ParsedManifest(base: Option[Long], depth: Int,
+      dropped: Set[String], redone: Set[String], snap: Snapshot)
+
+  private def parseManifest(p: JPath, v: Long): ParsedManifest = {
     val lines = Files.readAllLines(p)
     val n = lines.size()
     if (n < 2 || lines.get(0) != Header || lines.get(n - 1) != Footer)
@@ -394,6 +444,10 @@ object TxTable {
     var op: Option[String] = None
     var tsMillis: Option[Long] = None
     var bucketSpec: Option[(Int, Seq[String])] = None
+    var base: Option[Long] = None
+    var depth = 0
+    val dropped = Set.newBuilder[String]
+    val redone = Set.newBuilder[String]
     var format = 1
     var i = 1
     while (i < n - 1) {
@@ -467,6 +521,16 @@ object TxTable {
       } else if (l.startsWith(BucketPrefix)) {
         val toks = l.substring(BucketPrefix.length).split(' ')
         bucketSpec = Some((toks.head.toInt, toks.tail.toSeq.map(b64d)))
+      } else if (l.startsWith(BasePrefix)) {
+        require(format >= 10, s"base line in a format-$format manifest $p")
+        val Array(bv, d) = l.substring(BasePrefix.length).split(' ')
+        base = Some(bv.toLong); depth = d.toInt
+      } else if (l.startsWith(DropPrefix)) {
+        require(format >= 10, s"drop line in a format-$format manifest $p")
+        dropped += l.substring(DropPrefix.length)
+      } else if (l.startsWith(RedoPrefix)) {
+        require(format >= 10, s"redo line in a format-$format manifest $p")
+        redone += l.substring(RedoPrefix.length)
       } else throw new java.io.IOException(
         s"txtable manifest $p holds an unrecognized line '$l' — " +
           "not a known metadata type and not a data/ path; refusing " +
@@ -476,10 +540,116 @@ object TxTable {
     def freeze[V](m: mutable.LinkedHashMap[String, mutable.ArrayBuffer[V]])
         : Map[String, Seq[V]] =
       m.iterator.map { case (k, buf) => k -> buf.toSeq }.toMap
-    Snapshot(v, files.result(), txns.result(), freeze(stats), schema,
-      rowCounts.result(), freeze(dvs), freeze(blooms), checks.result(),
-      op, freeze(parts), tsMillis, freeze(renames), deadCols.result(),
-      bucketSpec, freeze(sums), freeze(strStats))
+    ParsedManifest(base, depth, dropped.result(), redone.result(),
+      Snapshot(v, files.result(), txns.result(), freeze(stats), schema,
+        rowCounts.result(), freeze(dvs), freeze(blooms), checks.result(),
+        op, freeze(parts), tsMillis, freeze(renames), deadCols.result(),
+        bucketSpec, freeze(sums), freeze(strStats)))
+  }
+
+  /** Compose a delta manifest over its resolved base: dropped paths
+    * vanish with every metadata line; redone paths keep their POSITION
+    * in the base's file order but take the delta's metadata wholesale;
+    * added files append in delta order; global sections (schema, txns,
+    * checks, op, mapping, bucketspec, ts) come entirely from the delta
+    * — exactly the semantics of a full render from the same publish
+    * arguments, which is what the round-trip spec pins.
+    */
+  private def applyDelta(b: Snapshot, d: ParsedManifest): Snapshot = {
+    val gone = d.dropped ++ d.redone
+    // O(Δ), never O(F): removedAll walks only the gone keys and `++` a
+    // small delta map is incremental on the immutable HashMap — a
+    // 10⁶-entry base composes in milliseconds (a filterKeys(...).toMap
+    // rebuild here measured ~1 s per map at 10⁶ in TxScaleLab delta)
+    def mergeMap[V](pm: Map[String, V], dm: Map[String, V])
+        : Map[String, V] = {
+      val kept = if (gone.isEmpty) pm else pm.removedAll(gone)
+      if (dm.isEmpty) kept else kept ++ dm
+    }
+    val s = d.snap
+    Snapshot(s.version,
+      if (d.dropped.isEmpty && s.files.isEmpty) b.files // keep identity
+      else if (d.dropped.isEmpty) b.files ++ s.files
+      else b.files.filterNot(d.dropped.contains) ++ s.files,
+      s.txns,
+      mergeMap(b.stats, s.stats),
+      s.schema,
+      mergeMap(b.rowCounts, s.rowCounts),
+      mergeMap(b.dvs, s.dvs),
+      mergeMap(b.blooms, s.blooms),
+      s.checks, s.op,
+      mergeMap(b.parts, s.parts),
+      s.tsMillis, s.renames, s.deadCols, s.bucketSpec,
+      mergeMap(b.sums, s.sums),
+      mergeMap(b.strStats, s.strStats))
+  }
+
+  /** Small LRU of RESOLVED snapshots keyed by the manifest file's
+    * identity (absolute path + size + mtime — manifests are immutable
+    * once published, and a vacuum MATERIALIZATION changes size, so a
+    * stale entry can never be served for different content). This is
+    * what makes a delta-chained head cheap to re-read: the claim-retry
+    * loop and every repeated `currentSnapshot` resolve O(delta) against
+    * a cached base instead of re-parsing O(F).
+    */
+  private val snapshotCache =
+    new java.util.LinkedHashMap[String, Snapshot](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Snapshot]): Boolean = size() > 8
+    }
+
+  private def cacheKey(p: JPath): String = {
+    val abs = p.toAbsolutePath.normalize.toString
+    val sz = Files.size(p)
+    val mt = Files.getLastModifiedTime(p).toMillis
+    s"$abs#$sz#$mt"
+  }
+
+  /** Chain depth of version `v`'s manifest FILE without resolving it:
+    * the `base` line sits in the first few lines of a delta (written
+    * right after format/ts); a full manifest has none → depth 0. This
+    * is how the writer decides when to checkpoint without paying a
+    * parse.
+    */
+  private[graft] def manifestDepth(root: String, v: Long): Int = {
+    val in = Files.newBufferedReader(manifestPath(root, v),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      var i = 0
+      var line = in.readLine()
+      while (line != null && i < 8) {
+        if (line.startsWith(BasePrefix))
+          return line.substring(BasePrefix.length).split(' ')(1).toInt
+        i += 1; line = in.readLine()
+      }
+      0
+    } finally in.close()
+  }
+
+  /** Resolve version `v`: parse its manifest and, for a delta, compose
+    * over the (cached) base chain. Chains are linear by construction
+    * (a delta's base is always its immediate parent), so recursion
+    * depth is bounded by [[CheckpointEvery]].
+    */
+  private def resolveSnapshot(root: String, v: Long): Snapshot = {
+    val p = manifestPath(root, v)
+    val key = cacheKey(p)
+    snapshotCache.synchronized {
+      val hit = snapshotCache.get(key)
+      if (hit != null) return hit
+    }
+    val parsed = parseManifest(p, v)
+    val snap = parsed.base match {
+      case None => parsed.snap
+      case Some(b) =>
+        if (b != v - 1) throw new java.io.IOException(
+          s"txtable manifest $p declares base $b but delta chains are " +
+            "linear (base = v-1) — refusing a manifest this writer " +
+            "lineage cannot have produced")
+        applyDelta(resolveSnapshot(root, v - 1), parsed)
+    }
+    snapshotCache.synchronized { snapshotCache.put(key, snap) }
+    snap
   }
 
   /** All committed versions, ascending (dense by construction). */
@@ -499,7 +669,7 @@ object TxTable {
   }
 
   def snapshotAt(root: String, v: Long): Snapshot =
-    parseManifest(manifestPath(root, v), v)
+    resolveSnapshot(root, v)
 
   def currentSnapshot(root: String): Option[Snapshot] =
     versions(root).lastOption.map(snapshotAt(root, _))
@@ -1621,53 +1791,58 @@ object TxTable {
       deadCols: Set[String] = Set.empty,
       bucketSpec: Option[(Int, Seq[String])] = None,
       sums: Map[String, Seq[(String, String, Long)]] = Map.empty,
-      strStats: Map[String, Seq[StrStat]] = Map.empty)
+      strStats: Map[String, Seq[StrStat]] = Map.empty,
+      tsOverride: Option[Long] = None)
       : Boolean = {
     val dir = manifestDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".w-${java.util.UUID.randomUUID()}")
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, bid) => s"$TxnPrefix$app $bid" }
-    val fileSet = files.toSet
-    val statLines = stats.toSeq.sortBy(_._1).flatMap {
-      case (path, ranges) if fileSet.contains(path) =>
-        ranges.map { case (c, mn, mx, nn) => s"$StatPrefix$path $c $mn $mx $nn" }
-      case _ => Seq.empty
+    lazy val fileSet = files.toSet
+    // per-file line groups render over an explicit PATH LIST: the full
+    // render passes every referenced path (sorted — byte-identical to
+    // the historical per-type sortBy since keys are unique); the DELTA
+    // render passes only added/redone paths, so a small delta renders
+    // O(Δ) lines without ever walking (or sorting) the 10⁶-entry maps.
+    // One grammar site either way.
+    def renderType[V](m: Map[String, Seq[V]], paths: Seq[String])(
+        one: (String, V) => String): Seq[String] =
+      paths.iterator.flatMap(path =>
+        m.getOrElse(path, Seq.empty).iterator.map(v => one(path, v)))
+        .toSeq
+    def sortedKeys[V](m: Map[String, Seq[V]]): Seq[String] =
+      m.keysIterator.filter(fileSet.contains).toSeq.sorted
+    def statLines(paths: Seq[String]) = renderType(stats, paths) {
+      case (path, (c, mn, mx, nn)) => s"$StatPrefix$path $c $mn $mx $nn"
     }
     val schemaLines = schema.toSeq.map(st => s"$SchemaPrefix${st.json}")
-    val rowLines = rowCounts.toSeq.sorted.collect {
-      case (path, n) if fileSet.contains(path) => s"$RowsPrefix$path $n"
-    }
-    val dvLines = dvs.toSeq.sortBy(_._1).flatMap {
-      case (path, entries) if fileSet.contains(path) =>
-        entries.map { case (dvf, n) => s"$DvPrefix$path $dvf $n" }
-      case _ => Seq.empty
+    def rowLines(paths: Seq[String]) =
+      paths.flatMap(path => rowCounts.get(path)
+        .map(n => s"$RowsPrefix$path $n"))
+    def rowKeys: Seq[String] =
+      rowCounts.keysIterator.filter(fileSet.contains).toSeq.sorted
+    def dvLines(paths: Seq[String]) = renderType(dvs, paths) {
+      case (path, (dvf, n)) => s"$DvPrefix$path $dvf $n"
     }
     // sums drop like stats for files the publish no longer references;
     // like the bucketspec default, a rewrite that does not explicitly
     // re-derive them publishes none (stale sums can never mislead)
-    val sumLines = sums.toSeq.sortBy(_._1).flatMap {
-      case (path, entries) if fileSet.contains(path) =>
-        entries.map { case (c, dec, nn) => s"$SumPrefix$path $c $dec $nn" }
-      case _ => Seq.empty
+    def sumLines(paths: Seq[String]) = renderType(sums, paths) {
+      case (path, (c, dec, nn)) => s"$SumPrefix$path $c $dec $nn"
     }
     // string stat lines follow the stat-line drop rule: files the
     // publish no longer references lose them; a rewrite that does not
     // re-derive publishes none (degrade-only, never stale)
-    val strStatLines = strStats.toSeq.sortBy(_._1).flatMap {
-      case (path, entries) if fileSet.contains(path) =>
-        entries.map { st =>
-          val fl = s"${if (st.exactMin) "e" else "t"}" +
-            s"${if (st.exactMax) "e" else "t"}"
-          s"$SstatPrefix$path ${st.col} ${st.min64.getOrElse("-")} " +
-            s"${st.max64.getOrElse("-")} $fl ${st.nulls}" }
-      case _ => Seq.empty
+    def strStatLines(paths: Seq[String]) = renderType(strStats, paths) {
+      (path, st) =>
+        val fl = s"${if (st.exactMin) "e" else "t"}" +
+          s"${if (st.exactMax) "e" else "t"}"
+        s"$SstatPrefix$path ${st.col} ${st.min64.getOrElse("-")} " +
+          s"${st.max64.getOrElse("-")} $fl ${st.nulls}"
     }
-    val bloomLines = blooms.toSeq.sortBy(_._1).flatMap {
-      case (path, entries) if fileSet.contains(path) =>
-        entries.map { case (c, m, k, bits) =>
-          s"$BloomPrefix$path $c $m $k $bits" }
-      case _ => Seq.empty
+    def bloomLines(paths: Seq[String]) = renderType(blooms, paths) {
+      case (path, (c, m, k, bits)) => s"$BloomPrefix$path $c $m $k $bits"
     }
     val checkLines = checks.map { case (name, sql) =>
       s"$CheckPrefix$name ${java.util.Base64.getEncoder.encodeToString(
@@ -1690,14 +1865,12 @@ object TxTable {
     // merge/CoW delete r18) OPT IN by passing the parent's spec.
     val bucketLines = bucketSpec.toSeq.map { case (n, cols) =>
       s"$BucketPrefix$n ${cols.map(b64e).mkString(" ")}" }
-    val partLines = parts.toSeq.sortBy(_._1).flatMap {
-      case (path, entries) if fileSet.contains(path) =>
-        entries.map { case (c, v) =>
-          val enc = v.map(x => java.util.Base64.getEncoder.encodeToString(
-            x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            .getOrElse("-")
-          s"$PartPrefix$path $c $enc" }
-      case _ => Seq.empty
+    def partLines(paths: Seq[String]) = renderType(parts, paths) {
+      case (path, (c, v)) =>
+        val enc = v.map(x => java.util.Base64.getEncoder.encodeToString(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .getOrElse("-")
+        s"$PartPrefix$path $c $enc"
     }
     // protocol ratchet: every r13+ manifest carries the IN-MANIFEST
     // commit timestamp (format 4 — Delta's in-commit-timestamps: the
@@ -1712,21 +1885,114 @@ object TxTable {
     val foreign = files.exists(_.startsWith("/")) ||
       dvs.exists { case (p, es) =>
         fileSet.contains(p) && es.exists(_._1.startsWith("/")) }
-    val fmt =
-      if (strStatLines.nonEmpty) 9
-      else if (sumLines.nonEmpty) 8
-      else if (foreign) 7
-      else if (bucketSpec.nonEmpty) 6
-      else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
-    val fmtLine = Seq(s"$FormatPrefix$fmt")
-    val tsLine = Seq(s"$TsPrefix${System.currentTimeMillis()}")
+    def fullBody: Seq[String] = {
+      val strStatL = strStatLines(sortedKeys(strStats))
+      val sumL = sumLines(sortedKeys(sums))
+      val fmt =
+        if (strStatL.nonEmpty) 9
+        else if (sumL.nonEmpty) 8
+        else if (foreign) 7
+        else if (bucketSpec.nonEmpty) 6
+        else if (renames.nonEmpty || deadCols.nonEmpty) 5 else 4
+      Seq(s"$FormatPrefix$fmt",
+        s"$TsPrefix${tsOverride.getOrElse(System.currentTimeMillis())}") ++
+        schemaLines ++ txnLines ++ statLines(sortedKeys(stats)) ++ sumL ++
+        strStatL ++ rowLines(rowKeys) ++ dvLines(sortedKeys(dvs)) ++
+        bloomLines(sortedKeys(blooms)) ++
+        checkLines ++ opLine ++ partLines(sortedKeys(parts)) ++
+        renameLines ++ deadLines ++ bucketLines ++ files
+    }
+    // DELTA render (format 10): on a big-enough parent, write only what
+    // changed against v-1 — the O(F)-lines-per-commit term becomes
+    // O(Δ), with a full CHECKPOINT every [[checkpointEvery]] deltas so
+    // read-side resolution stays bounded. Refuses (→ full render) when
+    // the child's file ORDER is not `kept-in-parent-order ++ added`
+    // (restore-style reorders) or when the delta would not actually be
+    // smaller (overwrite-style full replacements).
+    def deltaBody: Option[Seq[String]] = {
+      if (v == 0) return None
+      val p = try resolveSnapshot(root, v - 1) catch {
+        case _: java.io.IOException => return None
+      }
+      if (p.files.size < deltaThreshold) return None
+      val pDepth = manifestDepth(root, v - 1)
+      if (pDepth + 1 > checkpointEvery) return None // checkpoint now
+      // files-identity fast path: metadata-only publishes pass the
+      // parent's (or a chain-preserved) file Seq straight through, so
+      // the O(F) set builds and order check all skip
+      val filesEq = files.asInstanceOf[AnyRef] eq
+        p.files.asInstanceOf[AnyRef]
+      val (added, kept, droppedPaths) =
+        if (filesEq) (Seq.empty[String], files, Seq.empty[String])
+        else {
+          val parentSet = p.files.toSet
+          val a = files.filterNot(parentSet.contains)
+          val k = p.files.filter(fileSet.contains)
+          if (files != k ++ a) return None
+          (a, k, p.files.filterNot(fileSet.contains))
+        }
+      // map-level reference equality first: a metadata-only publish
+      // (addCheck, restore, rename...) passes the parent's maps through
+      // untouched, so the whole redo scan short-circuits and the commit
+      // is genuinely O(Δ); per-key value `eq` catches the `parentMap ++
+      // newEntries` construction every DML caller uses
+      def mapEq(a: AnyRef, b: AnyRef): Boolean = a eq b
+      def same[V](cm: Map[String, Seq[V]], pm: Map[String, Seq[V]],
+          k: String): Boolean = mapEq(cm, pm) || {
+        val a = cm.getOrElse(k, Seq.empty); val b = pm.getOrElse(k, Seq.empty)
+        (a.asInstanceOf[AnyRef] eq b.asInstanceOf[AnyRef]) || a == b
+      }
+      val allMapsEq = mapEq(stats, p.stats) && mapEq(sums, p.sums) &&
+        mapEq(strStats, p.strStats) && mapEq(dvs, p.dvs) &&
+        mapEq(blooms, p.blooms) && mapEq(parts, p.parts) &&
+        mapEq(rowCounts, p.rowCounts)
+      val redonePaths =
+        if (allMapsEq) Seq.empty
+        else kept.filter(k =>
+          !(same(stats, p.stats, k) && same(sums, p.sums, k) &&
+            same(strStats, p.strStats, k) && same(dvs, p.dvs, k) &&
+            same(blooms, p.blooms, k) && same(parts, p.parts, k) &&
+            (mapEq(rowCounts, p.rowCounts) ||
+              rowCounts.get(k) == p.rowCounts.get(k))))
+      // each changed path renders ONCE, via map lookups — never a walk
+      // over the full-size maps (that walk re-imposed O(F log F) per
+      // delta commit before this; TxScaleLab delta is the receipt)
+      val changed = redonePaths ++ added
+      Some(Seq(s"${FormatPrefix}10",
+        s"$TsPrefix${tsOverride.getOrElse(System.currentTimeMillis())}",
+        s"$BasePrefix${v - 1} ${pDepth + 1}") ++
+        schemaLines ++ txnLines ++ statLines(changed) ++
+        sumLines(changed) ++ strStatLines(changed) ++ rowLines(changed) ++
+        dvLines(changed) ++ bloomLines(changed) ++ checkLines ++ opLine ++
+        partLines(changed) ++ renameLines ++ deadLines ++ bucketLines ++
+        droppedPaths.map(DropPrefix + _) ++
+        redonePaths.map(RedoPrefix + _) ++ added)
+    }
+    // size gate WITHOUT rendering the full body (that render is the
+    // O(F) cost a delta exists to avoid): count what a full manifest
+    // would hold from the map cardinalities alone
+    def cnt[V](m: Map[String, Seq[V]]): Int =
+      m.iterator.map { case (k, vs) =>
+        if (fileSet.contains(k)) vs.size else 0 }.sum
+    lazy val fullLineEstimate = 2 + schemaLines.size + txnLines.size +
+      cnt(stats) + cnt(sums) + cnt(strStats) +
+      rowCounts.keysIterator.count(fileSet.contains) +
+      cnt(dvs) + cnt(blooms) + checkLines.size + opLine.size +
+      cnt(parts) + renameLines.size + deadLines.size + bucketLines.size +
+      files.size
+    val body = deltaBody match {
+      // cheap sufficient accept first: the full render holds at least
+      // one line per CHILD file, so a delta under half of files.size
+      // wins without walking the maps for the exact estimate — this is
+      // what keeps metadata-only commits O(Δ). The exact estimate only
+      // runs for shrinking publishes (overwrite-style), whose child
+      // maps are small.
+      case Some(d) if d.size * 2 < files.size ||
+          d.size * 2 < fullLineEstimate => d
+      case _ => fullBody
+    }
     Files.write(tmp, scala.jdk.CollectionConverters.SeqHasAsJava(
-      (Header +: (fmtLine ++ tsLine ++ schemaLines ++ txnLines ++
-        statLines ++ sumLines ++ strStatLines ++ rowLines ++ dvLines ++
-        bloomLines ++
-        checkLines ++ opLine ++ partLines ++ renameLines ++ deadLines ++
-        bucketLines ++ files)
-        :+ Footer)).asJava,
+      (Header +: body) :+ Footer).asJava,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       Files.createLink(manifestPath(root, v), tmp)
@@ -3493,6 +3759,32 @@ object TxTable {
     if (!Files.exists(srcManifest)) throw new java.io.IOException(
       s"txtable $sourceRoot has no manifest for version $v — vacuumed " +
         "or never committed; a clone of it cannot resolve")
+    // a DELTA head (format 10) cannot stream one file — resolve the
+    // snapshot and publish the absolutized FULL form through
+    // tryPublish, the one rendering site (absolute file entries force
+    // the format ratchet to >= 7 there by the foreign-reference rule).
+    // Checkpoint heads keep the r18 streamed path below.
+    if (manifestDepth(sourceRoot, v) > 0) {
+      val snap = snapshotAt(sourceRoot, v)
+      def abs(f: String) = absFile(srcAbs, f)
+      val ok = tryPublish(tgtAbs, 0L, snap.files.map(abs),
+        txns = Map.empty, // a clone is a new idempotence domain
+        stats = snap.stats.map { case (k, e) => abs(k) -> e },
+        schema = snap.schema,
+        rowCounts = snap.rowCounts.map { case (k, n) => abs(k) -> n },
+        dvs = snap.dvs.map { case (k, es) =>
+          abs(k) -> es.map { case (b, n) => (abs(b), n) } },
+        blooms = snap.blooms.map { case (k, e) => abs(k) -> e },
+        checks = snap.checks, op = s"clone $srcAbs@v$v",
+        parts = snap.parts.map { case (k, e) => abs(k) -> e },
+        renames = snap.renames, deadCols = snap.deadCols,
+        bucketSpec = snap.bucketSpec,
+        sums = snap.sums.map { case (k, e) => abs(k) -> e },
+        strStats = snap.strStats.map { case (k, e) => abs(k) -> e })
+      if (!ok) throw new java.io.IOException(
+        s"clone target $targetRoot was claimed concurrently")
+      return 0L
+    }
     // STREAMED absolutize-and-copy (r18): the clone never builds a
     // Snapshot — each source line rewrites independently (path fields
     // absolutized into the source root, txn lines dropped, op/ts/format
@@ -3609,11 +3901,44 @@ object TxTable {
         // BOTH paths absolutize
         val (path, fields) = splitPathLine(l.stripPrefix(DvPrefix), 2)
         Some(s"$DvPrefix${abs(path)} ${abs(fields(0))} ${fields(1)}")
+      case l if l.startsWith(BasePrefix) || l.startsWith(DropPrefix) ||
+          l.startsWith(RedoPrefix) =>
+        throw new java.io.IOException(
+          s"delta-manifest line reached the streamed clone of $src — " +
+            "the depth probe routes delta heads to the materialized " +
+            "path; a base/drop/redo line this deep is corruption")
       case l if l.startsWith("data/") || l.startsWith("/") => Some(abs(l))
       case l => throw new java.io.IOException(
         s"corrupt txtable manifest $src — unknown line type in " +
           s"'${l.take(40)}' (a newer format than this reader knows?)")
     }
+  }
+
+  /** Replace a DELTA manifest with the equivalent FULL render, in
+    * place and atomically: resolve the snapshot, publish the full form
+    * through [[tryPublish]] (the ONE rendering site — grammar cannot
+    * drift) into a scratch root on the same filesystem, then
+    * atomic-move over the original. Content-equivalent by the
+    * round-trip spec, so concurrent readers see either spelling of the
+    * same snapshot; the original commit ts is preserved (the time axis
+    * must survive materialization). No-op on full manifests.
+    */
+  private[graft] def materializeManifest(root: String, v: Long): Unit = {
+    if (manifestDepth(root, v) == 0) return
+    val snap = resolveSnapshot(root, v)
+    val scratch = manifestDir(root)
+      .resolve(s".mat-${java.util.UUID.randomUUID()}")
+    try {
+      val ok = tryPublish(scratch.toString, 0L, snap.files, snap.txns,
+        snap.stats, snap.schema, snap.rowCounts, snap.dvs, snap.blooms,
+        snap.checks, snap.op.getOrElse("commit"), snap.parts,
+        snap.renames, snap.deadCols, snap.bucketSpec, snap.sums,
+        snap.strStats, tsOverride = snap.tsMillis)
+      require(ok, s"materialize scratch publish raced at $scratch")
+      Files.move(manifestPath(scratch.toString, 0L), manifestPath(root, v),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally graft.streaming.Replay.deleteRecursively(scratch)
   }
 
   def vacuum(root: String, keepVersions: Int = 1): Unit =
@@ -3641,6 +3966,16 @@ object TxTable {
       if (retainMs == 0L) (Seq.empty[Long], dropCandidates)
       else dropCandidates.partition(commitTimeMillis(root, _) >= horizon)
     val keep = youngKept ++ keepTail
+    // DELTA chains (format 10): a kept delta whose base is about to
+    // drop must MATERIALIZE first (atomic in-place replace with the
+    // equivalent full render) or it would become unresolvable.
+    // Ascending order, before any deletion, so every resolution runs
+    // while its chain is intact.
+    val dropSet = drop.toSet
+    keep.sorted.foreach { v =>
+      if (v > 0 && dropSet.contains(v - 1) && manifestDepth(root, v) > 0)
+        materializeManifest(root, v)
+    }
     val referenced = keep.flatMap { v =>
       val snap = snapshotAt(root, v)
       // deletion-vector blobs are as load-bearing as the data files

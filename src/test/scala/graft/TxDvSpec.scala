@@ -90,13 +90,16 @@ class TxDvSpec extends AnyFunSuite {
     }
     withRoot { root =>
       import spark.implicits._
-      // bucketed parent: the update drops the declaration (row-mover)
+      // bucketed parent: the update's image files re-bucket through the
+      // same pmod(murmur3) (r19) — the declaration CARRIES and the read
+      // stays exact
       TxTable.commit(spark, root,
         (1 to 40).map(i => (i.toLong, i % 4)).toDF("id", "grp"),
         bucketBy = Some(("id", 4)))
       TxTable.updateWhere(spark, root, col("grp") === 0,
         Seq("grp" -> lit(5)))
-      assert(TxTable.currentSnapshot(root).get.bucketSpec.isEmpty)
+      assert(TxTable.currentSnapshot(root).get.bucketSpec
+        .contains((4, Seq("id"))))
       assert(TxTable.read(spark, root)
         .filter(col("grp") === 5).count() == 10L)
     }

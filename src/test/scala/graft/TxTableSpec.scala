@@ -123,13 +123,13 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
       val rel = TxTable.currentSnapshot(root).get.files.head
       // a hypothetical future-format writer's manifest: reader must
-      // refuse (format 9 = string stat lines is now real, so the
-      // future is 10)
+      // refuse (format 10 = delta manifests is now real, so the
+      // future is 11)
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
-        java.util.Arrays.asList("graft-txtable-v1", "format 10",
+        java.util.Arrays.asList("graft-txtable-v1", "format 11",
           "futurefeature xyz", rel, "COMMIT"))
       val ex = intercept[java.io.IOException](TxTable.read(spark, root))
-      assert(ex.getMessage.contains("format 10"))
+      assert(ex.getMessage.contains("format 11"))
       // same unknown line WITHOUT the format bump: rejected as corrupt,
       // not opened as a parquet path
       Files.write(Paths.get(root, "_manifests", "v000000001.txt"),
