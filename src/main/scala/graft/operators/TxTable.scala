@@ -633,6 +633,23 @@ object TxTable {
     */
   private def resolveSnapshot(root: String, v: Long): Snapshot = {
     val p = manifestPath(root, v)
+    // small FULL manifests parse directly, no cache traffic: below
+    // 64 KB the parse is as cheap as the cache-key syscalls + LRU
+    // bookkeeping, and micro-commit tables (q182's IVM class) resolve
+    // snapshots thousands of times — this keeps their per-call cost at
+    // the r18 pure-parse level. Small DELTA heads of big tables fall
+    // through to the cached path (their BASE is what must not re-parse).
+    val small = (try Files.size(p) < 65536L
+      catch { case _: java.io.IOException => false })
+    if (small) {
+      val parsed = parseManifest(p, v)
+      parsed.base match {
+        case None => return parsed.snap
+        case Some(b) =>
+          requireLinearBase(p, b, v)
+          return applyDelta(resolveSnapshot(root, v - 1), parsed)
+      }
+    }
     val key = cacheKey(p)
     snapshotCache.synchronized {
       val hit = snapshotCache.get(key)
@@ -642,15 +659,18 @@ object TxTable {
     val snap = parsed.base match {
       case None => parsed.snap
       case Some(b) =>
-        if (b != v - 1) throw new java.io.IOException(
-          s"txtable manifest $p declares base $b but delta chains are " +
-            "linear (base = v-1) — refusing a manifest this writer " +
-            "lineage cannot have produced")
+        requireLinearBase(p, b, v)
         applyDelta(resolveSnapshot(root, v - 1), parsed)
     }
     snapshotCache.synchronized { snapshotCache.put(key, snap) }
     snap
   }
+
+  private def requireLinearBase(p: JPath, b: Long, v: Long): Unit =
+    if (b != v - 1) throw new java.io.IOException(
+      s"txtable manifest $p declares base $b but delta chains are " +
+        "linear (base = v-1) — refusing a manifest this writer " +
+        "lineage cannot have produced")
 
   /** All committed versions, ascending (dense by construction). */
   def versions(root: String): Seq[Long] = {
@@ -1911,6 +1931,17 @@ object TxTable {
     // smaller (overwrite-style full replacements).
     def deltaBody: Option[Seq[String]] = {
       if (v == 0) return None
+      // small-table bail-out on the parent manifest's BYTE size alone
+      // (a file line is ≥ ~40 B, so a sub-64 KB FULL manifest is far
+      // below any delta threshold): the common case — micro-commit
+      // clients like q182's IVM tables — must not pay even a cached
+      // parent resolution per publish. A small manifest that is itself
+      // a DELTA (73-byte heads of huge tables) proceeds to the real
+      // resolution instead — manifestDepth reads ≤ 8 lines.
+      if (deltaThresholdOverride.get == null &&
+          (try Files.size(manifestPath(root, v - 1)) < 65536L
+           catch { case _: java.io.IOException => true }) &&
+          manifestDepth(root, v - 1) == 0) return None
       val p = try resolveSnapshot(root, v - 1) catch {
         case _: java.io.IOException => return None
       }
