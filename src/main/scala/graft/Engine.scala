@@ -69,6 +69,9 @@ object Engine {
     ("zorder16", "zorder16(x, y) - 2-D Morton interleave of low 16 bits",
       es => graft.functions.MatchExpressions.ZOrder16(
         Cast(es.head, LongType), Cast(es(1), LongType))),
+    ("zorder_n", "zorder_n(x, y, ...) - N-D Morton interleave of low 63/n bits",
+      es => graft.functions.MatchExpressions.ZOrderMulti(
+        es.map(e => Cast(e, LongType)))),
     ("md5_lower64", "md5_lower64(str) - DuckDB md5_number_lower as signed bigint",
       es => graft.functions.MatchExpressions.Md5Lower64(Cast(es.head, StringType))),
     // aggregate: the analyzer wraps a bare AggregateFunction builder

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -138,6 +140,33 @@ object MatchKernels {
     */
   def zorder16(x: Long, y: Long): Long =
     spread16(x) | (spread16(y) << 1)
+
+  /** N-D Morton code: bit `i` of dimension `d` lands at output position
+    * `i*n + d`, over the low `63/n` bits of each input (n=2 → 31 bits,
+    * n=3 → 21, n=4 → 15). The total stays ≤ 63 bits so the SIGN BIT is
+    * never set — signed-long sort order equals the unsigned interleave
+    * order, which is the property the range-clustered layout sorts on.
+    * Inputs beyond the per-dimension budget are masked (like
+    * [[zorder16]]): callers bin/scale values into range; the layout
+    * verbs re-read real footer stats, so an overflowing bin only costs
+    * clustering quality, never correctness.
+    */
+  def zorderN(xs: Array[Long]): Long = {
+    val n = xs.length
+    val b = 63 / n
+    var out = 0L
+    var d = 0
+    while (d < n) {
+      val v = xs(d) & ((1L << b) - 1L)
+      var i = 0
+      while (i < b) {
+        out |= ((v >>> i) & 1L) << (i * n + d)
+        i += 1
+      }
+      d += 1
+    }
+    out
+  }
 }
 
 /** Catalyst expressions over [[MatchKernels]] — native `doGenCode` so the
@@ -173,6 +202,47 @@ object MatchExpressions {
     override def prettyName: String = "zorder16"
   }
 
+  /** N-D Morton interleave of 2-8 bigints (low `63/n` bits each) →
+    * bigint. Null-intolerant: any null dimension nulls the code (the
+    * layout verbs cast/bin dimensions first, so a null key row sorts
+    * into the null band of the range shuffle, exactly like
+    * [[ZOrder16]]'s null behavior).
+    */
+  case class ZOrderMulti(children: Seq[Expression]) extends Expression {
+    require(children.size >= 2 && children.size <= 8,
+      s"zorder_n takes 2-8 dimensions, got ${children.size}")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = new Array[Long](children.size)
+      var i = 0
+      while (i < children.size) {
+        val v = children(i).eval(input)
+        if (v == null) return null
+        vs(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      MatchKernels.zorderN(vs)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val evals = children.map(_.genCode(ctx))
+      val arr = ctx.freshName("zdims")
+      val childCode = evals.map(_.code).reduce(_ + _)
+      val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+      val dims = evals.map(_.value.toString).mkString(", ")
+      ev.copy(code = childCode + code"""
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          long[] $arr = new long[]{$dims};
+          ${ev.value} = $kernels.zorderN($arr);
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+    override def prettyName: String = "zorder_n"
+  }
+
   /** DuckDB-compatible `md5_number_lower`: string → bigint (the digest's
     * second 8 bytes little-endian, signed reinterpretation).
     */
@@ -197,6 +267,9 @@ object matching {
 
   def zorder16(x: Column, y: Column): Column =
     column(ZOrder16(expression(x), expression(y)))
+
+  def zorder_n(dims: Column*): Column =
+    column(ZOrderMulti(dims.map(expression)))
 
   def md5_lower64(c: Column): Column = column(Md5Lower64(expression(c)))
 }

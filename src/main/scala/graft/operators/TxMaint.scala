@@ -711,7 +711,57 @@ object TxMaint {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS n_post
       |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  // N-column Z-order + 3-D data skipping: orders committed in 3-D Morton
+  // order of (o_custkey, price_bin = floor(o_totalprice / 16), date_bin =
+  // days since 1992-01-01), per-file stats recorded on ALL THREE columns
+  // (21 bits per dimension — every bin fits at any test SF). The 3-D
+  // range read prunes at the manifest on each axis independently;
+  // TxTableSpec pins conjunction <= every 1-D pruning on a 16^3 grid.
+  // Exact predicates are re-applied, so the answer is the plain filter's.
+
+  private val Z3CustLo = 200.0
+  private val Z3CustHi = 600.0
+  private val Z3BinLo = 1000.0
+  private val Z3BinHi = 3000.0
+  private val Z3DayLo = 400.0
+  private val Z3DayHi = 1600.0
+
+  def q231TxZorder3Skip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txzorder3_")
+    val root = s"$tmp/orders_z3"
+    val src = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        floor(col("o_totalprice") / 16d).cast("long").as("price_bin"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .as("date_bin"))
+    TxTable.commitZOrderedMulti(s, root,
+      src, Seq("o_custkey", "price_bin", "date_bin"), targetFiles = 8)
+    val out = TxTable.readPrunedMulti(s, root,
+      Seq(("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
+        ("date_bin", Z3DayLo, Z3DayHi)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q231Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price
+       |FROM orders
+       |WHERE o_custkey BETWEEN ${Z3CustLo.toLong} AND ${Z3CustHi.toLong}
+       |  AND CAST(FLOOR(o_totalprice / 16) AS BIGINT)
+       |        BETWEEN ${Z3BinLo.toLong} AND ${Z3BinHi.toLong}
+       |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |        BETWEEN ${Z3DayLo.toLong} AND ${Z3DayHi.toLong}
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_tx_zorder3_skip" -> (q231TxZorder3Skip _),
     "q221_tx_update_mor" -> (q221TxUpdateMor _),
     "q217_tx_clone" -> (q217TxClone _),
     "q205_tx_column_map" -> (q205TxColumnMap _),
@@ -730,6 +780,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q231_tx_zorder3_skip" -> q231Sql,
     "q221_tx_update_mor" -> q221Sql,
     "q217_tx_clone" -> q217Sql,
     "q205_tx_column_map" -> q205Sql,

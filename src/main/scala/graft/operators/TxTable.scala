@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Manifest-committed transactional parquet table — the log-committed
@@ -3520,15 +3520,38 @@ object TxTable {
     * correctness-irrelevant (the repartitionByRange rule).
     */
   def commitZOrdered(s: SparkSession, root: String, df: DataFrame,
-      xCol: String, yCol: String, targetFiles: Int): Long = {
-    val z = graft.functions.matching.zorder16(
-      col(xCol).cast("long"), col(yCol).cast("long"))
+      xCol: String, yCol: String, targetFiles: Int): Long =
+    commitZClustered(s, root, df, graft.functions.matching.zorder16(
+      col(xCol).cast("long"), col(yCol).cast("long")),
+      Seq(xCol, yCol), targetFiles)
+
+  /** N-column Z-order clustered commit: like [[commitZOrdered]] but on
+    * the N-D Morton interleave ([[graft.functions.matching.zorder_n]],
+    * `63/n` bits per dimension), recording per-file footer stats on ALL
+    * clustering columns. Each file covers a small N-box in the
+    * clustering space, so [[readPrunedMulti]] skips files for a range
+    * predicate on ANY axis, and an N-way conjunction prunes at most as
+    * many files as its tightest axis (TxTableSpec pins conjunction ≤
+    * every 1-D pruning on a 3-D grid). Delta's multi-column `ZORDER BY`
+    * is the production analogue; 3-4 columns is the useful ceiling
+    * before per-dimension resolution (63/n bits) dilutes locality.
+    */
+  def commitZOrderedMulti(s: SparkSession, root: String, df: DataFrame,
+      cols: Seq[String], targetFiles: Int): Long = {
+    require(cols.size >= 2, s"z-order needs >= 2 clustering columns: $cols")
+    commitZClustered(s, root, df, graft.functions.matching.zorder_n(
+      cols.map(c => col(c).cast("long")): _*), cols, targetFiles)
+  }
+
+  private def commitZClustered(s: SparkSession, root: String,
+      df: DataFrame, z: Column, statCols: Seq[String],
+      targetFiles: Int): Long = {
     val clustered = df.withColumn("__zorder", z)
       .repartitionByRange(targetFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
     val dataFiles = writeData(s, root, clustered)
-    val newStats = footerStats(s, root, dataFiles, Seq(xCol, yCol))
+    val newStats = footerStats(s, root, dataFiles, statCols)
     var committed = -1L
     while (committed < 0) {
       val parent = currentSnapshot(root)

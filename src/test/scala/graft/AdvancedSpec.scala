@@ -48,6 +48,53 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderN: bit i of dim d lands at i*n+d; sign bit clear; 2-D " +
+      "restriction agrees with a naive interleave") {
+    // n=3 → 21 bits per dim: all-ones in one dim lights every 3rd bit
+    val ones21 = (1L << 21) - 1L
+    def expect3(d: Int): Long =
+      (0 until 21).map(i => 1L << (i * 3 + d)).reduce(_ | _)
+    assert(MatchKernels.zorderN(Array(ones21, 0L, 0L)) == expect3(0))
+    assert(MatchKernels.zorderN(Array(0L, ones21, 0L)) == expect3(1))
+    assert(MatchKernels.zorderN(Array(0L, 0L, ones21)) == expect3(2))
+    // naive reference over random tuples for n = 2, 3, 4 — and the sign
+    // bit must stay clear (signed sort order == unsigned Morton order)
+    def naive(xs: Array[Long]): Long = {
+      val n = xs.length; val b = 63 / n
+      var out = 0L
+      for (d <- 0 until n; i <- 0 until b)
+        out |= (((xs(d) & ((1L << b) - 1)) >>> i) & 1L) << (i * n + d)
+      out
+    }
+    val rnd = new scala.util.Random(42)
+    for (n <- 2 to 4; _ <- 1 to 200) {
+      val xs = Array.fill(n)(rnd.nextLong().abs)
+      val z = MatchKernels.zorderN(xs)
+      assert(z == naive(xs) && z >= 0L, s"n=$n ${xs.toSeq}")
+    }
+    // masking: values past the 63/n-bit budget wrap like zorder16's
+    assert(MatchKernels.zorderN(Array(1L << 21, 0L, 0L)) == 0L)
+  }
+
+  test("zorder_n expression: codegen equals kernel; null dim nulls the " +
+      "code; SQL-registered") {
+    import spark.implicits._
+    val df = Seq((5L, 9L, 130L), (0L, 0L, 0L), (2097151L, 1L, 77L))
+      .toDF("x", "y", "z")
+    val got = df.select(matching.zorder_n(col("x"), col("y"), col("z"))
+      .as("m")).collect().map(_.getLong(0))
+    val want = Seq((5L, 9L, 130L), (0L, 0L, 0L), (2097151L, 1L, 77L))
+      .map(t => MatchKernels.zorderN(Array(t._1, t._2, t._3)))
+    assert(got.toSeq == want)
+    Engine.registerFunctions(spark)
+    val viaSql = spark.sql("SELECT zorder_n(5, 9, 130) AS m")
+      .collect().head.getLong(0)
+    assert(viaSql == MatchKernels.zorderN(Array(5L, 9L, 130L)))
+    val nulled = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+      .select(matching.zorder_n(col("a"), col("b")).as("m")).collect()
+    assert(nulled.head.isNullAt(0))
+  }
+
   test("topk_by equals the ROW_NUMBER window under any partitioning") {
     import spark.implicits._
     // adversarial: heavy score ties force the key tiebreak through both

@@ -353,6 +353,42 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("commitZOrderedMulti: 3-D stats prune on EVERY axis; conjunction " +
+      "<= each 1-D pruning; pruned read exact") {
+    import spark.implicits._
+    withRoot { root =>
+      // uniform 16^3 grid — the 3-D Morton order tiles it into boxes
+      val grid = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+        yield (x.toLong, y.toLong, z.toLong,
+          (x * 256 + y * 16 + z).toLong)).toDF("x", "y", "z", "id")
+      TxTable.commitZOrderedMulti(spark, root, grid, Seq("x", "y", "z"),
+        targetFiles = 16)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.size > 4)
+      assert(snap.stats.values.forall(_.map(_._1).toSet == Set("x", "y", "z")),
+        "every file should carry stats on ALL THREE dimensions")
+      val all = snap.files.size
+      val px = TxTable.prunedFilesMulti(root, Seq(("x", 0.0, 3.0))).size
+      val py = TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 3.0))).size
+      val pz = TxTable.prunedFilesMulti(root, Seq(("z", 0.0, 3.0))).size
+      val pxyz = TxTable.prunedFilesMulti(root,
+        Seq(("x", 0.0, 3.0), ("y", 0.0, 3.0), ("z", 0.0, 3.0))).size
+      assert(px < all, "x-range pruned nothing — not a multi-D layout")
+      assert(py < all, "y-range pruned nothing — a 1-D sort would fail this")
+      assert(pz < all, "z-range pruned nothing — 2-D zorder would fail this")
+      assert(pxyz <= Seq(px, py, pz).min,
+        s"conjunction ($pxyz) should not exceed any 1-D pruning " +
+          s"($px, $py, $pz)")
+      val got = TxTable.readPrunedMulti(spark, root,
+        Seq(("x", 0.0, 3.0), ("y", 0.0, 3.0), ("z", 0.0, 3.0)))
+        .collect().map(_.getAs[Long]("id")).toSet
+      val full = TxTable.read(spark, root)
+        .filter(col("x") <= 3 && col("y") <= 3 && col("z") <= 3)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == full && got.size == 64)
+    }
+  }
+
   test("deleteRange: contained files drop metadata-only, disjoint carry " +
       "forward, only straddlers rewrite; null keys survive the rewrite") {
     import spark.implicits._
