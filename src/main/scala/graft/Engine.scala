@@ -177,6 +177,16 @@ object Engine {
           receipt(s, "optimize", graft.operators.TxTable.optimize(
             s, str(es.head), lng(es(1)).toInt))
         }),
+      ("tx_zorder",
+        "tx_zorder(root, colsCsv, targetFiles) - re-cluster the current snapshot in N-D Morton order of the named columns (full rewrite: drops any bucket layout, materializes column mapping); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          val root = str(es.head)
+          val cols = str(es(1)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          receipt(s, s"zorder:${cols.mkString(",")}",
+            graft.operators.TxTable.zorderTable(s, root, cols,
+              lng(es(2)).toInt))
+        }),
       ("tx_vacuum",
         "tx_vacuum(root, keepVersions[, retainMs]) - two-axis retention; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {

@@ -3543,6 +3543,46 @@ object TxTable {
       cols.map(c => col(c).cast("long")): _*), cols, targetFiles)
   }
 
+  /** In-place Z-ORDER maintenance verb (Delta's `OPTIMIZE ... ZORDER BY
+    * c1, c2, ...`): re-cluster the CURRENT snapshot in the N-D Morton
+    * order of `cols`, as one committed full rewrite. Unlike the ingest
+    * verbs ([[commitZOrdered]]/[[commitZOrderedMulti]], caller-supplied
+    * frames), this follows [[optimize]]'s serializable shape — the
+    * parent re-reads INSIDE the retry loop, so a claim defeat re-derives
+    * from the winning snapshot, never publishes a stale rewrite. DVs are
+    * applied by the read (doubles as purge); CHECKs carry (content is
+    * the parent's, already validated); the column mapping materializes
+    * (full rewrite); any bucket layout drops — z-order and hash-bucket
+    * co-location are competing physical orders (the documented zorder
+    * drop case). SQL surface: `SELECT * FROM tx_zorder(root, csv, n)`.
+    */
+  def zorderTable(s: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int): Long = {
+    require(cols.size >= 2, s"z-order needs >= 2 clustering columns: $cols")
+    require(targetFiles >= 1, "zorder needs targetFiles >= 1")
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(throw new
+          java.io.IOException(s"txtable $root has no version to zorder"))
+      val df = readSnapshot(s, root, parent)
+      val z = graft.functions.matching.zorder_n(
+        cols.map(c => col(c).cast("long")): _*)
+      val clustered = df.withColumn("__zorder", z)
+        .repartitionByRange(targetFiles, col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+      val newFiles = writeData(s, root, clustered)
+      val newStats = footerStats(s, root, newFiles, cols)
+      if (tryPublish(root, parent.version + 1, newFiles, parent.txns,
+          newStats, schema = parent.schema,
+          rowCounts = fileRows(s, root, newFiles),
+          checks = parent.checks, op = "zorder",
+          renames = Map.empty, deadCols = Set.empty))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   private def commitZClustered(s: SparkSession, root: String,
       df: DataFrame, z: Column, statCols: Seq[String],
       targetFiles: Int): Long = {

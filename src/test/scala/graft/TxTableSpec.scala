@@ -1120,6 +1120,36 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_zorder procedure: in-place re-cluster makes BOTH axes prune, " +
+      "content identical, DVs purged, receipt carries the version") {
+    import spark.implicits._
+    withRoot { root =>
+      // row-major commit order: a 1-D layout where y never prunes
+      val grid = (for (x <- 0 until 32; y <- 0 until 32)
+        yield (x.toLong, y.toLong, (x * 32 + y).toLong)).toDF("x", "y", "id")
+      TxTable.commit(spark, root,
+        grid.repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+        statsCols = Seq("x", "y"))
+      val before = TxTable.currentSnapshot(root).get
+      assert(TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 7.0))).size
+        == before.files.size, "row-major layout should NOT prune on y")
+      spark.sql(s"SELECT * FROM tx_delete_where('$root', 'id = 1000')")
+      val r = spark.sql(s"SELECT * FROM tx_zorder('$root', 'x,y', 16)").head()
+      assert(r.getString(0) == "zorder:x,y" && r.getLong(1) == 2L)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.op.contains("zorder") && snap.dvs.isEmpty,
+        "zorder rewrite applies DVs (doubles as purge)")
+      val all = snap.files.size
+      val px = TxTable.prunedFilesMulti(root, Seq(("x", 0.0, 7.0))).size
+      val py = TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 7.0))).size
+      assert(px < all && py < all,
+        s"both axes must prune after tx_zorder ($px, $py of $all)")
+      val got = TxTable.read(spark, root)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == (0 until 1024).map(_.toLong).toSet - 1000L)
+    }
+  }
+
   test("SQL DML procedures: tx_merge upserts a registered view's rows, " +
       "tx_purge materializes deletion vectors") {
     import spark.implicits._
