@@ -70,8 +70,19 @@ object Engine {
       es => graft.functions.MatchExpressions.ZOrder16(
         Cast(es.head, LongType), Cast(es(1), LongType))),
     ("zorder_n", "zorder_n(x, y, ...) - N-D Morton interleave of low 63/n bits",
-      es => graft.functions.MatchExpressions.ZOrderMulti(
-        es.map(e => Cast(e, LongType)))),
+      es => {
+        require(es.size >= 2 && es.size <= 8,
+          s"zorder_n takes 2-8 dimensions, got ${es.size}")
+        graft.functions.MatchExpressions.ZOrderMulti(
+          es.map(e => Cast(e, LongType)))
+      }),
+    ("hilbert_n", "hilbert_n(x, y, ...) - N-D Hilbert index of low 63/n bits (Skilling transpose)",
+      es => {
+        require(es.size >= 2 && es.size <= 8,
+          s"hilbert_n takes 2-8 dimensions, got ${es.size}")
+        graft.functions.MatchExpressions.HilbertMulti(
+          es.map(e => Cast(e, LongType)))
+      }),
     ("md5_lower64", "md5_lower64(str) - DuckDB md5_number_lower as signed bigint",
       es => graft.functions.MatchExpressions.Md5Lower64(Cast(es.head, StringType))),
     // aggregate: the analyzer wraps a bare AggregateFunction builder
@@ -178,14 +189,15 @@ object Engine {
             s, str(es.head), lng(es(1)).toInt))
         }),
       ("tx_zorder",
-        "tx_zorder(root, colsCsv, targetFiles) - re-cluster the current snapshot in N-D Morton order of the named columns (full rewrite: drops any bucket layout, materializes column mapping); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        "tx_zorder(root, colsCsv, targetFiles[, curve]) - re-cluster the current snapshot in N-D Morton (default) or Hilbert order of the named columns (full rewrite: drops any bucket layout, materializes column mapping); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {
           val s = SparkSession.active
           val root = str(es.head)
           val cols = str(es(1)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val curve = if (es.size > 3) str(es(3)) else "morton"
           receipt(s, s"zorder:${cols.mkString(",")}",
             graft.operators.TxTable.zorderTable(s, root, cols,
-              lng(es(2)).toInt))
+              lng(es(2)).toInt, curve))
         }),
       ("tx_vacuum",
         "tx_vacuum(root, keepVersions[, retainMs]) - two-axis retention; returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",

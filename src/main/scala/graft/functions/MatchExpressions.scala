@@ -167,6 +167,95 @@ object MatchKernels {
     }
     out
   }
+
+  /** N-D Hilbert index over the low `63/n` bits of each input — same
+    * bit budget and sign-bit guarantee as [[zorderN]], but consecutive
+    * index values are ALWAYS L1-neighbors in coordinate space (the
+    * property Morton order lacks at quadrant seams), so a contiguous
+    * index range — one range-shuffled file — covers a tighter
+    * coordinate box on unaligned boundaries. Algorithm: Skilling's
+    * transpose form (J. Skilling, "Programming the Hilbert curve", AIP
+    * Conf. Proc. 707, 2004 — the standard public N-D formulation):
+    * axes → transpose in place, then gather bit `j` of transposed dim
+    * `d` to index position `j*n + (n-1-d)` (dim 0 carries the top bit
+    * of each level group). The adjacency property is pinned
+    * exhaustively in AdvancedSpec via [[hilbertInvN]].
+    */
+  def hilbertN(xs: Array[Long]): Long = {
+    val n = xs.length
+    val b = 63 / n
+    val mask = (1L << b) - 1L
+    val x = new Array[Long](n)
+    var d = 0
+    while (d < n) { x(d) = xs(d) & mask; d += 1 }
+    // axes → transpose (inverse undo, then Gray encode)
+    var q = 1L << (b - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (b - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0L) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // gather: level j of dim d → bit j*n + (n-1-d)
+    var h = 0L
+    d = 0
+    while (d < n) {
+      var j = 0
+      while (j < b) {
+        h |= ((x(d) >>> j) & 1L) << (j * n + (n - 1 - d))
+        j += 1
+      }
+      d += 1
+    }
+    h
+  }
+
+  /** Inverse of [[hilbertN]] (Skilling's TransposetoAxes) — spec-side
+    * only: the adjacency/round-trip pins need to decode indexes back to
+    * coordinates.
+    */
+  def hilbertInvN(h: Long, n: Int): Array[Long] = {
+    val b = 63 / n
+    val x = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      var j = 0
+      while (j < b) {
+        x(d) |= ((h >>> (j * n + (n - 1 - d))) & 1L) << j
+        j += 1
+      }
+      d += 1
+    }
+    // transpose → axes (Gray decode, then undo excess work)
+    val t0 = x(n - 1) >> 1
+    var i = n - 1
+    while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t0
+    var q = 2L
+    val top = 2L << (b - 1)
+    while (q != top) {
+      val p = q - 1
+      i = n - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
 }
 
 /** Catalyst expressions over [[MatchKernels]] — native `doGenCode` so the
@@ -202,15 +291,20 @@ object MatchExpressions {
     override def prettyName: String = "zorder16"
   }
 
-  /** N-D Morton interleave of 2-8 bigints (low `63/n` bits each) →
-    * bigint. Null-intolerant: any null dimension nulls the code (the
-    * layout verbs cast/bin dimensions first, so a null key row sorts
-    * into the null band of the range shuffle, exactly like
-    * [[ZOrder16]]'s null behavior).
+  /** Shared shape of the N-D space-filling-curve keys: 2-8 bigint
+    * dimensions (low `63/n` bits each) → bigint. Null-intolerant: any
+    * null dimension nulls the code (the layout verbs cast/bin
+    * dimensions first, so a null key row sorts into the null band of
+    * the range shuffle, exactly like [[ZOrder16]]'s null behavior).
     */
-  case class ZOrderMulti(children: Seq[Expression]) extends Expression {
-    require(children.size >= 2 && children.size <= 8,
-      s"zorder_n takes 2-8 dimensions, got ${children.size}")
+  sealed abstract class CurveKeyExpr extends Expression {
+    protected def kernel(xs: Array[Long]): Long
+    protected def kernelJavaName: String
+    // arity is validated in the builders (matching.zorder_n/hilbert_n,
+    // Engine.functions) — NOT here: a constructor-body require runs
+    // during reflective deserialization on executors while `children`
+    // is still null (hit once: InvalidClassException on the first
+    // task-shipped ZOrderMulti)
     override def dataType: DataType = LongType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: InternalRow): Any = {
@@ -222,11 +316,11 @@ object MatchExpressions {
         vs(i) = v.asInstanceOf[Long]
         i += 1
       }
-      MatchKernels.zorderN(vs)
+      kernel(vs)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val evals = children.map(_.genCode(ctx))
-      val arr = ctx.freshName("zdims")
+      val arr = ctx.freshName("curvedims")
       val childCode = evals.map(_.code).reduce(_ + _)
       val anyNull = evals.map(_.isNull.toString).mkString(" || ")
       val dims = evals.map(_.value.toString).mkString(", ")
@@ -235,12 +329,29 @@ object MatchExpressions {
         long ${ev.value} = -1L;
         if (!${ev.isNull}) {
           long[] $arr = new long[]{$dims};
-          ${ev.value} = $kernels.zorderN($arr);
+          ${ev.value} = $kernels.$kernelJavaName($arr);
         }""")
     }
+  }
+
+  /** N-D Morton interleave of 2-8 bigints → bigint. */
+  case class ZOrderMulti(children: Seq[Expression]) extends CurveKeyExpr {
+    override protected def kernel(xs: Array[Long]): Long =
+      MatchKernels.zorderN(xs)
+    override protected def kernelJavaName: String = "zorderN"
     override protected def withNewChildrenInternal(
         cs: IndexedSeq[Expression]): Expression = copy(children = cs)
     override def prettyName: String = "zorder_n"
+  }
+
+  /** N-D Hilbert index of 2-8 bigints → bigint (Skilling transpose). */
+  case class HilbertMulti(children: Seq[Expression]) extends CurveKeyExpr {
+    override protected def kernel(xs: Array[Long]): Long =
+      MatchKernels.hilbertN(xs)
+    override protected def kernelJavaName: String = "hilbertN"
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+    override def prettyName: String = "hilbert_n"
   }
 
   /** DuckDB-compatible `md5_number_lower`: string → bigint (the digest's
@@ -268,8 +379,18 @@ object matching {
   def zorder16(x: Column, y: Column): Column =
     column(ZOrder16(expression(x), expression(y)))
 
-  def zorder_n(dims: Column*): Column =
+  private def checkCurveArity(name: String, n: Int): Unit =
+    require(n >= 2 && n <= 8, s"$name takes 2-8 dimensions, got $n")
+
+  def zorder_n(dims: Column*): Column = {
+    checkCurveArity("zorder_n", dims.size)
     column(ZOrderMulti(dims.map(expression)))
+  }
+
+  def hilbert_n(dims: Column*): Column = {
+    checkCurveArity("hilbert_n", dims.size)
+    column(HilbertMulti(dims.map(expression)))
+  }
 
   def md5_lower64(c: Column): Column = column(Md5Lower64(expression(c)))
 }

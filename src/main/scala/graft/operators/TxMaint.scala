@@ -760,7 +760,46 @@ object TxMaint {
        |        BETWEEN ${Z3DayLo.toLong} AND ${Z3DayHi.toLong}
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q232
+  // In-place Hilbert re-cluster (tx_zorder's curve option): orders land
+  // UNCLUSTERED (orderkey-ordered — date/custkey ranges span every file),
+  // then zorderTable(curve=hilbert) rewrites the snapshot in 3-D Hilbert
+  // order of the same dimensions as q231. Consecutive Hilbert indexes are
+  // L1-neighbors, so the range shuffle's unaligned file boundaries cut
+  // tighter coordinate boxes than Morton seam-jumps; the pruned read's
+  // exact predicates re-apply, so the answer is the plain filter's.
+  // AdvancedSpec pins curve correctness (exhaustive adjacency +
+  // round-trip); TxTableSpec pins that the re-layout makes all axes
+  // prune.
+
+  def q232TxHilbertSkip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txhilbert_")
+    val root = s"$tmp/orders_h3"
+    val src = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        floor(col("o_totalprice") / 16d).cast("long").as("price_bin"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+          .as("date_bin"))
+    TxTable.commit(s, root, src,
+      statsCols = Seq("o_custkey", "price_bin", "date_bin"))
+    TxTable.zorderTable(s, root,
+      Seq("o_custkey", "price_bin", "date_bin"), targetFiles = 8,
+      curve = "hilbert")
+    val out = TxTable.readPrunedMulti(s, root,
+      Seq(("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
+        ("date_bin", Z3DayLo, Z3DayHi)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q232Sql: String = q231Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_tx_hilbert_skip" -> (q232TxHilbertSkip _),
     "q231_tx_zorder3_skip" -> (q231TxZorder3Skip _),
     "q221_tx_update_mor" -> (q221TxUpdateMor _),
     "q217_tx_clone" -> (q217TxClone _),
@@ -780,6 +819,7 @@ object TxMaint {
     "q174_tx_incremental_hop" -> (q174TxIncrementalHop _))
 
   val oracles: Map[String, String] = Map(
+    "q232_tx_hilbert_skip" -> q232Sql,
     "q231_tx_zorder3_skip" -> q231Sql,
     "q221_tx_update_mor" -> q221Sql,
     "q217_tx_clone" -> q217Sql,

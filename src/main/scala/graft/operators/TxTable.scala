@@ -3554,10 +3554,17 @@ object TxTable {
     * the parent's, already validated); the column mapping materializes
     * (full rewrite); any bucket layout drops — z-order and hash-bucket
     * co-location are competing physical orders (the documented zorder
-    * drop case). SQL surface: `SELECT * FROM tx_zorder(root, csv, n)`.
+    * drop case). SQL surface: `SELECT * FROM tx_zorder(root, csv, n
+    * [, curve])`. `curve` picks the space-filling order: `morton`
+    * (default) or `hilbert` — consecutive Hilbert indexes are always
+    * L1-neighbors, so unaligned range-shuffle boundaries cut tighter
+    * per-file coordinate boxes than Morton's quadrant-seam jumps; both
+    * publish op="zorder" (the read side only consumes footer stats, and
+    * downstream op classifiers — stream source maintenance skips, the
+    * bucket-drop set — treat any re-layout identically).
     */
   def zorderTable(s: SparkSession, root: String, cols: Seq[String],
-      targetFiles: Int): Long = {
+      targetFiles: Int, curve: String = "morton"): Long = {
     require(cols.size >= 2, s"z-order needs >= 2 clustering columns: $cols")
     require(targetFiles >= 1, "zorder needs targetFiles >= 1")
     var committed = -1L
@@ -3565,8 +3572,13 @@ object TxTable {
       val parent = currentSnapshot(root).getOrElse(throw new
           java.io.IOException(s"txtable $root has no version to zorder"))
       val df = readSnapshot(s, root, parent)
-      val z = graft.functions.matching.zorder_n(
-        cols.map(c => col(c).cast("long")): _*)
+      val dims = cols.map(c => col(c).cast("long"))
+      val z = curve match {
+        case "morton" => graft.functions.matching.zorder_n(dims: _*)
+        case "hilbert" => graft.functions.matching.hilbert_n(dims: _*)
+        case other => throw new IllegalArgumentException(
+          s"unknown clustering curve '$other' (morton | hilbert)")
+      }
       val clustered = df.withColumn("__zorder", z)
         .repartitionByRange(targetFiles, col("__zorder"))
         .sortWithinPartitions("__zorder")

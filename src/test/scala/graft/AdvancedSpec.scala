@@ -76,6 +76,43 @@ class AdvancedSpec extends AnyFunSuite {
     assert(MatchKernels.zorderN(Array(1L << 21, 0L, 0L)) == 0L)
   }
 
+  test("hilbertN: exhaustive adjacency (consecutive indexes are L1 " +
+      "neighbors), full-domain bijection at low order, round-trip at " +
+      "full width") {
+    // Adjacency is THE Hilbert property (Morton fails it at quadrant
+    // seams) and it transfers to any prefix range [0, 2^(n*k)) because
+    // the curve is self-similar — the first 2^(n*k) cells are visited
+    // before any other. Exhaustive for n=2 (1024 cells) and n=3 (512).
+    for ((n, domainBits) <- Seq((2, 10), (3, 9))) {
+      val size = 1L << domainBits
+      var prev = MatchKernels.hilbertInvN(0L, n)
+      val seen = new Array[Boolean](size.toInt)
+      seen(0) = true
+      var h = 1L
+      while (h < size) {
+        val cur = MatchKernels.hilbertInvN(h, n)
+        val l1 = (0 until n).map(d => math.abs(cur(d) - prev(d))).sum
+        assert(l1 == 1, s"n=$n h=$h not adjacent: ${prev.toSeq}->${cur.toSeq}")
+        // bijection: re-encoding the decoded point returns h exactly
+        val back = MatchKernels.hilbertN(cur)
+        assert(back == h, s"n=$n h=$h round-trip gave $back")
+        assert(!seen(back.toInt), s"n=$n h=$h revisits a cell")
+        seen(back.toInt) = true
+        prev = cur
+        h += 1
+      }
+    }
+    // full-width round-trip: inv(enc(x)) == x masked, n = 2, 3, 4
+    val rnd = new scala.util.Random(7)
+    for (n <- 2 to 4; _ <- 1 to 200) {
+      val b = 63 / n
+      val xs = Array.fill(n)(rnd.nextLong() & ((1L << b) - 1L))
+      val h = MatchKernels.hilbertN(xs)
+      assert(h >= 0L, "sign bit must stay clear")
+      assert(MatchKernels.hilbertInvN(h, n).toSeq == xs.toSeq, s"n=$n")
+    }
+  }
+
   test("zorder_n expression: codegen equals kernel; null dim nulls the " +
       "code; SQL-registered") {
     import spark.implicits._
@@ -90,6 +127,15 @@ class AdvancedSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT zorder_n(5, 9, 130) AS m")
       .collect().head.getLong(0)
     assert(viaSql == MatchKernels.zorderN(Array(5L, 9L, 130L)))
+    // hilbert_n: same expression shape, Skilling kernel, same null rule
+    val hGot = df.select(matching.hilbert_n(col("x"), col("y"), col("z"))
+      .as("m")).collect().map(_.getLong(0))
+    val hWant = Seq((5L, 9L, 130L), (0L, 0L, 0L), (2097151L, 1L, 77L))
+      .map(t => MatchKernels.hilbertN(Array(t._1, t._2, t._3)))
+    assert(hGot.toSeq == hWant)
+    val hSql = spark.sql("SELECT hilbert_n(5, 9, 130) AS m")
+      .collect().head.getLong(0)
+    assert(hSql == MatchKernels.hilbertN(Array(5L, 9L, 130L)))
     val nulled = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
       .select(matching.zorder_n(col("a"), col("b")).as("m")).collect()
     assert(nulled.head.isNullAt(0))

@@ -75,8 +75,8 @@ class EngineSpec extends AnyFunSuite {
       "shingle_hashes", "lang_scores", "dhash64", "hamming64", "cosine_similarity",
       "dot_product", "duration_ms", "chunk_tokens",
       "strip_accents", "nfc_normalize",
-      "jaro_winkler", "zorder16", "zorder_n", "md5_lower64", "topk_by",
-      "cms_sketch"))
+      "jaro_winkler", "zorder16", "zorder_n", "hilbert_n", "md5_lower64",
+      "topk_by", "cms_sketch"))
     assert(e != null)
   }
 
@@ -95,7 +95,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 231)
+    assert(SparkEntry.queries.size == 232)
     // since round 4 the oracle surface is TOTAL: every query has a twin
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }

@@ -1147,6 +1147,20 @@ class TxTableSpec extends AnyFunSuite {
       val got = TxTable.read(spark, root)
         .collect().map(_.getAs[Long]("id")).toSet
       assert(got == (0 until 1024).map(_.toLong).toSet - 1000L)
+      // hilbert curve option: same verb, same pruning property, same rows
+      val h = spark.sql(
+        s"SELECT * FROM tx_zorder('$root', 'x,y', 16, 'hilbert')").head()
+      assert(h.getLong(1) == 3L)
+      val hsnap = TxTable.currentSnapshot(root).get
+      val hx = TxTable.prunedFilesMulti(root, Seq(("x", 0.0, 7.0))).size
+      val hy = TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 7.0))).size
+      assert(hx < hsnap.files.size && hy < hsnap.files.size,
+        s"both axes must prune under hilbert ($hx, $hy of ${hsnap.files.size})")
+      assert(TxTable.read(spark, root)
+        .collect().map(_.getAs[Long]("id")).toSet == got)
+      intercept[Exception] {
+        TxTable.zorderTable(spark, root, Seq("x", "y"), 4, curve = "peano")
+      }
     }
   }
 
