@@ -1164,6 +1164,47 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderTable on a hive-partitioned parent: curve clusters WITHIN " +
+      "partitions, part lines re-land, stats/sums/sstat coverage carries") {
+    import spark.implicits._
+    withRoot { root =>
+      // each partition value holds the FULL 32x32 grid (g decoupled from
+      // x/y so per-partition Morton boxes stay square)
+      val df = (0 until 2048).map { i =>
+        val j = i / 2
+        (if (i % 2 == 0) "a" else "b", (j % 32).toLong, (j / 32).toLong,
+          i.toLong, if (i % 3 == 0) "en" else "fr")
+      }.toDF("g", "x", "y", "id", "lang")
+      TxTable.commit(spark, root, df, partitionCols = Seq("g"),
+        statsCols = Seq("x", "lang"), sumCols = Seq("id"))
+      TxTable.zorderTable(spark, root, Seq("x", "y"), targetFiles = 8)
+      val snap = TxTable.currentSnapshot(root).get
+      // hive layout re-landed: every file carries its g value
+      assert(snap.files.forall(f => snap.parts.get(f)
+        .exists(_.exists(_._1 == "g"))),
+        "zorder on a partitioned parent must keep every file part-covered")
+      // partition pruning still answers from metadata
+      val aFiles = TxTable.partPrunedFilesMulti(root, Seq("g" -> Set("a")))
+      assert(aFiles.nonEmpty && aFiles.size < snap.files.size)
+      // parent's stat coverage carried AND clustering cols added
+      assert(snap.stats.values.forall(sts =>
+        Set("x", "y").subsetOf(sts.map(_._1).toSet)),
+        "numeric stats must cover parent's set plus the clustering cols")
+      assert(snap.strStats.nonEmpty,
+        "string sstat lines must re-record through the rewrite")
+      assert(snap.sums.nonEmpty,
+        "exact sum lines must re-record through the rewrite")
+      // both curve axes prune within the kept layout
+      val all = snap.files.size
+      assert(TxTable.prunedFilesMulti(root, Seq(("x", 0.0, 7.0))).size < all)
+      assert(TxTable.prunedFilesMulti(root, Seq(("y", 0.0, 7.0))).size < all)
+      // content identical
+      assert(TxTable.read(spark, root).collect()
+        .map(_.getAs[Long]("id")).toSet ==
+        (0 until 2048).map(_.toLong).toSet)
+    }
+  }
+
   test("SQL DML procedures: tx_merge upserts a registered view's rows, " +
       "tx_purge materializes deletion vectors") {
     import spark.implicits._
