@@ -738,9 +738,14 @@ object TxMaint {
           .as("date_bin"))
     TxTable.commitZOrderedMulti(s, root,
       src, Seq("o_custkey", "price_bin", "date_bin"), targetFiles = 8)
-    val out = TxTable.readPrunedMulti(s, root,
-      Seq(("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
-        ("date_bin", Z3DayLo, Z3DayHi)))
+    val specs = Seq(
+      ("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
+      ("date_bin", Z3DayLo, Z3DayHi))
+    // in-query guard: the gate itself certifies the layout skipped files
+    require(TxTable.prunedFilesMulti(root, specs).size <
+      TxTable.currentSnapshot(root).get.files.size,
+      "3-D z-order pruned nothing — layout regression")
+    val out = TxTable.readPrunedMulti(s, root, specs)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
@@ -786,9 +791,13 @@ object TxMaint {
     TxTable.zorderTable(s, root,
       Seq("o_custkey", "price_bin", "date_bin"), targetFiles = 8,
       curve = "hilbert")
-    val out = TxTable.readPrunedMulti(s, root,
-      Seq(("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
-        ("date_bin", Z3DayLo, Z3DayHi)))
+    val specs = Seq(
+      ("o_custkey", Z3CustLo, Z3CustHi), ("price_bin", Z3BinLo, Z3BinHi),
+      ("date_bin", Z3DayLo, Z3DayHi))
+    require(TxTable.prunedFilesMulti(root, specs).size <
+      TxTable.currentSnapshot(root).get.files.size,
+      "3-D hilbert re-cluster pruned nothing — layout regression")
+    val out = TxTable.readPrunedMulti(s, root, specs)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))

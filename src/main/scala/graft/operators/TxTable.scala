@@ -3639,9 +3639,19 @@ object TxTable {
       if (checks.nonEmpty) // z-order ingests caller data: validate it
         validateChecks(s.read.option("mergeSchema", "true")
           .parquet(dataFiles.map(f => s"$root/$f"): _*), checks)
+      // op "zorder_ingest", NOT "zorder": these verbs REPLACE table
+      // content with the CALLER's frame (dataChange=true) — only the
+      // in-place [[zorderTable]] rewrite is a no-row-change "zorder".
+      // The v1 stream source classifies "zorder" as emit-nothing
+      // maintenance, so publishing it here would make a mid-stream
+      // ingest silently invisible to streaming consumers; under
+      // "zorder_ingest" the incremental walk fails loudly instead
+      // (unless ignoreChanges), and the CDF path net-diffs either op
+      // correctly (TxChangeFeed treats unknown ops as net-change).
       if (tryPublish(root, v, dataFiles, parent.map(_.txns)
           .getOrElse(Map.empty), newStats, Some(df.schema),
-          fileRows(s, root, dataFiles), checks = checks, op = "zorder",
+          fileRows(s, root, dataFiles), checks = checks,
+          op = "zorder_ingest",
           // full rewrite: mapping materialized (see optimize)
           renames = Map.empty, deadCols = Set.empty))
         committed = v

@@ -355,6 +355,37 @@ class TxDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source: in-place zorderTable emits nothing; an INGEST " +
+      "zorder (content replacement) fails loudly, never silently skips") {
+    withRoot { root =>
+      import spark.implicits._
+      TxTable.commit(spark, root,
+        (1L to 8L).map(i => (i, i * 10L)).toDF("id", "v"))
+      val src = new graft.sources.TxStreamSource(spark, root,
+        TxTable.read(spark, root).schema, ignoreChanges = false)
+      import org.apache.spark.sql.execution.streaming.GraftStreamShim
+      import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+      def n(df: org.apache.spark.sql.DataFrame): Long =
+        GraftStreamShim.asBatchFrame(df).count()
+      val o1 = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(n(src.getBatch(None, o1)) == 8L)
+      // in-place rewrite: op=zorder, true dataChange=false — no re-emit
+      TxTable.zorderTable(spark, root, Seq("id", "v"), targetFiles = 4)
+      val o2 = src.getOffset.get.asInstanceOf[LongOffset]
+      assert(o2.offset == o1.offset + 1)
+      assert(n(src.getBatch(Some(o1), o2)) == 0L,
+        "a pure re-layout must not re-deliver rows")
+      // ingest zorder REPLACES content: op=zorder_ingest, data-changing —
+      // the walk must refuse, not classify it as maintenance and skip
+      TxTable.commitZOrderedMulti(spark, root,
+        (100L to 104L).map(i => (i, i)).toDF("id", "v"),
+        Seq("id", "v"), targetFiles = 2)
+      val o3 = src.getOffset.get.asInstanceOf[LongOffset]
+      val e = intercept[java.io.IOException](src.getBatch(Some(o2), o3))
+      assert(e.getMessage.contains("zorder_ingest"))
+    }
+  }
+
   test("streaming source: maxVersionsPerTrigger paces the tail") {
     withRoot { root =>
       import spark.implicits._
