@@ -647,7 +647,7 @@ object TxTable {
         case None => return parsed.snap
         case Some(b) =>
           requireLinearBase(p, b, v)
-          return applyDelta(resolveSnapshot(root, v - 1), parsed)
+          return resolveBaseWithRetry(root, v, p, parsed)
       }
     }
     val key = cacheKey(p)
@@ -660,11 +660,29 @@ object TxTable {
       case None => parsed.snap
       case Some(b) =>
         requireLinearBase(p, b, v)
-        applyDelta(resolveSnapshot(root, v - 1), parsed)
+        resolveBaseWithRetry(root, v, p, parsed)
     }
     snapshotCache.synchronized { snapshotCache.put(key, snap) }
     snap
   }
+
+  /** Delta recursion with ONE retry against vacuum's materialization
+    * window: vacuum materializes a kept delta head (atomic in-place
+    * replace with the full spelling) BEFORE deleting its base, so a
+    * reader that parsed the OLD delta spelling just before the swap can
+    * find the base gone — a failure class a kept version must never
+    * surface. One re-read of the HEAD sees the materialized full
+    * manifest; anything still delta-spelled after the retry is a real
+    * missing-base corruption and rethrows.
+    */
+  private def resolveBaseWithRetry(root: String, v: Long, p: JPath,
+      parsed: ParsedManifest): Snapshot =
+    try applyDelta(resolveSnapshot(root, v - 1), parsed)
+    catch {
+      case e: java.io.IOException =>
+        val reparsed = parseManifest(p, v)
+        if (reparsed.base.isEmpty) reparsed.snap else throw e
+    }
 
   private def requireLinearBase(p: JPath, b: Long, v: Long): Unit =
     if (b != v - 1) throw new java.io.IOException(
@@ -1902,7 +1920,12 @@ object TxTable {
     // foreign (absolute) file/dv references — a clone still pointing
     // into its source's root — ratchet to 7, and drop back the moment a
     // rewrite materializes the last foreign byte (fmt is per-manifest)
-    val foreign = files.exists(_.startsWith("/")) ||
+    // LAZY: only fullBody's format computation consumes this, and the
+    // exists walk (plus the fileSet force when any dv line exists) is
+    // O(F) — an eager val re-imposed part of the per-commit O(F) term
+    // on the delta path (the CLAUDE.md pin: nothing on that path may
+    // walk the full-size per-file maps)
+    lazy val foreign = files.exists(_.startsWith("/")) ||
       dvs.exists { case (p, es) =>
         fileSet.contains(p) && es.exists(_._1.startsWith("/")) }
     def fullBody: Seq[String] = {
@@ -1938,15 +1961,20 @@ object TxTable {
       // parent resolution per publish. A small manifest that is itself
       // a DELTA (73-byte heads of huge tables) proceeds to the real
       // resolution instead — manifestDepth reads ≤ 8 lines.
-      if (deltaThresholdOverride.get == null &&
-          (try Files.size(manifestPath(root, v - 1)) < 65536L
-           catch { case _: java.io.IOException => true }) &&
-          manifestDepth(root, v - 1) == 0) return None
+      val smallParent = deltaThresholdOverride.get == null &&
+        (try Files.size(manifestPath(root, v - 1)) < 65536L
+         catch { case _: java.io.IOException => true })
+      // depth read at most ONCE per publish (≤ 8 head lines): the
+      // bail-out and the checkpoint decision share it
+      val pDepth = if (smallParent) {
+        val d = manifestDepth(root, v - 1)
+        if (d == 0) return None
+        d
+      } else manifestDepth(root, v - 1)
       val p = try resolveSnapshot(root, v - 1) catch {
         case _: java.io.IOException => return None
       }
       if (p.files.size < deltaThreshold) return None
-      val pDepth = manifestDepth(root, v - 1)
       if (pDepth + 1 > checkpointEvery) return None // checkpoint now
       // files-identity fast path: metadata-only publishes pass the
       // parent's (or a chain-preserved) file Seq straight through, so
@@ -3591,6 +3619,10 @@ object TxTable {
         case other => throw new IllegalArgumentException(
           s"unknown clustering curve '$other' (morton | hilbert)")
       }
+      require(!df.columns.contains("__zorder"),
+        "column name __zorder is reserved by the z-order writer — " +
+          "withColumn would silently overwrite the user column and the " +
+          "rewrite would publish a schema whose __zorder no file carries")
       val partColsOfParent = logicalPartCols(parent, parent.files)
       val withKey = df.withColumn("__zorder", z)
       val rangeCols = partColsOfParent.map(col) :+ col("__zorder")
@@ -3625,6 +3657,8 @@ object TxTable {
   private def commitZClustered(s: SparkSession, root: String,
       df: DataFrame, z: Column, statCols: Seq[String],
       targetFiles: Int): Long = {
+    require(!df.columns.contains("__zorder"),
+      "column name __zorder is reserved by the z-order writer")
     val clustered = df.withColumn("__zorder", z)
       .repartitionByRange(targetFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")

@@ -44,10 +44,29 @@ final class TxV2DataSource extends TableProvider with DataSourceRegister {
 
   private def spark: SparkSession = SparkSession.active
 
+  // one resolution per load: Spark calls inferSchema then getTable on
+  // the SAME provider instance, and resolving twice both paid a second
+  // O(F) snapshot resolution and opened a race — a commit landing
+  // between the two calls would pin the table to a DIFFERENT snapshot
+  // than the schema was inferred from (an Overwrite with a changed
+  // column set would read nulls). Keyed by the normalized options so a
+  // reused provider with different options re-resolves.
+  @volatile private var lastResolve:
+    (Map[String, String], (String, TxTable.Snapshot, Seq[StructField])) = null
+
   private def resolve(options: CaseInsensitiveStringMap)
       : (String, TxTable.Snapshot, Seq[StructField]) = {
     val opts = TxDataSource.normalize(
       options.asCaseSensitiveMap().asScala.toMap)
+    val hit = lastResolve
+    if (hit != null && hit._1 == opts) return hit._2
+    val r = resolveFresh(opts)
+    lastResolve = (opts, r)
+    r
+  }
+
+  private def resolveFresh(opts: Map[String, String])
+      : (String, TxTable.Snapshot, Seq[StructField]) = {
     val root = TxDataSource.rootOf(opts)
     val snap = opts.get("versionasof") match {
       case Some(v) => TxTable.snapshotAt(root, v.toLong)
