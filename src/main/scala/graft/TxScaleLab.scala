@@ -184,10 +184,84 @@ object TxScaleLab {
     spark.stop()
   }
 
+  /** `runMain graft.TxScaleLab bloomprobe` — the IN-list bloom planning
+    * term (late r19): synthetic heads whose every file carries an
+    * m=8192 k=3 bloom on `v` (bits set through the REAL probe family,
+    * one contained value per file), then `TxFileIndex.prunedFiles` for
+    * a single pushed equality vs a 7-value IN. The batched `inMay`
+    * walks each file's bitset ONCE (one Base64 decode per file for the
+    * whole list, probes memoized across files), so in7 should sit near
+    * eq1 — the pre-batch shape re-decoded per (file × value), ~7× eq1.
+    * Driver-side only; no Spark session.
+    */
+  private def bloomProbeLab(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, Expression, In, Literal, Or}
+    import org.apache.spark.sql.types.LongType
+    val tmp = Files.createTempDirectory("graft_bloomlab_")
+    println(f"${"files"}%8s ${"eq1_s"}%9s ${"in7_s"}%9s ${"or7_s"}%9s " +
+      f"${"in7/eq1"}%9s")
+    Seq(10000, 100000).foreach { f =>
+      val root = s"$tmp/t$f"
+      val dir = java.nio.file.Paths.get(root, "_manifests")
+      Files.createDirectories(dir)
+      val sb = new java.lang.StringBuilder()
+      sb.append("graft-txtable-v1\n")
+      sb.append("format 3\nts 1700000000000\nop append\n")
+      val m = 8192
+      val k = 3
+      val mask = (m - 1).toLong
+      val enc = java.util.Base64.getEncoder
+      var i = 0
+      while (i < f) {
+        val path = s"data/w-synthetic/part-$i-0123.parquet"
+        val bs = new java.util.BitSet(m)
+        val (h1, h2) = TxTable.bloomProbes(Seq((i % 997).toLong)).head
+        var j = 0
+        while (j < k) {
+          bs.set((((h1 & mask) + j * (h2 & mask)) & mask).toInt); j += 1
+        }
+        sb.append(s"rows $path 1000\n")
+        sb.append(s"bloom $path v $m $k ")
+          .append(enc.encodeToString(bs.toByteArray)).append('\n')
+        sb.append(path).append('\n')
+        i += 1
+      }
+      sb.append("COMMIT\n")
+      Files.write(dir.resolve("v000000000.txt"),
+        sb.toString.getBytes("UTF-8"))
+      val snap = TxTable.snapshotAt(root, 0L)
+      val idx = new graft.sources.TxFileIndex(root, snap)
+      val attr = AttributeReference("v", LongType)()
+      def timeIt(e: Expression): (Int, Double) = {
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          val n = idx.prunedFiles(Seq(e)).size
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val (n1, eq1) = timeIt(EqualTo(attr, Literal(3L)))
+      val (n7, in7) = timeIt(
+        In(attr, (0 until 7).map(i => Literal(i * 97L))))
+      // the per-value shape on the SAME code — an Or chain of 7
+      // equalities decodes each file's bitset once per value, which is
+      // exactly what the pre-batch In did
+      val (nOr, or7) = timeIt((0 until 7)
+        .map(i => EqualTo(attr, Literal(i * 97L)): Expression)
+        .reduce(Or(_, _)))
+      require(nOr == n7, s"Or chain kept $nOr files, In kept $n7")
+      println(f"$f%8d $eq1%9.4f $in7%9.4f $or7%9.4f ${in7 / eq1}%9.2f " +
+        f"(eq keeps $n1, in keeps $n7)")
+    }
+    graft.streaming.Replay.deleteRecursively(tmp)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("parse")) { parseLab(); return }
     if (args.headOption.contains("clone")) { cloneLab(); return }
     if (args.headOption.contains("delta")) { deltaLab(); return }
+    if (args.headOption.contains("bloomprobe")) { bloomProbeLab(); return }
     val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -1465,14 +1465,19 @@ object TxTable {
     Integer.highestOneBit(want.toInt)
   }
 
-  /** Build per-file bloom filters over integral `cols` for newly written
-    * files — ONE Spark pass per column over the new files producing
-    * DISTINCT (file, bit position) pairs, so the driver collect is
-    * O(files · m) set bits, never O(rows); the hash family is Spark's
-    * codegen'd xxhash64 on the value cast to long, replicated bit-exactly
-    * at probe time by evaluating the same catalyst expression driver-side
-    * ([[prunedFilesIn]]). One m for the whole batch, sized from its
-    * largest file.
+  /** Build per-file bloom filters over integral or string `cols` for
+    * newly written files — ONE Spark pass per column over the new files
+    * producing DISTINCT (file, bit position) pairs, so the driver
+    * collect is O(files · m) set bits, never O(rows); the hash family is
+    * Spark's codegen'd xxhash64 — on the value cast to long for integral
+    * columns, on the raw UTF-8 bytes for string columns — replicated
+    * bit-exactly at probe time by evaluating the same catalyst
+    * expression driver-side ([[prunedFilesIn]] / [[prunedFilesInStr]]).
+    * The bloom LINE carries no type: the probe side dispatches on the
+    * column's schema type, which is also what chose the build hash, so
+    * the two can never disagree. One m for the whole batch, sized from
+    * its largest file. Other types refuse LOUDLY: a bloom that is never
+    * probed is a silent no-op index, the one thing worse than no index.
     */
   private def buildBlooms(s: SparkSession, root: String,
       relFiles: Seq[String], cols: Seq[String],
@@ -1486,12 +1491,22 @@ object TxTable {
       .parquet(relFiles.map(f => s"$root/$f"): _*)
       .withColumn("__file", relFileFromMeta)
     cols.flatMap { c =>
+      val hashed = base.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => col(c).cast("long")
+        case org.apache.spark.sql.types.StringType => col(c)
+        case t => throw new IllegalArgumentException(
+          s"txtable $root: bloomCols column '$c' has type ${t.sql} — " +
+            "bloom indexes serve integral and string point lookups only")
+      }
       // only the low log2(m) bits survive the mask, so mask BEFORE the
       // multiply: (h1 + i·h2) mod 2^b == ((h1 mod 2^b) + i·(h2 mod 2^b))
       // mod 2^b, and the masked product can't overflow ANSI long math
       val mask = lit((m - 1).toLong)
-      val h1 = xxhash64(col(c).cast("long")).bitwiseAND(mask)
-      val h2 = xxhash64(col(c).cast("long"), lit(BloomSeed2))
+      val h1 = xxhash64(hashed).bitwiseAND(mask)
+      val h2 = xxhash64(hashed, lit(BloomSeed2))
         .bitwiseOR(lit(1L)).bitwiseAND(mask)
       val positions = array((0 until BloomK).map(i =>
         (h1 + lit(i.toLong) * h2).bitwiseAND(mask)): _*)
@@ -1535,6 +1550,25 @@ object TxTable {
     }
   }
 
+  /** String probes: the same catalyst XxHash64 family evaluated on a
+    * string literal — bit-exact with the build's `xxhash64(col)` over
+    * the column's raw UTF-8 bytes (never a roundtrip through Java
+    * String hashing or a charset re-encode).
+    */
+  private[graft] def bloomProbesStr(
+      values: Seq[org.apache.spark.unsafe.types.UTF8String])
+      : Seq[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    values.map { v =>
+      val lit = Literal(v, StringType)
+      val h1 = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+      val h2 = XxHash64(Seq(lit, Literal(BloomSeed2)), 42L)
+        .eval(null).asInstanceOf[Long] | 1L
+      (h1, h2)
+    }
+  }
+
   private def bloomPrunedFiles(snap: Snapshot, colName: String,
       values: Seq[Long]): Seq[String] = {
     val probes = bloomProbes(values)
@@ -1573,6 +1607,38 @@ object TxTable {
     val snap = currentSnapshot(root).getOrElse(
       throw new java.io.IOException(s"txtable $root has no committed version"))
     val files = bloomPrunedFiles(snap, colName, values)
+    val df =
+      if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
+      else readFilesWithDvs(s, root, snap, files)
+    df.filter(col(colName).isin(values: _*))
+  }
+
+  /** [[prunedFilesIn]] for a STRING bloom column. */
+  def prunedFilesInStr(root: String, colName: String,
+      values: Seq[String]): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    val probes = bloomProbesStr(values.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString))
+    snap.files.filter(bloomMayContainAny(snap, _, colName, probes))
+  }
+
+  /** [[readPrunedIn]] for a STRING bloom column (`colName IN values`
+    * point lookups — the uuid/name/e-mail needle class min/max stats
+    * cannot serve because high-cardinality strings scatter across every
+    * file's [min, max]).
+    */
+  def readPrunedInStr(s: SparkSession, root: String, colName: String,
+      values: Seq[String]): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new java.io.IOException(s"txtable $root has no committed version"))
+    // one snapshot resolve: probing through prunedFilesInStr would
+    // re-resolve the head, and a concurrent commit between the two
+    // reads could pair gen-N files with a gen-N+1 snapshot's DVs
+    val probes = bloomProbesStr(values.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString))
+    val files = snap.files.filter(
+      bloomMayContainAny(snap, _, colName, probes))
     val df =
       if (files.isEmpty) readSnapshot(s, root, snap).limit(0)
       else readFilesWithDvs(s, root, snap, files)

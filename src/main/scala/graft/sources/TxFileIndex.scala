@@ -287,9 +287,9 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
         case None => true
       }
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Lit(v, t) => eqMay(f, a, v, t); case _ => true }
+      inMay(f, a, vs.map { case Lit(v, t) => (v, t); case e => (null, e.dataType) })
     case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => eqMay(f, a, v, a.dataType))
+      inMay(f, a, vs.toSeq.map(v => (v, a.dataType)))
     case IsNull(a: AttributeReference) => mayHaveNulls(f, a.name)
     case IsNotNull(a: AttributeReference) => mayHaveNonNulls(f, a.name)
     case _ => true
@@ -436,10 +436,17 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
     * the value — stat range (numeric), recorded partition value
     * (string-rendered exactly for strings only; numeric renderings are
     * not canonical across types, so numerics never consult part lines),
-    * and bloom membership (integral types — the build hashed
-    * `col.cast("long")`, so only integral probes reproduce it).
+    * string stat bounds (format 9), and bloom membership. Bloom probes
+    * dispatch on the attribute's schema type, the same dispatch the
+    * build ran (integral hashed `col.cast("long")`, string hashed the
+    * raw UTF-8 bytes), so probe and build can never disagree; any other
+    * type never probes (its commit refused the bloom).
     */
   private def eqMay(f: String, a: AttributeReference, v: Any,
+      t: DataType): Boolean =
+    eqMayNoBloom(f, a, v, t) && bloomEqMay(f, a, v)
+
+  private def eqMayNoBloom(f: String, a: AttributeReference, v: Any,
       t: DataType): Boolean = {
     if (v == null) return mayHaveNulls(f, a.name) // EqualTo(null) is
     // UnknownType noise from odd plans: null equality matches no row,
@@ -463,13 +470,59 @@ final class TxFileIndex(root: String, snap0: TxTable.Snapshot,
     // string stat bounds (format 9): the unpartitioned-table answer to
     // the same probe — all applicable mechanisms must agree
     val strOk = strEqMay(f, a.name, v)
-    val bloomOk =
-      if (isIntegral(a.dataType)) toLong(v) match {
-        case Some(l) => TxTable.bloomMayContainAny(snap, f, a.name,
-          TxTable.bloomProbes(Seq(l)))
-        case None => true
-      } else true
-    statOk && partOk && strOk && bloomOk
+    statOk && partOk && strOk
+  }
+
+  private def bloomEqMay(f: String, a: AttributeReference, v: Any): Boolean =
+    if (v == null) true
+    else probesFor(a.dataType, v) match {
+      case Some(ps) => TxTable.bloomMayContainAny(snap, f, a.name, ps)
+      case None => true
+    }
+
+  /** Per-value bloom probes, MEMOIZED across files: a point lookup on a
+    * 10⁶-file head would otherwise re-evaluate the catalyst hash family
+    * O(F·V) times driver-side. Keyed by the literal value itself
+    * (Long-boxed / UTF8String equality — distinct classes, no cross-type
+    * collision); the dispatch type is the ATTRIBUTE's schema type, the
+    * same dispatch that chose the build hash. None = this value cannot
+    * probe (never prunes).
+    */
+  private val probeMemo = new java.util.concurrent.ConcurrentHashMap[
+    Any, Option[Seq[(Long, Long)]]]()
+  private def probesFor(attrType: DataType, v: Any)
+      : Option[Seq[(Long, Long)]] =
+    probeMemo.computeIfAbsent(v, _ => attrType match {
+      case tt if isIntegral(tt) =>
+        toLong(v).map(l => TxTable.bloomProbes(Seq(l)))
+      case StringType => v match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(TxTable.bloomProbesStr(Seq(s)))
+        case _ => None
+      }
+      case _ => None
+    })
+
+  /** IN-list pruning. Non-bloom mechanisms stay an exact per-value
+    * conjunction; the bloom check batches EVERY value's probes into one
+    * bitset walk per file — one Base64 decode per file instead of one
+    * per (file × value), the dominant driver-side planning term for an
+    * IN list over a large head. That is `prunedFilesIn`'s bloom-any
+    * semantics: conservative vs the per-value conjunction only when one
+    * value passes the bloom while a DIFFERENT value passes the stats —
+    * it never prunes a file the exact semantics would keep. Any
+    * unprobeable value (null element, non-literal) disables the bloom
+    * step for the whole list (that value alone could match anywhere).
+    */
+  private def inMay(f: String, a: AttributeReference,
+      values: Seq[(Any, DataType)]): Boolean = {
+    if (!values.exists { case (v, t) => eqMayNoBloom(f, a, v, t) })
+      return false
+    val probes = values.map { case (v, _) =>
+      if (v == null) None else probesFor(a.dataType, v)
+    }
+    if (probes.exists(_.isEmpty)) true
+    else TxTable.bloomMayContainAny(snap, f, a.name, probes.flatMap(_.get))
   }
 
   private def isIntegral(t: DataType): Boolean = t match {

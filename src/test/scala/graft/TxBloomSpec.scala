@@ -122,6 +122,105 @@ class TxBloomSpec extends AnyFunSuite {
     }
   }
 
+  // ---- STRING blooms (r19: build hashes the raw UTF-8 bytes; the
+  // probe dispatches on the column's schema type) ----------------------
+
+  /** id-clustered files; `name` is the scattered high-cardinality string
+    * lookup column (every file's byte range spans the domain, so only
+    * the bloom can prune). Includes multi-byte and supplementary
+    * characters: the hash family must see the exact UTF-8 bytes.
+    */
+  private def seedStr(root: String, n: Int = 4000): Unit = {
+    import spark.implicits._
+    TxTable.commit(spark, root,
+      (1 to n).map(i => (i.toLong,
+        if (i % 1000 == 0) s"naïve-😀-$i" else s"user-${i * 2654435761L}"))
+        .toDF("id", "name"),
+      clusterBy = Some("id"), bloomCols = Seq("name"))
+    ()
+  }
+
+  test("string bloom: no false negatives, multi-byte values included") {
+    withRoot { root =>
+      seedStr(root)
+      val values = Seq(s"user-${7L * 2654435761L}", "naïve-😀-1000",
+        s"user-${3999L * 2654435761L}")
+      val got = TxTable.readPrunedInStr(spark, root, "name", values)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(7L, 1000L, 3999L))
+    }
+  }
+
+  test("string bloom skips most files for a point lookup; absent " +
+      "values read empty; a bloomless column never prunes") {
+    withRoot { root =>
+      seedStr(root)
+      val snap = TxTable.currentSnapshot(root).get
+      assert(snap.files.size >= 4, "need several files for skipping to show")
+      val one = s"user-${17L * 2654435761L}"
+      val surviving = TxTable.prunedFilesInStr(root, "name", Seq(one))
+      assert(surviving.size <= math.max(2, snap.files.size / 2),
+        s"string bloom pruned nothing: ${surviving.size} of ${snap.files.size}")
+      assert(TxTable.readPrunedInStr(spark, root, "name", Seq(one))
+        .count() == 1L)
+      assert(TxTable.readPrunedInStr(spark, root, "name", Seq("no-such"))
+        .count() == 0L)
+      // id carries no bloom: a string-probe of it can't apply, and the
+      // integral path keeps every file too
+      assert(TxTable.prunedFilesIn(root, "id", Seq(1L)).size ==
+        snap.files.size)
+    }
+  }
+
+  test("connector path: a pushed string equality prunes through the " +
+      "manifest bloom (lastPruned seam), IN included; answers match " +
+      "the unpruned read") {
+    withRoot { root =>
+      seedStr(root)
+      val snap = TxTable.currentSnapshot(root).get
+      val names = Seq(s"user-${9L * 2654435761L}",
+        s"user-${2718L * 2654435761L}")
+      val df = spark.read.format("tx").load(root)
+        .filter(col("name").isInCollection(names))
+      val got = df.select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(9L, 2718L))
+      val idx = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.isInstanceOf[graft.sources.TxFileIndex] =>
+          f.relation.location.asInstanceOf[graft.sources.TxFileIndex]
+      }.get
+      assert(idx.lastPruned.get.size < snap.files.size,
+        s"pushed string IN pruned nothing: ${idx.lastPruned.get.size} " +
+          s"of ${snap.files.size}")
+    }
+  }
+
+  test("string bloom lookup is alias-aware after RENAME COLUMN") {
+    withRoot { root =>
+      seedStr(root, n = 1000)
+      TxTable.renameColumn(spark, root, "name", "handle")
+      val one = s"user-${42L * 2654435761L}"
+      val snap = TxTable.currentSnapshot(root).get
+      val surviving = TxTable.prunedFilesInStr(root, "handle", Seq(one))
+      assert(surviving.size < snap.files.size,
+        "renamed probe did not reach the write-time bloom lines")
+      assert(TxTable.readPrunedInStr(spark, root, "handle", Seq(one))
+        .count() == 1L)
+    }
+  }
+
+  test("bloomCols on an unsupported type refuses loudly at commit") {
+    import spark.implicits._
+    withRoot { root =>
+      val e = intercept[IllegalArgumentException] {
+        TxTable.commit(spark, root,
+          (1 to 10).map(i => (i.toLong, i / 2.0)).toDF("id", "score"),
+          bloomCols = Seq("score"))
+      }
+      assert(e.getMessage.contains("bloom"))
+    }
+  }
+
   test("CoW rewrite drops rewritten files' blooms, keeps untouched; " +
       "lookups stay correct either way") {
     import spark.implicits._
