@@ -275,12 +275,33 @@ final class TxDataSource extends RelationProvider
         require(m >= 1, s"maxVersionsPerTrigger must be >= 1 (got $m)")
         m
       },
+      // initial-snapshot pacing (Delta's maxFilesPerTrigger): split the
+      // first snapshot into file-bounded micro-batches instead of one
+      // batch spanning the whole table
+      maxFilesPerTrigger = opts.get("maxfilespertrigger").map { v =>
+        val m = v.toLong
+        require(m >= 1, s"maxFilesPerTrigger must be >= 1 (got $m)")
+        m
+      },
       // tail-only start: skip the initial snapshot and begin the
       // incremental walk ABOVE this cursor (Delta's startingVersion /
       // startingTimestamp)
       startingVersion = TxDataSource.startCursor(root, opts),
       metadataPath = Some(metadataPath))
   }
+}
+
+/** Offset of a PACED initial snapshot: the first `fileIndex` manifest
+  * files of version `version` have been delivered. Not a case class —
+  * the v1 engine compares offsets (including restart-deserialized
+  * [[org.apache.spark.sql.execution.streaming.runtime.SerializedOffset]])
+  * through the base class's json equality, which a generated equals
+  * would break.
+  */
+final class TxInitOffset(val version: Long, val fileIndex: Long)
+    extends Offset {
+  override def json: String = s"""{"v":$version,"i":$fileIndex}"""
+  override def toString: String = json
 }
 
 object TxDataSource {
@@ -383,6 +404,98 @@ object TxDataSource {
         // advisory file: delete-then-rename is not atomic, but a reader
         // racing the window only sees a missing cursor and degrades to
         // the uncapped first batch — the documented failure mode
+        fs.delete(p, false)
+        fs.rename(tmp, p)
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Initial-snapshot pacing cursor (maxFilesPerTrigger), two files
+    * under the source's checkpoint metadata dir:
+    *
+    *   - `graft-init-pin` ("v n"): which version is the paced initial
+    *     snapshot and how many files it holds. Written ONCE with
+    *     create-exclusive semantics BEFORE the first paced offset ever
+    *     escapes, never rewritten — a pin that could be lost would let
+    *     a restart re-pin the initial snapshot at a newer head and
+    *     re-deliver rows, so a failed pin write degrades to the
+    *     UNPACED single-batch initial (correct, just unpaced), never
+    *     to a paced one.
+    *   - `graft-init-idx` (a long): files delivered so far — ADVISORY
+    *     like [[DeliveredCursor]] (batch contents always derive from
+    *     the engine's own start offset in getBatch); a lost idx only
+    *     degrades the REMAINDER to one unpaced batch.
+    */
+  private[graft] object InitCursor {
+    import org.apache.hadoop.fs.Path
+
+    private def hadoopConf: org.apache.hadoop.conf.Configuration =
+      SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+    def loadPin(dir: String): Option[(Long, Long)] =
+      try {
+        val p = new Path(dir, "graft-init-pin")
+        val fs = p.getFileSystem(hadoopConf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          s.split(' ') match {
+            case Array(v, n) =>
+              for (vv <- v.toLongOption; nn <- n.toLongOption)
+                yield (vv, nn)
+            case _ => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Pin (v, n), or adopt an existing pin: returns the pin in force,
+      * None only when no pin exists AND this write failed (→ caller
+      * must stay unpaced).
+      */
+    def ensurePin(dir: String, v: Long, n: Long): Option[(Long, Long)] =
+      loadPin(dir).orElse {
+        try {
+          val p = new Path(dir, "graft-init-pin")
+          val fs = p.getFileSystem(hadoopConf)
+          // overwrite=false: create-exclusive — a racing writer loses
+          // and adopts the winner's pin on the re-load below
+          val out = fs.create(p, false)
+          try out.write(s"$v $n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          Some((v, n))
+        } catch {
+          case scala.util.control.NonFatal(_) => loadPin(dir)
+        }
+      }
+
+    def loadIdx(dir: String): Option[Long] =
+      try {
+        val p = new Path(dir, "graft-init-idx")
+        val fs = p.getFileSystem(hadoopConf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+          finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def storeIdx(dir: String, i: Long): Unit =
+      try {
+        val p = new Path(dir, "graft-init-idx")
+        val fs = p.getFileSystem(hadoopConf)
+        val tmp = new Path(dir, s".graft-init-idx-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(i.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         fs.delete(p, false)
         fs.rename(tmp, p)
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -554,7 +667,26 @@ final class TxCdfStreamSource(spark: SparkSession, root: String,
   *
   *   - first batch (no prior offset): the full snapshot AT the batch's
   *     end version, deletion vectors applied — Delta's
-  *     initial-snapshot-then-tail shape;
+  *     initial-snapshot-then-tail shape. With
+  *     `option("maxFilesPerTrigger", n)` the initial snapshot instead
+  *     splits into file-bounded micro-batches over [[TxInitOffset]]
+  *     cursors (Delta's option): the snapshot version is PINNED
+  *     durably before the first paced offset escapes
+  *     ([[TxDataSource.InitCursor]]), each batch reads manifest-order
+  *     files [i, j) of that version with its DVs, and batch contents
+  *     always derive from the engine's own offset pair — replays and
+  *     restarts slice bit-identically, advisory-cursor loss only
+  *     degrades pacing (one bigger batch), never correctness. Without
+  *     it a backfill of a 10⁶-file table would plan ONE batch spanning
+  *     the whole table — the unbounded term at 100 TB. Versions
+  *     committed DURING the backfill queue behind the pin and arrive
+  *     through the normal tail walk; vacuuming the pinned version's
+  *     files mid-backfill fails loudly (size retention to cover the
+  *     slowest backfill, the TxState replay rule). Trigger.AvailableNow
+  *     note: Spark's v1 wrapper latches ONE offset per run, so a paced
+  *     backfill spans several AvailableNow runs — each resumes at the
+  *     recorded cursor and converges exactly-once (spec-pinned); use a
+  *     processing-time trigger for a one-shot backfill;
   *   - every later batch: the (prevVersion, endVersion] window, walked
   *     version by version so each commit's `op` line classifies it —
   *     `append` emits that version's added files, dataChange=false
@@ -591,7 +723,8 @@ final class TxStreamSource(spark: SparkSession, root: String,
     declaredSchema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    maxFilesPerTrigger: Option[Long] = None) extends Source {
 
   // ops whose file additions are rewrites of already-delivered rows
   private val DataChangeFalse =
@@ -615,50 +748,159 @@ final class TxStreamSource(spark: SparkSession, root: String,
   @volatile private var delivered: Long =
     metadataPath.flatMap(TxDataSource.DeliveredCursor.load).getOrElse(-1L)
 
+  // paced-initial state (maxFilesPerTrigger): `pinned` = (version,
+  // fileCount) of the initial snapshot being split, durable and
+  // immutable ([[TxDataSource.InitCursor]] — a re-pinnable initial
+  // would re-deliver rows after a restart); `initIdx` = files delivered
+  // so far, advisory (batch contents always derive from the engine's
+  // start offset). An unknown idx under a live pin degrades the
+  // remainder to one unpaced batch via a plain version offset.
+  @volatile private var pinned: Option[(Long, Long)] =
+    metadataPath.flatMap(TxDataSource.InitCursor.loadPin)
+  @volatile private var initIdx: Option[Long] =
+    if (pinned.isDefined) metadataPath.flatMap(TxDataSource.InitCursor.loadIdx)
+    else None
+
   override def schema: StructType = declaredSchema
 
-  /** Head version, capped at `delivered + maxVersionsPerTrigger` once
-    * an initial batch exists (the initial snapshot is ONE batch however
-    * many versions precede it — rate limiting paces the TAIL).
+  /** Head version — or, while a PACED INITIAL snapshot is mid-flight,
+    * the next file-bounded slice of the pinned version. Tail batches
+    * stay capped at `delivered + maxVersionsPerTrigger`; without
+    * maxFilesPerTrigger the initial snapshot is ONE batch however many
+    * files it holds (the pre-r19 shape).
     */
   override def getOffset: Option[Offset] =
     TxTable.currentVersion(root).map { head =>
-      val capped = maxVersionsPerTrigger match {
-        case Some(m) if delivered >= 0 => math.min(head, delivered + m)
-        case _ => head
+      // pin the initial snapshot on the first trigger of a fresh paced
+      // stream: nothing delivered, nothing pinned, not tail-only
+      if (pinned.isEmpty && maxFilesPerTrigger.isDefined &&
+          delivered < 0 && startingVersion.isEmpty) {
+        val n0 = TxTable.snapshotAt(root, head).files.size.toLong
+        if (n0 > maxFilesPerTrigger.get) {
+          pinned = metadataPath.flatMap(
+            TxDataSource.InitCursor.ensurePin(_, head, n0))
+          if (pinned.isDefined) {
+            initIdx = Some(0L)
+            metadataPath.foreach(TxDataSource.InitCursor.storeIdx(_, 0L))
+          } // else: pin write failed — stay unpaced (correct, one batch)
+        }
       }
-      LongOffset(capped)
+      pinned match {
+        case Some((v0, n0)) if delivered < v0 && initIdx.exists(_ < n0) =>
+          val step = maxFilesPerTrigger.getOrElse(n0)
+          val j = initIdx.get + step
+          // the last slice ends on the PLAIN version offset (its batch
+          // is "rest of the pinned snapshot"): composite offsets never
+          // reach n0, so completion needs no trailing empty batch
+          if (j >= n0) LongOffset(v0) else new TxInitOffset(v0, j)
+        case Some((v0, _)) if delivered < v0 && initIdx.isEmpty =>
+          LongOffset(v0) // idx lost: finish the initial in one batch
+        case _ =>
+          val capped = maxVersionsPerTrigger match {
+            case Some(m) if delivered >= 0 => math.min(head, delivered + m)
+            case _ => head
+          }
+          LongOffset(capped)
+      }
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val toV = versionOf(end)
-    val batch = start match {
-      // first-ever batch: the full snapshot at the end version — unless
-      // startingVersion asked for a tail-only stream, in which case the
-      // first batch is the (startingVersion, end] window (nothing when
-      // the table hasn't moved past it yet)
-      case None => startingVersion match {
+    val (toV, toIdx) = cursorOf(end)
+    val endSnap = TxTable.snapshotAt(root, toV)
+    val batch: Seq[DataFrame] = (start.map(cursorOf), toIdx) match {
+      // ---- paced-initial windows: contents ALWAYS derive from the
+      // engine's own (start, end) pair, so replays and restarts slice
+      // bit-identically whatever the advisory cursors say ----
+      case (None, Some(j)) =>
+        Seq(initSlice(toV, 0L, j))
+      case (Some((v0, Some(i))), Some(j)) =>
+        // the pin is immutable, so two composite offsets can only name
+        // the one pinned version — anything else is a corrupt log
+        if (v0 != toV) throw new IllegalStateException(
+          s"tx stream on $root: paced-initial offsets disagree " +
+            s"(start v$v0, end v$toV)")
+        Seq(initSlice(v0, i, j))
+      case (Some((v0, Some(i))), None) =>
+        // end moved past the pinned version (idx-lost completion, or a
+        // plain tail offset): the rest of the pinned snapshot plus the
+        // (v0, toV] window
+        Seq(initSlice(v0, i, Long.MaxValue)) ++
+          (if (toV > v0) Seq(incremental(v0, toV)) else Nil)
+      case (Some((vS, None)), Some(_)) =>
+        // plain start + composite end: every row of the pinned version
+        // is already covered by the committed plain offset (stale
+        // advisory idx after an unpaced completion) — emit nothing and
+        // let the idx advance to its fixpoint
+        if (vS >= toV) Seq(emptyBatch())
+        else Seq(incremental(vS, toV))
+      // ---- the pre-r19 shapes, unchanged ----
+      case (None, None) => startingVersion match {
         case Some(sv) =>
-          if (sv >= toV) emptyBatch() else incremental(sv, toV)
-        case None => TxTable.readVersion(spark, root, toV)
+          if (sv >= toV) Seq(emptyBatch()) else Seq(incremental(sv, toV))
+        case None => Seq(TxTable.readVersion(spark, root, toV))
       }
-      case Some(s0) =>
-        val fromV = versionOf(s0)
-        if (fromV >= toV) emptyBatch()
-        else incremental(fromV, toV)
+      case (Some((fromV, None)), None) =>
+        if (fromV >= toV) Seq(emptyBatch())
+        else Seq(incremental(fromV, toV))
     }
-    delivered = math.max(delivered, toV)
-    metadataPath.foreach(TxDataSource.DeliveredCursor.store(_, delivered))
+    toIdx match {
+      case Some(j) =>
+        initIdx = Some(math.max(initIdx.getOrElse(0L), j))
+        metadataPath.foreach(
+          TxDataSource.InitCursor.storeIdx(_, initIdx.get))
+        if (pinned.exists(_._2 <= j)) {
+          delivered = math.max(delivered, toV)
+          metadataPath.foreach(
+            TxDataSource.DeliveredCursor.store(_, delivered))
+        }
+      case None =>
+        delivered = math.max(delivered, toV)
+        metadataPath.foreach(
+          TxDataSource.DeliveredCursor.store(_, delivered))
+        // a plain offset at/above the pin completes the initial
+        pinned.filter(_._1 <= toV).foreach { case (_, n0) =>
+          initIdx = Some(n0)
+          metadataPath.foreach(TxDataSource.InitCursor.storeIdx(_, n0))
+        }
+    }
     GraftStreamShim.asStreamingFrame(
-      align(batch, TxTable.snapshotAt(root, toV)))
+      batch.map(align(_, endSnap)).reduce(_ union _))
   }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset on restart
+  /** Files [i, j) of version `v`'s snapshot (manifest order — stable
+    * across re-parses, the paced initial's replay determinism), that
+    * version's deletion vectors applied.
+    */
+  private def initSlice(v: Long, i: Long, j: Long): DataFrame = {
+    val snap = TxTable.snapshotAt(root, v)
+    val hi = math.min(j, snap.files.size.toLong).toInt
+    val files = if (i >= hi) Nil else snap.files.slice(i.toInt, hi)
+    if (files.isEmpty) emptyBatch()
+    else TxTable.readFilesWithDvs(spark, root, snap, files)
+  }
+
+  private def versionOf(o: Offset): Long = cursorOf(o)._1
+
+  /** (version, paced-initial file index): LongOffset and plain-long
+    * json are tail cursors; `{"v":N,"i":K}` ([[TxInitOffset]], or its
+    * SerializedOffset restart form) is a paced-initial cursor.
+    */
+  private def cursorOf(o: Offset): (Long, Option[Long]) = o match {
+    case l: LongOffset => (l.offset, None)
+    case t: TxInitOffset => (t.version, Some(t.fileIndex))
+    case other =>
+      val s = other.json.trim
+      if (s.startsWith("{")) {
+        val m = """\{"v":(-?\d+),"i":(-?\d+)\}""".r
+        s match {
+          case m(v, i) => (v.toLong, Some(i.toLong))
+          case _ => throw new IllegalStateException(
+            s"tx stream on $root: unparseable offset '$s'")
+        }
+      } else (s.toLong, None)
   }
 
   private def emptyBatch(): DataFrame = {

@@ -1295,9 +1295,126 @@ object TxSourceQueries {
       |  (SELECT COUNT(*) FROM orders) AS n_orders
       |""".stripMargin
 
+  // --------------------------------------------------------------- q234
+  /** PACED streaming backfill (r19, Delta's `maxFilesPerTrigger`): the
+    * documents table committed as 8 files, then backfilled through
+    * `readStream.format("tx").option("maxFilesPerTrigger", "2")` — the
+    * initial snapshot splits into file-bounded micro-batches over
+    * durable (version, fileIndex) cursors instead of ONE batch spanning
+    * the table, which is the difference between a bounded first trigger
+    * and planning a 10⁶-file scan in one shot at 100 TB. The in-query
+    * guard pins that the engine really took > 1 initial batch (progress
+    * rows with input); the oracle proves the paced union is exactly the
+    * snapshot — no slice lost, none delivered twice.
+    */
+  def q234TxStreamPaced(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txpaced_")
+    val root = s"$tmp/docs_paced"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    TxTable.commit(ss, root,
+      graft.Tables.documents(ss, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(8, col("doc_id")),
+      TxTable.Overwrite)
+    val sink = s"q234_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = ss.readStream.format("tx")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    require(fed > 1,
+      s"paced backfill ran as $fed batch(es) — pacing did not split " +
+        "the initial snapshot")
+    val out = ss.table(sink)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("lang")
+      .localCheckpoint(true)
+    ss.catalog.dropTempView(sink)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    out
+  }
+
+  val q234Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q233
+  /** STRING bloom point lookup (r19): customer committed range-clustered
+    * on c_acctbal — so every file's c_name byte RANGE spans nearly the
+    * whole domain and `sstat` bounds cannot prune a name lookup — with a
+    * bloom on c_name (the build hashes the raw UTF-8 bytes through the
+    * same xxhash64 family the integral blooms use; before this, blooms
+    * served integral equality only — the other half of the r18 verdict's
+    * string-skipping gap). A plain `WHERE c_name IN (7 names)` through
+    * `format("tx")` probes each file's manifest bloom and only
+    * possibly-containing files reach the scan; the in-query guard pins
+    * the executed scan's planned file set strictly below the snapshot's
+    * (16 range-clustered files, ≤7 holders, ≥9 independent ~%-level
+    * false-positive chances — deterministic given the data, and the
+    * all-survive probability is ≤1e-8 per testdata generation). At
+    * 100 TB this is the uuid/e-mail/name needle class: a handful of
+    * files read instead of every file.
+    */
+  def q233TxBloomStr(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txblstr_")
+    val root = s"$tmp/customer_blstr"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val keys = graft.Tables.customer(ss, d)
+      .filter(col("c_custkey") % 17 === 0)
+      .orderBy("c_custkey").limit(7)
+      .select("c_name").collect().map(_.getString(0)).toSeq
+    TxTable.commit(ss, root,
+      graft.Tables.customer(ss, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .repartitionByRange(16, col("c_acctbal"), col("c_custkey")),
+      TxTable.Overwrite, bloomCols = Seq("c_name"))
+    val out = ss.read.format("tx").load(root)
+      .filter(col("c_name").isInCollection(keys))
+      .groupBy("c_name")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_name")
+    val collected = out.localCheckpoint(true)
+    val scan = out.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.isInstanceOf[TxFileIndex] => f
+    }.getOrElse(throw new IllegalStateException(
+      "expected a FileSourceScan over TxFileIndex"))
+    val total = TxTable.currentSnapshot(root).get.files.size
+    val scanned = scan.inputRDDs().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FileScanRDD]
+      .filePartitions.iterator.flatMap(_.files)
+      .map(_.filePath.toString).distinct.size
+    require(scanned < total,
+      s"string bloom pruned nothing ($scanned/$total files)")
+    graft.streaming.Replay.deleteRecursively(tmp)
+    collected
+  }
+
+  val q233Sql: String =
+    """WITH keys AS (
+      |  SELECT c_name FROM customer
+      |  WHERE c_custkey % 17 = 0 ORDER BY c_custkey LIMIT 7)
+      |SELECT c.c_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_bal
+      |FROM customer c JOIN keys k ON c.c_name = k.c_name
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_tx_string_skip" -> (q229TxStringSkip _),
     "q230_tx_string_minmax" -> (q230TxStringMinmax _),
+    "q233_tx_bloom_str" -> (q233TxBloomStr _),
+    "q234_tx_stream_paced" -> (q234TxStreamPaced _),
     "q201_tx_relation" -> (q201TxRelation _),
     "q202_tx_stream_source" -> (q202TxStreamSource _),
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
@@ -1321,6 +1438,8 @@ object TxSourceQueries {
   val oracles: Map[String, String] = Map(
     "q229_tx_string_skip" -> q229Sql,
     "q230_tx_string_minmax" -> q230Sql,
+    "q233_tx_bloom_str" -> q233Sql,
+    "q234_tx_stream_paced" -> q234Sql,
     "q201_tx_relation" -> q201Sql,
     "q202_tx_stream_source" -> q202Sql,
     "q203_tx_bloom_in" -> q203Sql,
