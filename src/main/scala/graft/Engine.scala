@@ -216,6 +216,14 @@ object Engine {
             graft.operators.TxTable.renameColumn(s, str(es.head),
               str(es(1)), str(es(2))))
         }),
+      ("tx_widen_column",
+        "tx_widen_column(root, name, newType) - metadata-only type widening (byte<short<int<long, float<double; no file rewrite); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
+        es => {
+          val s = SparkSession.active
+          receipt(s, s"widen_column:${str(es(1))}->${str(es(2))}",
+            graft.operators.TxTable.widenColumn(s, str(es.head),
+              str(es(1)), str(es(2))))
+        }),
       ("tx_drop_column",
         "tx_drop_column(root, name) - metadata-only column drop (tombstoned name); returns (op, version). EXECUTES AT ANALYSIS TIME: do not use under EXPLAIN or in a view",
         es => {

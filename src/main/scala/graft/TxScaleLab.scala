@@ -257,11 +257,57 @@ object TxScaleLab {
     graft.streaming.Replay.deleteRecursively(tmp)
   }
 
+  /** `runMain graft.TxScaleLab pinread` — what pinning the manifest
+    * schema saves at read PLANNING (late r19): a real multi-thousand-
+    * file table read with `mergeSchema` inference (a distributed
+    * footer-union job over every file, the pre-r19 seam) vs
+    * `.schema(recorded)` (kilobytes of manifest, no job). The per-file
+    * footer term is the one that scales to 10⁶ files.
+    */
+  private def pinReadLab(): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = Files.createTempDirectory("graft_pinread_")
+    val n = 4000
+    spark.range(n.toLong * 10)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(n)
+      .write.parquet(s"$tmp/p")
+    val files = new java.io.File(s"$tmp/p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    println(s"files: ${files.size}")
+    import org.apache.spark.sql.types.StructType
+    // time DATAFRAME CREATION (schema resolution) — mergeSchema runs
+    // its distributed footer-union job right there; a pinned schema
+    // resolves from the provided StructType with zero I/O. The
+    // execution that follows is identical either way.
+    def timed(label: String)(body: => StructType): Unit = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val s = body
+        require(s.fieldNames.contains("k"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-12s best=${times.min}%6.3f s  " +
+        s"runs=${times.map(t => f"$t%.3f").mkString(" ")}")
+    }
+    val schema = spark.read.parquet(files.head).schema
+    timed("mergeSchema")(spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema)
+    timed("inferFirst")(spark.read.parquet(files: _*).schema)
+    timed("pinned")(spark.read.schema(schema).parquet(files: _*).schema)
+    graft.streaming.Replay.deleteRecursively(tmp)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("parse")) { parseLab(); return }
     if (args.headOption.contains("clone")) { cloneLab(); return }
     if (args.headOption.contains("delta")) { deltaLab(); return }
     if (args.headOption.contains("bloomprobe")) { bloomProbeLab(); return }
+    if (args.headOption.contains("pinread")) { pinReadLab(); return }
     val maxFiles = if (args.nonEmpty) args(0).toInt else 10000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -81,9 +81,8 @@ object TxChangeFeed {
         val added = snap.files.filterNot(base.contains)
         if (added.isEmpty) None
         else Some(withMeta(TxTable.projectLogical(snap,
-          s.read.option("mergeSchema", "true")
-            .parquet(added.map(f =>
-              TxTable.absFile(root, f)): _*)), lit("insert"), v))
+          TxTable.readDataFiles(s, snap,
+            added.map(f => TxTable.absFile(root, f)))), lit("insert"), v))
       case Some("delete_mor") => morDeletes(s, root, v, snap, parent)
       // MoR UPDATE: the version's fresh DV positions are the
       // pre-images, its added files the post-images — both sides from
@@ -95,9 +94,8 @@ object TxChangeFeed {
         val post =
           if (added.isEmpty) None
           else Some(withMeta(TxTable.projectLogical(snap,
-            s.read.option("mergeSchema", "true")
-              .parquet(added.map(f =>
-                TxTable.absFile(root, f)): _*)), lit(Post), v))
+            TxTable.readDataFiles(s, snap,
+              added.map(f => TxTable.absFile(root, f)))), lit(Post), v))
         (pre, post) match {
           case (Some(a), Some(b)) =>
             Some(a.unionByName(b, allowMissingColumns = true))
@@ -106,7 +104,8 @@ object TxChangeFeed {
       // rename/drop are metadata-only (no files move): no change rows —
       // later versions' rows simply arrive under the new logical names
       // and the consumer's align/key resolution follows the alias class
-      case Some("rename_column") | Some("drop_column") => None
+      case Some("rename_column") | Some("drop_column")
+         | Some("widen_column") => None
       case _ => keyedDiff(s, root, v, snap, parent, keyNames)
     }
   }
@@ -129,8 +128,8 @@ object TxChangeFeed {
     val dvFiles = touched.flatMap(_._2).distinct
     val dv = s.read.parquet(dvFiles.map(f => TxTable.absFile(root, f)): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-    val base = s.read.option("mergeSchema", "true")
-      .parquet(touched.map(t => TxTable.absFile(root, t._1)): _*)
+    val base = TxTable.readDataFiles(s, snap,
+        touched.map(t => TxTable.absFile(root, t._1)))
       .withColumn("__rel", TxTable.relFileFromMeta)
       .withColumn("__pos", col("_metadata.row_index"))
     val deleted = base.join(broadcast(dv),

@@ -773,6 +773,39 @@ object TxTable {
       }: _*)
     }
 
+  /** The READ schema a snapshot's data files pin: every logical field
+    * expanded over its vintage names (a file carries at most one), each
+    * at the LOGICAL type — so the widening parquet readers (SPARK-40876)
+    * materialize old narrow files at the widened type, dropped columns
+    * are never read, and — independently of widening — planning skips
+    * the O(files) `mergeSchema` footer-union job entirely: the schema
+    * comes from kilobytes of manifest. None for pre-r12 manifests with
+    * no recorded schema (the mergeSchema fallback).
+    */
+  private[graft] def pinnedReadSchema(snap: Snapshot)
+      : Option[org.apache.spark.sql.types.StructType] =
+    snap.schema.map { logical =>
+      org.apache.spark.sql.types.StructType(
+        logical.fields.toIndexedSeq.flatMap(f =>
+          namesOf(snap, f.name).map(n =>
+            org.apache.spark.sql.types.StructField(n, f.dataType,
+              nullable = true))))
+    }
+
+  /** THE snapshot-data parquet read: pinned to [[pinnedReadSchema]]
+    * when the manifest records one, `mergeSchema` inference otherwise.
+    * Every read of EXISTING (potentially mixed-vintage, potentially
+    * type-widened) snapshot files must come through here; reads of
+    * just-written homogeneous files may keep plain inference.
+    */
+  private[graft] def readDataFiles(s: SparkSession, snap: Snapshot,
+      absPaths: Seq[String]): DataFrame =
+    pinnedReadSchema(snap) match {
+      case Some(ps) => s.read.schema(ps).parquet(absPaths: _*)
+      case None =>
+        s.read.option("mergeSchema", "true").parquet(absPaths: _*)
+    }
+
   /** [[projectLogical]]'s keep-everything sibling for internal scans
     * that need bookkeeping columns (file/pos) ALONGSIDE logical names:
     * each renamed column is materialized as a coalesce over its present
@@ -801,8 +834,7 @@ object TxTable {
   private[graft] def readFilesWithDvs(s: SparkSession, root: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat, lit, substring_index}
-    val base = s.read.option("mergeSchema", "true")
-      .parquet(files.map(f => absFile(root, f)): _*)
+    val base = readDataFiles(s, snap, files.map(f => absFile(root, f)))
     val dvFiles = files.flatMap(f =>
       snap.dvs.getOrElse(f, Seq.empty).map(_._1)).distinct
     if (dvFiles.isEmpty) projectLogical(snap, base)
@@ -872,8 +904,8 @@ object TxTable {
     val end = snapshotAt(root, toV)
     val added = end.files.filterNot(base.contains)
     if (added.isEmpty) read(s, root).limit(0)
-    else projectLogical(end, s.read.option("mergeSchema", "true")
-      .parquet(added.map(f => absFile(root, f)): _*))
+    else projectLogical(end,
+      readDataFiles(s, end, added.map(f => absFile(root, f))))
   }
 
   /** [[readChanges]] restricted to partition values: the (fromV, toV]
@@ -902,8 +934,7 @@ object TxTable {
     }
     val df =
       if (added.isEmpty) read(s, root).limit(0)
-      else s.read.option("mergeSchema", "true")
-        .parquet(added.map(f => absFile(root, f)): _*)
+      else readDataFiles(s, to, added.map(f => absFile(root, f)))
     df.filter(col(partCol).isInCollection(values))
   }
 
@@ -1786,6 +1817,60 @@ object TxTable {
     committed
   }
 
+  /** ALTER COLUMN TYPE, widening only (Delta 3.x's explicit widen) —
+    * METADATA-ONLY: publishes the parent's file list untouched with the
+    * schema field moved up the [[widerOf]] lattice; existing narrow
+    * files upcast at scan through the pinned-schema read seam
+    * (SPARK-40876), so no bytes move at any table size. Everything
+    * carried verbatim: stat lines (already doubles), exact sums (exact
+    * in the wider type too), blooms (the integral family hashes
+    * `cast(long)` at every width), DVs, checks (SQL comparisons are
+    * width-agnostic). Bucket and partition columns refuse — the same
+    * [[mergeSchemas]] rationale (murmur3(int) != murmur3(long);
+    * type-rendered partition identities). A running stream classifies
+    * `widen_column` as metadata-only and then fails loudly in its
+    * align() if its declared schema pinned the narrow type — restart
+    * adopts the wide schema at the same offset.
+    */
+  def widenColumn(s: SparkSession, root: String, name: String,
+      newType: String): Long = {
+    val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(newType)
+    var committed = -1L
+    while (committed < 0) {
+      val parent = currentSnapshot(root).getOrElse(
+        throw new java.io.IOException(s"txtable $root has no version"))
+      val schema = parent.schema.getOrElse(throw new java.io.IOException(
+        s"txtable $root has no recorded schema — widen needs one " +
+          "(any r12+ commit records it)"))
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widen: no column '$name' in ${schema.fieldNames.mkString(",")}"))
+      require(f.dataType != target &&
+        widerOf(f.dataType, target).contains(target),
+        s"widen: ${f.dataType.simpleString} -> ${target.simpleString} " +
+          "is not a widening pair (byte<short<int<long, float<double)")
+      val frozen = parent.bucketSpec.map(_._2).getOrElse(Nil).toSet ++
+        parent.parts.valuesIterator.flatten.map(_._1).toSet
+      require(!namesOf(parent, name).exists(frozen.contains),
+        s"cannot widen '$name' — bucket and partition columns key the " +
+          "physical layout; rewrite the table to widen them")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(x =>
+          if (x.name == name) x.copy(dataType = target) else x))
+      if (tryPublish(root, parent.version + 1, parent.files, parent.txns,
+          parent.stats, schema = Some(newSchema),
+          rowCounts = parent.rowCounts, dvs = parent.dvs,
+          blooms = parent.blooms, checks = parent.checks,
+          op = "widen_column", parts = parent.parts,
+          renames = parent.renames, deadCols = parent.deadCols,
+          bucketSpec = parent.bucketSpec,
+          sums = parent.sums, strStats = parent.strStats))
+        committed = parent.version + 1
+    }
+    committed
+  }
+
   /** ALTER TABLE DROP COLUMN — metadata-only: the logical schema loses
     * the field, the bytes stay in the files (unprojected by every read
     * seam), and the column's whole name chain is tombstoned so no later
@@ -1834,29 +1919,66 @@ object TxTable {
     committed
   }
 
+  /** The sanctioned TYPE-WIDENING lattice (Delta 3.x type widening,
+    * backed by Spark 4's widening parquet readers — SPARK-40876): the
+    * vectorized reader materializes an int32 column as LongType etc., so
+    * a table whose schema widened reads its old narrow files without a
+    * rewrite. Kept to the lossless pairs: the integral chain and
+    * float→double. Returns the wider of the two when (a, b) is a
+    * widening pair in either direction, None otherwise.
+    */
+  private[graft] def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intRank: Map[DataType, Int] =
+      Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if intRank.contains(a) && intRank.contains(b) =>
+        Some(if (intRank(a) >= intRank(b)) a else b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+  }
+
   /** Additive schema merge with commit-time enforcement: columns shared
-    * with the parent must keep their type (nullability-insensitive);
-    * new columns append. A conflict throws BEFORE publish — the frame
-    * never becomes a manifest entry, so the table stays readable (a
-    * type-conflicting parquet file would otherwise fail every future
-    * `mergeSchema` read — enforcement at write time is what makes
-    * evolution ADDITIVE by contract, not by luck).
+    * with the parent must keep their type (nullability-insensitive) —
+    * or, when `widen` is set (plain Append only), move along the
+    * [[widerOf]] lattice: the merged schema takes the WIDER type
+    * whichever side carries it, so an int column accepts a long append
+    * (schema widens) and a long column accepts an int append (the file
+    * stays int32 under the long schema — the pinned-schema read seam
+    * upcasts it). New columns append. Anything else throws BEFORE
+    * publish — the frame never becomes a manifest entry, so the table
+    * stays readable (a type-conflicting parquet file would otherwise
+    * fail every future read — enforcement at write time is what makes
+    * evolution a contract, not luck).
     */
   private def mergeSchemas(parent: org.apache.spark.sql.types.StructType,
-      child: org.apache.spark.sql.types.StructType)
+      child: org.apache.spark.sql.types.StructType,
+      widen: Boolean = false)
       : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.DataType
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    def resolve(p: StructField, c: StructField): Option[DataType] =
+      if (DataType.equalsStructurally(p.dataType, c.dataType,
+        ignoreNullability = true)) Some(p.dataType)
+      else if (widen) widerOf(p.dataType, c.dataType)
+      else None
     val conflicts = child.fields.filter(f =>
-      parent.fields.find(_.name == f.name).exists(p =>
-        !DataType.equalsStructurally(p.dataType, f.dataType,
-          ignoreNullability = true)))
+      parent.fields.find(_.name == f.name)
+        .exists(p => resolve(p, f).isEmpty))
     if (conflicts.nonEmpty) throw new IllegalArgumentException(
       "txtable append schema conflict on " + conflicts.map(f =>
         s"${f.name} (table ${parent(f.name).dataType.simpleString} vs " +
           s"commit ${f.dataType.simpleString})").mkString(", ") +
         " — schema evolution is additive: new columns may append, " +
-        "existing columns cannot change type")
-    org.apache.spark.sql.types.StructType(parent.fields ++
+        "existing columns only widen (byte<short<int<long, " +
+        "float<double) on plain appends")
+    StructType(parent.fields.map(p =>
+      child.fields.find(_.name == p.name).flatMap(c => resolve(p, c))
+        .map(t => p.copy(dataType = t)).getOrElse(p)) ++
       child.fields.filterNot(f => parent.fieldNames.contains(f.name)))
   }
 
@@ -2248,8 +2370,31 @@ object TxTable {
                 "column already owns the name in existing files; pick " +
                 "a new name or Overwrite the table")
           }
-          parent.flatMap(_.schema)
-            .map(ps => mergeSchemas(ps, df.schema)).getOrElse(df.schema)
+          parent.flatMap(_.schema).map { ps =>
+            val merged = mergeSchemas(ps, df.schema, widen = true)
+            // a widened column reads exactly (SPARK-40876 upcasts), but
+            // HASHES differently: Spark's murmur3 of an int is not the
+            // murmur3 of the same value as a long, so widening a bucket
+            // column would silently break co-location, and a partition
+            // column's identity lives in rendered path/manifest values —
+            // both refuse rather than degrade
+            val widenedCols = ps.fields.flatMap { p =>
+              merged.fields.find(_.name == p.name)
+                .filter(m => m.dataType != p.dataType).map(_.name)
+            }
+            if (widenedCols.nonEmpty) parent.foreach { par =>
+              val frozen = par.bucketSpec.map(_._2).getOrElse(Nil).toSet ++
+                par.parts.valuesIterator.flatten.map(_._1).toSet
+              val bad = widenedCols.filter(frozen.contains)
+              if (bad.nonEmpty) throw new IllegalArgumentException(
+                s"cannot widen ${bad.mkString(", ")} — bucket and " +
+                  "partition columns key the physical layout " +
+                  "(murmur3(int) != murmur3(long); recorded partition " +
+                  "values are type-rendered); rewrite the table to " +
+                  "widen them")
+            }
+            merged
+          }.getOrElse(df.schema)
       }
       val rows = (mode match {
         case Overwrite => Map.empty[String, Long]
@@ -3136,9 +3281,8 @@ object TxTable {
         }
       }
       if (cand.isEmpty) return parent.version
-      val scan = attachLogical(parent, s.read
-        .option("mergeSchema", "true")
-        .parquet(cand.map(f => absFile(root, f)): _*))
+      val scan = attachLogical(parent,
+        readDataFiles(s, parent, cand.map(f => absFile(root, f))))
         .withColumn("file", relFileFromMeta)
         .withColumn("pos", col("_metadata.row_index"))
       val matched = scan.filter(cond).select("file", "pos")
@@ -3246,9 +3390,8 @@ object TxTable {
         }
       }
       if (cand.isEmpty) return parent.version
-      val scan = attachLogical(parent, s.read
-        .option("mergeSchema", "true")
-        .parquet(cand.map(f => absFile(root, f)): _*))
+      val scan = attachLogical(parent,
+        readDataFiles(s, parent, cand.map(f => absFile(root, f))))
         .withColumn("__file", relFileFromMeta)
         .withColumn("__pos", col("_metadata.row_index"))
       val matched = scan.filter(cond)

@@ -736,7 +736,8 @@ final class TxStreamSource(spark: SparkSession, root: String,
   // emitting correct values under the name the sink was promised;
   // Delta-with-column-mapping's behavior, where id-addressed columns
   // make renames invisible to running streams)
-  private val MetadataOnly = Set("rename_column", "drop_column")
+  private val MetadataOnly =
+    Set("rename_column", "drop_column", "widen_column")
 
   // highest version already handed to a batch — the rate-limit base.
   // Within a run, getBatch advances it; across a RESTART it re-seeds
@@ -942,8 +943,27 @@ final class TxStreamSource(spark: SparkSession, root: String,
     }
     val files = emit.result()
     if (files.isEmpty) emptyBatch()
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => TxTable.absFile(root, f)): _*)
+    else {
+      // pin the window read to the end snapshot's vintage-expanded
+      // schema (type-widened old files upcast; no O(files) footer
+      // union), augmented with declared columns a mid-window DROP
+      // removed from it — their bytes still live in the window's older
+      // files and the declared schema promised them
+      val endSnap = TxTable.snapshotAt(root, toV)
+      val paths = files.map(f => TxTable.absFile(root, f))
+      TxTable.pinnedReadSchema(endSnap) match {
+        case Some(ps) =>
+          val extra = declaredSchema.fields.filterNot(f =>
+            TxTable.nameClass(endSnap, f.name)
+              .exists(n => ps.fieldNames.contains(n)))
+            .map(f => org.apache.spark.sql.types.StructField(
+              f.name, f.dataType, nullable = true))
+          spark.read.schema(org.apache.spark.sql.types.StructType(
+            ps.fields ++ extra)).parquet(paths: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
+    }
   }
 
   /** Project/cast to the stream's declared schema: missing columns
@@ -960,6 +980,24 @@ final class TxStreamSource(spark: SparkSession, root: String,
     */
   private def align(df: DataFrame, endSnap: TxTable.Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // a column WIDENED after stream start (int -> long etc.) holds
+    // values the declared schema cannot represent — casting down would
+    // silently truncate, so fail like a data-changing op: restart the
+    // stream (the re-resolved schema adopts the widened type; the same
+    // checkpoint resumes at the recorded offset)
+    declaredSchema.fields.foreach { f =>
+      endSnap.schema.flatMap(_.fields.find(lf =>
+        TxTable.nameClass(endSnap, f.name).contains(lf.name))).foreach { lf =>
+        if (lf.dataType != f.dataType &&
+            TxTable.widerOf(lf.dataType, f.dataType).contains(lf.dataType))
+          throw new java.io.IOException(
+            s"tx stream on $root: column '${f.name}' widened " +
+              s"(${f.dataType.simpleString} -> " +
+              s"${lf.dataType.simpleString}) mid-stream — restart the " +
+              "stream to adopt the widened schema (the checkpoint " +
+              "resumes at the recorded offset)")
+      }
+    }
     df.select(declaredSchema.fields.toIndexedSeq.map { f =>
       val present =
         TxTable.nameClass(endSnap, f.name).filter(df.columns.contains)

@@ -1345,6 +1345,60 @@ object TxSourceQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q235
+  /** TYPE WIDENING on Append (r19, Delta 3.x parity): half of orders
+    * commits with an int32 key and a float price, the other half
+    * appends as long/double — the schema widens METADATA-ONLY (no file
+    * rewrite; Spark 4's widening parquet readers upcast the old narrow
+    * files under the pinned snapshot schema). The in-query guard pins
+    * the widened read schema; the oracle restates both vintages' exact
+    * values (the float half's prices round-trip through REAL in DuckDB
+    * — IEEE round-to-nearest in both engines). At 100 TB this is the
+    * schema-evolution verb that does NOT cost a table rewrite.
+    */
+  def q235TxWiden(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_txwiden_")
+    val root = s"$tmp/orders_widen"
+    val base = graft.Tables.orders(s, d).select(
+      pmod(col("o_orderkey"), lit(1000000000L)).as("kk"),
+      col("o_orderkey").as("ok"),
+      col("o_orderpriority"), col("o_totalprice"))
+    val narrow = base.filter(pmod(col("ok"), lit(2)) === 0).select(
+      col("kk").cast("int").as("k"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast("float").as("price"))
+    val wide = base.filter(pmod(col("ok"), lit(2)) === 1).select(
+      col("kk").as("k"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast("double").as("price"))
+    TxTable.commit(s, root, narrow, TxTable.Overwrite)
+    TxTable.commit(s, root, wide, TxTable.Append)
+    val df = TxTable.read(s, root)
+    require(df.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      df.schema("price").dataType ==
+        org.apache.spark.sql.types.DoubleType,
+      s"append did not widen the schema: ${df.schema.simpleString}")
+    val out = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min("price").as("min_price"),
+        max("price").as("max_price"))
+      .orderBy("o_orderpriority")
+    offTemp(out, tmp)
+  }
+
+  val q235Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(o_orderkey % 1000000000) AS BIGINT) AS sum_k,
+      |  MIN(CASE WHEN o_orderkey % 2 = 0
+      |    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+      |    ELSE CAST(o_totalprice AS DOUBLE) END) AS min_price,
+      |  MAX(CASE WHEN o_orderkey % 2 = 0
+      |    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+      |    ELSE CAST(o_totalprice AS DOUBLE) END) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q233
   /** STRING bloom point lookup (r19): customer committed range-clustered
     * on c_acctbal — so every file's c_name byte RANGE spans nearly the
@@ -1415,6 +1469,7 @@ object TxSourceQueries {
     "q230_tx_string_minmax" -> (q230TxStringMinmax _),
     "q233_tx_bloom_str" -> (q233TxBloomStr _),
     "q234_tx_stream_paced" -> (q234TxStreamPaced _),
+    "q235_tx_widen" -> (q235TxWiden _),
     "q201_tx_relation" -> (q201TxRelation _),
     "q202_tx_stream_source" -> (q202TxStreamSource _),
     "q203_tx_bloom_in" -> (q203TxBloomIn _),
@@ -1440,6 +1495,7 @@ object TxSourceQueries {
     "q230_tx_string_minmax" -> q230Sql,
     "q233_tx_bloom_str" -> q233Sql,
     "q234_tx_stream_paced" -> q234Sql,
+    "q235_tx_widen" -> q235Sql,
     "q201_tx_relation" -> q201Sql,
     "q202_tx_stream_source" -> q202Sql,
     "q203_tx_bloom_in" -> q203Sql,

@@ -95,7 +95,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("driver contract: entry returns rows; every query has a fn") {
     assert(SparkEntry.entry(spark).count() > 0)
-    assert(SparkEntry.queries.size == 234)
+    assert(SparkEntry.queries.size == 235)
     // since round 4 the oracle surface is TOTAL: every query has a twin
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
