@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flag A/B without editing the build (e.g.
+  // GRAFT_JAVA_OPTS="-XX:+UseParallelGC" for a same-boot GC comparison)
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))

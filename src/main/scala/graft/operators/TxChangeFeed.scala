@@ -164,12 +164,30 @@ object TxChangeFeed {
       case (o, n) => o.orElse(n).get.columns.toSeq
     }
     val proj = cols.map(col)
-    // carryover elimination in ONE aggregate: per identical full row,
-    // count pre/post occurrences; the net difference survives on the
-    // majority side, replicated back to rows (exactly what two
-    // exceptAll calls compute, at half the shuffled volume — each
-    // exceptAll is itself a count-aggregate + replicate underneath)
+    val keyName = keyNames.find(cols.contains).getOrElse(
+      throw new java.io.IOException(
+        s"change feed at $root v$v: key column '${keyNames.head}' (nor " +
+          s"any rename vintage of it, ${keyNames.mkString("/")}) is " +
+          s"present in this version's columns ${cols.mkString(", ")}"))
+    // one-sided versions classify without the key window: with no post
+    // rows anywhere, hasPost is 0 for EVERY key, so the window labels
+    // every pre row 'delete' (symmetrically 'insert') — the exchange +
+    // sort it costs prove nothing. The common case is the table's
+    // initial overwrite (v0 in every from-the-beginning feed read): at
+    // scale that window shuffled the WHOLE first snapshot (guide §2.4,
+    // remove shuffles outright; r19 opt round — plan went 2 exchanges →
+    // 0 for the v0 frame, classification provably identical).
     val tagged = (oldDf, newDf) match {
+      case (Some(o), None) =>
+        return Some(withMeta(o.select(proj: _*), lit("delete"), v))
+      case (None, Some(n)) =>
+        return Some(withMeta(n.select(proj: _*), lit("insert"), v))
+      case (None, None) => return None
+      // carryover elimination in ONE aggregate: per identical full row,
+      // count pre/post occurrences; the net difference survives on the
+      // majority side, replicated back to rows (exactly what two
+      // exceptAll calls compute, at half the shuffled volume — each
+      // exceptAll is itself a count-aggregate + replicate underneath)
       case (Some(o), Some(n)) =>
         val u = o.select(proj: _*).withColumn("__side", lit("pre"))
           .unionByName(n.select(proj: _*).withColumn("__side", lit("post")))
@@ -184,17 +202,7 @@ object TxChangeFeed {
         net.withColumn("__rep",
             explode_outer(sequence(lit(1L), col("__n"))))
           .select(proj :+ col("__side"): _*)
-      case (Some(o), None) =>
-        o.select(proj: _*).withColumn("__side", lit("pre"))
-      case (None, Some(n)) =>
-        n.select(proj: _*).withColumn("__side", lit("post"))
-      case _ => return None
     }
-    val keyName = keyNames.find(cols.contains).getOrElse(
-      throw new java.io.IOException(
-        s"change feed at $root v$v: key column '${keyNames.head}' (nor " +
-          s"any rename vintage of it, ${keyNames.mkString("/")}) is " +
-          s"present in this version's columns ${cols.mkString(", ")}"))
     val w = Window.partitionBy(keyName)
     val hasPre = max(when(col("__side") === "pre", 1).otherwise(0)).over(w)
     val hasPost = max(when(col("__side") === "post", 1).otherwise(0)).over(w)

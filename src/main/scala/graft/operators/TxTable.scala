@@ -2970,8 +2970,23 @@ object TxTable {
         })))
   }
 
-  def mergeByKeyPruned(s: SparkSession, root: String, updates: DataFrame,
+  def mergeByKeyPruned(s: SparkSession, root: String, updatesSrc: DataFrame,
       keyCol: String, exactKeyLimit: Long = ExactKeyLimit): Long = {
+    // Materialize the merge SOURCE once (Delta MERGE's
+    // materializeSource): otherwise an arbitrary source DAG executes
+    // four times — keyPrune's stats + exact-key collects, the
+    // anti-join keyset, and the rewrite union (measured on q182's v3
+    // via TxPhaseLab; a CDF-reconstruction source re-ran its whole
+    // window diff per evaluation). MEMORY_AND_DISK blocks, freed in
+    // the finally; claim retries also reuse the same blocks instead of
+    // re-running the source.
+    val updates = updatesSrc.localCheckpoint(true)
+    try mergeByKeyPrunedOn(s, root, updates, keyCol, exactKeyLimit)
+    finally updates.unpersist(false)
+  }
+
+  private def mergeByKeyPrunedOn(s: SparkSession, root: String,
+      updates: DataFrame, keyCol: String, exactKeyLimit: Long): Long = {
     val kp = keyPrune(updates, keyCol, exactKeyLimit)
     if (kp.rowCount == 0L) // empty update batch: nothing to merge
       return currentVersion(root).getOrElse(throw new java.io.IOException(
@@ -3052,7 +3067,7 @@ object TxTable {
     * (the spec demonstrates exactly that, which is why the streaming
     * sink [[streamMergeAdditive]] always passes one).
     */
-  def mergeAdditive(s: SparkSession, root: String, updates: DataFrame,
+  def mergeAdditive(s: SparkSession, root: String, updatesSrc: DataFrame,
       keyCol: String, txn: Option[(String, Long)] = None,
       exactKeyLimit: Long = ExactKeyLimit): Long = {
     import org.apache.spark.sql.functions.{sum => fsum}
@@ -3061,6 +3076,24 @@ object TxTable {
         parent.exists(_.txns.get(app).exists(_ >= bid)) }
     if (alreadyApplied(currentSnapshot(root)))
       return currentVersion(root).get
+    // Materialize the delta ONCE (same Delta materializeSource rationale
+    // as [[mergeByKeyPruned]]): keyPrune's two collects plus the combine
+    // re-execute the source DAG otherwise — for the CDF consumer
+    // ([[graft.operators.TxChangeFeed.consume]]) that source is a whole
+    // change-feed window reconstruction, measured at 3 evaluations per
+    // poll before this (TxPhaseLab, r19 opt round). Placed AFTER the
+    // txn fast-path so replayed polls stay manifest-read-only.
+    val updates = updatesSrc.localCheckpoint(true)
+    try mergeAdditiveOn(s, root, updates, keyCol, txn, exactKeyLimit,
+      alreadyApplied)
+    finally updates.unpersist(false)
+  }
+
+  private def mergeAdditiveOn(s: SparkSession, root: String,
+      updates: DataFrame, keyCol: String, txn: Option[(String, Long)],
+      exactKeyLimit: Long,
+      alreadyApplied: Option[Snapshot] => Boolean): Long = {
+    import org.apache.spark.sql.functions.{sum => fsum}
     val kp = keyPrune(updates, keyCol, exactKeyLimit)
     val sumAggs = updates.schema.fields.filterNot(_.name == keyCol)
       .toIndexedSeq.map(f => fsum(col(f.name)).cast(f.dataType).as(f.name))
