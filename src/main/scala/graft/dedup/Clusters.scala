@@ -99,8 +99,26 @@ object Clusters {
       val fromSelf = mins.select(col("m").as("u"), col("x").as("v"))
       fromNbrs.union(fromSelf).distinct()
     }
-    var esCount = es.count()
-    var converged = esCount == 0L // nothing to contract on an edgeless graph
+    // round fingerprint for the NEGATIVE convergence gate: cardinality
+    // plus both endpoint sums. Differing fingerprints PROVE the sets
+    // differ (sound to skip the anti-join); equal fingerprints prove
+    // nothing and fall through to the exact probe — exactness still
+    // rests on exceptAll alone (the CLAUDE.md exact-convergence rule).
+    // The count alone was a dead gate on forest-shaped rounds: the edge
+    // count equals #non-root vertices from round 1 on (measured on q71:
+    // constant 4954 across all 10 rounds), so EVERY round paid the
+    // anti-join; the parent sum keeps falling while edges re-parent
+    // toward minima, so only genuine near-fixed-point rounds pay it
+    // now (r19 opt round; Long wraparound on the sums is harmless —
+    // a wrapped collision only means one extra exact probe).
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("u")), sum(col("v"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var esFp = fingerprint(es)
+    var converged = esFp._1 == 0L // nothing to contract on an edgeless graph
     var i = 0
     while (i < maxRounds && !converged) {
       // truncate lineage per round or the plan doubles per iteration
@@ -109,12 +127,12 @@ object Clusters {
         smallStar(largeStar(es)), chain = chains(i % 2))
       // EXACT fixed-point check, cheap first: both sides are DISTINCT
       // sets, so equal cardinality + empty one-sided difference ⇒ equal
-      // sets — the count gate means shrinking rounds never pay the
-      // anti-join, only the near-convergence ones do
-      val nextCount = next.count()
-      converged = nextCount == esCount && next.exceptAll(es).isEmpty
+      // sets; the fingerprint gate means contracting rounds never pay
+      // the anti-join, only the near-convergence ones do
+      val nextFp = fingerprint(next)
+      converged = nextFp == esFp && next.exceptAll(es).isEmpty
       es = next
-      esCount = nextCount
+      esFp = nextFp
       i += 1
     }
     // fail LOUDLY if the safety cap expired before the exact fixed
@@ -132,7 +150,7 @@ object Clusters {
     }
     require(converged,
       s"connectedComponents: star contraction did not reach its fixed " +
-        s"point within $maxRounds rounds ($esCount edges left) — labels " +
+        s"point within $maxRounds rounds (${esFp._1} edges left) — labels " +
         "would be unsound; raise maxRounds")
     // fixed point: es is one star per component, centered at the min.
     // min(u) per member: at the fixed point each member has exactly one
@@ -172,6 +190,11 @@ object Clusters {
     // serial driver, but a library caller sharing one session across
     // concurrent queries should scope it via spark.newSession() instead
     // (concurrent plans compiled in the window would pick up width 8).
+    // (AQE stays ON for the loop — A/B'd off in the r19 opt round and
+    // it REGRESSED 6.3 → 8.6 s warm: AQE's partition coalescing turns
+    // each round's 8-partition micro-shuffles into 1-task reads, which
+    // outweighs its re-planning latency here, unlike the Replay drains'
+    // stateful-stream case where the store count is what matters.)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "8")

@@ -104,13 +104,17 @@ object Advanced9 {
   // census is non-trivial (508 triangles at sf0.01); the oracle counts
   // the SAME triangles with the id-ordered join (any total order counts
   // each exactly once — their equality is itself the cross-check).
-  // Graph pieces are rebuilt from independent reads per consumer (the
-  // ambiguous-self-join rule; at production scale the oriented edge
-  // list would materialize once — Lineage.cut — but at the bench corpus
-  // the rebuild is cheaper than the checkpoint job).
+  // The edge set and the oriented edge list each materialize ONCE
+  // (Lineage.cut): the r17 shape rebuilt them from independent reads
+  // per consumer — 16 evaluations of the scan+explode+distinct edge
+  // DAG in one 280-operator plan (r19 opt round measurement; guide
+  // §4.4's duplicated-subtree rule applied to the JVM plan). After the
+  // cut the three wedge consumers read the same blocks, the plan drops
+  // to ~40 operators, and the checkpointed frames self-join without
+  // tripping AMBIGUOUS_SELF_JOIN (fresh exprIds per aliasing select).
   def q175TriangleCount(s: SparkSession, d: String): DataFrame = {
-    def edges(): DataFrame = {
-      val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val edges = graft.operators.Lineage.cut(
       Tables.documents(s, d).select(col("doc_id"))
         .crossJoin(broadcast(nDf))
         .select(col("doc_id").as("s"), explode_outer(array(
@@ -120,15 +124,14 @@ object Advanced9 {
         .filter(col("s") =!= col("t"))
         .select(least(col("s"), col("t")).as("a"),
           greatest(col("s"), col("t")).as("b"))
-        .distinct()
-    }
-    def degrees(alias: String): DataFrame = edges()
-      .select(col("a").as("v")).unionAll(edges().select(col("b").as("v")))
+        .distinct())
+    def degrees(alias: String): DataFrame = edges
+      .select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as(s"deg_$alias"))
       .withColumnRenamed("v", alias)
     // orient a→b edges from the lower (deg, id) rank to the higher; the
     // rank rides as a struct so the wedge condition compares it directly
-    def oriented(): DataFrame = edges()
+    val oriented = graft.operators.Lineage.cut(edges
       .join(degrees("a"), "a").join(degrees("b"), "b")
       .select(
         struct(col("deg_a").as("d"), col("a").as("i")).as("ra"),
@@ -137,17 +140,17 @@ object Advanced9 {
       .select(
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
-        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
-    val w1 = oriented().select(col("u").as("wu"), col("v").as("v1"),
+        when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv")))
+    val w1 = oriented.select(col("u").as("wu"), col("v").as("v1"),
       col("rv").as("r1"))
-    val w2 = oriented().select(col("u").as("wu"), col("v").as("v2"),
+    val w2 = oriented.select(col("u").as("wu"), col("v").as("v2"),
       col("rv").as("r2"))
-    val closing = oriented().select(col("u").as("v1"), col("v").as("v2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
     val triDf = w1.join(w2, Seq("wu")).filter(col("r1") < col("r2"))
       .join(closing, Seq("v1", "v2"))
       .agg(count(lit(1)).as("n_triangles"))
     Tables.documents(s, d).agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(edges().agg(count(lit(1)).as("n_edges")))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(triDf)
   }
 
