@@ -292,7 +292,27 @@ object Series {
   // on both engines.
   def q105Triangles(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
-    s.sql(q105Sql)
+    // Spark INLINES WITH-CTEs, so `und` (a distinct over two union
+    // arms) was evaluated once per reference — 3× in the wedge join,
+    // 514 physical-plan lines (r19 opt round; guide §4.4 duplicated
+    // subtrees). Materialize it once and join the blocks; the oracle
+    // keeps the single-text CTE form (DuckDB materializes CTEs itself).
+    val und = graft.operators.Lineage.cut(s.sql(
+      """WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % cnt.n AS dst
+        |  FROM documents CROSS JOIN cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % cnt.n FROM documents CROSS JOIN cnt)
+        |SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |FROM raw WHERE src <> dst""".stripMargin))
+    und.createOrReplaceTempView("q105_und")
+    s.sql(
+      """SELECT e1.a AS doc_id, COUNT(*) AS n_triangles
+        |FROM q105_und e1
+        |JOIN q105_und e2 ON e2.a = e1.b
+        |JOIN q105_und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |GROUP BY e1.a ORDER BY doc_id""".stripMargin)
   }
 
   val q105Sql: String =
