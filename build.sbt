@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // ad-hoc JVM flag A/B without editing the build (e.g.
   // GRAFT_JAVA_OPTS="-XX:+UseParallelGC" for a same-boot GC comparison)
+  // filter(nonEmpty): a set-but-blank env var would otherwise pass a
+  // single empty-string JVM arg and break the forked run
   sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
+    .filter(_.nonEmpty)

@@ -109,10 +109,15 @@ object Clusters {
     // constant 4954 across all 10 rounds), so EVERY round paid the
     // anti-join; the parent sum keeps falling while edges re-parent
     // toward minima, so only genuine near-fixed-point rounds pay it
-    // now (r19 opt round; Long wraparound on the sums is harmless —
-    // a wrapped collision only means one extra exact probe).
+    // now (r19 opt round). The summed values are reduced mod 2^31 per
+    // row so the Long accumulator provably cannot overflow below ~2^32
+    // edges — Spark 4 runs ANSI mode by default, where a raw sum(id)
+    // overflow would THROW mid-loop, not wrap (a reduced collision only
+    // means one extra exact probe, same as before).
     def fingerprint(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(col("u")), sum(col("v"))).collect()(0)
+      val r = e.agg(count(lit(1)),
+        sum(pmod(col("u"), lit(2147483648L))),
+        sum(pmod(col("v"), lit(2147483648L)))).collect()(0)
       (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))

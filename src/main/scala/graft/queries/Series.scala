@@ -306,13 +306,20 @@ object Series {
         |  SELECT doc_id, (doc_id + 2) % cnt.n FROM documents CROSS JOIN cnt)
         |SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         |FROM raw WHERE src <> dst""".stripMargin))
-    und.createOrReplaceTempView("q105_und")
-    s.sql(
-      """SELECT e1.a AS doc_id, COUNT(*) AS n_triangles
-        |FROM q105_und e1
-        |JOIN q105_und e2 ON e2.a = e1.b
-        |JOIN q105_und e3 ON e3.a = e1.a AND e3.b = e2.b
-        |GROUP BY e1.a ORDER BY doc_id""".stripMargin)
+    // wedge join over the checkpointed frame directly (no session-global
+    // temp view: parallel suites share ONE SparkSession, and a shared
+    // view name is the documented cross-suite-flake pattern). The
+    // aliasing selects mint fresh exprIds, so the three-way self-join
+    // never trips AMBIGUOUS_SELF_JOIN.
+    val e1 = und.select(col("a").as("a1"), col("b").as("b1"))
+    val e2 = und.select(col("a").as("a2"), col("b").as("b2"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("b3"))
+    e1.join(e2, col("a2") === col("b1"))
+      .join(e3, col("a3") === col("a1") && col("b3") === col("b2"))
+      .groupBy(col("a1"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("a1").as("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
   }
 
   val q105Sql: String =
